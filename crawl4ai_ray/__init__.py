@@ -1,0 +1,28 @@
+"""crawl4ai_ray — a Ray-Data-native crawl/data-processing engine.
+
+A brand-new engine (NOT a port) with the query and data-processing
+capabilities of the reference crawler (cbwinslow/crawl4ai): a URL-frontier
++ fetch scheduler over tables of interleaved text+media span documents,
+expressed as ``ray.data.Dataset`` pipelines of ``map_batches`` over
+zero-copy Arrow batches, with actor pools for stateful stages
+(fetch sessions, sharded URL-seen set, per-host politeness).
+
+Layout
+------
+- ``schemas``    : pyarrow schemas for every logical table
+- ``tables``     : parquet-backed named-table store with atomic commits
+                   (Lance-style semantics; the ``lance`` package is not
+                   available in this environment)
+- ``functions``  : pure, vectorizable kernels (URL canonicalization,
+                   filters, scorers, chunkers, text stats, regex extraction)
+- ``stages``     : map_batches stages (HTML parse→spans, fetch actor pool)
+- ``state``      : stateful actors (cuckoo-filter seen-set shards,
+                   politeness/robots scheduler)
+- ``sources``    : deterministic synthetic-web + interleaved-doc generators
+- ``pipelines``  : superstep crawl driver, dedup, similarity, analysis,
+                   relational demo queries
+- ``oracle``     : single-process reference-semantics crawler producing
+                   golden outputs for pytest
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,745 @@
+"""The superstep crawl driver — BFS / best-first frontier loop on Ray Data.
+
+Replaces the reference's in-process deep-crawl strategies
+(/root/reference/crawl4ai/deep_crawling/bfs_strategy.py:142-192,
+bff_strategy.py:129-213) with a BSP-style loop of supersteps; each
+superstep is a Ray Data pipeline:
+
+    frontier (Arrow) → map_batches(Fetcher actor pool)
+                     → map_batches(parse_html_batch)      [stateless tasks]
+                     → write_parquet(documents/superstep=K)   [streaming]
+    read_parquet(discovery columns only)                  [column-pruned]
+                     → map_batches(candidate kernel: canonicalize /
+                       validate / filter / score)          [distributed]
+    compact candidate table → ordered dedup → sharded seen-set
+    check_and_add → next frontier with deterministic seq.
+
+Determinism / reference equality: candidate ordering is keyed by
+(parent_seq, link_idx); level-local dedup keeps the minimum key, which is
+exactly what the reference's sequential visited-probe produces; new ``seq``
+values are ranks in that order. The final seen set and crawl order are
+therefore independent of Ray's task scheduling.
+
+Scale notes (explicitly designed for a 256-node / 10^10-URL frontier):
+- Document payloads NEVER pass through the driver: fetch→parse→write is a
+  streaming distributed pipeline, and discovery re-reads only the tiny
+  (url, depth, seq, success, links) columns from the written parquet.
+- The compact candidate/frontier rows (~100 B/row) are finalized
+  driver-side here (ordered dedup + seq ranks). The production path for
+  10^8-row levels is the same algebra distributed: groupby(url_hash).min
+  over (parent_seq, link_idx) → distributed check_and_add (shard actor
+  handles inside map_batches) → sort → per-block seq offsets from block
+  counts. The driver-side version is used at sandbox scale; the switchover
+  is a constant, not a redesign.
+- Checkpoints are atomic per superstep (temp-dir + _COMMIT marker): next
+  frontier, per-shard seen blobs (cuckoo + exact hashes), lineage row, and
+  counters. Resume restores shard state and continues from the last
+  committed superstep; document output dirs are superstep-keyed so reruns
+  overwrite cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions import urlkit
+from ..schemas import SPAN_STRUCT
+from ..stages.fetch import SyntheticFetcher
+from ..stages.parse import parse_html_batch
+from ..state.seen import SeenSet
+
+_DISCOVERY_COLS = ["url", "depth", "seq", "success", "status", "links",
+                   "fetch_ms", "parse_ms"]
+
+
+@dataclass
+class CrawlConfig:
+    strategy: str = "bfs"                 # 'bfs' | 'best_first'
+    max_depth: int = 3
+    max_pages: float = math.inf
+    include_external: bool = False
+    score_threshold: float = -math.inf    # BFS only (reference has none in bff)
+    bff_batch_size: int = 10              # reference BATCH_SIZE (bff_strategy.py:19)
+    n_seen_shards: int = 4
+    seen_capacity_per_shard: int = 1 << 16
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 64
+    parse_batch_size: int = 64
+    keep_html: bool = False
+    image_score_threshold: int = 3
+    checkpoint_dir: str | None = None     # enables checkpoint/resume
+    out_dir: str = "/tmp/crawl4ai_ray_out"
+    simulate_latency: bool = False
+
+
+@dataclass
+class CrawlRunResult:
+    pages_crawled: int = 0
+    supersteps: int = 0
+    order: list = field(default_factory=list)   # url, depth, parent, seq, level, success, status
+    seen_size: int = 0
+    docs_dir: str = ""
+    lineage: list = field(default_factory=list)
+    urls_fetched: int = 0
+    wall_sec: float = 0.0
+    seen_hashes: np.ndarray | None = None   # sorted uint64 (oracle comparison)
+
+
+# ---------------------------------------------------------------------------
+# Per-batch kernels (run distributed inside map_batches)
+# ---------------------------------------------------------------------------
+
+
+def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
+                 keep_html: bool) -> pa.Table:
+    t0 = time.perf_counter()
+    out = parse_html_batch(batch, image_score_threshold=image_score_threshold)
+    per_row = (time.perf_counter() - t0) * 1000.0 / max(1, out.num_rows)
+    out = out.append_column(
+        "parse_ms",
+        pa.array(np.full(out.num_rows, per_row, dtype=np.float32),
+                 type=pa.float32()),
+    )
+    if not keep_html:
+        out = out.drop_columns(["html"])
+    return out
+
+
+def _candidate_stage(batch: pa.Table, *, include_external: bool,
+                     filter_fn=None, scorer_fn=None) -> pa.Table:
+    """Explode links → candidate rows with deterministic ordering keys.
+
+    Output: raw href, canonical url, url_hash, host, parent_seq, link_idx,
+    source_depth, passes (validity+filter), score. Link ordering within a
+    page mirrors the reference: internal links first (page order), then
+    external if enabled (bfs_strategy.py:94-96).
+    """
+    urls = batch.column("url").to_pylist()
+    seqs = batch.column("seq").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    succ = batch.column("success").to_pylist()
+    links_col = batch.column("links").to_pylist()
+
+    raw_l, canon_l, hash_l, host_l = [], [], [], []
+    pseq_l, lidx_l, sdepth_l, passes_l, score_l = [], [], [], [], []
+    for url, seq, depth, ok, links in zip(urls, seqs, depths, succ, links_col):
+        if not ok or not links:
+            continue
+        ordered = [l for l in links if l["internal"]]
+        if include_external:
+            ordered += [l for l in links if not l["internal"]]
+        for idx, link in enumerate(ordered):
+            raw = link["href"]
+            canon = urlkit.canonicalize(raw, url)
+            if canon is None:
+                continue
+            ok_url = urlkit.is_valid_crawl_url(raw)
+            if ok_url and filter_fn is not None and not filter_fn(raw):
+                ok_url = False
+            raw_l.append(raw)
+            canon_l.append(canon)
+            hash_l.append(urlkit.hash64(canon))
+            host_l.append(urlkit.host_of(canon))
+            pseq_l.append(seq)
+            lidx_l.append(idx)
+            sdepth_l.append(depth)
+            passes_l.append(ok_url)
+            score_l.append(float(scorer_fn(canon)) if scorer_fn else 0.0)
+    return pa.table(
+        {
+            "raw": pa.array(raw_l, type=pa.string()),
+            "url": pa.array(canon_l, type=pa.string()),
+            "url_hash": pa.array(np.array(hash_l, dtype=np.uint64)),
+            "host": pa.array(host_l, type=pa.string()),
+            "parent_seq": pa.array(pseq_l, type=pa.int64()),
+            "link_idx": pa.array(lidx_l, type=pa.int32()),
+            "source_depth": pa.array(sdepth_l, type=pa.int32()),
+            "passes": pa.array(passes_l, type=pa.bool_()),
+            "score": pa.array(score_l, type=pa.float32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+class CrawlEngine:
+    def __init__(self, cfg: CrawlConfig, *, fetcher_cls=SyntheticFetcher,
+                 fetcher_kwargs: dict | None = None, filter_fn=None,
+                 scorer_fn=None):
+        self.cfg = cfg
+        self.fetcher_cls = fetcher_cls
+        self.fetcher_kwargs = dict(fetcher_kwargs or {})
+        if fetcher_cls is SyntheticFetcher:
+            self.fetcher_kwargs.setdefault("simulate_latency",
+                                           cfg.simulate_latency)
+        self.filter_fn = filter_fn
+        self.scorer_fn = scorer_fn
+
+    # -- checkpoint helpers -------------------------------------------------
+
+    def _ckpt_path(self, k: int) -> str:
+        return os.path.join(self.cfg.checkpoint_dir, f"superstep={k:05d}")
+
+    def _find_resume_point(self) -> int | None:
+        d = self.cfg.checkpoint_dir
+        if not d or not os.path.isdir(d):
+            return None
+        best = None
+        for name in sorted(os.listdir(d)):
+            if name.startswith("superstep=") and os.path.exists(
+                os.path.join(d, name, "_COMMIT")
+            ):
+                best = int(name.split("=")[1])
+        return best
+
+    def _checkpoint(self, k: int, frontier: pa.Table, seen: SeenSet,
+                    state: dict, lineage_rows: list) -> None:
+        if not self.cfg.checkpoint_dir:
+            return
+        final = self._ckpt_path(k)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
+        blobs = seen.snapshot()
+        seen_tbl = pa.table(
+            {
+                "shard": pa.array(range(len(blobs)), type=pa.int32()),
+                "superstep": pa.array([k] * len(blobs), type=pa.int32()),
+                "filter_blob": pa.array([b[0] for b in blobs],
+                                        type=pa.large_binary()),
+                "exact_hashes": pa.array([b[1] for b in blobs],
+                                         type=pa.large_binary()),
+            }
+        )
+        pq.write_table(seen_tbl, os.path.join(tmp, "seen.parquet"))
+        if lineage_rows:
+            pq.write_table(
+                pa.Table.from_pylist(lineage_rows),
+                os.path.join(tmp, "lineage.parquet"),
+            )
+        with open(os.path.join(tmp, "state.json"), "w") as f:
+            json.dump(state, f)
+        with open(os.path.join(tmp, "_COMMIT"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, final)
+
+    def _restore(self, k: int, seen: SeenSet):
+        path = self._ckpt_path(k)
+        frontier = pq.read_table(os.path.join(path, "frontier.parquet"))
+        seen_tbl = pq.read_table(os.path.join(path, "seen.parquet"))
+        blobs = list(
+            zip(
+                seen_tbl.column("filter_blob").to_pylist(),
+                seen_tbl.column("exact_hashes").to_pylist(),
+            )
+        )
+        seen.restore(blobs)
+        with open(os.path.join(path, "state.json")) as f:
+            state = json.load(f)
+        return frontier, state
+
+    # -- shared superstep machinery -----------------------------------------
+
+    def _fetch_parse_write(self, frontier: pa.Table, k: int,
+                           docs_root: str) -> str:
+        """Distributed fetch→parse→write for one superstep; returns the
+        superstep's documents dir. Payloads never touch the driver."""
+        cfg = self.cfg
+        out_dir = os.path.join(docs_root, f"superstep={k:05d}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = rd.from_arrow(frontier)
+        n = frontier.num_rows
+        fetch_conc = max(1, min(cfg.fetch_concurrency,
+                                (n + cfg.fetch_batch_size - 1)
+                                // cfg.fetch_batch_size))
+        ds = ds.map_batches(
+            self.fetcher_cls,
+            fn_constructor_kwargs=self.fetcher_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=fetch_conc,
+            num_cpus=1,
+        )
+        ds = ds.map_batches(
+            _parse_stage,
+            fn_kwargs={
+                "image_score_threshold": cfg.image_score_threshold,
+                "keep_html": cfg.keep_html,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+        )
+        ds.write_parquet(out_dir)
+        return out_dir
+
+    def _discover(self, docs_dir: str) -> pa.Table:
+        """Column-pruned read of the superstep's output → candidate table."""
+        cfg = self.cfg
+        disc = rd.read_parquet(docs_dir, columns=_DISCOVERY_COLS)
+        cand_ds = disc.map_batches(
+            _candidate_stage,
+            fn_kwargs={
+                "include_external": cfg.include_external,
+                "filter_fn": self.filter_fn,
+                "scorer_fn": self.scorer_fn,
+            },
+            batch_format="pyarrow",
+        )
+        parts = [b for b in cand_ds.iter_batches(batch_format="pyarrow",
+                                                 batch_size=65536)]
+        if not parts:
+            return _candidate_stage(
+                pa.table({"url": pa.array([], pa.string()),
+                          "seq": pa.array([], pa.int64()),
+                          "depth": pa.array([], pa.int32()),
+                          "success": pa.array([], pa.bool_()),
+                          "links": pa.array([], pa.list_(pa.struct(
+                              [("href", pa.string()), ("text", pa.string()),
+                               ("title", pa.string()),
+                               ("internal", pa.bool_())])))}),
+                include_external=cfg.include_external)
+        return pa.concat_tables(parts)
+
+    def _read_order_rows(self, docs_dir: str) -> list[dict]:
+        tbl = (
+            rd.read_parquet(docs_dir,
+                            columns=["url", "depth", "parent", "seq",
+                                     "success", "status", "fetch_ms",
+                                     "parse_ms"])
+            .to_pandas()
+        )
+        tbl = tbl.sort_values("seq")
+        return tbl.to_dict("records")
+
+    # -- public entry -------------------------------------------------------
+
+    def run(self, seed_urls: list[str], *, resume: bool = False) -> CrawlRunResult:
+        if self.cfg.strategy == "bfs":
+            return self._run_bfs(seed_urls, resume=resume)
+        if self.cfg.strategy == "best_first":
+            return self._run_best_first(seed_urls, resume=resume)
+        raise ValueError(f"unknown strategy {self.cfg.strategy}")
+
+    # -- BFS ----------------------------------------------------------------
+
+    def _seed_frontier(self, seed_urls: list[str], seen: SeenSet) -> pa.Table:
+        canon, seen_local = [], set()
+        for u in seed_urls:
+            cu = urlkit.canonicalize(u, u)
+            if cu and cu not in seen_local:
+                seen_local.add(cu)
+                canon.append(cu)
+        hashes = urlkit.hash64_batch(canon)
+        dup = seen.check_and_add(hashes)
+        canon = [c for c, d in zip(canon, dup) if not d]
+        hashes = hashes[~dup]
+        n = len(canon)
+        return pa.table(
+            {
+                "url": pa.array(canon, type=pa.string()),
+                "url_hash": pa.array(hashes),
+                "host": pa.array([urlkit.host_of(c) for c in canon],
+                                 type=pa.string()),
+                "depth": pa.array([0] * n, type=pa.int32()),
+                "score": pa.array([0.0] * n, type=pa.float32()),
+                "parent": pa.array([""] * n, type=pa.string()),
+                "seq": pa.array(range(n), type=pa.int64()),
+            }
+        )
+
+    def _run_bfs(self, seed_urls: list[str], *, resume: bool) -> CrawlRunResult:
+        cfg = self.cfg
+        t_start = time.perf_counter()
+        res = CrawlRunResult()
+        docs_root = os.path.join(cfg.out_dir, "documents")
+        seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+        pages_crawled = 0
+        next_seq = 0
+        k = 0
+        frontier = None
+        lineage_all: list = []
+
+        if resume:
+            rk = self._find_resume_point()
+            if rk is not None:
+                frontier, state = self._restore(rk, seen)
+                pages_crawled = state["pages_crawled"]
+                next_seq = state["next_seq"]
+                k = rk + 1
+                res.order = state.get("order", [])
+        if frontier is None:
+            os.makedirs(docs_root, exist_ok=True)
+            frontier = self._seed_frontier(seed_urls, seen)
+            next_seq = frontier.num_rows
+
+        while frontier.num_rows and pages_crawled < cfg.max_pages:
+            docs_dir = self._fetch_parse_write(frontier, k, docs_root)
+            order_rows = self._read_order_rows(docs_dir)
+            for r in order_rows:
+                r["level"] = k
+            res.order.extend(order_rows)
+            n_success = sum(1 for r in order_rows if r["success"])
+            pages_crawled += n_success
+
+            # -- discovery --
+            cand = self._discover(docs_dir)
+            frontier, n_new, lineage = self._next_frontier_bfs(
+                cand, frontier, seen, pages_crawled, next_seq, k
+            )
+            next_seq += n_new
+            lineage[0]["frontier_in"] = len(order_rows)
+            lineage[0]["fetched"] = n_success
+            lineage[0]["fetch_ms_sum"] = float(
+                sum(r.get("fetch_ms") or 0.0 for r in order_rows)
+            )
+            lineage[0]["parse_ms_sum"] = float(
+                sum(r.get("parse_ms") or 0.0 for r in order_rows)
+            )
+            lineage_all.extend(lineage)
+            state = {
+                "pages_crawled": pages_crawled,
+                "next_seq": next_seq,
+                "strategy": "bfs",
+                "order": res.order,
+            }
+            self._checkpoint(k, frontier, seen, state, lineage)
+            k += 1
+
+        res.pages_crawled = pages_crawled
+        res.supersteps = k
+        res.seen_size = seen.size()
+        res.seen_hashes = np.sort(
+            np.concatenate(
+                [np.frombuffer(eb, dtype=np.uint64)
+                 for _, eb in seen.snapshot()]
+                or [np.zeros(0, dtype=np.uint64)]
+            )
+        )
+        res.docs_dir = docs_root
+        res.lineage = lineage_all
+        res.urls_fetched = len(res.order)
+        res.wall_sec = time.perf_counter() - t_start
+        seen.kill()
+        return res
+
+    def _next_frontier_bfs(self, cand: pa.Table, cur_frontier: pa.Table,
+                           seen: SeenSet, pages_crawled: int, next_seq: int,
+                           k: int):
+        """Reference link_discovery algebra (bfs_strategy.py:68-140) on the
+        compact candidate table. Returns (next_frontier, n_new, lineage)."""
+        cfg = self.cfg
+        import polars as pl
+
+        lineage = [{
+            "superstep": k, "partition": 0, "frontier_in": 0, "fetched": 0,
+            "skipped_seen": 0, "skipped_filtered": 0, "deferred": 0,
+            "discovered": 0, "fetch_ms_sum": 0.0, "parse_ms_sum": 0.0,
+        }]
+        empty = cur_frontier.slice(0, 0)
+        if cand.num_rows == 0:
+            return empty, 0, lineage
+        df = pl.from_arrow(cand)
+        # depth gate: next_depth = source_depth+1 must be <= max_depth
+        df = df.with_columns((pl.col("source_depth") + 1).alias("depth"))
+        df = df.filter(pl.col("depth") <= cfg.max_depth)
+        remaining = cfg.max_pages - pages_crawled
+        if df.height == 0 or remaining <= 0:
+            return empty, 0, lineage
+        n0 = df.height
+        df = df.filter(pl.col("passes"))
+        df = df.filter(pl.col("score") >= cfg.score_threshold) \
+            if cfg.score_threshold != -math.inf else df
+        lineage[0]["skipped_filtered"] = n0 - df.height
+        if df.height == 0:
+            return empty, 0, lineage
+        # ordered level-local dedup: min (parent_seq, link_idx) per canonical url
+        df = df.sort(["parent_seq", "link_idx"], maintain_order=True).unique(
+            subset=["url"], keep="first", maintain_order=True
+        )
+        # cross-level dedup: sharded seen-set (all passing candidates are
+        # marked seen, including over-capacity ones — reference quirk)
+        hashes = df["url_hash"].to_numpy().astype(np.uint64)
+        dup = seen.check_and_add(hashes)
+        lineage[0]["skipped_seen"] = int(dup.sum())
+        df = df.filter(pl.Series(~dup))
+        if df.height == 0:
+            return empty, 0, lineage
+        # per-page capacity truncation — ONLY over-capacity pages get
+        # reordered (score desc, stable) and truncated; the reference sorts
+        # inside the over-capacity branch only (bfs_strategy.py:124-131),
+        # and the post-truncation order IS the next level's crawl order
+        if remaining != math.inf:
+            df = df.with_columns(pl.len().over("parent_seq").alias("_cnt"))
+            if self.scorer_fn is not None:
+                df = df.with_columns(
+                    pl.when(pl.col("_cnt") > int(remaining))
+                    .then(-pl.col("score"))
+                    .otherwise(0.0)
+                    .alias("_sk")
+                ).sort(["parent_seq", "_sk", "link_idx"],
+                       maintain_order=True).drop("_sk")
+            df = df.with_columns(
+                pl.int_range(pl.len()).over("parent_seq").alias("_rank")
+            ).filter(pl.col("_rank") < int(remaining)).drop(["_rank", "_cnt"])
+        n_new = df.height
+        lineage[0]["discovered"] = n_new
+        seqs = np.arange(next_seq, next_seq + n_new, dtype=np.int64)
+        # parent url lookup from current frontier by parent_seq
+        fseq = cur_frontier.column("seq").to_pylist()
+        furl = cur_frontier.column("url").to_pylist()
+        parent_of = dict(zip(fseq, furl))
+        out = pa.table(
+            {
+                "url": df["url"].to_arrow(),
+                "url_hash": pa.array(df["url_hash"].to_numpy().astype(np.uint64)),
+                "host": df["host"].to_arrow(),
+                "depth": pa.array(df["depth"].cast(pl.Int32).to_arrow(),
+                                  type=pa.int32()),
+                "score": pa.array(df["score"].cast(pl.Float32).to_arrow(),
+                                  type=pa.float32()),
+                "parent": pa.array(
+                    [parent_of.get(s, "") for s in df["parent_seq"].to_list()],
+                    type=pa.string(),
+                ),
+                "seq": pa.array(seqs),
+            }
+        )
+        return out, n_new, lineage
+
+    # -- best-first ---------------------------------------------------------
+
+    def _run_best_first(self, seed_urls: list[str], *, resume: bool) -> CrawlRunResult:
+        """Priority frontier: persistent pool sorted by (score, depth, url),
+        batch pop of ``bff_batch_size`` with seen-check at pop time
+        (bff_strategy.py:129-213)."""
+        cfg = self.cfg
+        t_start = time.perf_counter()
+        res = CrawlRunResult()
+        docs_root = os.path.join(cfg.out_dir, "documents")
+        seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+        import polars as pl
+
+        pages_crawled = 0
+        seq = 0
+        k = 0
+        lineage_all: list = []
+        pool = None  # polars DataFrame: url,url_hash,host,depth,score,parent,push_seq
+
+        if resume:
+            rk = self._find_resume_point()
+            if rk is not None:
+                frontier_tbl, state = self._restore(rk, seen)
+                pool = pl.from_arrow(frontier_tbl)
+                pages_crawled = state["pages_crawled"]
+                seq = state["next_seq"]
+                k = rk + 1
+                res.order = state.get("order", [])
+        if pool is None:
+            os.makedirs(docs_root, exist_ok=True)
+            canon = []
+            for u in seed_urls:
+                cu = urlkit.canonicalize(u, u)
+                if cu:
+                    canon.append(cu)
+            pool = pl.DataFrame(
+                {
+                    "url": canon,
+                    "url_hash": np.array(urlkit.hash64_batch(canon),
+                                         dtype=np.uint64),
+                    "host": [urlkit.host_of(c) for c in canon],
+                    "depth": np.zeros(len(canon), dtype=np.int32),
+                    "score": np.zeros(len(canon), dtype=np.float32),
+                    "parent": [""] * len(canon),
+                    "push_seq": np.arange(len(canon), dtype=np.int64),
+                }
+            )
+        push_seq = int(pool["push_seq"].max()) + 1 if pool.height else 0
+
+        stop = False
+        while pool.height and not stop and pages_crawled < cfg.max_pages:
+            n_pop = cfg.bff_batch_size
+            if cfg.max_pages != math.inf:
+                n_pop = min(n_pop, int(cfg.max_pages - pages_crawled))
+            if n_pop <= 0:
+                break
+            # heap order = (score, depth, url); ties beyond that are
+            # identical entries (same url) so any stable order works
+            pool = pool.sort(["score", "depth", "url", "push_seq"])
+            popped = pool.head(n_pop)
+            pool = pool.slice(n_pop)
+            # visited.add at pop time; duplicates inside popped batch or
+            # already-seen rows are consumed without fetching
+            first = popped.unique(subset=["url"], keep="first",
+                                  maintain_order=True)
+            dup = seen.check_and_add(
+                first["url_hash"].to_numpy().astype(np.uint64)
+            )
+            batch_df = first.filter(pl.Series(~dup))
+            if batch_df.height == 0:
+                k += 1
+                continue
+            frontier = pa.table(
+                {
+                    "url": batch_df["url"].to_arrow(),
+                    "url_hash": pa.array(
+                        batch_df["url_hash"].to_numpy().astype(np.uint64)
+                    ),
+                    "host": batch_df["host"].to_arrow(),
+                    "depth": pa.array(batch_df["depth"].cast(pl.Int32).to_arrow(),
+                                      type=pa.int32()),
+                    "score": pa.array(batch_df["score"].cast(pl.Float32).to_arrow(),
+                                      type=pa.float32()),
+                    "parent": batch_df["parent"].to_arrow(),
+                    "seq": pa.array(
+                        np.arange(seq, seq + batch_df.height, dtype=np.int64)
+                    ),
+                }
+            )
+            docs_dir = self._fetch_parse_write(frontier, k, docs_root)
+            order_rows = self._read_order_rows(docs_dir)
+            # reference counts successes as they stream and stops BEFORE
+            # yielding the result that hits the cap
+            kept_rows = []
+            for r in order_rows:
+                if r["success"]:
+                    pages_crawled += 1
+                    if pages_crawled >= cfg.max_pages:
+                        stop = True
+                        break
+                r["level"] = k
+                kept_rows.append(r)
+            res.order.extend(kept_rows)
+            seq += len(order_rows)
+
+            if not stop:
+                cand = self._discover(docs_dir)
+                if cand.num_rows:
+                    cdf = pl.from_arrow(cand)
+                    cdf = cdf.with_columns(
+                        (pl.col("source_depth") + 1).alias("depth")
+                    ).filter(
+                        (pl.col("depth") <= cfg.max_depth) & pl.col("passes")
+                    )
+                    # drop candidates whose source result was cut by the cap
+                    kept_seqs = set(r["seq"] for r in kept_rows if r["success"])
+                    cdf = cdf.filter(
+                        pl.col("parent_seq").is_in(list(kept_seqs))
+                    )
+                    if cdf.height:
+                        # skip already-visited (contains, no add — bff marks
+                        # visited only at pop)
+                        vis = seen.contains(
+                            cdf["url_hash"].to_numpy().astype(np.uint64)
+                        )
+                        cdf = cdf.filter(pl.Series(~vis))
+                    if cfg.max_pages != math.inf and cdf.height:
+                        # remaining capacity decreases per-result WITHIN the
+                        # batch (reference streams results and recomputes
+                        # remaining at each link_discovery call)
+                        cum = 0
+                        remaining_of = {}
+                        for r in kept_rows:
+                            if r["success"]:
+                                cum += 1
+                                remaining_of[r["seq"]] = int(
+                                    cfg.max_pages - (pages_crawled
+                                                     - sum(1 for x in kept_rows
+                                                           if x["success"])
+                                                     + cum)
+                                )
+                        rem_df = pl.DataFrame(
+                            {"parent_seq": list(remaining_of.keys()),
+                             "_rem": list(remaining_of.values())}
+                        ).with_columns(pl.col("parent_seq").cast(pl.Int64))
+                        cdf = cdf.sort(["parent_seq", "link_idx"],
+                                       maintain_order=True)
+                        cdf = cdf.join(rem_df, on="parent_seq", how="left")
+                        cdf = cdf.with_columns(
+                            pl.int_range(pl.len()).over("parent_seq")
+                            .alias("_rank")
+                        ).filter(
+                            pl.col("_rank") < pl.col("_rem").fill_null(0)
+                        ).drop(["_rank", "_rem"])
+                    if cdf.height:
+                        cdf = cdf.sort(["parent_seq", "link_idx"],
+                                       maintain_order=True)
+                        parent_of = dict(
+                            zip(frontier.column("seq").to_pylist(),
+                                frontier.column("url").to_pylist())
+                        )
+                        add = pl.DataFrame(
+                            {
+                                "url": cdf["url"].to_list(),
+                                "url_hash": cdf["url_hash"].to_numpy()
+                                .astype(np.uint64),
+                                "host": cdf["host"].to_list(),
+                                "depth": cdf["depth"].cast(pl.Int32)
+                                .to_numpy().astype(np.int32),
+                                "score": cdf["score"].cast(pl.Float32)
+                                .to_numpy().astype(np.float32),
+                                "parent": [
+                                    parent_of.get(s, "")
+                                    for s in cdf["parent_seq"].to_list()
+                                ],
+                                "push_seq": np.arange(
+                                    push_seq, push_seq + cdf.height,
+                                    dtype=np.int64,
+                                ),
+                            }
+                        )
+                        push_seq += cdf.height
+                        pool = pl.concat([pool, add.select(pool.columns)]) \
+                            if pool.height else add.select(
+                                ["url", "url_hash", "host", "depth",
+                                 "score", "parent", "push_seq"])
+
+            lineage_all.append({
+                "superstep": k, "partition": 0,
+                "frontier_in": batch_df.height,
+                "fetched": sum(1 for r in kept_rows if r["success"]),
+                "skipped_seen": int(dup.sum()),
+                "skipped_filtered": 0, "deferred": 0,
+                "discovered": 0,
+                "fetch_ms_sum": float(sum(r.get("fetch_ms") or 0.0
+                                          for r in kept_rows)),
+                "parse_ms_sum": float(sum(r.get("parse_ms") or 0.0
+                                          for r in kept_rows)),
+            })
+            state = {"pages_crawled": pages_crawled, "next_seq": seq,
+                     "strategy": "best_first", "order": res.order}
+            self._checkpoint(k, pool.to_arrow(), seen, state,
+                             lineage_all[-1:])
+            k += 1
+
+        res.pages_crawled = pages_crawled
+        res.supersteps = k
+        res.seen_size = seen.size()
+        res.seen_hashes = np.sort(
+            np.concatenate(
+                [np.frombuffer(eb, dtype=np.uint64)
+                 for _, eb in seen.snapshot()]
+                or [np.zeros(0, dtype=np.uint64)]
+            )
+        )
+        res.docs_dir = docs_root
+        res.lineage = lineage_all
+        res.urls_fetched = len(res.order)
+        res.wall_sec = time.perf_counter() - t_start
+        seen.kill()
+        return res

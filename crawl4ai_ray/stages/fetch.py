@@ -1,0 +1,133 @@
+"""Fetch stage — stateful actor pool (`map_batches(FetcherCls, concurrency=N)`).
+
+Re-expresses the reference's AsyncHTTPCrawlerStrategy
+(/root/reference/crawl4ai/async_crawler_strategy.py:2153-2392: pooled
+aiohttp session, DNS cache, charset sniff, timeouts) as a callable class:
+session/state built once per actor in ``__init__``, each ``__call__``
+fetches one Arrow batch of URLs.
+
+Two implementations:
+
+- ``SyntheticFetcher`` — serves the deterministic synthetic web (tests and
+  bench; the sandbox has no network). Pages are computed on demand from the
+  small ``SiteConfig`` — no page corpus is shipped to actors.
+- ``HttpFetcher`` — a real urllib-based fetcher with the reference's pool
+  semantics, gated for environments with network access. Raw ``file://``
+  and ``raw:`` schemes are handled inline like the reference's
+  _handle_file/_handle_raw (async_crawler_strategy.py:2267-2286).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+
+
+class SyntheticFetcher:
+    """Actor-pool fetch stage over the synthetic web.
+
+    Input batch columns: ``url`` (canonical). Appends ``html``, ``status``,
+    ``success``, ``fetch_ms``. ``simulate_latency=True`` sleeps the page's
+    deterministic latency (politeness/throughput experiments); default off
+    so correctness tests run fast.
+    """
+
+    def __init__(self, site_cfg: dict | SiteConfig | None = None,
+                 simulate_latency: bool = False):
+        if isinstance(site_cfg, dict):
+            site_cfg = SiteConfig(**site_cfg)
+        self.site = SyntheticWeb(site_cfg or SiteConfig())
+        self.simulate_latency = simulate_latency
+
+    def fetch_one(self, url: str) -> dict:
+        return self.site.page(url)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls, statuses, fetch_ms = [], [], []
+        for u in urls:
+            t0 = time.perf_counter()
+            page = self.site.page(u)
+            if self.simulate_latency:
+                time.sleep(page["latency_ms"] / 1000.0)
+            htmls.append(page["html"])
+            statuses.append(page["status"])
+            fetch_ms.append((time.perf_counter() - t0) * 1000.0)
+        return (
+            batch.append_column("html", pa.array(htmls, type=pa.large_string()))
+            .append_column("status", pa.array(statuses, type=pa.int32()))
+            .append_column(
+                "success",
+                pa.array([s == 200 for s in statuses], type=pa.bool_()),
+            )
+            .append_column(
+                "fetch_ms",
+                pa.array(np.asarray(fetch_ms, dtype=np.float32), type=pa.float32()),
+            )
+        )
+
+
+class HttpFetcher:
+    """Real HTTP fetcher (urllib + thread pool). Per-actor connection reuse;
+    timeout 30s and pool size min(32, cpu*4) mirror the reference defaults
+    (async_crawler_strategy.py:2160-2163). Unusable in this sandbox (no
+    network) but kept API-complete; ``file://`` and ``raw:`` handled inline."""
+
+    def __init__(self, timeout: float = 30.0, max_workers: int | None = None,
+                 user_agent: str = "crawl4ai-ray/0.1"):
+        import os
+
+        self.timeout = timeout
+        self.user_agent = user_agent
+        workers = max_workers or min(32, (os.cpu_count() or 8) * 4)
+        self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
+
+    def fetch_one(self, url: str) -> dict:
+        t0 = time.perf_counter()
+        try:
+            if url.startswith("raw:"):
+                return {"html": url[4:], "status": 200, "latency_ms": 0}
+            if url.startswith("file://"):
+                with open(url[7:], encoding="utf-8", errors="replace") as f:
+                    return {"html": f.read(), "status": 200, "latency_ms": 0}
+            import urllib.request
+
+            req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+                charset = resp.headers.get_content_charset() or "utf-8"
+                return {
+                    "html": raw.decode(charset, errors="replace"),
+                    "status": resp.status,
+                    "latency_ms": int((time.perf_counter() - t0) * 1000),
+                }
+        except Exception:
+            return {"html": "", "status": 599,
+                    "latency_ms": int((time.perf_counter() - t0) * 1000)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        t0 = time.perf_counter()
+        pages = list(self.pool.map(self.fetch_one, urls))
+        dt = (time.perf_counter() - t0) * 1000.0 / max(1, len(urls))
+        return (
+            batch.append_column(
+                "html", pa.array([p["html"] for p in pages], type=pa.large_string())
+            )
+            .append_column(
+                "status", pa.array([p["status"] for p in pages], type=pa.int32())
+            )
+            .append_column(
+                "success",
+                pa.array([p["status"] == 200 for p in pages], type=pa.bool_()),
+            )
+            .append_column(
+                "fetch_ms",
+                pa.array(np.full(len(urls), dt, dtype=np.float32), type=pa.float32()),
+            )
+        )

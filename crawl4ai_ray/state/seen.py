@@ -1,0 +1,163 @@
+"""Sharded URL-seen set: cuckoo-filter fast path + exact uint64 ground truth.
+
+Replaces the reference's single-process ``visited: Set[str]``
+(/root/reference/crawl4ai/deep_crawling/bfs_strategy.py:152) with N shard
+actors keyed by ``url_hash % N``. Each shard holds a ``CuckooFilter`` (the
+compact, serializable checkpoint artifact) and an exact uint64 set that
+resolves filter false positives — the filter is an optimization, the exact
+set is truth (SURVEY.md §7.5). At cluster scale each shard is pinned to a
+node; here they are plain Ray actors.
+
+API is batch-first: callers hash-partition a batch of url_hashes by shard
+and issue one ``check_and_add`` per shard (one RPC per shard per superstep,
+not per URL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the URL-seen set."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity=capacity)
+        self.exact: set[int] = set()
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """For each hash (in order): True if already seen, else mark seen.
+
+        Within-batch duplicates: first occurrence returns False (new),
+        subsequent return True — identical to sequential ``in``+``add`` on
+        the reference's visited set.
+        """
+        maybe = self.filter.contains_batch(hashes)
+        out = np.empty(len(hashes), dtype=bool)
+        for i, h in enumerate(hashes):
+            hi = int(h)
+            if maybe[i] and hi in self.exact:
+                out[i] = True
+            elif hi in self.exact:  # filter false negative cannot happen; safety
+                out[i] = True
+            else:
+                out[i] = False
+                self.exact.add(hi)
+                self.filter.insert(hi)
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        maybe = self.filter.contains_batch(hashes)
+        out = np.empty(len(hashes), dtype=bool)
+        for i, h in enumerate(hashes):
+            out[i] = bool(maybe[i]) and int(h) in self.exact
+        return out
+
+    def add(self, hashes: np.ndarray) -> int:
+        for h in hashes:
+            hi = int(h)
+            if hi not in self.exact:
+                self.exact.add(hi)
+                self.filter.insert(hi)
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def snapshot(self) -> tuple[bytes, bytes]:
+        """(cuckoo blob, exact-hash ndarray bytes) for checkpointing."""
+        arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        arr.sort()
+        return self.filter.to_bytes(), arr.tobytes()
+
+    def restore(self, filter_blob: bytes, exact_blob: bytes) -> int:
+        self.filter = CuckooFilter.from_bytes(filter_blob)
+        arr = np.frombuffer(exact_blob, dtype=np.uint64)
+        self.exact = set(int(x) for x in arr)
+        return len(self.exact)
+
+
+class SeenSet:
+    """Driver-side handle over the shard actors."""
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
+        ]
+
+    def _partition(self, hashes: np.ndarray):
+        shard_of = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        return shard_of
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Batch check-and-add preserving input order semantics.
+
+        Order within a shard is preserved (stable partition), and
+        cross-shard order doesn't matter because two different hashes never
+        contend; duplicate hashes land on the same shard in order.
+        """
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        hashes = hashes.astype(np.uint64, copy=False)
+        shard_of = self._partition(hashes)
+        out = np.empty(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].check_and_add.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        hashes = hashes.astype(np.uint64, copy=False)
+        shard_of = self._partition(hashes)
+        out = np.empty(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].contains.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def add(self, hashes: np.ndarray) -> None:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        shard_of = self._partition(hashes)
+        futs = []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].add.remote(hashes[idx]))
+        ray.get(futs)
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self) -> list[tuple[bytes, bytes]]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[tuple[bytes, bytes]]) -> None:
+        ray.get(
+            [
+                s.restore.remote(fb, eb)
+                for s, (fb, eb) in zip(self.shards, blobs)
+            ]
+        )
+
+    def kill(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
