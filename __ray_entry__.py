@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in crawl4ai_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — BFS crawl of the deterministic synthetic
+  web (fetch actor pool → parse → interleaved span documents), returning
+  the documents Dataset.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data-curation extensions (dedup,
+  similarity, text analysis). Each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (same column names). Crawl/minhash/simhash/LSH entries are deliberately
+  omitted → rows-only driver check; their correctness gate is the oracle
+  comparison in tests/ (python -m pytest -x -q).
 """
 
 from __future__ import annotations
@@ -19,26 +21,194 @@ from collections.abc import Callable
 from typing import Any
 
 
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _crawl(strategy: str = "bfs", n_hosts: int = 6, max_depth: int = 3):
+    import tempfile
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=n_hosts)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix=f"c4r_{strategy}_")
+    cfg = CrawlConfig(strategy=strategy, max_depth=max_depth,
+                      out_dir=out_dir, n_seen_shards=2, fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    return eng.run(site.seed_urls())
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """BFS-crawl the synthetic web; return the interleaved-span documents."""
+    import ray.data as rd
+
+    res = _crawl("bfs", n_hosts=4, max_depth=2)
+    return rd.read_parquet(res.docs_dir,
+                           columns=["url", "depth", "seq", "success",
+                                    "status", "title", "spans"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _crawl_order_query(strategy: str):
+    def q(sf_dir: str):
+        import pandas as pd
+
+        res = _crawl(strategy)
+        df = pd.DataFrame(res.order)
+        return df[["url", "depth", "parent", "seq", "success", "status"]]
+
+    return q
+
+
+def _crawl_span_kinds(sf_dir: str):
+    """Span-kind histogram of the flagship crawl output (exercises the
+    interleaved-span payload end to end)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    res = _crawl("bfs")
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
+
+    def explode(batch):
+        import pyarrow as pa
+
+        kinds = []
+        for spans in batch.column("spans").to_pylist():
+            kinds += [s["kind"] for s in spans]
+        return pa.table({"kind": pa.array(kinds, type=pa.string())})
+
+    return docs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("kind").aggregate(Count(alias_name="n_spans"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (groupby/aggregate, broadcast join, filter,
+        # sort, limit, window-shaped daily aggregate)
+        "q1_pricing_summary": analysis.q1_pricing_summary,
+        "top_customer_revenue": analysis.top_customer_revenue,
+        "events_daily": analysis.events_daily,
+        "part_type_counts": analysis.part_type_counts,
+        "nation_region_join": analysis.nation_region_join,
+        "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
+        "orders_filter_sort": analysis.orders_filter_sort,
+        # documents: token stats / chunking / regex extraction / dedup
+        "doc_token_stats": analysis.doc_token_stats,
+        "doc_chunk_counts": analysis.doc_chunk_counts,
+        "event_numbers": analysis.event_numbers,
+        "exact_dedup": dedup.exact_dedup,
+        # similarity search
+        "ann_topk": lambda sf: similarity.brute_force_topk(sf),
+        "ann_topk_lsh": lambda sf: similarity.lsh_topk(sf),
+        "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
+        # near-dup (rows-only: not SQL-expressible)
+        "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "simhash_table": dedup.simhash_table,
+        "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
+        # text analysis (rows-only: langid/quality/fingerprint heuristics)
+        "doc_quality": analysis.doc_quality,
+        # crawl pipelines (rows-only; oracle equality enforced in pytest)
+        "crawl_bfs_order": _crawl_order_query("bfs"),
+        "crawl_best_first_order": _crawl_order_query("best_first"),
+        "crawl_span_kinds": _crawl_span_kinds,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customer_revenue": """
+            SELECT o_custkey AS c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, day
+        """,
+        "part_type_counts": """
+            SELECT p_type, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY p_type
+        """,
+        "nation_region_join": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "supplier_balance_by_nation": """
+            SELECT s_nationkey, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS sum_acctbal
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "orders_filter_sort": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "doc_token_stats": r"""
+            SELECT lang, count(*) AS n_docs, sum(n_words) AS sum_words,
+                   sum(n_chars) AS sum_chars, max(n_words) AS max_words,
+                   min(n_words) AS min_words
+            FROM (
+                SELECT lang,
+                       len(string_split_regex(trim(text), '\s+')) AS n_words,
+                       length(text) AS n_chars
+                FROM documents
+            ) GROUP BY lang
+        """,
+        "doc_chunk_counts": r"""
+            SELECT doc_id,
+                   CAST(ceil(len(string_split_regex(trim(text), '\s+'))
+                             / 50.0) AS BIGINT) AS n_chunks
+            FROM documents
+        """,
+        "event_numbers": r"""
+            SELECT event_id,
+                   len(regexp_extract_all(props, '[0-9]+')) AS n_matches
+            FROM events
+            WHERE len(regexp_extract_all(props, '[0-9]+')) > 0
+        """,
+        "exact_dedup": """
+            SELECT md5(substr(text, 1, 64)) AS content_md5,
+                   count(*) AS dup_count, min(doc_id) AS first_doc_id
+            FROM documents GROUP BY content_md5
+        """,
+        "ann_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 5) AS cos
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+    }

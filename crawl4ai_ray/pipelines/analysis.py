@@ -1,0 +1,331 @@
+"""Text-analysis and relational pipelines over the driver testdata tables.
+
+Every function takes ``sf_dir`` and returns a Dataset / Arrow table whose
+column names match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql``.
+Floats that depend on summation order are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.chunking import FixedLengthWordChunking
+from ..functions.regex_extract import RegexExtractor
+from ..functions.textstats import TextStats
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# documents: token stats / quality / language / fingerprints / chunking
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-language token statistics. SQL-checkable: whitespace token count
+    equals array_length(string_split_regex(trim(text), '\\s+'))."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words = np.array([len((t or "").split()) for t in texts],
+                           dtype=np.int64)
+        n_chars = np.array([len(t or "") for t in texts], dtype=np.int64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_words": pa.array(n_words),
+                "n_chars": pa.array(n_chars),
+            }
+        )
+
+    out = ds.map_batches(stage, batch_format="pyarrow", batch_size=8192)
+    return out.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_words", alias_name="sum_words"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_words", alias_name="max_words"),
+        Min("n_words", alias_name="min_words"),
+    )
+
+
+def doc_quality(sf_dir: str):
+    """Full text-stats table (quality, langid, fingerprints). Deterministic
+    but not SQL-expressible → rows-only driver check; exactness asserted in
+    pytest against scalar kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(TextStats, batch_format="pyarrow", batch_size=4096,
+                         concurrency=2)
+    return out.select_columns(
+        ["doc_id", "lang", "n_words", "n_tokens_bpe", "lang_detected",
+         "quality", "fingerprint", "content_md5"]
+    )
+
+
+def doc_chunk_counts(sf_dir: str, chunk_size: int = 50):
+    """Chunk every document (fixed-length word chunker) and count chunks.
+    SQL oracle: ceil(n_words / chunk_size) with n_words from regex split."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunker = FixedLengthWordChunking(chunk_size)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = np.array(
+            [len(chunker.chunk(t or "")) for t in texts], dtype=np.int64
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_chunks": pa.array(counts)}
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=8192)
+
+
+def doc_chunks_exploded(sf_dir: str, chunk_size: int = 50):
+    """Explode documents into chunk rows (doc_id, chunk_idx, chunk_words)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunker = FixedLengthWordChunking(chunk_size)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids, idxs, words = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for i, ch in enumerate(chunker.chunk(text or "")):
+                ids.append(did)
+                idxs.append(i)
+                words.append(len(ch.split()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(idxs, type=pa.int32()),
+                "chunk_words": pa.array(words, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=8192)
+
+
+def event_numbers(sf_dir: str):
+    """Regex entity extraction over events.props (digit runs) — the M25
+    operator on a real column. SQL oracle uses regexp_extract_all."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    ex = RegexExtractor(custom={"num": r"\d+"}, id_col="event_id",
+                        text_col="props")
+    out = ds.map_batches(ex, batch_format="pyarrow", batch_size=8192)
+    agg = out.groupby("doc_id").aggregate(Count(alias_name="n_matches"))
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["event_id" if c == "doc_id" else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(rn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational demos (groupby / join / sort / window-ish) over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem (groupby-aggregate
+    with per-batch pre-aggregation via Arrow kernels)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1998-09-02")))
+        t = batch.filter(mask)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "l_quantity": t.column("l_quantity"),
+                "l_extendedprice": t.column("l_extendedprice"),
+                "disc_price": disc_price,
+            }
+        )
+
+    out = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    agg = out.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.round(batch.column("sum_qty"), 2),
+                "sum_base_price": pc.round(batch.column("sum_base_price"), 2),
+                "sum_disc_price": pc.round(batch.column("sum_disc_price"), 2),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(final_round, batch_format="pyarrow")
+
+
+def top_customer_revenue(sf_dir: str, k: int = 20):
+    """Join orders⋈customer (broadcast small side) + groupby + top-k sort.
+
+    The customer table is the small side → broadcast via ray.put and mapped
+    per batch instead of a shuffle join (SURVEY §2.4 lookup pattern)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]) \
+        .to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        names = _ray.get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": pa.array(
+                    [names.get(k, "") for k in keys], type=pa.string()
+                ),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    out = orders.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    agg = out.groupby(["c_custkey", "c_name"]).aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("revenue"),
+            "revenue",
+            pc.round(batch.column("revenue"), 2),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def events_daily(sf_dir: str):
+    """Tumbling daily window per event_type (streaming-shaped aggregate:
+    groupby(type, day) with per-batch partials)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "value": batch.column("value"),
+            }
+        )
+
+    out = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    agg = out.groupby(["event_type", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(batch.column("sum_value"), 4),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def part_type_counts(sf_dir: str):
+    """distinct/groupby demo over part."""
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    agg = ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("avg_price"),
+            "avg_price",
+            pc.round(batch.column("avg_price"), 4),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def nation_region_join(sf_dir: str):
+    """Two-table join via broadcast (region is tiny)."""
+    import ray
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    def join(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        names = _ray.get(ref)
+        keys = batch.column("n_regionkey").to_pylist()
+        return pa.table(
+            {
+                "n_nationkey": batch.column("n_nationkey"),
+                "n_name": batch.column("n_name"),
+                "r_name": pa.array([names.get(k, "") for k in keys],
+                                   type=pa.string()),
+            }
+        )
+
+    return nation.map_batches(join, batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    agg = ds.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="sum_acctbal"),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_acctbal"),
+            "sum_acctbal",
+            pc.round(batch.column("sum_acctbal"), 2),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def orders_filter_sort(sf_dir: str, k: int = 50):
+    """filter + projection + sort + limit demo."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    filt = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"),
+                                    pa.scalar("O"))),
+        batch_format="pyarrow",
+    )
+    return filt.select_columns(["o_orderkey", "o_totalprice"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(k)

