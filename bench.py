@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "throughput": {"urls_per_sec": ..., "frontier_ops_per_sec": ...}}
+
+``--scaling`` runs the same workload at num_cpus=8 and 32 in fresh
+processes on the same input and reports both plus the scaling efficiency
+(the BASELINE two-cluster-size criterion, evidenced at two parallelism
+levels per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Bench site: ~190k pages across 1000 hosts (800 full-size + a Zipf tail),
+# text_scale=40 → ~15 KB pages so fetch+parse compute dominates the
+# fixed per-superstep costs (the regime a real crawl runs in).
+BENCH_SITE = dict(n_hosts=1000, base_cats=6, n_subs=3, base_products=12,
+                  hot_hosts=800, text_scale=40)
+
+
+def _crawl_bench(timings: dict, stats: dict) -> None:
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(**BENCH_SITE)
+    site = SyntheticWeb(site_cfg)
+    out = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        strategy="bfs",
+        max_depth=3,
+        out_dir=out,
+        n_seen_shards=8,
+        fetch_concurrency=max(2, NUM_CPUS // 2),
+        fetch_batch_size=512,
+        parse_batch_size=256,
+    )
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    t0 = time.perf_counter()
+    res = eng.run(site.seed_urls())
+    dt = time.perf_counter() - t0
+    timings["crawl_bfs"] = round(dt, 3)
+    frontier_ops = sum(
+        r["frontier_in"] + r["discovered"] for r in res.lineage
+    )
+    stats["urls_fetched"] = res.urls_fetched
+    stats["pages_crawled"] = res.pages_crawled
+    stats["urls_per_sec"] = round(res.urls_fetched / dt, 1)
+    stats["frontier_ops_per_sec"] = round(frontier_ops / dt, 1)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _timed(timings: dict, name: str, fn) -> None:
+    t0 = time.perf_counter()
+    r = fn(SF_DIR)
+    # consume the pipeline (they're lazy)
+    try:
+        import ray.data
+
+        if isinstance(r, ray.data.Dataset):
+            r = r.to_pandas()
+    except Exception:
+        pass
+    timings[name] = round(time.perf_counter() - t0, 3)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from crawl4ai_ray.pipelines import analysis, dedup, similarity
+
+    # warm the page cache + Ray Data machinery with one untimed pass
+    analysis.part_type_counts(SF_DIR).to_pandas()
+
+    timings: dict = {}
+    stats: dict = {}
+    _crawl_bench(timings, stats)
+    if os.environ.get("BENCH_ONLY") != "crawl":
+        _timed(timings, "q1_pricing_summary", analysis.q1_pricing_summary)
+        _timed(timings, "top_customer_revenue", analysis.top_customer_revenue)
+        _timed(timings, "events_daily", analysis.events_daily)
+        _timed(timings, "doc_token_stats", analysis.doc_token_stats)
+        _timed(timings, "doc_quality", analysis.doc_quality)
+        _timed(timings, "exact_dedup", dedup.exact_dedup)
+        _timed(timings, "minhash_pairs", dedup.minhash_lsh_pairs)
+        _timed(timings, "simhash_table", dedup.simhash_table)
+        _timed(timings, "ann_topk", similarity.brute_force_topk)
+        _timed(timings, "ann_topk_lsh", similarity.lsh_topk)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "throughput": stats,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="crawl")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "urls_per_sec_8": r_lo["throughput"].get("urls_per_sec"),
+        "urls_per_sec_32": r_hi["throughput"].get("urls_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

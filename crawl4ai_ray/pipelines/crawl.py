@@ -59,8 +59,21 @@ from ..stages.fetch import SyntheticFetcher
 from ..stages.parse import parse_html_batch
 from ..state.seen import SeenSet
 
-_DISCOVERY_COLS = ["url", "depth", "seq", "success", "status", "links",
-                   "fetch_ms", "parse_ms"]
+_DISCOVERY_COLS = ["url", "depth", "parent", "seq", "success", "status",
+                   "cand", "fetch_ms", "parse_ms"]
+
+
+def _sink_stage(batch: pa.Table, *, out_dir: str) -> pa.Table:
+    """Write the full parsed batch as one parquet part (task-side sink for
+    resumable, superstep-partitioned output) and return only the compact
+    discovery columns for the driver."""
+    import uuid
+
+    if batch.num_rows:
+        pq.write_table(
+            batch, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+        )
+    return batch.select(_DISCOVERY_COLS)
 
 
 @dataclass
@@ -81,6 +94,17 @@ class CrawlConfig:
     checkpoint_dir: str | None = None     # enables checkpoint/resume
     out_dir: str = "/tmp/crawl4ai_ray_out"
     simulate_latency: bool = False
+    # politeness / robots (BSP token buckets — state.politeness). When on,
+    # BFS level purity yields to per-host budgets: over-budget rows defer
+    # to the next superstep with seq unchanged (ordering-stable deferral),
+    # so frontier levels may mix depths — the same reordering the
+    # reference's dispatcher rate-limiter causes.
+    politeness: bool = False
+    politeness_partitions: int = 2
+    superstep_seconds: float = 4.0        # virtual seconds per superstep
+    politeness_jitter: bool = False       # deterministic by default
+    base_delay: tuple = (1.0, 3.0)
+    check_robots: bool = True
 
 
 @dataclass
@@ -101,10 +125,60 @@ class CrawlRunResult:
 # ---------------------------------------------------------------------------
 
 
+_CAND_STRUCT = pa.struct(
+    [
+        pa.field("url", pa.string()),       # canonical
+        pa.field("url_hash", pa.uint64()),
+        pa.field("host", pa.string()),
+        pa.field("link_idx", pa.int32()),
+        pa.field("passes", pa.bool_()),
+        pa.field("score", pa.float32()),
+    ]
+)
+
+
 def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
-                 keep_html: bool) -> pa.Table:
+                 keep_html: bool, include_external: bool = False,
+                 filter_fn=None, scorer_fn=None) -> pa.Table:
+    """Fetch output → parsed docs + per-page candidate list.
+
+    Candidate extraction (canonicalize / validate / filter / score — the
+    reference's link_discovery per-link work, bfs_strategy.py:100-121) is
+    fused here so the discovery step needs ONE column-pruned read-back and
+    zero extra distributed passes per superstep."""
     t0 = time.perf_counter()
     out = parse_html_batch(batch, image_score_threshold=image_score_threshold)
+    urls = out.column("url").to_pylist()
+    succ = out.column("success").to_pylist()
+    links_col = out.column("links").to_pylist()
+    cand_col = []
+    for url, ok, links in zip(urls, succ, links_col):
+        cands = []
+        if ok and links:
+            ordered = [l for l in links if l["internal"]]
+            if include_external:
+                ordered += [l for l in links if not l["internal"]]
+            for idx, link in enumerate(ordered):
+                raw = link["href"]
+                canon = urlkit.canonicalize(raw, url)
+                if canon is None:
+                    continue
+                ok_url = urlkit.is_valid_crawl_url(raw)
+                if ok_url and filter_fn is not None and not filter_fn(raw):
+                    ok_url = False
+                cands.append(
+                    {
+                        "url": canon,
+                        "url_hash": urlkit.hash64(canon),
+                        "host": urlkit.host_of(canon),
+                        "link_idx": idx,
+                        "passes": ok_url,
+                        "score": float(scorer_fn(canon)) if scorer_fn else 0.0,
+                    }
+                )
+        cand_col.append(cands)
+    out = out.append_column("cand", pa.array(cand_col,
+                                             type=pa.list_(_CAND_STRUCT)))
     per_row = (time.perf_counter() - t0) * 1000.0 / max(1, out.num_rows)
     out = out.append_column(
         "parse_ms",
@@ -114,61 +188,6 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
     if not keep_html:
         out = out.drop_columns(["html"])
     return out
-
-
-def _candidate_stage(batch: pa.Table, *, include_external: bool,
-                     filter_fn=None, scorer_fn=None) -> pa.Table:
-    """Explode links → candidate rows with deterministic ordering keys.
-
-    Output: raw href, canonical url, url_hash, host, parent_seq, link_idx,
-    source_depth, passes (validity+filter), score. Link ordering within a
-    page mirrors the reference: internal links first (page order), then
-    external if enabled (bfs_strategy.py:94-96).
-    """
-    urls = batch.column("url").to_pylist()
-    seqs = batch.column("seq").to_pylist()
-    depths = batch.column("depth").to_pylist()
-    succ = batch.column("success").to_pylist()
-    links_col = batch.column("links").to_pylist()
-
-    raw_l, canon_l, hash_l, host_l = [], [], [], []
-    pseq_l, lidx_l, sdepth_l, passes_l, score_l = [], [], [], [], []
-    for url, seq, depth, ok, links in zip(urls, seqs, depths, succ, links_col):
-        if not ok or not links:
-            continue
-        ordered = [l for l in links if l["internal"]]
-        if include_external:
-            ordered += [l for l in links if not l["internal"]]
-        for idx, link in enumerate(ordered):
-            raw = link["href"]
-            canon = urlkit.canonicalize(raw, url)
-            if canon is None:
-                continue
-            ok_url = urlkit.is_valid_crawl_url(raw)
-            if ok_url and filter_fn is not None and not filter_fn(raw):
-                ok_url = False
-            raw_l.append(raw)
-            canon_l.append(canon)
-            hash_l.append(urlkit.hash64(canon))
-            host_l.append(urlkit.host_of(canon))
-            pseq_l.append(seq)
-            lidx_l.append(idx)
-            sdepth_l.append(depth)
-            passes_l.append(ok_url)
-            score_l.append(float(scorer_fn(canon)) if scorer_fn else 0.0)
-    return pa.table(
-        {
-            "raw": pa.array(raw_l, type=pa.string()),
-            "url": pa.array(canon_l, type=pa.string()),
-            "url_hash": pa.array(np.array(hash_l, dtype=np.uint64)),
-            "host": pa.array(host_l, type=pa.string()),
-            "parent_seq": pa.array(pseq_l, type=pa.int64()),
-            "link_idx": pa.array(lidx_l, type=pa.int32()),
-            "source_depth": pa.array(sdepth_l, type=pa.int32()),
-            "passes": pa.array(passes_l, type=pa.bool_()),
-            "score": pa.array(score_l, type=pa.float32()),
-        }
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -259,73 +278,125 @@ class CrawlEngine:
     def _fetch_parse_write(self, frontier: pa.Table, k: int,
                            docs_root: str) -> str:
         """Distributed fetch→parse→write for one superstep; returns the
-        superstep's documents dir. Payloads never touch the driver."""
+        superstep's documents dir. Payloads never touch the driver.
+
+        The frontier is pre-sliced into ~fetch_batch_size blocks so the map
+        operators get real parallelism (a single from_arrow block would
+        serialize the whole level into one task)."""
         cfg = self.cfg
         out_dir = os.path.join(docs_root, f"superstep={k:05d}")
         shutil.rmtree(out_dir, ignore_errors=True)
-        ds = rd.from_arrow(frontier)
         n = frontier.num_rows
-        fetch_conc = max(1, min(cfg.fetch_concurrency,
-                                (n + cfg.fetch_batch_size - 1)
-                                // cfg.fetch_batch_size))
-        ds = ds.map_batches(
-            self.fetcher_cls,
-            fn_constructor_kwargs=self.fetcher_kwargs,
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=fetch_conc,
-            num_cpus=1,
-        )
+        ncpu = int(ray.cluster_resources().get("CPU",
+                                               cfg.fetch_concurrency))
+        n_blocks = max(1, min((n + cfg.fetch_batch_size - 1)
+                              // cfg.fetch_batch_size,
+                              4 * max(ncpu, cfg.fetch_concurrency)))
+        per = (n + n_blocks - 1) // n_blocks
+        slices = [frontier.slice(i * per, per) for i in range(n_blocks)
+                  if i * per < n]
+        ds = rd.from_arrow(slices)
+        if self.fetcher_cls is SyntheticFetcher:
+            # pure-function site → stateless tasks, no actor-pool spin-up
+            from ..stages.fetch import make_task_fetcher
+
+            ds = ds.map_batches(
+                make_task_fetcher(
+                    self.fetcher_kwargs.get("site_cfg") or {},
+                    self.fetcher_kwargs.get("simulate_latency", False),
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            )
+        else:
+            fetch_conc = max(1, min(cfg.fetch_concurrency, len(slices)))
+            ds = ds.map_batches(
+                self.fetcher_cls,
+                fn_constructor_kwargs=self.fetcher_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=fetch_conc,
+                num_cpus=1,
+            )
         ds = ds.map_batches(
             _parse_stage,
             fn_kwargs={
                 "image_score_threshold": cfg.image_score_threshold,
                 "keep_html": cfg.keep_html,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.parse_batch_size,
-        )
-        ds.write_parquet(out_dir)
-        return out_dir
-
-    def _discover(self, docs_dir: str) -> pa.Table:
-        """Column-pruned read of the superstep's output → candidate table."""
-        cfg = self.cfg
-        disc = rd.read_parquet(docs_dir, columns=_DISCOVERY_COLS)
-        cand_ds = disc.map_batches(
-            _candidate_stage,
-            fn_kwargs={
                 "include_external": cfg.include_external,
                 "filter_fn": self.filter_fn,
                 "scorer_fn": self.scorer_fn,
             },
             batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
         )
-        parts = [b for b in cand_ds.iter_batches(batch_format="pyarrow",
-                                                 batch_size=65536)]
-        if not parts:
-            return _candidate_stage(
-                pa.table({"url": pa.array([], pa.string()),
-                          "seq": pa.array([], pa.int64()),
-                          "depth": pa.array([], pa.int32()),
-                          "success": pa.array([], pa.bool_()),
-                          "links": pa.array([], pa.list_(pa.struct(
-                              [("href", pa.string()), ("text", pa.string()),
-                               ("title", pa.string()),
-                               ("internal", pa.bool_())])))}),
-                include_external=cfg.include_external)
-        return pa.concat_tables(parts)
+        # Task-side sink: each task writes its own parquet part and passes
+        # only the compact discovery columns downstream — the whole
+        # superstep is ONE pipeline execution, and document payloads never
+        # reach the driver (write_parquet + re-read would cost a second
+        # execution + a read per superstep).
+        os.makedirs(out_dir, exist_ok=True)
+        ds = ds.map_batches(
+            _sink_stage,
+            fn_kwargs={"out_dir": out_dir},
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        # single streaming execution (bare to_arrow_refs() would re-execute
+        # the plan and duplicate the task-side parquet writes)
+        compact = [
+            b for b in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)
+            if b.num_rows
+        ]
+        return out_dir, compact
 
-    def _read_order_rows(self, docs_dir: str) -> list[dict]:
-        tbl = (
-            rd.read_parquet(docs_dir,
-                            columns=["url", "depth", "parent", "seq",
-                                     "success", "status", "fetch_ms",
-                                     "parse_ms"])
-            .to_pandas()
+    def _read_superstep(self, compact: list):
+        """Order rows + exploded candidate table from the compact columns
+        returned by the superstep pipeline; the explode is vectorized
+        Arrow (list_parent_indices + flatten)."""
+        import pyarrow.compute as pc
+
+        tables = compact
+        if not tables:
+            return [], pa.table(
+                {"url": pa.array([], pa.string()),
+                 "url_hash": pa.array([], pa.uint64()),
+                 "host": pa.array([], pa.string()),
+                 "parent_seq": pa.array([], pa.int64()),
+                 "link_idx": pa.array([], pa.int32()),
+                 "source_depth": pa.array([], pa.int32()),
+                 "passes": pa.array([], pa.bool_()),
+                 "score": pa.array([], pa.float32())}
+            )
+        tbl = pa.concat_tables(tables).combine_chunks()
+        order_tbl = tbl.select(
+            ["url", "depth", "parent", "seq", "success", "status",
+             "fetch_ms", "parse_ms"]
+        ).sort_by("seq")
+        order = order_tbl.to_pylist()
+
+        cand_list = tbl.column("cand").combine_chunks()
+        if isinstance(cand_list, pa.ChunkedArray):
+            cand_list = cand_list.chunk(0) if cand_list.num_chunks else \
+                pa.array([], type=cand_list.type)
+        parent_idx = pc.list_parent_indices(cand_list)
+        flat = pc.list_flatten(cand_list)
+        seqs = pc.take(tbl.column("seq"), parent_idx)
+        depths = pc.take(tbl.column("depth"), parent_idx)
+        cand = pa.table(
+            {
+                "url": flat.field("url"),
+                "url_hash": flat.field("url_hash"),
+                "host": flat.field("host"),
+                "parent_seq": seqs,
+                "link_idx": flat.field("link_idx"),
+                "source_depth": depths,
+                "passes": flat.field("passes"),
+                "score": flat.field("score"),
+            }
         )
-        tbl = tbl.sort_values("seq")
-        return tbl.to_dict("records")
+        return order, cand
 
     # -- public entry -------------------------------------------------------
 
@@ -388,23 +459,61 @@ class CrawlEngine:
             frontier = self._seed_frontier(seed_urls, seen)
             next_seq = frontier.num_rows
 
+        gate = None
+        if cfg.politeness:
+            from ..state.politeness import PolitenessGate
+
+            gate = PolitenessGate(
+                cfg.politeness_partitions,
+                base_delay=cfg.base_delay,
+                superstep_seconds=cfg.superstep_seconds,
+                jitter=cfg.politeness_jitter,
+            )
+
         while frontier.num_rows and pages_crawled < cfg.max_pages:
-            docs_dir = self._fetch_parse_write(frontier, k, docs_root)
-            order_rows = self._read_order_rows(docs_dir)
+            deferred = frontier.slice(0, 0)
+            blocked_rows: list[dict] = []
+            n_blocked = 0
+            if gate is not None:
+                frontier, deferred, blocked_rows = self._politeness_split(
+                    frontier, gate, k
+                )
+                n_blocked = len(blocked_rows)
+                res.order.extend(blocked_rows)
+                if frontier.num_rows == 0:
+                    # everything deferred/blocked this round
+                    frontier = deferred
+                    k += 1
+                    if n_blocked == 0 and deferred.num_rows == 0:
+                        break
+                    continue
+            docs_dir, compact = self._fetch_parse_write(frontier, k,
+                                                        docs_root)
+            order_rows, cand = self._read_superstep(compact)
             for r in order_rows:
                 r["level"] = k
             res.order.extend(order_rows)
             n_success = sum(1 for r in order_rows if r["success"])
             pages_crawled += n_success
-
-            # -- discovery --
-            cand = self._discover(docs_dir)
+            if gate is not None:
+                by_host: dict[str, list[int]] = {}
+                for r in order_rows:
+                    by_host.setdefault(
+                        urlkit.host_of(r["url"]), []
+                    ).append(int(r["status"]))
+                gate.report(by_host)
             frontier, n_new, lineage = self._next_frontier_bfs(
                 cand, frontier, seen, pages_crawled, next_seq, k
             )
+            if deferred.num_rows:
+                frontier = pa.concat_tables(
+                    [deferred, frontier]
+                ).sort_by("seq")
             next_seq += n_new
             lineage[0]["frontier_in"] = len(order_rows)
             lineage[0]["fetched"] = n_success
+            lineage[0]["deferred"] = deferred.num_rows
+            lineage[0]["skipped_filtered"] += n_blocked
             lineage[0]["fetch_ms_sum"] = float(
                 sum(r.get("fetch_ms") or 0.0 for r in order_rows)
             )
@@ -436,7 +545,90 @@ class CrawlEngine:
         res.urls_fetched = len(res.order)
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
+        if gate is not None:
+            gate.kill()
         return res
+
+    def _politeness_split(self, frontier: pa.Table, gate, k: int):
+        """Apply robots + per-host budgets to the superstep's frontier.
+
+        Returns (admitted, deferred, blocked_order_rows): robots-disallowed
+        rows become synthetic 403 results (reference async_webcrawler.py:
+        318-331); rows of dead hosts (too many 429/503) become 429 failure
+        rows; over-budget rows defer with seq unchanged."""
+        from urllib.parse import urlparse
+
+        import polars as pl
+
+        cfg = self.cfg
+        urls = frontier.column("url").to_pylist()
+        hosts = frontier.column("host").to_pylist()
+        blocked_rows: list[dict] = []
+
+        keep = np.ones(len(urls), dtype=bool)
+        if cfg.check_robots:
+            missing = gate.hosts_missing_robots(hosts)
+            if missing:
+                fetcher = self._driver_fetcher()
+                robots = {
+                    h: fetcher.fetch_one(f"http://{h}/robots.txt")["html"]
+                    for h in missing
+                }
+                gate.set_robots(robots)
+            paths = [urlparse(u).path or "/" for u in urls]
+            allowed = gate.robots_mask(hosts, paths)
+            for i in np.nonzero(~allowed)[0]:
+                blocked_rows.append(self._synthetic_row(frontier, int(i), k,
+                                                        status=403))
+            keep &= allowed
+        dead = gate.dead_mask(hosts)
+        if dead.any():
+            for i in np.nonzero(dead & keep)[0]:
+                blocked_rows.append(self._synthetic_row(frontier, int(i), k,
+                                                        status=429))
+            keep &= ~dead
+        frontier = frontier.filter(pa.array(keep))
+        if frontier.num_rows == 0:
+            return frontier, frontier.slice(0, 0), blocked_rows
+
+        # per-host budgets: admit the lowest-seq rows of each host
+        df = pl.from_arrow(frontier).sort("seq", maintain_order=True)
+        counts = df.group_by("host", maintain_order=True).len()
+        admit_n = gate.admit(counts["host"].to_list(),
+                             counts["len"].to_list())
+        budget = dict(zip(counts["host"].to_list(), admit_n))
+        df = df.with_columns(
+            pl.int_range(pl.len()).over("host").alias("_rank")
+        )
+        admit_mask = pl.Series(
+            [r < budget.get(h, 0)
+             for h, r in zip(df["host"].to_list(), df["_rank"].to_list())]
+        )
+        admitted = df.filter(admit_mask).drop("_rank").to_arrow()
+        deferred = df.filter(~admit_mask).drop("_rank").to_arrow()
+        return (admitted.cast(frontier.schema),
+                deferred.cast(frontier.schema), blocked_rows)
+
+    def _synthetic_row(self, frontier: pa.Table, i: int, k: int,
+                       status: int) -> dict:
+        return {
+            "url": frontier.column("url")[i].as_py(),
+            "depth": frontier.column("depth")[i].as_py(),
+            "parent": frontier.column("parent")[i].as_py(),
+            "seq": frontier.column("seq")[i].as_py(),
+            "success": False,
+            "status": status,
+            "fetch_ms": 0.0,
+            "parse_ms": 0.0,
+            "level": k,
+        }
+
+    def _driver_fetcher(self):
+        f = getattr(self, "_drv_fetcher", None)
+        if f is None:
+            f = self.fetcher_cls(**self.fetcher_kwargs)
+            self._drv_fetcher = f
+        return f
 
     def _next_frontier_bfs(self, cand: pa.Table, cur_frontier: pa.Table,
                            seen: SeenSet, pages_crawled: int, next_seq: int,
@@ -611,8 +803,9 @@ class CrawlEngine:
                     ),
                 }
             )
-            docs_dir = self._fetch_parse_write(frontier, k, docs_root)
-            order_rows = self._read_order_rows(docs_dir)
+            docs_dir, compact = self._fetch_parse_write(frontier, k,
+                                                        docs_root)
+            order_rows, cand = self._read_superstep(compact)
             # reference counts successes as they stream and stops BEFORE
             # yielding the result that hits the cap
             kept_rows = []
@@ -628,7 +821,6 @@ class CrawlEngine:
             seq += len(order_rows)
 
             if not stop:
-                cand = self._discover(docs_dir)
                 if cand.num_rows:
                     cdf = pl.from_arrow(cand)
                     cdf = cdf.with_columns(

@@ -111,19 +111,26 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    return a, b
+    return rng.integers(1, np.iinfo(np.uint64).max, size=num_perm,
+                        dtype=np.uint64)
 
 
-def _signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    # Vectorized splitmix64 finalizer — uint64 wraparound arithmetic.
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _signature(sh: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Per-permutation min of splitmix64(shingle ^ seed) — a fully
+    vectorized uint64 minhash (one (n_shingles, num_perm) broadcast)."""
     if len(sh) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    # (num_perm, n_shingles) universal hashing mod Mersenne prime
-    x = sh.astype(np.object_)  # exact big-int arithmetic, n is small per doc
-    vals = (a[:, None].astype(np.object_) * x[None, :] +
-            b[:, None].astype(np.object_)) % _MERSENNE
-    return np.array(vals.min(axis=1).tolist(), dtype=np.uint64)
+        return np.full(len(seeds), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = _splitmix64(sh[:, None] ^ seeds[None, :])
+    return z.min(axis=0)
 
 
 class MinHashStage:
@@ -132,7 +139,7 @@ class MinHashStage:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3):
         assert num_perm % bands == 0
-        self.a, self.b = _minhash_params(num_perm)
+        self.seeds = _minhash_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
@@ -142,8 +149,7 @@ class MinHashStage:
         texts = batch.column("text").to_pylist()
         out_doc, out_band, out_hash = [], [], []
         for did, text in zip(ids, texts):
-            sig = _signature(_shingle_hashes(text or "", self.k),
-                             self.a, self.b)
+            sig = _signature(_shingle_hashes(text or "", self.k), self.seeds)
             for band in range(self.bands):
                 seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
                 bh = int.from_bytes(
@@ -186,20 +192,35 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
         concurrency=2,
     )
 
-    def bucket_pairs(group):
-        import pandas as pd
+    # Candidate pairs from band buckets. The band table is compact
+    # (doc_id, band_id, band_hash ≈ 20 B/row), so bucket-pair generation
+    # runs driver-side in polars — a per-bucket map_groups here costs one
+    # Python/pandas round-trip per bucket (tens of thousands of tiny
+    # groups) and is ~20× slower. At corpus scale the same algebra runs
+    # distributed: sort by (band_id, band_hash) + per-block run detection.
+    import polars as pl
 
-        ids = sorted(group["doc_id"].tolist())
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]) if rows else \
-            pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                          "doc_b": pd.Series(dtype="int64")})
-
-    cand = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    band_pl = pl.from_arrow(
+        pa.concat_tables(
+            list(band_rows.iter_batches(batch_format="pyarrow",
+                                        batch_size=None))
+        )
     )
-    cand_tbl = cand.to_pandas().drop_duplicates()
+    buckets = (
+        band_pl.group_by(["band_id", "band_hash"])
+        .agg(pl.col("doc_id").sort().alias("ids"))
+        .filter(pl.col("ids").list.len() > 1)
+    )
+    rows_a, rows_b = [], []
+    for ids in buckets["ids"].to_list():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                rows_a.append(a)
+                rows_b.append(b)
+    import pandas as pd
+
+    cand_tbl = pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b}) \
+        .drop_duplicates()
     if len(cand_tbl) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),

@@ -50,6 +50,7 @@ class SiteConfig:
     error_rate_mod: int = 23    # product pages with h%mod==0 → 404
     slow_rate_mod: int = 29     # product pages with h%mod==0 → 503
     robots_disallow_mod: int = 5  # every k-th host disallows /cat0/sub1
+    text_scale: int = 1           # multiplies paragraph word counts (bench knob)
 
     def host(self, k: int) -> str:
         return f"h{k:04d}.test"
@@ -174,7 +175,7 @@ class SyntheticWeb:
     def _root(self, k: int, base: str, h: int, latency: int) -> dict:
         cfg = self.cfg
         paras = "".join(
-            f"<p>{_words(h + i, 18)}</p>" for i in range(2)
+            f"<p>{_words(h + i, 18 * self.cfg.text_scale)}</p>" for i in range(2)
         )
         cats = "".join(
             f'<li><a href="/cat{c}" title="cat {c}">Browse category {c}</a></li>'
@@ -195,7 +196,7 @@ class SyntheticWeb:
             for s in range(cfg.n_subs)
         )
         body = (
-            f"<h1>Category {c}</h1><p>{_words(h, 25)}</p>"
+            f"<h1>Category {c}</h1><p>{_words(h, 25 * self.cfg.text_scale)}</p>"
             f"<ul>{subs}</ul>"
             f'<p><a href="/">home</a> · <a href="/cat{c}#top">self</a></p>'
         )
@@ -220,7 +221,7 @@ class SyntheticWeb:
                 f"<tbody>{rows}</tbody></table>"
             )
         body = (
-            f"<h1>Sub {c}.{s}</h1><p>{_words(h, 20)}</p>{table}<ul>{prods}</ul>"
+            f"<h1>Sub {c}.{s}</h1><p>{_words(h, 20 * self.cfg.text_scale)}</p>{table}<ul>{prods}</ul>"
             f'<p><a href="/cat{c}">up</a></p>'
         )
         return {"html": self._shell(f"Sub {c}.{s}", k, body),
@@ -243,9 +244,9 @@ class SyntheticWeb:
             media = f'<video src="/static/v{p}.mp4" title="demo video {p}"></video>'
         body = (
             f"<h1>Product {c}.{s}.{p}</h1>"
-            f"<p><strong>{_words(h, 4)}</strong> — {_words(h + 1, 30)}</p>"
+            f"<p><strong>{_words(h, 4)}</strong> — {_words(h + 1, 30 * self.cfg.text_scale)}</p>"
             f"{img}{icon}{media}"
-            f"<p>{_words(h + 2, 22)}</p>"
+            f"<p>{_words(h + 2, 22 * self.cfg.text_scale)}</p>"
             f'<p><a href="/cat{c}/sub{s}/p{sib}.html?ref=sibling">next product</a> · '
             f'<a href="/cat{c}/sub{s}/">back</a></p>{cross}'
         )

@@ -20,6 +20,7 @@ Two implementations:
 from __future__ import annotations
 
 import concurrent.futures
+import json
 import time
 
 import numpy as np
@@ -70,6 +71,30 @@ class SyntheticFetcher:
                 pa.array(np.asarray(fetch_ms, dtype=np.float32), type=pa.float32()),
             )
         )
+
+
+_SITE_CACHE: dict = {}
+
+
+def make_task_fetcher(site_cfg: dict, simulate_latency: bool = False):
+    """Stateless-task variant of SyntheticFetcher for ``map_batches(fn)``.
+
+    The synthetic site is a pure function of its (tiny) config, so no
+    actor state is needed: each worker process lazily builds one
+    SyntheticWeb per config and reuses it across batches (module-level
+    cache — the actor-pool spin-up cost per superstep disappears).
+    Real fetchers with session state (HttpFetcher) still use actor pools.
+    """
+    key = json.dumps(site_cfg, sort_keys=True) + f"|{simulate_latency}"
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        fetcher = _SITE_CACHE.get(key)
+        if fetcher is None:
+            fetcher = SyntheticFetcher(dict(site_cfg), simulate_latency)
+            _SITE_CACHE[key] = fetcher
+        return fetcher(batch)
+
+    return fetch_batch
 
 
 class HttpFetcher:
