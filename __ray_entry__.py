@@ -67,6 +67,26 @@ def _crawl_order_query(strategy: str):
     return q
 
 
+def _crawl_dfs_order(sf_dir: str):
+    import pandas as pd
+
+    res = _crawl("dfs", n_hosts=2, max_depth=2)
+    df = pd.DataFrame(res.order)
+    return df[["url", "depth", "parent", "seq", "success", "status"]]
+
+
+def _media_decode(sf_dir: str):
+    from crawl4ai_ray.stages.multimodal import media_pipeline
+
+    return media_pipeline(sf_dir)
+
+
+def _media_frames(sf_dir: str):
+    from crawl4ai_ray.stages.multimodal import frame_sample_pipeline
+
+    return frame_sample_pipeline(sf_dir)
+
+
 def _crawl_span_kinds(sf_dir: str):
     """Span-kind histogram of the flagship crawl output (exercises the
     interleaved-span payload end to end)."""
@@ -116,9 +136,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
+        # multimodal (rows-only: binary payload decode / frame sampling —
+        # stubbed codec, real Ray plumbing; stages/multimodal.py)
+        "media_decode": _media_decode,
+        "media_frame_sample": _media_frames,
         # crawl pipelines (rows-only; oracle equality enforced in pytest)
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),
+        "crawl_dfs_order": lambda sf: _crawl_dfs_order(sf),
         "crawl_span_kinds": _crawl_span_kinds,
     }
 

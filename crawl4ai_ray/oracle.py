@@ -136,6 +136,77 @@ def oracle_bfs(
     return res
 
 
+def oracle_dfs(
+    site: SyntheticWeb,
+    start_urls: list[str],
+    *,
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    include_external: bool = False,
+    filter_fn=None,
+    scorer_fn=None,
+    score_threshold: float = -math.inf,
+) -> OracleResult:
+    """LIFO depth-first traversal.
+
+    NOTE: the reference's DFS (dfs_strategy.py:16-67) inherits BFS's
+    link_discovery, which marks candidates visited at DISCOVERY time, while
+    its pop loop skips visited URLs — as written it can never expand past
+    the start URL. We implement the documented intent instead (the same
+    stack semantics its docstring and stream mode describe): visited.add at
+    pop, discovery validates/scores without marking, children pushed in
+    reverse so the first-discovered link is crawled next.
+    """
+    res = OracleResult()
+    visited: set[str] = set()
+    stack: list[tuple[str, str, int]] = []
+    for u in reversed(start_urls):
+        cu = canonicalize(u, u)
+        stack.append((cu, "", 0))
+    seq = 0
+    while stack and res.pages_crawled < max_pages:
+        url, parent, depth = stack.pop()
+        if url in visited or depth > max_depth:
+            continue
+        visited.add(url)
+        page = site.page(url)
+        success = page["status"] == 200
+        res.order.append(
+            {"url": url, "depth": depth, "parent": parent, "seq": seq,
+             "level": -1, "success": success, "status": page["status"]}
+        )
+        seq += 1
+        if not success:
+            continue
+        res.pages_crawled += 1
+        if res.pages_crawled >= max_pages:
+            break
+        parsed = parse_html(page["html"], url)
+        res.docs[url] = parsed
+        next_depth = depth + 1
+        if next_depth > max_depth:
+            continue
+        links = [l for l in parsed["links"] if l["internal"]]
+        if include_external:
+            links += [l for l in parsed["links"] if not l["internal"]]
+        valid = []
+        for link in links:
+            raw = link["href"]
+            cu = canonicalize(raw, url)
+            if cu in visited:
+                continue
+            if not _passes(raw, next_depth, filter_fn):
+                continue
+            score = scorer_fn(cu) if scorer_fn else 0.0
+            if score < score_threshold:
+                continue
+            valid.append(cu)
+        for cu in reversed(valid):
+            stack.append((cu, url, next_depth))
+    res.seen = visited
+    return res
+
+
 def oracle_best_first(
     site: SyntheticWeb,
     start_urls: list[str],

@@ -252,6 +252,14 @@ class CrawlEngine:
                 pa.Table.from_pylist(lineage_rows),
                 os.path.join(tmp, "lineage.parquet"),
             )
+        # order rows for THIS superstep only — per-superstep parquet, not a
+        # cumulative blob (a cumulative state would grow O(n^2) over a run)
+        step_order = state.pop("_step_order", None)
+        if step_order:
+            pq.write_table(
+                pa.Table.from_pylist(step_order),
+                os.path.join(tmp, "order.parquet"),
+            )
         with open(os.path.join(tmp, "state.json"), "w") as f:
             json.dump(state, f)
         with open(os.path.join(tmp, "_COMMIT"), "w") as f:
@@ -271,6 +279,13 @@ class CrawlEngine:
         seen.restore(blobs)
         with open(os.path.join(path, "state.json")) as f:
             state = json.load(f)
+        # rebuild crawl order from the per-superstep order parquets
+        order: list[dict] = []
+        for j in range(k + 1):
+            p = os.path.join(self._ckpt_path(j), "order.parquet")
+            if os.path.exists(p):
+                order.extend(pq.read_table(p).to_pylist())
+        state["order"] = order
         return frontier, state
 
     # -- shared superstep machinery -----------------------------------------
@@ -405,7 +420,100 @@ class CrawlEngine:
             return self._run_bfs(seed_urls, resume=resume)
         if self.cfg.strategy == "best_first":
             return self._run_best_first(seed_urls, resume=resume)
+        if self.cfg.strategy == "dfs":
+            return self._run_dfs(seed_urls)
         raise ValueError(f"unknown strategy {self.cfg.strategy}")
+
+    # -- DFS ----------------------------------------------------------------
+
+    def _run_dfs(self, seed_urls: list[str]) -> CrawlRunResult:
+        """LIFO depth-first traversal (see oracle.oracle_dfs for the
+        reference-divergence note — we implement the documented intent,
+        visited-at-pop). DFS order is a serial constraint, so supersteps
+        are single-URL; checkpointing is not wired for DFS yet (the stack
+        is driver state — a frontier-table serialization would add it)."""
+        cfg = self.cfg
+        t_start = time.perf_counter()
+        res = CrawlRunResult()
+        docs_root = os.path.join(cfg.out_dir, "documents")
+        os.makedirs(docs_root, exist_ok=True)
+        seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+        import polars as pl
+
+        stack: list[tuple[str, str, int]] = []
+        for u in reversed(seed_urls):
+            cu = urlkit.canonicalize(u, u)
+            if cu:
+                stack.append((cu, "", 0))
+        seq = 0
+        k = 0
+        pages_crawled = 0
+        while stack and pages_crawled < cfg.max_pages:
+            url, parent, depth = stack.pop()
+            if depth > cfg.max_depth:
+                continue
+            dup = seen.check_and_add(
+                np.array([urlkit.hash64(url)], dtype=np.uint64)
+            )
+            if dup[0]:
+                continue
+            frontier = pa.table(
+                {
+                    "url": pa.array([url], type=pa.string()),
+                    "url_hash": pa.array([urlkit.hash64(url)],
+                                         type=pa.uint64()),
+                    "host": pa.array([urlkit.host_of(url)], type=pa.string()),
+                    "depth": pa.array([depth], type=pa.int32()),
+                    "score": pa.array([0.0], type=pa.float32()),
+                    "parent": pa.array([parent], type=pa.string()),
+                    "seq": pa.array([seq], type=pa.int64()),
+                }
+            )
+            _, compact = self._fetch_parse_write(frontier, k, docs_root)
+            order_rows, cand = self._read_superstep(compact)
+            for r in order_rows:
+                r["level"] = k
+            res.order.extend(order_rows)
+            seq += 1
+            k += 1
+            success = order_rows and order_rows[0]["success"]
+            if not success:
+                continue
+            pages_crawled += 1
+            if pages_crawled >= cfg.max_pages:
+                break
+            next_depth = depth + 1
+            if next_depth > cfg.max_depth or cand.num_rows == 0:
+                continue
+            cdf = pl.from_arrow(cand).filter(pl.col("passes"))
+            if cfg.score_threshold != -math.inf:
+                cdf = cdf.filter(pl.col("score") >= cfg.score_threshold)
+            cdf = cdf.sort("link_idx", maintain_order=True)
+            if cdf.height:
+                vis = seen.contains(
+                    cdf["url_hash"].to_numpy().astype(np.uint64)
+                )
+                urls_new = [
+                    u for u, v in zip(cdf["url"].to_list(), vis) if not v
+                ]
+                for cu in reversed(urls_new):
+                    stack.append((cu, url, next_depth))
+
+        res.pages_crawled = pages_crawled
+        res.supersteps = k
+        res.seen_size = seen.size()
+        res.seen_hashes = np.sort(
+            np.concatenate(
+                [np.frombuffer(eb, dtype=np.uint64)
+                 for _, eb in seen.snapshot()]
+                or [np.zeros(0, dtype=np.uint64)]
+            )
+        )
+        res.docs_dir = docs_root
+        res.urls_fetched = len(res.order)
+        res.wall_sec = time.perf_counter() - t_start
+        seen.kill()
+        return res
 
     # -- BFS ----------------------------------------------------------------
 
@@ -525,7 +633,7 @@ class CrawlEngine:
                 "pages_crawled": pages_crawled,
                 "next_seq": next_seq,
                 "strategy": "bfs",
-                "order": res.order,
+                "_step_order": blocked_rows + order_rows,
             }
             self._checkpoint(k, frontier, seen, state, lineage)
             k += 1
@@ -914,7 +1022,7 @@ class CrawlEngine:
                                           for r in kept_rows)),
             })
             state = {"pages_crawled": pages_crawled, "next_seq": seq,
-                     "strategy": "best_first", "order": res.order}
+                     "strategy": "best_first", "_step_order": kept_rows}
             self._checkpoint(k, pool.to_arrow(), seen, state,
                              lineage_all[-1:])
             k += 1

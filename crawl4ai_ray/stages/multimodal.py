@@ -1,0 +1,249 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as actor-pool map_batches
+stages.
+
+The reference treats media as URL references plus optional raw bytes
+(screenshot/pdf in CrawlResult, /root/reference/crawl4ai/models.py:138-140);
+a training-data engine must carry the payloads themselves. Real codecs
+(PIL/ffmpeg) are NOT available in this container, so the decode kernels are
+STUBS over a deterministic fake container format (``FakeCodec``) — clearly
+marked below; the Ray-side plumbing (schemas, batch sizing for large binary
+rows, actor signatures, output layout) is real and tested. Swapping
+``FakeCodec`` for PIL/ffmpeg is a per-kernel change.
+
+Batch-size guidance: payloads here are ~4-64 KiB; real images are MBs —
+size ``batch_size`` so batch_size × row_bytes × concurrency stays within
+worker heap (the module defaults assume ≤1 MiB rows → batch_size 64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"FAKE"
+_KINDS = ("image", "audio", "video")
+
+
+class FakeCodec:
+    """Deterministic stand-in for PIL/ffmpeg: a tiny container format.
+
+    Layout: magic(4) kind(1) width(u16) height(u16) n_frames(u16)
+    sample_rate(u32) seed(u64) | body = xorshift byte stream.
+    """
+
+    @staticmethod
+    def encode(kind: str, seed: int, *, width: int = 0, height: int = 0,
+               n_frames: int = 1, sample_rate: int = 0,
+               body_len: int = 4096) -> bytes:
+        header = _MAGIC + struct.pack(
+            "<BHHHIQ", _KINDS.index(kind), width, height, n_frames,
+            sample_rate, seed & 0xFFFFFFFFFFFFFFFF,
+        )
+        rng = np.random.default_rng(seed & 0xFFFFFFFF)
+        return header + rng.integers(0, 256, size=body_len,
+                                     dtype=np.uint8).tobytes()
+
+    @staticmethod
+    def decode(blob: bytes) -> dict:
+        if blob[:4] != _MAGIC:
+            raise ValueError("not a FAKE container — real decode would need "
+                             "PIL/ffmpeg, unavailable in this environment")
+        kind_i, w, h, nf, sr, seed = struct.unpack("<BHHHIQ", blob[4:23])
+        return {
+            "kind": _KINDS[kind_i],
+            "width": int(w),
+            "height": int(h),
+            "n_frames": int(nf),
+            "sample_rate": int(sr),
+            "seed": int(seed),
+            "body": blob[23:],
+        }
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media corpus: media_id, kind, payload(binary), meta."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        kind = _KINDS[i % 3]
+        s = seed * 1_000_003 + i
+        if kind == "image":
+            blob = FakeCodec.encode(kind, s, width=64 + (i % 8) * 32,
+                                    height=64 + (i % 5) * 32, body_len=4096)
+        elif kind == "audio":
+            blob = FakeCodec.encode(kind, s, sample_rate=16000,
+                                    n_frames=100 + i % 50, body_len=8192)
+        else:
+            blob = FakeCodec.encode(kind, s, width=320, height=240,
+                                    n_frames=24 + i % 72, body_len=16384)
+        ids.append(i)
+        kinds.append(kind)
+        payloads.append(blob)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }
+    )
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: decode payload headers → typed metadata columns.
+
+    __init__ is where a real implementation loads PIL/ffmpeg once per
+    actor; __call__ decodes a batch. STUB: decodes the FakeCodec container;
+    non-FAKE payloads raise (the honest unavailable-codec path)."""
+
+    def __init__(self, strict: bool = False):
+        self.codec = FakeCodec()
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, frames, rates, checksums = [], [], [], [], []
+        for blob in batch.column("payload").to_pylist():
+            try:
+                d = self.codec.decode(blob)
+            except ValueError:
+                if self.strict:
+                    raise
+                d = {"width": -1, "height": -1, "n_frames": -1,
+                     "sample_rate": -1, "body": b""}
+            widths.append(d["width"])
+            heights.append(d["height"])
+            frames.append(d["n_frames"])
+            rates.append(d["sample_rate"])
+            checksums.append(
+                hashlib.blake2b(d["body"], digest_size=8).hexdigest()
+            )
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("width", pa.array(widths, type=pa.int32()))
+            .append_column("height", pa.array(heights, type=pa.int32()))
+            .append_column("n_frames", pa.array(frames, type=pa.int32()))
+            .append_column("sample_rate", pa.array(rates, type=pa.int32()))
+            .append_column("checksum", pa.array(checksums, type=pa.string()))
+        )
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: payload → 16-dim float feature vector (STUB: bytes
+    of a keyed blake2b digest, scaled; a real stage would run a vision/audio
+    model loaded once in __init__). Output feeds the similarity pipelines."""
+
+    DIM = 16
+
+    def __init__(self):
+        self.dim = self.DIM
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch.column("payload").to_pylist():
+            dig = hashlib.blake2b(blob, digest_size=self.dim).digest()
+            feats.append(
+                (np.frombuffer(dig, dtype=np.uint8).astype(np.float32)
+                 / 127.5 - 1.0).tolist()
+            )
+        return batch.drop_columns(["payload"]).append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float32()))
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: deterministic 'resize' of image payloads — real
+    plumbing (reads header, rewrites container at target dims), stub math
+    (body re-seeded; a real kernel would interpolate pixels)."""
+
+    def __init__(self, target_width: int = 224, target_height: int = 224):
+        self.tw = target_width
+        self.th = target_height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob, kind in zip(batch.column("payload").to_pylist(),
+                              batch.column("kind").to_pylist()):
+            if kind != "image":
+                out.append(blob)
+                continue
+            d = FakeCodec.decode(blob)
+            out.append(
+                FakeCodec.encode("image", d["seed"], width=self.tw,
+                                 height=self.th,
+                                 body_len=max(64, self.tw * self.th // 48))
+            )
+        return batch.set_column(
+            batch.column_names.index("payload"), "payload",
+            pa.array(out, type=pa.large_binary()),
+        )
+
+
+class FrameSampleStage:
+    """Explode stage: sample every ``stride``-th frame of video payloads →
+    one row per sampled frame (media_id, frame_idx, frame_checksum).
+    Non-video rows are dropped. Output row count is data-dependent, the
+    flat_map shape."""
+
+    def __init__(self, stride: int = 8):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sums = [], [], []
+        for mid, kind, blob in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "video":
+                continue
+            d = FakeCodec.decode(blob)
+            body = d["body"]
+            nf = max(1, d["n_frames"])
+            frame_len = max(1, len(body) // nf)
+            for fi in range(0, nf, self.stride):
+                frame = body[fi * frame_len:(fi + 1) * frame_len]
+                ids.append(mid)
+                idxs.append(fi)
+                sums.append(
+                    hashlib.blake2b(frame, digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "frame_checksum": pa.array(sums, type=pa.string()),
+            }
+        )
+
+
+def media_pipeline(sf_dir: str, *, n: int | None = None):
+    """End-to-end multimodal demo over a deterministic media corpus sized
+    from the documents table: decode metadata for every payload."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    if n is None:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_table(n)
+    per = max(1, (n + 31) // 32)
+    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
+    ds = rd.from_arrow(slices)
+    return ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+def frame_sample_pipeline(sf_dir: str, *, n: int | None = None,
+                          stride: int = 8):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    if n is None:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_table(n)
+    per = max(1, (n + 31) // 32)
+    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
+    ds = rd.from_arrow(slices)
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"stride": stride},
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=2)

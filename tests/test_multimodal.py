@@ -1,0 +1,94 @@
+"""Multimodal stage tests: codec round-trip, decode/resize/frame-sample
+plumbing, determinism, end-to-end pipelines."""
+
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.stages.multimodal import (
+    FakeCodec,
+    FrameSampleStage,
+    ImageResizeStage,
+    MediaDecodeStage,
+    MediaFeatureStage,
+    frame_sample_pipeline,
+    media_pipeline,
+    synth_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_codec_roundtrip():
+    blob = FakeCodec.encode("image", 7, width=128, height=96, body_len=512)
+    d = FakeCodec.decode(blob)
+    assert (d["kind"], d["width"], d["height"]) == ("image", 128, 96)
+    assert len(d["body"]) == 512
+    assert blob == FakeCodec.encode("image", 7, width=128, height=96,
+                                    body_len=512)
+    with pytest.raises(ValueError):
+        FakeCodec.decode(b"\x89PNG fake real png")
+
+
+def test_decode_stage():
+    tbl = synth_media_table(9)
+    out = MediaDecodeStage()(tbl)
+    assert out.num_rows == 9
+    assert "payload" not in out.column_names
+    kinds = out.column("kind").to_pylist()
+    widths = out.column("width").to_pylist()
+    rates = out.column("sample_rate").to_pylist()
+    assert kinds[0] == "image" and widths[0] > 0
+    assert kinds[1] == "audio" and rates[1] == 16000
+    assert kinds[2] == "video" and out.column("n_frames").to_pylist()[2] > 0
+    # deterministic
+    out2 = MediaDecodeStage()(synth_media_table(9))
+    assert out.equals(out2)
+
+
+def test_decode_stage_strict_raises():
+    bad = pa.table(
+        {"media_id": [0], "kind": ["image"],
+         "payload": pa.array([b"JFIF..."], type=pa.large_binary())}
+    )
+    with pytest.raises(ValueError):
+        MediaDecodeStage(strict=True)(bad)
+    lenient = MediaDecodeStage()(bad)
+    assert lenient.column("width").to_pylist() == [-1]
+
+
+def test_feature_stage():
+    out = MediaFeatureStage()(synth_media_table(6))
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == 16 for f in feats)
+    assert all(-1.0 <= v <= 1.0 for f in feats for v in f)
+    assert feats[0] != feats[1]
+
+
+def test_resize_stage():
+    tbl = synth_media_table(6)
+    out = ImageResizeStage(224, 224)(tbl)
+    dec = MediaDecodeStage()(out)
+    for kind, w, h in zip(dec.column("kind").to_pylist(),
+                          dec.column("width").to_pylist(),
+                          dec.column("height").to_pylist()):
+        if kind == "image":
+            assert (w, h) == (224, 224)
+
+
+def test_frame_sample_stage():
+    tbl = synth_media_table(9)
+    out = FrameSampleStage(stride=8)(tbl)
+    ids = set(out.column("media_id").to_pylist())
+    assert ids == {2, 5, 8}  # only videos
+    idxs = [i for m, i in zip(out.column("media_id").to_pylist(),
+                              out.column("frame_idx").to_pylist()) if m == 2]
+    assert idxs == list(range(0, idxs[-1] + 1, 8))
+
+
+def test_media_pipelines_e2e(ray_session):
+    df = media_pipeline(SF, n=60).to_pandas()
+    assert len(df) == 60
+    assert {"media_id", "kind", "width", "checksum"} <= set(df.columns)
+    frames = frame_sample_pipeline(SF, n=60).to_pandas()
+    assert len(frames) > 0
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame_checksum"}
