@@ -1,0 +1,173 @@
+"""Lightweight DOM + CSS-selector subset (stdlib only — lxml/bs4 absent).
+
+Supports the selector features the reference's JSON-CSS extraction schemas
+use (/root/reference/crawl4ai/extraction_strategy.py:804-1242): tag,
+``.class``, ``#id``, ``tag.class``, ``[attr]``/``[attr=value]``, descendant
+combinator (space), child combinator (``>``), comma groups, ``:nth-child``
+is NOT supported (documented limitation).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_VOID = {"img", "br", "hr", "meta", "link", "input", "source", "base",
+         "area", "col", "embed", "param", "track", "wbr"}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "text_parts")
+
+    def __init__(self, tag: str, attrs: dict, parent=None):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Node] = []
+        self.parent = parent
+        self.text_parts: list[str] = []
+
+    # -- text ---------------------------------------------------------------
+
+    def text(self) -> str:
+        out: list[str] = []
+
+        def walk(n: Node):
+            for i, part in enumerate(n.text_parts):
+                out.append(part)
+            for c in n.children:
+                walk(c)
+
+        walk(self)
+        return re.sub(r"\s+", " ", "".join(out)).strip()
+
+    def html(self) -> str:
+        attrs = "".join(
+            f' {k}="{v}"' if v is not None else f" {k}"
+            for k, v in self.attrs.items()
+        )
+        inner = "".join(p for p in self.text_parts) + "".join(
+            c.html() for c in self.children
+        )
+        if self.tag in _VOID:
+            return f"<{self.tag}{attrs}>"
+        return f"<{self.tag}{attrs}>{inner}</{self.tag}>"
+
+    def classes(self) -> set[str]:
+        return set((self.attrs.get("class") or "").split())
+
+    def iter(self):
+        yield self
+        for c in self.children:
+            yield from c.iter()
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs), self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        self.stack[-1].text_parts.append(data)
+
+
+def parse_dom(html: str) -> Node:
+    b = _DomBuilder()
+    try:
+        b.feed(html or "")
+        b.close()
+    except Exception:
+        pass
+    return b.root
+
+
+# -- selector engine --------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)"
+)
+_PART_RE = re.compile(r"([.#]\w[\w-]*|\[[^\]]+\])")
+
+
+def _match_simple(node: Node, simple: str) -> bool:
+    m = _SIMPLE_RE.fullmatch(simple.strip())
+    if not m:
+        return False
+    tag = m.group("tag")
+    if tag and tag != "*" and node.tag != tag.lower():
+        return False
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            if part[1:] not in node.classes():
+                return False
+        elif part.startswith("#"):
+            if node.attrs.get("id") != part[1:]:
+                return False
+        elif part.startswith("["):
+            inner = part[1:-1]
+            if "=" in inner:
+                k, _, v = inner.partition("=")
+                if node.attrs.get(k.strip()) != v.strip().strip("\"'"):
+                    return False
+            else:
+                if inner.strip() not in node.attrs:
+                    return False
+    return True
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """All nodes under root matching the selector (document order)."""
+    results: list[Node] = []
+    seen = set()
+    for group in selector.split(","):
+        tokens = group.replace(">", " > ").split()
+        if not tokens:
+            continue
+        matched = _select_tokens(root, tokens)
+        for n in matched:
+            if id(n) not in seen:
+                seen.add(id(n))
+                results.append(n)
+    # document order
+    order = {id(n): i for i, n in enumerate(root.iter())}
+    results.sort(key=lambda n: order.get(id(n), 1 << 30))
+    return results
+
+
+def _select_tokens(root: Node, tokens: list[str]) -> list[Node]:
+    current = [root]
+    child_only = False
+    for tok in tokens:
+        if tok == ">":
+            child_only = True
+            continue
+        nxt: list[Node] = []
+        nxt_ids = set()
+        for base in current:
+            pool = (
+                base.children if child_only
+                else [n for n in base.iter() if n is not base]
+            )
+            for n in pool:
+                if _match_simple(n, tok) and id(n) not in nxt_ids:
+                    nxt_ids.add(id(n))
+                    nxt.append(n)
+        current = nxt
+        child_only = False
+    return current

@@ -59,21 +59,98 @@ from ..stages.fetch import SyntheticFetcher
 from ..stages.parse import parse_html_batch
 from ..state.seen import SeenSet
 
-_DISCOVERY_COLS = ["url", "depth", "parent", "seq", "success", "status",
-                   "cand", "fetch_ms", "parse_ms"]
+_ORDER_COLS = ["url", "depth", "parent", "seq", "success", "status",
+               "fetch_ms", "parse_ms"]
+_CAND_COLS = ["url", "url_hash", "host", "parent_seq", "link_idx",
+              "source_depth", "passes", "score"]
 
 
-def _sink_stage(batch: pa.Table, *, out_dir: str) -> pa.Table:
-    """Write the full parsed batch as one parquet part (task-side sink for
-    resumable, superstep-partitioned output) and return only the compact
-    discovery columns for the driver."""
+def _table_to_struct(t: pa.Table) -> pa.StructArray:
+    if t.num_rows == 0:
+        return pa.array(
+            [], type=pa.struct([pa.field(f.name, f.type) for f in t.schema])
+        )
+    return t.to_struct_array().combine_chunks()
+
+
+def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
+                score_threshold: float, block_dedup: bool) -> pa.Table:
+    """Task-side sink + combiner. Writes the full parsed batch as one
+    parquet part (resumable superstep-partitioned output), then returns ONE
+    row holding two nested lists: the compact order rows and the
+    pre-reduced candidate rows.
+
+    The candidate combiner applies the deterministic gates early — depth
+    (source_depth+1 <= max_depth), validity/filter (``passes``), score
+    threshold — and, for BFS, a block-local keep-min-(parent_seq,link_idx)
+    dedup per canonical URL (min of block minima == global min, so this is
+    an exact partial of the driver's level dedup). On the deepest BFS level
+    this drops ~all candidates inside the tasks instead of shipping
+    millions of rows to the driver. ``n_filtered`` preserves the lineage
+    count. Best-first must NOT block-dedup (duplicate queue entries consume
+    pop slots in the reference)."""
     import uuid
+
+    import pyarrow.compute as pc
 
     if batch.num_rows:
         pq.write_table(
             batch, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
         )
-    return batch.select(_DISCOVERY_COLS)
+    order_struct = _table_to_struct(batch.select(_ORDER_COLS))
+
+    cand_list = batch.column("cand").combine_chunks()
+    parent_idx = pc.list_parent_indices(cand_list)
+    flat = pc.list_flatten(cand_list)
+    cand = pa.table(
+        {
+            "url": flat.field("url"),
+            "url_hash": flat.field("url_hash"),
+            "host": flat.field("host"),
+            "parent_seq": pc.take(batch.column("seq"), parent_idx),
+            "link_idx": flat.field("link_idx"),
+            "source_depth": pc.take(batch.column("depth"), parent_idx),
+            "passes": flat.field("passes"),
+            "score": flat.field("score"),
+        }
+    )
+    n0 = cand.num_rows
+    cand = cand.filter(
+        pc.less_equal(pc.add(cand.column("source_depth"), 1), max_depth)
+    )
+    n_depth_ok = cand.num_rows
+    keep = cand.column("passes")
+    if score_threshold != -math.inf:
+        keep = pc.and_(keep,
+                       pc.greater_equal(cand.column("score"),
+                                        pa.scalar(score_threshold,
+                                                  type=pa.float32())))
+    cand = cand.filter(keep)
+    n_filtered = n_depth_ok - cand.num_rows
+    if block_dedup and cand.num_rows:
+        import polars as pl
+
+        cdf = pl.from_arrow(cand)
+        cand = (
+            cdf.sort(["parent_seq", "link_idx"], maintain_order=True)
+            .unique(subset=["url"], keep="first", maintain_order=True)
+            .to_arrow()
+            .cast(cand.schema)
+        )
+    cand_struct = _table_to_struct(cand)
+
+    def wrap(values):
+        return pa.ListArray.from_arrays(
+            pa.array([0, len(values)], type=pa.int32()), values
+        )
+
+    return pa.table(
+        {
+            "order": wrap(order_struct),
+            "cand": wrap(cand_struct),
+            "n_filtered": pa.array([n_filtered], type=pa.int64()),
+        }
+    )
 
 
 @dataclass
@@ -353,7 +430,15 @@ class CrawlEngine:
         os.makedirs(out_dir, exist_ok=True)
         ds = ds.map_batches(
             _sink_stage,
-            fn_kwargs={"out_dir": out_dir},
+            fn_kwargs={
+                "out_dir": out_dir,
+                "max_depth": cfg.max_depth,
+                "score_threshold": (
+                    cfg.score_threshold
+                    if cfg.strategy in ("bfs", "dfs") else -math.inf
+                ),
+                "block_dedup": cfg.strategy == "bfs",
+            },
             batch_size=None,
             batch_format="pyarrow",
         )
@@ -366,52 +451,48 @@ class CrawlEngine:
         ]
         return out_dir, compact
 
-    def _read_superstep(self, compact: list):
-        """Order rows + exploded candidate table from the compact columns
-        returned by the superstep pipeline; the explode is vectorized
-        Arrow (list_parent_indices + flatten)."""
+    @staticmethod
+    def _flatten_wrapped(tables: list, col: str, cols: list[str]) -> pa.Table:
         import pyarrow.compute as pc
 
-        tables = compact
-        if not tables:
-            return [], pa.table(
-                {"url": pa.array([], pa.string()),
-                 "url_hash": pa.array([], pa.uint64()),
-                 "host": pa.array([], pa.string()),
-                 "parent_seq": pa.array([], pa.int64()),
-                 "link_idx": pa.array([], pa.int32()),
-                 "source_depth": pa.array([], pa.int32()),
-                 "passes": pa.array([], pa.bool_()),
-                 "score": pa.array([], pa.float32())}
-            )
-        tbl = pa.concat_tables(tables).combine_chunks()
-        order_tbl = tbl.select(
-            ["url", "depth", "parent", "seq", "success", "status",
-             "fetch_ms", "parse_ms"]
-        ).sort_by("seq")
-        order = order_tbl.to_pylist()
+        parts = []
+        for t in tables:
+            flat = pc.list_flatten(t.column(col).combine_chunks())
+            if len(flat):
+                parts.append(
+                    pa.table({c: flat.field(c) for c in cols})
+                )
+        if not parts:
+            return None
+        return pa.concat_tables(parts).combine_chunks()
 
-        cand_list = tbl.column("cand").combine_chunks()
-        if isinstance(cand_list, pa.ChunkedArray):
-            cand_list = cand_list.chunk(0) if cand_list.num_chunks else \
-                pa.array([], type=cand_list.type)
-        parent_idx = pc.list_parent_indices(cand_list)
-        flat = pc.list_flatten(cand_list)
-        seqs = pc.take(tbl.column("seq"), parent_idx)
-        depths = pc.take(tbl.column("depth"), parent_idx)
-        cand = pa.table(
-            {
-                "url": flat.field("url"),
-                "url_hash": flat.field("url_hash"),
-                "host": flat.field("host"),
-                "parent_seq": seqs,
-                "link_idx": flat.field("link_idx"),
-                "source_depth": depths,
-                "passes": flat.field("passes"),
-                "score": flat.field("score"),
-            }
+    def _read_superstep(self, compact: list):
+        """Unpack the sink stage's wrapped (order, cand, n_filtered) rows.
+        Candidates arrive pre-gated and (for BFS) block-deduped."""
+        empty_cand = pa.table(
+            {"url": pa.array([], pa.string()),
+             "url_hash": pa.array([], pa.uint64()),
+             "host": pa.array([], pa.string()),
+             "parent_seq": pa.array([], pa.int64()),
+             "link_idx": pa.array([], pa.int32()),
+             "source_depth": pa.array([], pa.int32()),
+             "passes": pa.array([], pa.bool_()),
+             "score": pa.array([], pa.float32())}
         )
-        return order, cand
+        if not compact:
+            return [], empty_cand, 0
+        order_tbl = self._flatten_wrapped(compact, "order", _ORDER_COLS)
+        order = order_tbl.sort_by("seq").to_pylist() if order_tbl is not None \
+            else []
+        cand = self._flatten_wrapped(compact, "cand", _CAND_COLS)
+        if cand is None:
+            cand = empty_cand
+        n_filtered = sum(
+            int(v)
+            for t in compact
+            for v in t.column("n_filtered").to_pylist()
+        )
+        return order, cand, n_filtered
 
     # -- public entry -------------------------------------------------------
 
@@ -470,7 +551,8 @@ class CrawlEngine:
                 }
             )
             _, compact = self._fetch_parse_write(frontier, k, docs_root)
-            order_rows, cand = self._read_superstep(compact)
+            order_rows, cand, n_prefiltered = \
+                self._read_superstep(compact)
             for r in order_rows:
                 r["level"] = k
             res.order.extend(order_rows)
@@ -597,7 +679,8 @@ class CrawlEngine:
                     continue
             docs_dir, compact = self._fetch_parse_write(frontier, k,
                                                         docs_root)
-            order_rows, cand = self._read_superstep(compact)
+            order_rows, cand, n_prefiltered = \
+                self._read_superstep(compact)
             for r in order_rows:
                 r["level"] = k
             res.order.extend(order_rows)
@@ -621,7 +704,7 @@ class CrawlEngine:
             lineage[0]["frontier_in"] = len(order_rows)
             lineage[0]["fetched"] = n_success
             lineage[0]["deferred"] = deferred.num_rows
-            lineage[0]["skipped_filtered"] += n_blocked
+            lineage[0]["skipped_filtered"] += n_blocked + n_prefiltered
             lineage[0]["fetch_ms_sum"] = float(
                 sum(r.get("fetch_ms") or 0.0 for r in order_rows)
             )
@@ -913,7 +996,8 @@ class CrawlEngine:
             )
             docs_dir, compact = self._fetch_parse_write(frontier, k,
                                                         docs_root)
-            order_rows, cand = self._read_superstep(compact)
+            order_rows, cand, n_prefiltered = \
+                self._read_superstep(compact)
             # reference counts successes as they stream and stops BEFORE
             # yielding the result that hits the cap
             kept_rows = []

@@ -93,9 +93,35 @@ class SyntheticWeb:
 
     def robots_txt(self, host: str) -> str:
         k = int(host[1:5])
+        sitemap = f"Sitemap: http://{host}/sitemap.xml\n"
         if k % self.cfg.robots_disallow_mod == 0:
-            return "User-agent: *\nDisallow: /cat0/sub1\n"
-        return "User-agent: *\nDisallow:\n"
+            return "User-agent: *\nDisallow: /cat0/sub1\n" + sitemap
+        return "User-agent: *\nDisallow:\n" + sitemap
+
+    def sitemap_xml(self, host: str) -> str:
+        """Sitemap INDEX: one child sitemap per category (exercises the
+        reference's recursive sitemap-index iteration,
+        async_url_seeder.py:830-958)."""
+        k = int(host[1:5])
+        entries = "".join(
+            f"<sitemap><loc>http://{host}/sitemap-cat{c}.xml</loc></sitemap>"
+            for c in range(self.cfg.n_cats(k))
+        )
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{entries}</sitemapindex>')
+
+    def sitemap_cat_xml(self, host: str, c: int) -> str:
+        k = int(host[1:5])
+        urls = [f"http://{host}/cat{c}"]
+        for s in range(self.cfg.n_subs):
+            urls.append(f"http://{host}/cat{c}/sub{s}")
+            for p in range(self.cfg.n_products(k)):
+                urls.append(f"http://{host}/cat{c}/sub{s}/p{p}.html")
+        entries = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{entries}</urlset>")
 
     def page(self, url: str) -> dict:
         """Resolve a (canonical or raw) URL to a page. Unknown → 404."""
@@ -119,6 +145,18 @@ class SyntheticWeb:
         latency = 5 + int(h % 20)
         if path == "/robots.txt":
             return {"html": self.robots_txt(host), "status": 200,
+                    "latency_ms": latency}
+        if path == "/sitemap.xml":
+            return {"html": self.sitemap_xml(host), "status": 200,
+                    "latency_ms": latency}
+        if path.startswith("/sitemap-cat") and path.endswith(".xml"):
+            try:
+                c = int(path[len("/sitemap-cat"):-4])
+            except ValueError:
+                return self._err(404, latency)
+            if c >= cfg.n_cats(k):
+                return self._err(404, latency)
+            return {"html": self.sitemap_cat_xml(host, c), "status": 200,
                     "latency_ms": latency}
         parts = [p for p in path.split("/") if p]
         base = f"http://{host}"
