@@ -75,6 +75,25 @@ def _crawl_dfs_order(sf_dir: str):
     return df[["url", "depth", "parent", "seq", "success", "status"]]
 
 
+def _crawl_lineage(sf_dir: str):
+    """Per-superstep lineage/metrics rows of the flagship crawl."""
+    import pandas as pd
+
+    res = _crawl("bfs")
+    return pd.DataFrame(res.lineage)
+
+
+def _seed_sitemaps(sf_dir: str):
+    """Sitemap seeder over the synthetic web (S2 operator)."""
+    from crawl4ai_ray.sources.seeder import seed_from_sitemaps
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+    cfg = SiteConfig(n_hosts=6)
+    return seed_from_sitemaps(
+        [cfg.host(k) for k in range(cfg.n_hosts)], cfg.__dict__
+    )
+
+
 def _media_decode(sf_dir: str):
     from crawl4ai_ray.stages.multimodal import media_pipeline
 
@@ -124,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
+        "doc_chunks_exploded": analysis.doc_chunks_exploded,
         "event_numbers": analysis.event_numbers,
         "exact_dedup": dedup.exact_dedup,
         # similarity search
@@ -136,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
+        "bm25_rank": lambda sf: analysis.bm25_rank(sf),
         # multimodal (rows-only: binary payload decode / frame sampling —
         # stubbed codec, real Ray plumbing; stages/multimodal.py)
         "media_decode": _media_decode,
@@ -144,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),
         "crawl_dfs_order": lambda sf: _crawl_dfs_order(sf),
+        "crawl_bfs_lineage": _crawl_lineage,
+        "seed_sitemaps": _seed_sitemaps,
         "crawl_span_kinds": _crawl_span_kinds,
     }
 
@@ -215,6 +238,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(len(string_split_regex(trim(text), '\s+'))
                              / 50.0) AS BIGINT) AS n_chunks
             FROM documents
+        """,
+        "doc_chunks_exploded": r"""
+            SELECT doc_id, chunk_idx,
+                   least(50, n_words - 50 * chunk_idx) AS chunk_words
+            FROM (
+                SELECT doc_id,
+                       CAST(unnest(range(0, CAST(ceil(n_words / 50.0)
+                           AS BIGINT))) AS INTEGER) AS chunk_idx,
+                       n_words
+                FROM (
+                    SELECT doc_id,
+                           len(string_split_regex(trim(text), '\s+'))
+                               AS n_words
+                    FROM documents
+                )
+            )
         """,
         "event_numbers": r"""
             SELECT event_id,

@@ -27,10 +27,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Bench site: ~190k pages across 1000 hosts (800 full-size + a Zipf tail),
-# text_scale=40 → ~15 KB pages so fetch+parse compute dominates the
+# text_scale=40 → ~12 KB pages so fetch+parse compute dominates the
 # fixed per-superstep costs (the regime a real crawl runs in).
-BENCH_SITE = dict(n_hosts=1000, base_cats=6, n_subs=3, base_products=12,
-                  hot_hosts=800, text_scale=40)
+# BENCH_SITE_SCALE multiplies the host counts (e.g. 2.5 → ~480k pages) for
+# scaling-efficiency measurements where work must amortize fixed costs.
+_SCALE = float(os.environ.get("BENCH_SITE_SCALE", "1.0"))
+BENCH_SITE = dict(n_hosts=int(1000 * _SCALE), base_cats=6, n_subs=3,
+                  base_products=12, hot_hosts=int(800 * _SCALE),
+                  text_scale=40)
 
 
 def _crawl_bench(timings: dict, stats: dict) -> None:

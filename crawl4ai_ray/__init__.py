@@ -25,4 +25,13 @@ Layout
                    golden outputs for pytest
 """
 
+import os as _os
+
+# Polars defaults its thread pool to ALL cores in EVERY process. Inside Ray
+# worker processes (one per CPU) that is n_cpus² threads and measurably
+# NEGATIVE scaling at 32 CPUs. Must be set before polars is first imported;
+# driver-side polars work is small post-combiner, so 2 threads suffice
+# everywhere. Users can override by exporting POLARS_MAX_THREADS first.
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
 __version__ = "0.1.0"

@@ -138,6 +138,66 @@ def clean_tokens(tokens) -> list[str]:
     return out
 
 
+def preprocess_html_for_schema(html: str, *, text_threshold: int = 500,
+                               attr_value_threshold: int = 200,
+                               max_size: int = 300_000) -> str:
+    """M8 fit_html preprocessor (reference utils.py:2883-3026 law): truncate
+    long text runs and attribute values, cap total size — prunes HTML for
+    schema-extraction work without altering structure."""
+    if not html:
+        return ""
+
+    def _trunc_attr(m: re.Match) -> str:
+        val = m.group(2)
+        if len(val) > attr_value_threshold:
+            val = val[:attr_value_threshold] + "..."
+        return f'{m.group(1)}="{val}"'
+
+    out = re.sub(r'([\w-]+)="([^"]*)"', _trunc_attr, html)
+    # truncate long text between tags
+    parts = re.split(r"(<[^>]+>)", out)
+    for i, p in enumerate(parts):
+        if not p.startswith("<") and len(p) > text_threshold:
+            parts[i] = p[:text_threshold] + "..."
+    out = "".join(parts)
+    return out[:max_size] if len(out) > max_size else out
+
+
+_BLOCKY = frozenset(
+    "html head body div section article main header footer nav ul ol li "
+    "table thead tbody tr p h1 h2 h3 h4 h5 h6 form".split()
+)
+
+
+def fast_format_html(html: str, indent: str = "  ") -> str:
+    """M11 pretty-printer (reference fast_format_html utils.py:2076-2120
+    behavior): newline+indent block-level tags; inline content untouched."""
+    parts = re.split(r"(<[^>]+>)", html or "")
+    out: list[str] = []
+    depth = 0
+    for p in parts:
+        if not p.strip():
+            continue
+        if p.startswith("</"):
+            tag = p[2:].strip(" >").lower()
+            if tag in _BLOCKY:
+                depth = max(0, depth - 1)
+                out.append("\n" + indent * depth + p)
+            else:
+                out.append(p)
+        elif p.startswith("<"):
+            tag = p[1:].split()[0].strip(">/").lower()
+            if tag in _BLOCKY:
+                out.append("\n" + indent * depth + p)
+                if not p.endswith("/>"):
+                    depth += 1
+            else:
+                out.append(p)
+        else:
+            out.append(p.strip())
+    return "".join(out).strip()
+
+
 _GENERIC_LINK_TEXT = frozenset(
     {"click here", "read more", "more", "here", "link", "this"}
 )

@@ -128,6 +128,107 @@ def event_numbers(sf_dir: str):
     return agg.map_batches(rn, batch_format="pyarrow")
 
 
+def bm25_rank(sf_dir: str, query: str = "window batch stream", k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 document ranking over the documents table — the two-pass
+    partial+final aggregation pattern (SURVEY §2.5, reference seeder BM25
+    async_url_seeder.py:645-677):
+
+    pass 1 (distributed): per-batch partial document-frequency counts for
+    the query terms + (doc count, length sum) → tiny groupby/sum.
+    pass 2 (distributed): broadcast the global stats, score every doc
+    vectorized, emit per-batch local top-k → small global sort.
+    """
+    import math
+
+    import ray
+
+    terms = [t for t in query.lower().split() if t]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import collections
+
+        df_counts = collections.Counter()
+        n_docs = 0
+        len_sum = 0
+        for text in batch.column("text").to_pylist():
+            words = set((text or "").lower().split())
+            n_docs += 1
+            len_sum += len((text or "").split())
+            for t in terms:
+                if t in words:
+                    df_counts[t] += 1
+        return pa.table(
+            {
+                "term": pa.array(list(terms), type=pa.string()),
+                "df": pa.array([df_counts[t] for t in terms],
+                               type=pa.int64()),
+                "n_docs": pa.array([n_docs] * len(terms), type=pa.int64()),
+                "len_sum": pa.array([len_sum] * len(terms), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"),
+                   Sum("n_docs", alias_name="n_docs_dup"),
+                   Sum("len_sum", alias_name="len_sum_dup"))
+        .to_pandas()
+    )
+    # n_docs/len_sum were replicated per term row; any row carries the total
+    n_total = int(stats["n_docs_dup"].iloc[0]) if len(stats) else 0
+    len_total = int(stats["len_sum_dup"].iloc[0]) if len(stats) else 0
+    avgdl = (len_total / n_total) if n_total else 1.0
+    idf = {
+        r.term: math.log(1 + (n_total - r.df + 0.5) / (r.df + 0.5))
+        for r in stats.itertuples()
+    }
+    ref = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table, ref=ref) -> pa.Table:
+        import collections
+
+        import ray as _ray
+
+        idf_map, avg = _ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        out_scores = np.empty(len(ids))
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            words = (text or "").lower().split()
+            tf = collections.Counter(words)
+            dl = len(words)
+            s = 0.0
+            for t in terms:
+                f = tf.get(t, 0)
+                if f:
+                    s += idf_map.get(t, 0.0) * (f * (k1 + 1)) / (
+                        f + k1 * (1 - b + b * dl / avg)
+                    )
+            out_scores[i] = s
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bm25": pa.array(np.round(out_scores, 6),
+                                 type=pa.float64()),
+            }
+        )
+        # local top-k combiner
+        if tbl.num_rows > k:
+            idx = np.argpartition(-out_scores, k)[:k]
+            tbl = tbl.take(pa.array(np.sort(idx)))
+        return tbl
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational demos (groupby / join / sort / window-ish) over TPC-H-ish tables
 # ---------------------------------------------------------------------------

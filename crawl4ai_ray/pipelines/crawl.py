@@ -60,7 +60,7 @@ from ..stages.parse import parse_html_batch
 from ..state.seen import SeenSet
 
 _ORDER_COLS = ["url", "depth", "parent", "seq", "success", "status",
-               "fetch_ms", "parse_ms"]
+               "fetch_ms", "parse_ms", "from_cache"]
 _CAND_COLS = ["url", "url_hash", "host", "parent_seq", "link_idx",
               "source_depth", "passes", "score"]
 
@@ -74,7 +74,9 @@ def _table_to_struct(t: pa.Table) -> pa.StructArray:
 
 
 def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
-                score_threshold: float, block_dedup: bool) -> pa.Table:
+                score_threshold: float, block_dedup: bool,
+                cache_dir: str | None = None,
+                drop_html: bool = False) -> pa.Table:
     """Task-side sink + combiner. Writes the full parsed batch as one
     parquet part (resumable superstep-partitioned output), then returns ONE
     row holding two nested lists: the compact order rows and the
@@ -93,6 +95,16 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
 
     import pyarrow.compute as pc
 
+    if cache_dir and batch.num_rows and "html" in batch.column_names:
+        from ..state.cache import CacheStore
+
+        fresh = batch.filter(
+            pc.and_(pc.invert(batch.column("from_cache")),
+                    batch.column("success"))
+        )
+        CacheStore(cache_dir).append_batch(fresh)
+    if drop_html and "html" in batch.column_names:
+        batch = batch.drop_columns(["html"])
     if batch.num_rows:
         pq.write_table(
             batch, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
@@ -182,6 +194,10 @@ class CrawlConfig:
     politeness_jitter: bool = False       # deterministic by default
     base_delay: tuple = (1.0, 3.0)
     check_robots: bool = True
+    # fetch cache (S8 CacheMode semantics — state.cache): 'enabled' |
+    # 'disabled' | 'read_only' | 'write_only' | 'bypass'
+    cache_dir: str | None = None
+    cache_mode: str = "bypass"
 
 
 @dataclass
@@ -367,6 +383,17 @@ class CrawlEngine:
 
     # -- shared superstep machinery -----------------------------------------
 
+    def _setup_cache(self) -> None:
+        """CacheMode read path: broadcast the store once per run."""
+        from ..state.cache import CacheStore, should_read
+
+        self._cache_ref = None
+        cfg = self.cfg
+        if cfg.cache_dir and should_read(cfg.cache_mode):
+            store = CacheStore(cfg.cache_dir).load()
+            if store:
+                self._cache_ref = ray.put(store)
+
     def _fetch_parse_write(self, frontier: pa.Table, k: int,
                            docs_root: str) -> str:
         """Distributed fetch→parse→write for one superstep; returns the
@@ -396,6 +423,7 @@ class CrawlEngine:
                 make_task_fetcher(
                     self.fetcher_kwargs.get("site_cfg") or {},
                     self.fetcher_kwargs.get("simulate_latency", False),
+                    cache_ref=getattr(self, "_cache_ref", None),
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
@@ -410,11 +438,18 @@ class CrawlEngine:
                 concurrency=fetch_conc,
                 num_cpus=1,
             )
+        from ..state.cache import should_write as _cache_should_write
+
+        cache_writing = bool(cfg.cache_dir) and _cache_should_write(
+            cfg.cache_mode
+        )
         ds = ds.map_batches(
             _parse_stage,
             fn_kwargs={
                 "image_score_threshold": cfg.image_score_threshold,
-                "keep_html": cfg.keep_html,
+                # keep html through to the sink when cache-writing; the
+                # sink drops it from the documents output
+                "keep_html": cfg.keep_html or cache_writing,
                 "include_external": cfg.include_external,
                 "filter_fn": self.filter_fn,
                 "scorer_fn": self.scorer_fn,
@@ -438,6 +473,8 @@ class CrawlEngine:
                     if cfg.strategy in ("bfs", "dfs") else -math.inf
                 ),
                 "block_dedup": cfg.strategy == "bfs",
+                "cache_dir": cfg.cache_dir if cache_writing else None,
+                "drop_html": cache_writing and not cfg.keep_html,
             },
             batch_size=None,
             batch_format="pyarrow",
@@ -518,6 +555,7 @@ class CrawlEngine:
         res = CrawlRunResult()
         docs_root = os.path.join(cfg.out_dir, "documents")
         os.makedirs(docs_root, exist_ok=True)
+        self._setup_cache()
         seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
         import polars as pl
 
@@ -629,6 +667,7 @@ class CrawlEngine:
         t_start = time.perf_counter()
         res = CrawlRunResult()
         docs_root = os.path.join(cfg.out_dir, "documents")
+        self._setup_cache()
         seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
         pages_crawled = 0
         next_seq = 0
@@ -811,6 +850,7 @@ class CrawlEngine:
             "status": status,
             "fetch_ms": 0.0,
             "parse_ms": 0.0,
+            "from_cache": False,
             "level": k,
         }
 
@@ -915,6 +955,7 @@ class CrawlEngine:
         t_start = time.perf_counter()
         res = CrawlRunResult()
         docs_root = os.path.join(cfg.out_dir, "documents")
+        self._setup_cache()
         seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
         import polars as pl
 

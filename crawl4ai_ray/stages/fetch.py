@@ -70,13 +70,18 @@ class SyntheticFetcher:
                 "fetch_ms",
                 pa.array(np.asarray(fetch_ms, dtype=np.float32), type=pa.float32()),
             )
+            .append_column(
+                "from_cache",
+                pa.array(np.zeros(len(urls), dtype=bool)),
+            )
         )
 
 
 _SITE_CACHE: dict = {}
 
 
-def make_task_fetcher(site_cfg: dict, simulate_latency: bool = False):
+def make_task_fetcher(site_cfg: dict, simulate_latency: bool = False,
+                      cache_ref=None):
     """Stateless-task variant of SyntheticFetcher for ``map_batches(fn)``.
 
     The synthetic site is a pure function of its (tiny) config, so no
@@ -92,7 +97,39 @@ def make_task_fetcher(site_cfg: dict, simulate_latency: bool = False):
         if fetcher is None:
             fetcher = SyntheticFetcher(dict(site_cfg), simulate_latency)
             _SITE_CACHE[key] = fetcher
-        return fetcher(batch)
+        if cache_ref is None:
+            return fetcher(batch)
+        # CacheMode read path: serve hits from the broadcast store, fetch
+        # only misses (state/cache.py)
+        import ray as _ray
+
+        store = _ray.get(cache_ref)
+        hashes = batch.column("url_hash").to_pylist()
+        hit_mask = np.array([int(h) in store for h in hashes], dtype=bool)
+        miss = fetcher(batch.filter(pa.array(~hit_mask)))
+        hits_in = batch.filter(pa.array(hit_mask))
+        if hits_in.num_rows == 0:
+            return miss
+        hhtml, hstatus = [], []
+        for h in hits_in.column("url_hash").to_pylist():
+            html, status = store[int(h)]
+            hhtml.append(html)
+            hstatus.append(status)
+        hits = (
+            hits_in.append_column("html",
+                                  pa.array(hhtml, type=pa.large_string()))
+            .append_column("status", pa.array(hstatus, type=pa.int32()))
+            .append_column("success",
+                           pa.array([s == 200 for s in hstatus],
+                                    type=pa.bool_()))
+            .append_column("fetch_ms",
+                           pa.array(np.zeros(len(hhtml), dtype=np.float32),
+                                    type=pa.float32()))
+            .append_column("from_cache",
+                           pa.array(np.ones(len(hhtml), dtype=bool)))
+        )
+        out = pa.concat_tables([miss, hits]).combine_chunks()
+        return out.sort_by("seq")
 
     return fetch_batch
 
@@ -154,5 +191,9 @@ class HttpFetcher:
             .append_column(
                 "fetch_ms",
                 pa.array(np.full(len(urls), dt, dtype=np.float32), type=pa.float32()),
+            )
+            .append_column(
+                "from_cache",
+                pa.array(np.zeros(len(urls), dtype=bool)),
             )
         )

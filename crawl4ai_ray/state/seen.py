@@ -28,58 +28,62 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity)
-        self.exact: set[int] = set()
+        self._exact_sorted = np.zeros(0, dtype=np.uint64)  # ground truth
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """For each hash (in order): True if already seen, else mark seen.
 
         Within-batch duplicates: first occurrence returns False (new),
         subsequent return True — identical to sequential ``in``+``add`` on
-        the reference's visited set.
-        """
+        the reference's visited set. Fully vectorized: cuckoo pre-filter,
+        exact resolution via np.isin against the sorted exact array,
+        within-batch first-occurrence via np.unique."""
+        hashes = hashes.astype(np.uint64, copy=False)
         maybe = self.filter.contains_batch(hashes)
-        out = np.empty(len(hashes), dtype=bool)
-        for i, h in enumerate(hashes):
-            hi = int(h)
-            if maybe[i] and hi in self.exact:
-                out[i] = True
-            elif hi in self.exact:  # filter false negative cannot happen; safety
-                out[i] = True
-            else:
-                out[i] = False
-                self.exact.add(hi)
-                self.filter.insert(hi)
+        seen_before = np.zeros(len(hashes), dtype=bool)
+        if maybe.any() and len(self._exact_sorted):
+            idx = np.nonzero(maybe)[0]
+            seen_before[idx] = np.isin(hashes[idx], self._exact_sorted,
+                                       assume_unique=False)
+        # within-batch duplicates: only the first occurrence is "new"
+        _, first_idx = np.unique(hashes, return_index=True)
+        is_first = np.zeros(len(hashes), dtype=bool)
+        is_first[first_idx] = True
+        out = seen_before | ~is_first
+        new = hashes[first_idx][~seen_before[first_idx]]
+        if len(new):
+            self._exact_sorted = np.union1d(self._exact_sorted, new)
+            self.filter.insert_batch(new)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = hashes.astype(np.uint64, copy=False)
         maybe = self.filter.contains_batch(hashes)
-        out = np.empty(len(hashes), dtype=bool)
-        for i, h in enumerate(hashes):
-            out[i] = bool(maybe[i]) and int(h) in self.exact
+        out = np.zeros(len(hashes), dtype=bool)
+        if maybe.any() and len(self._exact_sorted):
+            idx = np.nonzero(maybe)[0]
+            out[idx] = np.isin(hashes[idx], self._exact_sorted)
         return out
 
     def add(self, hashes: np.ndarray) -> int:
-        for h in hashes:
-            hi = int(h)
-            if hi not in self.exact:
-                self.exact.add(hi)
-                self.filter.insert(hi)
-        return len(self.exact)
+        hashes = np.unique(hashes.astype(np.uint64, copy=False))
+        fresh = hashes[~np.isin(hashes, self._exact_sorted)]
+        if len(fresh):
+            self._exact_sorted = np.union1d(self._exact_sorted, fresh)
+            self.filter.insert_batch(fresh)
+        return len(self._exact_sorted)
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self._exact_sorted)
 
     def snapshot(self) -> tuple[bytes, bytes]:
         """(cuckoo blob, exact-hash ndarray bytes) for checkpointing."""
-        arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-        arr.sort()
-        return self.filter.to_bytes(), arr.tobytes()
+        return self.filter.to_bytes(), self._exact_sorted.tobytes()
 
     def restore(self, filter_blob: bytes, exact_blob: bytes) -> int:
         self.filter = CuckooFilter.from_bytes(filter_blob)
-        arr = np.frombuffer(exact_blob, dtype=np.uint64)
-        self.exact = set(int(x) for x in arr)
-        return len(self.exact)
+        self._exact_sorted = np.frombuffer(exact_blob, dtype=np.uint64).copy()
+        return len(self._exact_sorted)
 
 
 class SeenSet:
