@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
         "bm25_rank": lambda sf: analysis.bm25_rank(sf),
+        "doc_embeddings": analysis.doc_embeddings,
         # multimodal (rows-only: binary payload decode / frame sampling —
         # stubbed codec, real Ray plumbing; stages/multimodal.py)
         "media_decode": _media_decode,

@@ -105,6 +105,45 @@ def md5_hex(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+class HashedNgramEmbedder:
+    """Deterministic document embedder — the A6 model-stage STUB.
+
+    Real deployments load a sentence-transformer once per actor in
+    ``__init__`` (reference model_loader.py:1-296); this environment has no
+    model weights, so the kernel is feature hashing: word+bigram tokens
+    hashed into ``dim`` buckets with signed counts, L2-normalized. The
+    actor-pool plumbing, batch shapes, and output layout
+    (``embedding: list<float32>``) are the real contract; the output feeds
+    pipelines.similarity unchanged.
+    """
+
+    def __init__(self, dim: int = 64, text_col: str = "text"):
+        self.dim = dim
+        self.text_col = text_col
+
+    def _embed(self, text: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float64)
+        words = text.lower().split()
+        tokens = words + [" ".join(p) for p in zip(words, words[1:])]
+        for t in tokens:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            v[h % self.dim] += 1.0 if (h >> 63) else -1.0
+        n = np.linalg.norm(v)
+        return (v / n if n else v).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = [self._embed(t or "")
+                for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column(
+            "embedding",
+            pa.array([e.tolist() for e in embs],
+                     type=pa.list_(pa.float32())),
+        )
+
+
 class TextStats:
     """map_batches stage: append n_words / n_tokens_bpe / lang_detected /
     quality / fingerprint / content_md5 to a text column."""

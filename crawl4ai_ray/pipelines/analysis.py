@@ -128,6 +128,18 @@ def event_numbers(sf_dir: str):
     return agg.map_batches(rn, batch_format="pyarrow")
 
 
+def doc_embeddings(sf_dir: str):
+    """Embed every document with the hashed-ngram model stub (actor pool:
+    model 'loaded' once per actor). Output (doc_id, embedding) feeds the
+    similarity pipelines."""
+    from ..functions.textstats import HashedNgramEmbedder
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(HashedNgramEmbedder, batch_format="pyarrow",
+                         batch_size=4096, concurrency=2)
+    return out.select_columns(["doc_id", "embedding"])
+
+
 def bm25_rank(sf_dir: str, query: str = "window batch stream", k: int = 20,
               k1: float = 1.2, b: float = 0.75):
     """BM25 document ranking over the documents table — the two-pass

@@ -716,6 +716,23 @@ class CrawlEngine:
                     if n_blocked == 0 and deferred.num_rows == 0:
                         break
                     continue
+            # skew observability: per-superstep hot-host histogram (top 5).
+            # Fetch/parse blocks are seq-sliced so a hot host cannot skew
+            # task runtimes; this histogram is the signal a cluster
+            # deployment uses to salt politeness partitions.
+            host_top = dict(
+                sorted(
+                    (
+                        (r["host"], r["host_count"])
+                        for r in frontier.select(["host"])
+                        .group_by("host")
+                        .aggregate([("host", "count")])
+                        .rename_columns(["host", "host_count"])
+                        .to_pylist()
+                    ),
+                    key=lambda kv: -kv[1],
+                )[:5]
+            )
             docs_dir, compact = self._fetch_parse_write(frontier, k,
                                                         docs_root)
             order_rows, cand, n_prefiltered = \
@@ -744,6 +761,7 @@ class CrawlEngine:
             lineage[0]["fetched"] = n_success
             lineage[0]["deferred"] = deferred.num_rows
             lineage[0]["skipped_filtered"] += n_blocked + n_prefiltered
+            lineage[0]["host_top"] = json.dumps(host_top)
             lineage[0]["fetch_ms_sum"] = float(
                 sum(r.get("fetch_ms") or 0.0 for r in order_rows)
             )
