@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
         # near-dup (rows-only: not SQL-expressible)
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        # exact n-gram (bigram) Jaccard verification at a looser threshold
+        # over LSH candidates — the n-gram-Jaccard dedup operator
+        "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
+            sf, k=2, threshold=0.5),
         "simhash_table": dedup.simhash_table,
         "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)

@@ -9,10 +9,10 @@ zero-copy Arrow batches, with actor pools for stateful stages
 
 Layout
 ------
-- ``schemas``    : pyarrow schemas for every logical table
-- ``tables``     : parquet-backed named-table store with atomic commits
-                   (Lance-style semantics; the ``lance`` package is not
-                   available in this environment)
+- ``schemas``    : pyarrow schemas for every logical table (tables are
+                   parquet directories with atomic ``_COMMIT``-marked
+                   superstep partitions — Lance-style semantics; the
+                   ``lance`` package is not available in this environment)
 - ``functions``  : pure, vectorizable kernels (URL canonicalization,
                    filters, scorers, chunkers, text stats, regex extraction)
 - ``stages``     : map_batches stages (HTML parse→spans, fetch actor pool)

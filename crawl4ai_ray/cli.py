@@ -1,0 +1,141 @@
+"""CLI driver — `python -m crawl4ai_ray.cli crawl --seeds ... --strategy bfs`.
+
+The reference ships a `crwl` CLI (/root/reference/crawl4ai/cli.py) over its
+crawler; this is the engine-side equivalent, and the `ray job submit`
+entrypoint for cluster runs (submit this module as the job script). Owns
+its Ray session (guarded init) per the repo convention that only CLI entry
+points, bench.py and the test fixture call ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args) -> int:
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+    from .sources.synthetic_web import SiteConfig
+
+    _init_ray(args.num_cpus)
+    cfg = CrawlConfig(
+        strategy=args.strategy,
+        max_depth=args.max_depth,
+        max_pages=args.max_pages if args.max_pages > 0 else float("inf"),
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint_dir,
+        politeness=args.politeness,
+        cache_dir=args.cache_dir,
+        cache_mode=args.cache_mode,
+        n_seen_shards=args.seen_shards,
+        fetch_concurrency=args.fetch_concurrency,
+    )
+    fetcher_kwargs = {}
+    if args.synthetic_hosts:
+        fetcher_kwargs["site_cfg"] = SiteConfig(
+            n_hosts=args.synthetic_hosts).__dict__
+        seeds = args.seeds or [
+            f"http://h{k:04d}.test/" for k in range(args.synthetic_hosts)
+        ]
+        eng = CrawlEngine(cfg, fetcher_kwargs=fetcher_kwargs)
+    else:
+        from .stages.fetch import HttpFetcher
+
+        seeds = args.seeds
+        if not seeds:
+            print("error: --seeds required without --synthetic-hosts",
+                  file=sys.stderr)
+            return 2
+        eng = CrawlEngine(cfg, fetcher_cls=HttpFetcher)
+    res = eng.run(seeds, resume=args.resume)
+    print(json.dumps({
+        "pages_crawled": res.pages_crawled,
+        "urls_fetched": res.urls_fetched,
+        "supersteps": res.supersteps,
+        "seen_size": res.seen_size,
+        "docs_dir": res.docs_dir,
+        "wall_sec": round(res.wall_sec, 2),
+        "urls_per_sec": round(res.urls_fetched / max(res.wall_sec, 1e-9), 1),
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_seed(args) -> int:
+    from .sources.seeder import seed_from_sitemaps
+    from .sources.synthetic_web import SiteConfig
+
+    _init_ray(args.num_cpus)
+    site_cfg = SiteConfig(n_hosts=args.synthetic_hosts or 8).__dict__
+    ds = seed_from_sitemaps(args.domains, site_cfg, pattern=args.pattern,
+                            max_urls=args.max_urls)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        for row in ds.take_all():
+            print(row["url"])
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="crawl4ai_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a crawl")
+    c.add_argument("--seeds", nargs="*", default=None)
+    c.add_argument("--strategy", choices=["bfs", "best_first", "dfs"],
+                   default="bfs")
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--max-pages", type=int, default=0)
+    c.add_argument("--out", default="/tmp/crawl4ai_ray_out")
+    c.add_argument("--checkpoint-dir", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--politeness", action="store_true")
+    c.add_argument("--cache-dir", default=None)
+    c.add_argument("--cache-mode", default="bypass",
+                   choices=["enabled", "disabled", "read_only",
+                            "write_only", "bypass"])
+    c.add_argument("--seen-shards", type=int, default=4)
+    c.add_argument("--fetch-concurrency", type=int, default=8)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.add_argument("--synthetic-hosts", type=int, default=0,
+                   help="crawl the deterministic synthetic web instead of "
+                        "live HTTP (no network in this sandbox)")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("seed", help="discover URLs from sitemaps")
+    s.add_argument("domains", nargs="+")
+    s.add_argument("--pattern", default="*")
+    s.add_argument("--max-urls", type=int, default=None)
+    s.add_argument("--out", default=None)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--synthetic-hosts", type=int, default=8)
+    s.set_defaults(fn=cmd_seed)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

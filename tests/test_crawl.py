@@ -129,6 +129,32 @@ def test_span_sequence_equality(ray_session, tmp_path):
     assert checked == golden.pages_crawled
 
 
+def test_best_first_resume_identical(ray_session, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "o1")
+    scorer = lambda u: float(u.count("/"))
+    cfg = CrawlConfig(strategy="best_first", max_depth=3, checkpoint_dir=ck,
+                      out_dir=out1, n_seen_shards=2, fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": SITE_CFG.__dict__},
+                      scorer_fn=scorer)
+    full = eng.run(SITE.seed_urls()[:2])
+
+    import os
+
+    kept = 2
+    for name in sorted(os.listdir(ck)):
+        if name.startswith("superstep=") and int(name.split("=")[1]) > kept:
+            shutil.rmtree(os.path.join(ck, name))
+    eng2 = CrawlEngine(CrawlConfig(strategy="best_first", max_depth=3,
+                                   checkpoint_dir=ck, out_dir=out1,
+                                   n_seen_shards=2, fetch_concurrency=2),
+                       fetcher_kwargs={"site_cfg": SITE_CFG.__dict__},
+                       scorer_fn=scorer)
+    resumed = eng2.run(SITE.seed_urls()[:2], resume=True)
+    assert _order_key(resumed.order) == _order_key(full.order)
+    assert np.array_equal(resumed.seen_hashes, full.seen_hashes)
+
+
 def test_bfs_resume_identical(ray_session, tmp_path):
     """Kill-and-resume reproduces identical final state (checkpoint gate)."""
     ck = str(tmp_path / "ckpt")
