@@ -857,6 +857,67 @@ class CrawlEngine:
         return (admitted.cast(frontier.schema),
                 deferred.cast(frontier.schema), blocked_rows)
 
+    def _politeness_split_pool(self, batch: pa.Table, gate, k: int):
+        """Best-first variant of the politeness gate: operates on popped
+        pool rows (ordered by pop priority, keyed by push_seq instead of
+        seq). Blocked rows carry seq=-1 (they never receive a fetch seq)."""
+        from urllib.parse import urlparse
+
+        import polars as pl
+
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        blocked_rows: list[dict] = []
+        keep = np.ones(len(urls), dtype=bool)
+        if self.cfg.check_robots:
+            missing = gate.hosts_missing_robots(hosts)
+            if missing:
+                fetcher = self._driver_fetcher()
+                gate.set_robots({
+                    h: fetcher.fetch_one(f"http://{h}/robots.txt")["html"]
+                    for h in missing
+                })
+            paths = [urlparse(u).path or "/" for u in urls]
+            allowed = gate.robots_mask(hosts, paths)
+            for i in np.nonzero(~allowed)[0]:
+                blocked_rows.append({
+                    "url": urls[int(i)],
+                    "depth": batch.column("depth")[int(i)].as_py(),
+                    "parent": batch.column("parent")[int(i)].as_py(),
+                    "seq": -1, "success": False, "status": 403,
+                    "fetch_ms": 0.0, "parse_ms": 0.0, "from_cache": False,
+                    "level": k,
+                })
+            keep &= allowed
+        dead = gate.dead_mask(hosts)
+        for i in np.nonzero(dead & keep)[0]:
+            blocked_rows.append({
+                "url": urls[int(i)],
+                "depth": batch.column("depth")[int(i)].as_py(),
+                "parent": batch.column("parent")[int(i)].as_py(),
+                "seq": -1, "success": False, "status": 429,
+                "fetch_ms": 0.0, "parse_ms": 0.0, "from_cache": False,
+                "level": k,
+            })
+        keep &= ~dead
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return batch, batch.slice(0, 0), blocked_rows
+        df = pl.from_arrow(batch)
+        counts = df.group_by("host", maintain_order=True).len()
+        admit_n = gate.admit(counts["host"].to_list(),
+                             counts["len"].to_list())
+        budget = dict(zip(counts["host"].to_list(), admit_n))
+        df = df.with_columns(
+            pl.int_range(pl.len()).over("host").alias("_rank")
+        )
+        mask = pl.Series(
+            [r < budget.get(h, 0)
+             for h, r in zip(df["host"].to_list(), df["_rank"].to_list())]
+        )
+        return (df.filter(mask).drop("_rank").to_arrow(),
+                df.filter(~mask).drop("_rank").to_arrow(), blocked_rows)
+
     def _synthetic_row(self, frontier: pa.Table, i: int, k: int,
                        status: int) -> dict:
         return {
@@ -1013,8 +1074,21 @@ class CrawlEngine:
             )
         push_seq = int(pool["push_seq"].max()) + 1 if pool.height else 0
 
+        gate = None
+        if cfg.politeness:
+            from ..state.politeness import PolitenessGate
+
+            gate = PolitenessGate(
+                cfg.politeness_partitions,
+                base_delay=cfg.base_delay,
+                superstep_seconds=cfg.superstep_seconds,
+                jitter=cfg.politeness_jitter,
+            )
+        deferred_df = None  # politeness-deferred popped rows (fetch first)
+
         stop = False
-        while pool.height and not stop and pages_crawled < cfg.max_pages:
+        while (pool.height or (deferred_df is not None and deferred_df.height)) \
+                and not stop and pages_crawled < cfg.max_pages:
             n_pop = cfg.bff_batch_size
             if cfg.max_pages != math.inf:
                 n_pop = min(n_pop, int(cfg.max_pages - pages_crawled))
@@ -1033,6 +1107,20 @@ class CrawlEngine:
                 first["url_hash"].to_numpy().astype(np.uint64)
             )
             batch_df = first.filter(pl.Series(~dup))
+            # politeness-deferred rows from earlier rounds fetch first
+            # (already visited, already popped — they just waited)
+            if deferred_df is not None and deferred_df.height:
+                batch_df = pl.concat([deferred_df, batch_df]) \
+                    if batch_df.height else deferred_df
+                deferred_df = None
+            if gate is not None and batch_df.height:
+                batch_tbl = batch_df.to_arrow()
+                admitted_t, deferred_t, blocked_rows = \
+                    self._politeness_split_pool(batch_tbl, gate, k)
+                res.order.extend(blocked_rows)
+                batch_df = pl.from_arrow(admitted_t)
+                deferred_df = pl.from_arrow(deferred_t) \
+                    if deferred_t.num_rows else None
             if batch_df.height == 0:
                 k += 1
                 continue
@@ -1152,6 +1240,13 @@ class CrawlEngine:
                                 ["url", "url_hash", "host", "depth",
                                  "score", "parent", "push_seq"])
 
+            if gate is not None and kept_rows:
+                by_host: dict[str, list[int]] = {}
+                for r in kept_rows:
+                    by_host.setdefault(
+                        urlkit.host_of(r["url"]), []
+                    ).append(int(r["status"]))
+                gate.report(by_host)
             lineage_all.append({
                 "superstep": k, "partition": 0,
                 "frontier_in": batch_df.height,
@@ -1185,4 +1280,6 @@ class CrawlEngine:
         res.urls_fetched = len(res.order)
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
+        if gate is not None:
+            gate.kill()
         return res
