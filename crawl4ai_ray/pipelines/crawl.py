@@ -204,13 +204,49 @@ class CrawlConfig:
 class CrawlRunResult:
     pages_crawled: int = 0
     supersteps: int = 0
-    order: list = field(default_factory=list)   # url, depth, parent, seq, level, success, status
     seen_size: int = 0
     docs_dir: str = ""
     lineage: list = field(default_factory=list)
     urls_fetched: int = 0
     wall_sec: float = 0.0
     seen_hashes: np.ndarray | None = None   # sorted uint64 (oracle comparison)
+    # crawl order accumulates as segments — python dict lists for small
+    # strategies (bff/dfs/politeness rows) and Arrow tables for BFS levels
+    # (a 190k-row level stays columnar; ``order`` materializes lazily so
+    # throughput paths that only read counters never pay the conversion)
+    _order_segments: list = field(default_factory=list)
+    _order_cache: list | None = None
+
+    def add_order_rows(self, rows: list) -> None:
+        if rows:
+            self._order_segments.append(("rows", rows))
+            self._order_cache = None
+
+    def add_order_table(self, tbl, level: int) -> None:
+        if tbl is not None and tbl.num_rows:
+            self._order_segments.append(("table", tbl, level))
+            self._order_cache = None
+
+    @property
+    def order(self) -> list:
+        if self._order_cache is None:
+            out: list = []
+            for seg in self._order_segments:
+                if seg[0] == "rows":
+                    out.extend(seg[1])
+                else:
+                    _, tbl, level = seg
+                    rows = tbl.to_pylist()
+                    for r in rows:
+                        r["level"] = level
+                    out.extend(rows)
+            self._order_cache = out
+        return self._order_cache
+
+    @order.setter
+    def order(self, rows: list) -> None:
+        self._order_segments = [("rows", list(rows))]
+        self._order_cache = None
 
 
 # ---------------------------------------------------------------------------
@@ -517,10 +553,10 @@ class CrawlEngine:
              "score": pa.array([], pa.float32())}
         )
         if not compact:
-            return [], empty_cand, 0
+            return None, empty_cand, 0
         order_tbl = self._flatten_wrapped(compact, "order", _ORDER_COLS)
-        order = order_tbl.sort_by("seq").to_pylist() if order_tbl is not None \
-            else []
+        if order_tbl is not None:
+            order_tbl = order_tbl.sort_by("seq")
         cand = self._flatten_wrapped(compact, "cand", _CAND_COLS)
         if cand is None:
             cand = empty_cand
@@ -529,7 +565,17 @@ class CrawlEngine:
             for t in compact
             for v in t.column("n_filtered").to_pylist()
         )
-        return order, cand, n_filtered
+        return order_tbl, cand, n_filtered
+
+    @staticmethod
+    def _order_rows_list(order_tbl, k: int) -> list[dict]:
+        """Materialize an order table to python rows (small strategies)."""
+        if order_tbl is None:
+            return []
+        rows = order_tbl.to_pylist()
+        for r in rows:
+            r["level"] = k
+        return rows
 
     # -- public entry -------------------------------------------------------
 
@@ -589,11 +635,11 @@ class CrawlEngine:
                 }
             )
             _, compact = self._fetch_parse_write(frontier, k, docs_root)
-            order_rows, cand, n_prefiltered = \
+            order_tbl, cand, n_prefiltered = \
                 self._read_superstep(compact)
-            for r in order_rows:
-                r["level"] = k
-            res.order.extend(order_rows)
+            order_rows = self._order_rows_list(order_tbl, k)
+            res.add_order_rows(order_rows)
+            res.urls_fetched += len(order_rows)
             seq += 1
             k += 1
             success = order_rows and order_rows[0]["success"]
@@ -630,7 +676,6 @@ class CrawlEngine:
             )
         )
         res.docs_dir = docs_root
-        res.urls_fetched = len(res.order)
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
         return res
@@ -708,7 +753,8 @@ class CrawlEngine:
                     frontier, gate, k
                 )
                 n_blocked = len(blocked_rows)
-                res.order.extend(blocked_rows)
+                res.add_order_rows(blocked_rows)
+                res.urls_fetched += n_blocked
                 if frontier.num_rows == 0:
                     # everything deferred/blocked this round
                     frontier = deferred
@@ -735,19 +781,22 @@ class CrawlEngine:
             )
             docs_dir, compact = self._fetch_parse_write(frontier, k,
                                                         docs_root)
-            order_rows, cand, n_prefiltered = \
-                self._read_superstep(compact)
-            for r in order_rows:
-                r["level"] = k
-            res.order.extend(order_rows)
-            n_success = sum(1 for r in order_rows if r["success"])
+            order_tbl, cand, n_prefiltered = self._read_superstep(compact)
+            import pyarrow.compute as pc
+
+            n_rows = order_tbl.num_rows if order_tbl is not None else 0
+            res.add_order_table(order_tbl, k)
+            res.urls_fetched += n_rows
+            n_success = (
+                int(pc.sum(order_tbl.column("success")).as_py() or 0)
+                if n_rows else 0
+            )
             pages_crawled += n_success
-            if gate is not None:
+            if gate is not None and n_rows:
                 by_host: dict[str, list[int]] = {}
-                for r in order_rows:
-                    by_host.setdefault(
-                        urlkit.host_of(r["url"]), []
-                    ).append(int(r["status"]))
+                for u, st_ in zip(order_tbl.column("url").to_pylist(),
+                                  order_tbl.column("status").to_pylist()):
+                    by_host.setdefault(urlkit.host_of(u), []).append(int(st_))
                 gate.report(by_host)
             frontier, n_new, lineage = self._next_frontier_bfs(
                 cand, frontier, seen, pages_crawled, next_seq, k
@@ -757,25 +806,30 @@ class CrawlEngine:
                     [deferred, frontier]
                 ).sort_by("seq")
             next_seq += n_new
-            lineage[0]["frontier_in"] = len(order_rows)
+            lineage[0]["frontier_in"] = n_rows
             lineage[0]["fetched"] = n_success
             lineage[0]["deferred"] = deferred.num_rows
             lineage[0]["skipped_filtered"] += n_blocked + n_prefiltered
             lineage[0]["host_top"] = json.dumps(host_top)
-            lineage[0]["fetch_ms_sum"] = float(
-                sum(r.get("fetch_ms") or 0.0 for r in order_rows)
-            )
-            lineage[0]["parse_ms_sum"] = float(
-                sum(r.get("parse_ms") or 0.0 for r in order_rows)
-            )
+            if n_rows:
+                lineage[0]["fetch_ms_sum"] = float(
+                    pc.sum(order_tbl.column("fetch_ms")).as_py() or 0.0
+                )
+                lineage[0]["parse_ms_sum"] = float(
+                    pc.sum(order_tbl.column("parse_ms")).as_py() or 0.0
+                )
             lineage_all.extend(lineage)
-            state = {
-                "pages_crawled": pages_crawled,
-                "next_seq": next_seq,
-                "strategy": "bfs",
-                "_step_order": blocked_rows + order_rows,
-            }
-            self._checkpoint(k, frontier, seen, state, lineage)
+            if cfg.checkpoint_dir:
+                # checkpointing pays the row materialization; the hot
+                # non-checkpointed path never does
+                state = {
+                    "pages_crawled": pages_crawled,
+                    "next_seq": next_seq,
+                    "strategy": "bfs",
+                    "_step_order": blocked_rows
+                    + self._order_rows_list(order_tbl, k),
+                }
+                self._checkpoint(k, frontier, seen, state, lineage)
             k += 1
 
         res.pages_crawled = pages_crawled
@@ -790,7 +844,6 @@ class CrawlEngine:
         )
         res.docs_dir = docs_root
         res.lineage = lineage_all
-        res.urls_fetched = len(res.order)
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
         if gate is not None:
@@ -1117,7 +1170,8 @@ class CrawlEngine:
                 batch_tbl = batch_df.to_arrow()
                 admitted_t, deferred_t, blocked_rows = \
                     self._politeness_split_pool(batch_tbl, gate, k)
-                res.order.extend(blocked_rows)
+                res.add_order_rows(blocked_rows)
+                res.urls_fetched += len(blocked_rows)
                 batch_df = pl.from_arrow(admitted_t)
                 deferred_df = pl.from_arrow(deferred_t) \
                     if deferred_t.num_rows else None
@@ -1143,8 +1197,9 @@ class CrawlEngine:
             )
             docs_dir, compact = self._fetch_parse_write(frontier, k,
                                                         docs_root)
-            order_rows, cand, n_prefiltered = \
+            order_tbl, cand, n_prefiltered = \
                 self._read_superstep(compact)
+            order_rows = self._order_rows_list(order_tbl, k)
             # reference counts successes as they stream and stops BEFORE
             # yielding the result that hits the cap
             kept_rows = []
@@ -1156,7 +1211,8 @@ class CrawlEngine:
                         break
                 r["level"] = k
                 kept_rows.append(r)
-            res.order.extend(kept_rows)
+            res.add_order_rows(kept_rows)
+            res.urls_fetched += len(kept_rows)
             seq += len(order_rows)
 
             if not stop:
@@ -1277,7 +1333,6 @@ class CrawlEngine:
         )
         res.docs_dir = docs_root
         res.lineage = lineage_all
-        res.urls_fetched = len(res.order)
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
         if gate is not None:
