@@ -720,6 +720,7 @@ class CrawlEngine:
         frontier = None
         lineage_all: list = []
 
+        saved_gate = None
         if resume:
             rk = self._find_resume_point()
             if rk is not None:
@@ -728,6 +729,7 @@ class CrawlEngine:
                 next_seq = state["next_seq"]
                 k = rk + 1
                 res.order = state.get("order", [])
+                saved_gate = state.get("gate")
         if frontier is None:
             os.makedirs(docs_root, exist_ok=True)
             frontier = self._seed_frontier(seed_urls, seen)
@@ -743,6 +745,8 @@ class CrawlEngine:
                 superstep_seconds=cfg.superstep_seconds,
                 jitter=cfg.politeness_jitter,
             )
+            if saved_gate:
+                gate.restore(saved_gate)
 
         while frontier.num_rows and pages_crawled < cfg.max_pages:
             deferred = frontier.slice(0, 0)
@@ -829,6 +833,10 @@ class CrawlEngine:
                     "_step_order": blocked_rows
                     + self._order_rows_list(order_tbl, k),
                 }
+                if gate is not None:
+                    # politeness/robots state is part of the checkpoint
+                    # (token delays, fail counts, robots rules per host)
+                    state["gate"] = gate.snapshot()
                 self._checkpoint(k, frontier, seen, state, lineage)
             k += 1
 

@@ -77,6 +77,38 @@ def test_politeness_budget_and_completeness(ray_session, tmp_path):
     assert any(l["deferred"] > 0 for l in polite.lineage)
 
 
+def test_politeness_resume_restores_gate_state(ray_session, tmp_path):
+    """Kill-and-resume with politeness on: final fetched set identical and
+    robots/delay state survives the checkpoint (no duplicate fetches)."""
+    import os
+    import shutil as sh
+
+    ck = str(tmp_path / "ck")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, politeness=True,
+                      politeness_partitions=2, checkpoint_dir=ck,
+                      out_dir=str(tmp_path / "o"), n_seen_shards=2,
+                      fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": SITE_CFG.__dict__})
+    full = eng.run(SITE.seed_urls())
+
+    for name in sorted(os.listdir(ck)):
+        if name.startswith("superstep=") and int(name.split("=")[1]) > 2:
+            sh.rmtree(os.path.join(ck, name))
+    eng2 = CrawlEngine(CrawlConfig(strategy="bfs", max_depth=3,
+                                   politeness=True, politeness_partitions=2,
+                                   checkpoint_dir=ck,
+                                   out_dir=str(tmp_path / "o"),
+                                   n_seen_shards=2, fetch_concurrency=2),
+                       fetcher_kwargs={"site_cfg": SITE_CFG.__dict__})
+    resumed = eng2.run(SITE.seed_urls(), resume=True)
+    full_fetched = sorted(r["url"] for r in full.order if r["success"])
+    res_fetched = sorted(r["url"] for r in resumed.order if r["success"])
+    assert res_fetched == full_fetched
+    import numpy as np
+
+    assert np.array_equal(resumed.seen_hashes, full.seen_hashes)
+
+
 def test_politeness_backoff_on_503(ray_session, tmp_path):
     # larger site → some product pages are deterministic 503s; the run must
     # finish and record them as failures without killing their hosts' other
