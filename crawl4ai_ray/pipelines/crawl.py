@@ -106,8 +106,11 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
     if drop_html and "html" in batch.column_names:
         batch = batch.drop_columns(["html"])
     if batch.num_rows:
+        # the cand column is internal discovery state — documents on disk
+        # carry spans/links/markdown, not the frontier plumbing
         pq.write_table(
-            batch, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+            batch.drop_columns(["cand"]),
+            os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet"),
         )
     order_struct = _table_to_struct(batch.select(_ORDER_COLS))
 
@@ -327,7 +330,13 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig, *, fetcher_cls=SyntheticFetcher,
                  fetcher_kwargs: dict | None = None, filter_fn=None,
-                 scorer_fn=None):
+                 scorer_fn=None, on_superstep=None):
+        """``on_superstep(k, docs_dir, order_tbl)`` is the streaming hook:
+        called after each superstep commits, with the superstep index, its
+        documents directory, and the compact order table — the BSP-grain
+        equivalent of the reference's ``stream=True`` async generator
+        (async_webcrawler.py:750-761; within-superstep order is
+        normalized by seq, SURVEY.md §2.9)."""
         self.cfg = cfg
         self.fetcher_cls = fetcher_cls
         self.fetcher_kwargs = dict(fetcher_kwargs or {})
@@ -336,6 +345,7 @@ class CrawlEngine:
                                            cfg.simulate_latency)
         self.filter_fn = filter_fn
         self.scorer_fn = scorer_fn
+        self.on_superstep = on_superstep
 
     # -- checkpoint helpers -------------------------------------------------
 
@@ -789,6 +799,8 @@ class CrawlEngine:
             import pyarrow.compute as pc
 
             n_rows = order_tbl.num_rows if order_tbl is not None else 0
+            if self.on_superstep is not None:
+                self.on_superstep(k, docs_dir, order_tbl)
             res.add_order_table(order_tbl, k)
             res.urls_fetched += n_rows
             n_success = (
@@ -1208,6 +1220,8 @@ class CrawlEngine:
             order_tbl, cand, n_prefiltered = \
                 self._read_superstep(compact)
             order_rows = self._order_rows_list(order_tbl, k)
+            if self.on_superstep is not None:
+                self.on_superstep(k, docs_dir, order_tbl)
             # reference counts successes as they stream and stops BEFORE
             # yielding the result that hits the cap
             kept_rows = []
