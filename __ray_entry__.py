@@ -83,6 +83,34 @@ def _crawl_lineage(sf_dir: str):
     return pd.DataFrame(res.lineage)
 
 
+def _crawl_adaptive(sf_dir: str):
+    """Adaptive (confidence-driven) crawl: per-superstep
+    coverage/consistency/saturation/confidence trace."""
+    import tempfile
+
+    import pandas as pd
+
+    from crawl4ai_ray.pipelines.adaptive import AdaptiveCrawl
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=6, hot_hosts=6)
+    site = SyntheticWeb(site_cfg)
+    cfg = CrawlConfig(max_depth=3, out_dir=tempfile.mkdtemp(prefix="c4r_ad_"),
+                      n_seen_shards=2, fetch_concurrency=2)
+    ac = AdaptiveCrawl(cfg, query="product category data",
+                       confidence_threshold=0.6,
+                       fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    res, state = ac.run(site.seed_urls())
+    return pd.DataFrame(
+        {
+            "superstep": range(len(state.confidence_history)),
+            "confidence": [round(c, 6) for c in state.confidence_history],
+            "new_terms": state.new_terms_history,
+        }
+    )
+
+
 def _seed_sitemaps(sf_dir: str):
     """Sitemap seeder over the synthetic web (S2 operator)."""
     from crawl4ai_ray.sources.seeder import seed_from_sitemaps
@@ -171,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_best_first_order": _crawl_order_query("best_first"),
         "crawl_dfs_order": lambda sf: _crawl_dfs_order(sf),
         "crawl_bfs_lineage": _crawl_lineage,
+        "crawl_adaptive": _crawl_adaptive,
         "seed_sitemaps": _seed_sitemaps,
         "crawl_span_kinds": _crawl_span_kinds,
     }

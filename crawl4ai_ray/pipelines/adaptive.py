@@ -1,0 +1,171 @@
+"""Adaptive (progressive) crawling — statistical confidence-driven stop.
+
+Re-expresses the reference's AdaptiveCrawler statistical strategy
+(/root/reference/crawl4ai/adaptive_crawler.py: confidence law at :287-305,
+coverage :306-344, consistency :346-371, saturation :373-389, link ranking
+:391+) on top of the superstep engine:
+
+- crawl proceeds in best-first batches (the reference crawls top-k ranked
+  links per iteration);
+- after each superstep the accumulated knowledge base's term statistics
+  update (term/document frequencies — a groupby-sum over doc terms; here
+  the per-superstep delta is computed from the superstep's docs parquet via
+  the streaming hook, never re-reading the full KB);
+- confidence = 0.4·coverage + 0.3·consistency + 0.3·saturation; the crawl
+  stops when confidence ≥ threshold or gains fall below min_gain.
+
+Consistency uses the reference's pairwise-Jaccard over doc term sets,
+computed on a bounded sample (the reference iterates ALL pairs — O(n²) —
+which cannot scale; we sample ``consistency_sample`` docs and note it).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from .crawl import CrawlConfig, CrawlEngine
+from ..functions.textutils import clean_tokens
+
+
+@dataclass
+class AdaptiveState:
+    query: str = ""
+    total_documents: int = 0
+    term_frequencies: Counter = field(default_factory=Counter)
+    document_frequencies: Counter = field(default_factory=Counter)
+    doc_term_sets: list = field(default_factory=list)   # sampled
+    new_terms_history: list = field(default_factory=list)
+    confidence_history: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+def _tokenize(text: str) -> list[str]:
+    return clean_tokens(text.lower().split())
+
+
+def coverage(state: AdaptiveState) -> float:
+    """Reference _calculate_coverage law (adaptive_crawler.py:306-344)."""
+    if not state.query or state.total_documents == 0:
+        return 0.0
+    terms = _tokenize(state.query)
+    if not terms:
+        return 0.0
+    max_tf = max(state.term_frequencies.values()) \
+        if state.term_frequencies else 1
+    scores = []
+    for t in terms:
+        tf = state.term_frequencies.get(t, 0)
+        df = state.document_frequencies.get(t, 0)
+        if df > 0:
+            doc_cov = df / state.total_documents
+            freq = math.log(1 + tf) / math.log(1 + max_tf) if max_tf else 0
+            scores.append(doc_cov * (1 + 0.5 * freq))
+        else:
+            scores.append(0.0)
+    return min(1.0, math.sqrt(sum(scores) / len(scores)))
+
+
+def consistency(state: AdaptiveState) -> float:
+    """Pairwise term-set Jaccard over the sampled KB (reference :346-371)."""
+    kb = state.doc_term_sets
+    if len(kb) < 2:
+        return 1.0
+    overlaps = []
+    for i in range(len(kb)):
+        for j in range(i + 1, len(kb)):
+            if kb[i] and kb[j]:
+                overlaps.append(len(kb[i] & kb[j]) / len(kb[i] | kb[j]))
+    return sum(overlaps) / len(overlaps) if overlaps else 0.0
+
+
+def saturation(state: AdaptiveState) -> float:
+    """New-term discovery slowdown (reference :373-389)."""
+    h = state.new_terms_history
+    if len(h) < 2:
+        return 0.0
+    recent = h[-1] if h[-1] > 0 else 1
+    initial = h[0] if h[0] > 0 else 1
+    return max(0.0, min(1.0, 1 - (recent / initial)))
+
+
+def confidence(state: AdaptiveState) -> float:
+    c, k, s = coverage(state), consistency(state), saturation(state)
+    state.metrics.update(coverage=c, consistency=k, saturation=s)
+    return 0.4 * c + 0.3 * k + 0.3 * s
+
+
+class AdaptiveCrawl:
+    """Confidence-driven crawl: run best-first supersteps until the
+    knowledge base saturates for the query."""
+
+    def __init__(self, cfg: CrawlConfig, query: str, *,
+                 confidence_threshold: float = 0.75,
+                 min_gain: float = 0.005,
+                 max_pages: int = 200,
+                 consistency_sample: int = 50,
+                 fetcher_kwargs: dict | None = None):
+        self.query = query
+        self.threshold = confidence_threshold
+        self.min_gain = min_gain
+        self.max_pages = max_pages
+        self.sample = consistency_sample
+        self.state = AdaptiveState(query=query)
+        cfg.strategy = "best_first"
+        cfg.max_pages = max_pages
+        # rank links toward the query (reference rank_links: expected info
+        # gain ≈ keyword relevance; lower score = higher priority in our
+        # pool ordering, so negate)
+        from ..functions.scorers import KeywordRelevanceScorer
+
+        kw = KeywordRelevanceScorer(self.query.lower().split())
+        self.engine = CrawlEngine(
+            cfg, fetcher_kwargs=fetcher_kwargs,
+            scorer_fn=lambda u: -kw.score(u),
+            on_superstep=self._absorb,
+        )
+        self._stop_requested = False
+
+    # -- KB statistics update per superstep ---------------------------------
+
+    def _absorb(self, k: int, docs_dir: str, order_tbl) -> None:
+        import glob
+        import os
+
+        new_terms = 0
+        for part in glob.glob(os.path.join(docs_dir, "*.parquet")):
+            t = pq.read_table(part, columns=["markdown", "success"])
+            for md, ok in zip(t.column("markdown").to_pylist(),
+                              t.column("success").to_pylist()):
+                if not ok:
+                    continue
+                terms = _tokenize(md or "")
+                tset = set(terms)
+                self.state.total_documents += 1
+                for w in terms:
+                    self.state.term_frequencies[w] += 1
+                for w in tset:
+                    if self.state.document_frequencies[w] == 0:
+                        new_terms += 1
+                    self.state.document_frequencies[w] += 1
+                if len(self.state.doc_term_sets) < self.sample:
+                    self.state.doc_term_sets.append(tset)
+        self.state.new_terms_history.append(new_terms)
+        conf = confidence(self.state)
+        self.state.confidence_history.append(conf)
+        h = self.state.confidence_history
+        if conf >= self.threshold:
+            self._stop_requested = True
+        elif len(h) >= 3 and (h[-1] - h[-3]) < self.min_gain and \
+                self.state.total_documents >= 10:
+            self._stop_requested = True
+        if self._stop_requested:
+            # soft-stop: cap further progress via the engine's max_pages
+            self.engine.cfg.max_pages = self.state.total_documents
+
+    def run(self, seed_urls: list[str]):
+        res = self.engine.run(seed_urls)
+        return res, self.state
