@@ -1,0 +1,170 @@
+"""Distributed frontier discovery — the 10^10-scale path, implemented.
+
+The engine's driver-side discovery (crawl.py:_next_frontier_bfs) finalizes
+each superstep's candidates on the driver: fine at sandbox scale after the
+sink combiner, impossible for 10^8-row levels. This module implements the
+same algebra as Ray Data operations where the driver only ever sees
+O(#blocks) metadata rows — candidate data moves block-to-block through the
+object store:
+
+1. **Global ordered dedup** — range-partitioned sort by (url_hash,
+   parent_seq, link_idx) → every block owns a contiguous key range →
+   per-block first-occurrence dedup is globally correct except at block
+   boundaries. A metadata pass collects each block's (first, last)
+   url_hash (tiny), the driver marks blocks whose first key continues the
+   previous block's run, and a distributed map drops those first rows
+   (each block identified by its own first key in a broadcast set).
+2. **Seen-set check** — map_batches holding the serialized shard-actor
+   handles; each task issues one check_and_add per shard for its batch.
+   Safe in any order: after step 1 each url_hash appears exactly once.
+3. **Deterministic seq** — sort survivors by (parent_seq, link_idx); a
+   metadata pass collects per-block (first_key, count); the driver
+   prefix-sums offsets in key order and broadcasts {first_key: offset};
+   a final map assigns ``seq = offset + local_rank``.
+
+Sorted intermediates are materialized (they are consumed twice: metadata
+pass + data pass) — the same object-store residency any distributed sort
+output has. Equivalence with the driver path is asserted in
+tests/test_discovery_distributed.py. max_pages capacity truncation
+(per-page over the deduped set) composes after this stage unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _empty_frontier(cand: pa.Table) -> pa.Table:
+    return cand.slice(0, 0).append_column("seq", pa.array([], pa.int64()))
+
+
+def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
+                              *, n_blocks: int = 8) -> pa.Table:
+    """Distributed equivalent of the driver's level dedup + seen check +
+    seq assignment over a candidate table (already gated by the sink
+    combiner). Returns the next frontier ordered by seq."""
+    if cand.num_rows == 0:
+        return _empty_frontier(cand)
+
+    per = (cand.num_rows + n_blocks - 1) // n_blocks
+    ds = rd.from_arrow(
+        [cand.slice(i * per, per) for i in range(n_blocks)
+         if i * per < cand.num_rows]
+    )
+
+    # -- 1. sort + boundary-aware per-block dedup ---------------------------
+    sorted_ds = ds.sort(["url_hash", "parent_seq", "link_idx"]).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.uint64()),
+                             "last": pa.array([], pa.uint64())})
+        return pa.table(
+            {"first": pa.array([batch.column("url_hash")[0].as_py()],
+                               type=pa.uint64()),
+             "last": pa.array(
+                 [batch.column("url_hash")[batch.num_rows - 1].as_py()],
+                 type=pa.uint64())}
+        )
+
+    meta = (
+        sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                              batch_size=None)
+        .to_pandas()
+        .sort_values("first")
+    )
+    drop_first: set[int] = set()
+    prev_last = None
+    for r in meta.itertuples():
+        if prev_last is not None and int(r.first) == int(prev_last):
+            drop_first.add(int(r.first))
+        prev_last = r.last
+    drop_ref = ray.put(drop_first)
+
+    def dedup(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        drops = ray.get(drop_ref)
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(h), dtype=bool)
+        keep[0] = int(h[0]) not in drops
+        keep[1:] = h[1:] != h[:-1]
+        return batch.filter(pa.array(keep))
+
+    # -- 2. distributed seen-set check --------------------------------------
+    shards = seen.shards
+    n_shards = seen.n_shards
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch.column("url_hash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
+        dup = np.zeros(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(shards[s].check_and_add.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, r in zip(idxs, ray.get(futs)):
+            dup[idx] = r
+        return batch.filter(pa.array(~dup))
+
+    survivors = (
+        sorted_ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)
+        .map_batches(check, batch_format="pyarrow", batch_size=None)
+    )
+
+    # -- 3. sort by discovery key + block-offset seq ------------------------
+    final_sorted = survivors.sort(["parent_seq", "link_idx"]).materialize()
+
+    def key_count(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"ps": pa.array([], pa.int64()),
+                             "li": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {"ps": [batch.column("parent_seq")[0].as_py()],
+             "li": [batch.column("link_idx")[0].as_py()],
+             "n": [batch.num_rows]}
+        )
+
+    meta2 = final_sorted.map_batches(
+        key_count, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if meta2.empty:
+        return _empty_frontier(cand)
+    meta2 = meta2.sort_values(["ps", "li"])
+    offsets: dict[tuple, int] = {}
+    acc = next_seq
+    for r in meta2.itertuples():
+        offsets[(int(r.ps), int(r.li))] = acc
+        acc += int(r.n)
+    off_ref = ray.put(offsets)
+
+    def assign(batch: pa.Table, off_ref=off_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("seq", pa.array([], pa.int64()))
+        offs = ray.get(off_ref)
+        key = (batch.column("parent_seq")[0].as_py(),
+               batch.column("link_idx")[0].as_py())
+        base = offs[key]
+        return batch.append_column(
+            "seq",
+            pa.array(np.arange(base, base + batch.num_rows, dtype=np.int64)),
+        )
+
+    out_blocks = [
+        b for b in final_sorted.map_batches(
+            assign, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not out_blocks:
+        return _empty_frontier(cand)
+    return pa.concat_tables(out_blocks).sort_by("seq")

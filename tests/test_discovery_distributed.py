@@ -1,0 +1,116 @@
+"""Distributed discovery == driver discovery, on identical candidates.
+
+Proves the scale path (pipelines/discovery.py) produces byte-identical
+frontiers to the driver-side algebra, including cross-block duplicate
+runs and already-seen URLs."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.functions.urlkit import hash64
+from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+from crawl4ai_ray.pipelines.discovery import next_frontier_distributed
+from crawl4ai_ray.state.seen import SeenSet
+
+
+def _make_candidates(n_pages=40, links_per_page=12, dup_every=3,
+                     seed_seen=5):
+    """Candidate table with heavy cross-page duplicates (every dup_every-th
+    link points at a shared URL) — exercises run-spanning dedup."""
+    rows = {k: [] for k in ["url", "url_hash", "host", "parent_seq",
+                            "link_idx", "source_depth", "passes", "score"]}
+    for p in range(n_pages):
+        for i in range(links_per_page):
+            if i % dup_every == 0:
+                url = f"http://h0.test/shared/{i}"
+            else:
+                url = f"http://h0.test/p{p}/l{i}"
+            rows["url"].append(url)
+            rows["url_hash"].append(hash64(url))
+            rows["host"].append("h0.test")
+            rows["parent_seq"].append(p)
+            rows["link_idx"].append(i)
+            rows["source_depth"].append(1)
+            rows["passes"].append(True)
+            rows["score"].append(0.0)
+    tbl = pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "url_hash": pa.array(np.array(rows["url_hash"],
+                                          dtype=np.uint64)),
+            "host": pa.array(rows["host"], pa.string()),
+            "parent_seq": pa.array(rows["parent_seq"], pa.int64()),
+            "link_idx": pa.array(rows["link_idx"], pa.int32()),
+            "source_depth": pa.array(rows["source_depth"], pa.int32()),
+            "passes": pa.array(rows["passes"], pa.bool_()),
+            "score": pa.array(rows["score"], pa.float32()),
+        }
+    )
+    # some URLs already in the seen set
+    pre_seen = np.array(
+        [hash64(f"http://h0.test/p0/l{i}") for i in range(1, seed_seen + 1)
+         if i % dup_every != 0],
+        dtype=np.uint64,
+    )
+    return tbl, pre_seen
+
+
+def test_distributed_matches_driver(ray_session):
+    cand, pre_seen = _make_candidates()
+
+    # driver path
+    seen_a = SeenSet(3, 1 << 12)
+    seen_a.add(pre_seen)
+    eng = CrawlEngine(CrawlConfig(strategy="bfs", max_depth=3))
+    cur_frontier = pa.table(
+        {
+            "url": pa.array([f"http://h0.test/page{p}" for p in range(40)]),
+            "url_hash": pa.array(np.arange(40, dtype=np.uint64)),
+            "host": pa.array(["h0.test"] * 40),
+            "depth": pa.array([1] * 40, pa.int32()),
+            "score": pa.array([0.0] * 40, pa.float32()),
+            "parent": pa.array([""] * 40),
+            "seq": pa.array(range(40), pa.int64()),
+        }
+    )
+    want_tbl, n_new, _ = eng._next_frontier_bfs(
+        cand, cur_frontier, seen_a, pages_crawled=0, next_seq=1000, k=0
+    )
+    want = list(zip(want_tbl.column("url").to_pylist(),
+                    want_tbl.column("seq").to_pylist()))
+
+    # distributed path (fresh seen with identical preload)
+    seen_b = SeenSet(3, 1 << 12)
+    seen_b.add(pre_seen)
+    got_tbl = next_frontier_distributed(cand, seen_b, next_seq=1000,
+                                        n_blocks=7)
+    got = list(zip(got_tbl.column("url").to_pylist(),
+                   got_tbl.column("seq").to_pylist()))
+
+    assert got == want
+    assert len(got) == n_new
+    # both seen sets ended identical
+    assert np.array_equal(
+        np.sort(np.concatenate([np.frombuffer(e, dtype=np.uint64)
+                                for _, e in seen_a.snapshot()])),
+        np.sort(np.concatenate([np.frombuffer(e, dtype=np.uint64)
+                                for _, e in seen_b.snapshot()])),
+    )
+    seen_a.kill()
+    seen_b.kill()
+
+
+def test_distributed_empty_and_all_seen(ray_session):
+    cand, _ = _make_candidates(n_pages=2, links_per_page=4)
+    seen = SeenSet(2, 1 << 10)
+    # pre-seed EVERYTHING
+    seen.add(cand.column("url_hash").to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+    out = next_frontier_distributed(cand, seen, next_seq=0, n_blocks=3)
+    assert out.num_rows == 0
+    empty = next_frontier_distributed(cand.slice(0, 0), seen, next_seq=0)
+    assert empty.num_rows == 0
+    seen.kill()
