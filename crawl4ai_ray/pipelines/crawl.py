@@ -26,11 +26,12 @@ Scale notes (explicitly designed for a 256-node / 10^10-URL frontier):
   (url, depth, seq, success, links) columns from the written parquet.
 - The compact candidate/frontier rows (~100 B/row) are finalized
   driver-side here (ordered dedup + seq ranks). The production path for
-  10^8-row levels is the same algebra distributed: groupby(url_hash).min
-  over (parent_seq, link_idx) → distributed check_and_add (shard actor
-  handles inside map_batches) → sort → per-block seq offsets from block
-  counts. The driver-side version is used at sandbox scale; the switchover
-  is a constant, not a redesign.
+  10^8-row levels is IMPLEMENTED in pipelines/discovery.py
+  (range-partitioned sort + boundary-aware block dedup + distributed
+  check_and_add + broadcast per-block seq offsets) and proven
+  byte-equivalent to this driver algebra in
+  tests/test_discovery_distributed.py; the driver version remains the
+  default at sandbox scale where it is faster.
 - Checkpoints are atomic per superstep (temp-dir + _COMMIT marker): next
   frontier, per-shard seen blobs (cuckoo + exact hashes), lineage row, and
   counters. Resume restores shard state and continues from the last
