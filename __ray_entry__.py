@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_join": analysis.nation_region_join,
         "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
         "orders_filter_sort": analysis.orders_filter_sort,
+        "revenue_by_part_type": analysis.revenue_by_part_type,
+        "orders_priority_counts": analysis.orders_priority_counts,
+        "events_type_span": analysis.events_type_span,
+        "big_spenders_union": analysis.big_spenders_union,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -255,6 +259,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderstatus = 'O'
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "revenue_by_part_type": """
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+        """,
+        "orders_priority_counts": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+        """,
+        "events_type_span": """
+            SELECT event_type,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "big_spenders_union": """
+            SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+            FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice > 400000
+                UNION ALL
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND o_totalprice > 300000
+            ) GROUP BY o_orderkey
         """,
         "doc_token_stats": r"""
             SELECT lang, count(*) AS n_docs, sum(n_words) AS sum_words,

@@ -430,6 +430,104 @@ def supplier_balance_by_nation(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def revenue_by_part_type(sf_dir: str):
+    """lineitem⋈part (broadcast part key→type) + groupby — second join
+    shape over the biggest fact table."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_type"])))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        types = _ray.get(ref)
+        keys = batch.column("l_partkey").to_pylist()
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "p_type": pa.array([types.get(k, "") for k in keys],
+                                   type=pa.string()),
+                "revenue": rev,
+            }
+        )
+
+    agg = li.map_batches(join, batch_format="pyarrow", batch_size=65536) \
+        .groupby("p_type").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Count(alias_name="n_items"),
+        )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("revenue"), "revenue",
+            pc.round(batch.column("revenue"), 2),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def orders_priority_counts(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
+def events_type_span(sf_dir: str):
+    """min/max event time per type (timestamps normalized to strings for
+    engine/oracle comparison)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # Arrow's %S includes fractional seconds — slice to 19 chars to
+        # match DuckDB's strftime
+        s = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H:%M:%S")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "ts_s": pc.utf8_slice_codeunits(s, 0, 19),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Min("ts_s", alias_name="first_ts"),
+            Max("ts_s", alias_name="last_ts"),
+            Count(alias_name="n_events"),
+        )
+
+
+def big_spenders_union(sf_dir: str):
+    """Union of two filtered order subsets + distinct — set-op demo."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                      pa.scalar(400000.0))),
+        batch_format="pyarrow",
+    )
+    urgent = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("o_orderpriority"),
+                             pa.scalar("1-URGENT")),
+                    pc.greater(t.column("o_totalprice"),
+                               pa.scalar(300000.0)))
+        ),
+        batch_format="pyarrow",
+    )
+    both = hi.union(urgent).select_columns(["o_orderkey", "o_totalprice"])
+    # distinct via groupby-first (hash-partition + per-group first)
+    return both.groupby("o_orderkey").aggregate(
+        Max("o_totalprice", alias_name="o_totalprice")
+    )
+
+
 def orders_filter_sort(sf_dir: str, k: int = 50):
     """filter + projection + sort + limit demo."""
     ds = _read(sf_dir, "orders",

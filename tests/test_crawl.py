@@ -76,6 +76,26 @@ def test_bfs_with_filter_and_scorer(ray_session, tmp_path):
     assert np.array_equal(res.seen_hashes, want)
 
 
+def test_bfs_include_external_matches_oracle(ray_session, tmp_path):
+    """Cross-host expansion: external links (different registrable domain)
+    enter the frontier after internal ones, in reference order."""
+    # cross-host links live on product pages (depth 3) → external hosts
+    # enter the crawl at depth 4
+    golden = oracle_bfs(SITE, SITE.seed_urls()[:1], max_depth=4,
+                        include_external=True)
+    cfg = CrawlConfig(strategy="bfs", max_depth=4, include_external=True,
+                      out_dir=str(tmp_path / "out"), n_seen_shards=2,
+                      fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": SITE_CFG.__dict__})
+    res = eng.run(SITE.seed_urls()[:1])
+    assert _order_key(res.order) == _order_key(golden.order)
+    hosts = {r["url"].split("/")[2] for r in res.order}
+    assert len(hosts) > 1, "external links crossed hosts"
+    want = np.sort(np.array([hash64(u) for u in golden.seen],
+                            dtype=np.uint64))
+    assert np.array_equal(res.seen_hashes, want)
+
+
 def test_best_first_matches_oracle(ray_session, tmp_path):
     scorer = lambda u: float(u.count("/"))  # shallow-first
     golden = oracle_best_first(SITE, SITE.seed_urls()[:2], max_depth=3,
