@@ -311,21 +311,33 @@ def top_customer_revenue(sf_dir: str, k: int = 20):
         import ray as _ray
 
         names = _ray.get(ref)
-        keys = batch.column("o_custkey").to_pylist()
+        # combiner: pre-aggregate per custkey inside the batch before the
+        # global shuffle (one partial row per key per batch)
+        part = (
+            pa.table(
+                {
+                    "c_custkey": batch.column("o_custkey"),
+                    "o_totalprice": batch.column("o_totalprice"),
+                }
+            )
+            .group_by("c_custkey")
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        )
+        keys = part.column("c_custkey").to_pylist()
         return pa.table(
             {
-                "c_custkey": batch.column("o_custkey"),
-                "c_name": pa.array(
-                    [names.get(k, "") for k in keys], type=pa.string()
-                ),
-                "o_totalprice": batch.column("o_totalprice"),
+                "c_custkey": part.column("c_custkey"),
+                "c_name": pa.array([names.get(k, "") for k in keys],
+                                   type=pa.string()),
+                "_rev": part.column("o_totalprice_sum"),
+                "_cnt": part.column("o_totalprice_count"),
             }
         )
 
     out = orders.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     agg = out.groupby(["c_custkey", "c_name"]).aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"),
+        Sum("_rev", alias_name="revenue"),
+        Sum("_cnt", alias_name="n_orders"),
     )
 
     def rnd(batch: pa.Table) -> pa.Table:
