@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": analysis.q1_pricing_summary,
         "top_customer_revenue": analysis.top_customer_revenue,
         "events_daily": analysis.events_daily,
+        "user_sessions": analysis.user_sessions,
         "part_type_counts": analysis.part_type_counts,
         "nation_region_join": analysis.nation_region_join,
         "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
@@ -188,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over LSH candidates — the n-gram-Jaccard dedup operator
         "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
             sf, k=2, threshold=0.5),
+        "minhash_dedup_survivors": lambda sf:
+            dedup.minhash_dedup_survivors(sf),
         "simhash_table": dedup.simhash_table,
         "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
@@ -240,6 +243,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "user_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE OR
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS sess_id
+                FROM marked
+            ), per_sess AS (
+                SELECT user_id, sess_id, count(*) AS n FROM sess
+                GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n) AS max_session_events,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM per_sess GROUP BY user_id
         """,
         "part_type_counts": """
             SELECT p_type, count(*) AS n_parts,

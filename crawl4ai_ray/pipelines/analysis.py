@@ -382,6 +382,34 @@ def events_daily(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization — the stream-shaped operator: events partitioned by
+    user, sorted by ts within the group, sessions split at >gap_minutes
+    silences (ray_guide 'streaming-shaped workloads' pattern:
+    groupby(key).map_groups over the sorted group). Output: one row per
+    user with session count and max session length."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff() > gap).cumsum()
+        sizes = new_sess.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_sess.nunique())],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize,
+                                            batch_format="pandas")
+
+
 def part_type_counts(sf_dir: str):
     """distinct/groupby demo over part."""
     ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])

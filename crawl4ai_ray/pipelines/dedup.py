@@ -260,6 +260,57 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------------------
 
 
+def connected_components(pairs, all_ids) -> dict[int, int]:
+    """doc_id → canonical (minimum) id of its near-dup component.
+
+    Candidate pair sets are tiny relative to the corpus (LSH-filtered), so
+    union-find runs driver-side; the corpus-scale equivalent is iterative
+    min-label propagation (explode edges both ways → groupby(node).min →
+    join labels back, repeat until fixpoint — ray_guide near-dup pattern).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {int(i): find(int(i)) for i in all_ids}
+
+
+def minhash_dedup_survivors(sf_dir: str, *, threshold: float = 0.5,
+                            k: int = 2):
+    """The deduplicated corpus: near-dup components collapse to their
+    minimum doc_id (keep-first); returns (doc_id, canonical_id, survivor)."""
+    import pyarrow.parquet as pq
+
+    pairs_tbl = minhash_lsh_pairs(sf_dir, threshold=threshold, k=k)
+    if hasattr(pairs_tbl, "to_pandas"):
+        pairs_df = pairs_tbl.to_pandas()
+    else:
+        pairs_df = pairs_tbl
+    ids = pq.read_table(_doc_path(sf_dir), columns=["doc_id"]) \
+        .column("doc_id").to_pylist()
+    labels = connected_components(
+        list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), ids
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "canonical_id": pa.array([labels[int(i)] for i in ids],
+                                     type=pa.int64()),
+            "survivor": pa.array([labels[int(i)] == int(i) for i in ids],
+                                 type=pa.bool_()),
+        }
+    )
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
     from collections import Counter

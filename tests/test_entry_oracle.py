@@ -74,6 +74,30 @@ def test_rows_only_queries_run(ray_session):
         assert len(df.columns) > 0 or len(df) == 0, name
 
 
+def test_connected_components():
+    from crawl4ai_ray.pipelines.dedup import connected_components
+
+    labels = connected_components(
+        [(1, 2), (2, 3), (7, 8), (10, 10)], [1, 2, 3, 5, 7, 8, 10]
+    )
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 10: 10}
+    # transitive chain across pair order
+    labels2 = connected_components([(5, 3), (1, 5), (9, 1)], [1, 3, 5, 9])
+    assert set(labels2.values()) == {1}
+
+
+def test_minhash_dedup_survivors(ray_session):
+    from crawl4ai_ray.pipelines.dedup import minhash_dedup_survivors
+
+    t = minhash_dedup_survivors(SF_DIR).to_pandas()
+    assert len(t) == 500
+    # canonical ids are component minima and survivors are exactly them
+    assert (t[t.survivor].doc_id == t[t.survivor].canonical_id).all()
+    assert (t.canonical_id <= t.doc_id).all()
+    surv = set(t[t.survivor].doc_id)
+    assert set(t.canonical_id) <= surv
+
+
 def test_lsh_recall_on_clustered_vectors(ray_session, tmp_path):
     """LSH ANN recall gate on data where ANN is meaningful (clustered
     vectors; the sf embeddings are near-uniform random, the worst case for
