@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": analysis.top_customer_revenue,
         "events_daily": analysis.events_daily,
         "user_sessions": analysis.user_sessions,
+        "events_asof_orders": analysis.events_asof_orders,
         "part_type_counts": analysis.part_type_counts,
         "nation_region_join": analysis.nation_region_join,
         "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
@@ -243,6 +244,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS asof_order_date
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "user_sessions": """
             WITH marked AS (

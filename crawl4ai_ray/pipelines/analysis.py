@@ -382,6 +382,54 @@ def events_daily(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def events_asof_orders(sf_dir: str):
+    """As-of join — for each event, the user's most recent order at or
+    before the event time. Ray Data has no asof-join primitive; this is
+    the broadcast form (orders per key sorted into a numpy searchsorted
+    index, shipped once with ray.put). The big-big form buckets both
+    sides by key and runs pd.merge_asof per bucket inside map_groups
+    (ray_guide joins section). Output keeps the matched o_orderdate
+    (unambiguous under same-date ties, unlike the order key).
+    """
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate"])
+    index = {
+        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        for k, g in orders.groupby("o_custkey")
+    }
+    ref = ray.put(index)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def asof(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        idx = _ray.get(ref)
+        uids = batch.column("user_id").to_pylist()
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        out_dates = []
+        for u, t in zip(uids, ts):
+            dates = idx.get(int(u))
+            if dates is None or len(dates) == 0:
+                out_dates.append(None)
+                continue
+            pos = int(np.searchsorted(dates, t, side="right")) - 1
+            out_dates.append(str(dates[pos])[:10] if pos >= 0 else None)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "asof_order_date": pa.array(out_dates, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(asof, batch_format="pyarrow", batch_size=65536)
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization — the stream-shaped operator: events partitioned by
     user, sorted by ts within the group, sessions split at >gap_minutes
