@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": analysis.events_daily,
         "user_sessions": analysis.user_sessions,
         "events_asof_orders": analysis.events_asof_orders,
+        "events_value_bands": analysis.events_value_bands,
         "part_type_counts": analysis.part_type_counts,
         "nation_region_join": analysis.nation_region_join,
         "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
@@ -244,6 +245,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        "events_value_bands": """
+            WITH bands AS (
+                SELECT i AS band_id, i * 25.0 AS lo,
+                       CASE WHEN i = 20 THEN 1e18 ELSE (i + 1) * 25.0 END
+                           AS hi
+                FROM range(0, 21) t(i)
+            )
+            SELECT b.band_id, count(*) AS n_events
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band_id
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id,

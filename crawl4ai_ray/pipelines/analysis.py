@@ -430,6 +430,33 @@ def events_asof_orders(sf_dir: str):
     return ds.map_batches(asof, batch_format="pyarrow", batch_size=65536)
 
 
+def events_value_bands(sf_dir: str, band_width: float = 25.0,
+                       n_bands: int = 20):
+    """Range (interval) join — events joined to value bands
+    [lo, hi) by a non-equi condition. Broadcast-interval form: band edges
+    ship once, each batch bucketizes with one vectorized searchsorted
+    (the big-big interval-join form sorts both sides and merges per
+    partition). Values beyond the last band fall into an overflow band."""
+    import ray
+
+    edges = np.array([i * band_width for i in range(n_bands + 1)])
+    ref = ray.put(edges)
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def bucket(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        e = _ray.get(ref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        band = np.searchsorted(e, v, side="right").astype(np.int64) - 1
+        band = np.clip(band, 0, n_bands)  # overflow band = n_bands
+        return pa.table({"band_id": pa.array(band)})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536) \
+        .groupby("band_id").aggregate(Count(alias_name="n_events"))
+    return agg
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization — the stream-shaped operator: events partitioned by
     user, sorted by ts within the group, sessions split at >gap_minutes
