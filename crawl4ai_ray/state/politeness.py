@@ -94,7 +94,11 @@ class HostScheduler:
     def _state(self, host: str) -> _HostState:
         st = self.hosts.get(host)
         if st is None:
-            st = _HostState(self.seed ^ hash(host) & 0x7FFFFFFF)
+            from ..functions.urlkit import hash32
+
+            # stable per-host RNG seed (builtin hash() is randomized per
+            # process and would make jitter non-reproducible)
+            st = _HostState(self.seed ^ hash32(host))
             self.hosts[host] = st
         return st
 

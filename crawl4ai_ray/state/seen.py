@@ -53,8 +53,24 @@ class SeenShard:
         new = hashes[first_idx][~seen_before[first_idx]]
         if len(new):
             self._exact_sorted = np.union1d(self._exact_sorted, new)
+            self._grow_filter_if_needed(len(new))
             self.filter.insert_batch(new)
         return out
+
+    def _grow_filter_if_needed(self, incoming: int) -> None:
+        """Cuckoo inserts fail silently near capacity, which would break
+        the no-false-negative guarantee check_and_add relies on. Rebuild
+        at 2x from the exact array before the load factor gets there."""
+        cap = self.filter.n_buckets * self.filter.bucket_size
+        if (self.filter.count + incoming) <= 0.8 * cap:
+            return
+        new_cap = cap
+        while (len(self._exact_sorted) + incoming) > 0.6 * new_cap:
+            new_cap *= 2
+        f = CuckooFilter(capacity=new_cap,
+                         bucket_size=self.filter.bucket_size)
+        f.insert_batch(self._exact_sorted)
+        self.filter = f
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         hashes = hashes.astype(np.uint64, copy=False)
@@ -70,6 +86,7 @@ class SeenShard:
         fresh = hashes[~np.isin(hashes, self._exact_sorted)]
         if len(fresh):
             self._exact_sorted = np.union1d(self._exact_sorted, fresh)
+            self._grow_filter_if_needed(len(fresh))
             self.filter.insert_batch(fresh)
         return len(self._exact_sorted)
 

@@ -26,6 +26,36 @@ def test_cuckoo_serialization_roundtrip():
     assert g.count == f.count
 
 
+def test_shard_grows_past_filter_capacity(ray_session):
+    """Inserting far beyond the initial cuckoo capacity must keep the
+    no-false-negative guarantee (the filter rebuilds at 2x)."""
+    from crawl4ai_ray.state.seen import SeenShard
+    import ray
+
+    shard = SeenShard.remote(0, 1 << 8)   # tiny: 256 slots
+    keys = (np.arange(5000, dtype=np.uint64) * 2654435761) % (1 << 60)
+    keys = np.unique(keys)
+    out1 = ray.get(shard.check_and_add.remote(keys))
+    assert not out1.any()                  # all new
+    out2 = ray.get(shard.check_and_add.remote(keys))
+    assert out2.all(), "false negatives after filter overflow"
+    ray.kill(shard)
+
+
+def test_politeness_jitter_deterministic(ray_session):
+    from crawl4ai_ray.state.politeness import PolitenessGate
+
+    def run():
+        g = PolitenessGate(2, jitter=True, seed=9)
+        admits = g.admit(["a.test", "b.test", "a.test"], [10, 10, 10])
+        g.report({"a.test": [503], "b.test": [200]})
+        admits2 = g.admit(["a.test", "b.test"], [10, 10])
+        g.kill()
+        return admits, admits2
+
+    assert run() == run()
+
+
 def test_seen_shards_check_and_add(ray_session):
     from crawl4ai_ray.state.seen import SeenSet
 
