@@ -14,6 +14,10 @@ superstep is a Ray Data pipeline:
     compact candidate table → ordered dedup → sharded seen-set
     check_and_add → next frontier with deterministic seq.
 
+The superstep loop is the BSP model (Valiant 1990) as used by Pregel
+(Malewicz et al., SIGMOD 2010) for graph traversal; level-synchronous BFS
+over the link graph is exactly a Pregel superstep per frontier wave.
+
 Determinism / reference equality: candidate ordering is keyed by
 (parent_seq, link_idx); level-local dedup keeps the minimum key, which is
 exactly what the reference's sequential visited-probe produces; new ``seq``

@@ -12,6 +12,12 @@ Large-scale training-data curation operators, expressed Ray-Data-first:
 - ngram_jaccard: exact n-gram Jaccard verification used by both (and
   directly for small candidate sets).
 
+MinHash follows Broder, "On the resemblance and containment of documents"
+(SEQUENCES 1997) with the banding LSH of Leskovec/Rajaraman/Ullman (MMDS
+ch. 3); SimHash follows Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC 2002) as applied by Manku et al. (WWW 2007)
+for near-duplicate web pages.
+
 The reference crawler has only exact URL/content dedup (SURVEY.md §2.7);
 these near-dup operators are the corpus-curation extensions the engine adds.
 

@@ -10,6 +10,9 @@
   (recall < 1), so it gets a rows-only driver check; pytest asserts
   recall ≥ 0.9 vs brute force at sandbox scale.
 
+Random-hyperplane LSH follows Charikar (STOC 2002); the multi-table
+AND-OR construction is Indyk-Motwani/Gionis et al. (VLDB 1999) E2LSH.
+
 Embedding-cosine near-dup (pairs with cos ≥ t) reuses the same kernels.
 """
 

@@ -11,6 +11,10 @@ set by ``url_hash % n_shards`` across actors, each holding:
   are resolved against it; SURVEY.md §7.5 "filter is an optimization, not
   the source of truth").
 
+Design follows Fan et al., "Cuckoo Filter: Practically Better Than
+Bloom" (CoNEXT 2014): partial-key cuckoo hashing, bucket size 4, 16-bit
+fingerprints, alternate bucket i2 = i1 xor H(fp).
+
 Numpy storage: ``(n_buckets, bucket_size)`` uint16 fingerprints, 0 = empty.
 ``contains_batch`` is fully vectorized; inserts are per-item (amortized cost
 is tiny next to fetch/parse).

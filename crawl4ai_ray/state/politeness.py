@@ -7,6 +7,10 @@ host-hash partition (``host_hash % n_partitions``). All politeness state
 for a host lives on exactly one actor: token-bucket delay, fail count,
 robots rules.
 
+Host-partitioned politeness with per-host queues follows the Mercator
+crawler design (Heydon & Najork, WWW 1999); budgeted token buckets per
+host echo IRLbot's politeness-at-scale treatment (Lee et al., WWW 2008).
+
 BSP adaptation of the reference law: wall-clock sleeps become a virtual
 clock — each superstep represents ``superstep_seconds`` of crawl time and a
 host with current delay ``d`` may fetch ``floor(superstep_seconds / d)``
