@@ -339,8 +339,10 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY o_orderkey
         """,
         "doc_token_stats": r"""
-            SELECT lang, count(*) AS n_docs, sum(n_words) AS sum_words,
-                   sum(n_chars) AS sum_chars, max(n_words) AS max_words,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS sum_words,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(n_words) AS max_words,
                    min(n_words) AS min_words
             FROM (
                 SELECT lang,

@@ -233,14 +233,13 @@ def oracle_best_first(
     seq = 0
     stop = False
     while heap and not stop and res.pages_crawled < max_pages:
-        # pop up to min(batch_size, remaining) unvisited items;
-        # visited.add at POP time (bff_strategy.py:154-175)
-        n_pop = min(batch_size, int(max_pages - res.pages_crawled)) \
-            if max_pages != math.inf else batch_size
-        if n_pop <= 0:
-            break
+        # reference quirk (bff_strategy.py:152-171): batch_size is computed
+        # as min(BATCH_SIZE, remaining) but the pop loop iterates the full
+        # BATCH_SIZE — a full batch is popped, marked visited and fetched
+        # even when remaining < BATCH_SIZE; the yield loop then breaks at
+        # the cap (counted, not reported). visited.add at POP time.
         batch = []
-        for _ in range(n_pop):
+        for _ in range(batch_size):
             if not heap:
                 break
             score, depth, url, parent = heapq.heappop(heap)

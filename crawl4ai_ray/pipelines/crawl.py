@@ -404,6 +404,12 @@ class CrawlEngine:
                 pa.Table.from_pylist(step_order),
                 os.path.join(tmp, "order.parquet"),
             )
+        # best-first: politeness-deferred popped rows (already marked seen,
+        # so they cannot be re-pooled — they must resume as deferred)
+        deferred_tbl = state.pop("_deferred_tbl", None)
+        if deferred_tbl is not None and deferred_tbl.num_rows:
+            pq.write_table(deferred_tbl,
+                           os.path.join(tmp, "deferred.parquet"))
         with open(os.path.join(tmp, "state.json"), "w") as f:
             json.dump(state, f)
         with open(os.path.join(tmp, "_COMMIT"), "w") as f:
@@ -423,6 +429,9 @@ class CrawlEngine:
         seen.restore(blobs)
         with open(os.path.join(path, "state.json")) as f:
             state = json.load(f)
+        dp = os.path.join(path, "deferred.parquet")
+        if os.path.exists(dp):
+            state["deferred_tbl"] = pq.read_table(dp)
         # rebuild crawl order from the per-superstep order parquets
         order: list[dict] = []
         for j in range(k + 1):
@@ -1122,6 +1131,8 @@ class CrawlEngine:
         lineage_all: list = []
         pool = None  # polars DataFrame: url,url_hash,host,depth,score,parent,push_seq
 
+        saved_gate = None
+        saved_deferred = None
         if resume:
             rk = self._find_resume_point()
             if rk is not None:
@@ -1131,6 +1142,9 @@ class CrawlEngine:
                 seq = state["next_seq"]
                 k = rk + 1
                 res.order = state.get("order", [])
+                saved_gate = state.get("gate")
+                if "deferred_tbl" in state:
+                    saved_deferred = pl.from_arrow(state["deferred_tbl"])
         if pool is None:
             os.makedirs(docs_root, exist_ok=True)
             canon = []
@@ -1162,16 +1176,21 @@ class CrawlEngine:
                 superstep_seconds=cfg.superstep_seconds,
                 jitter=cfg.politeness_jitter,
             )
-        deferred_df = None  # politeness-deferred popped rows (fetch first)
+            if saved_gate:
+                gate.restore(saved_gate)
+        # politeness-deferred popped rows (fetch first); restored from the
+        # checkpoint because they were marked seen at pop time — re-pooling
+        # them would make the pop-time seen-check silently drop them
+        deferred_df = saved_deferred
 
         stop = False
         while (pool.height or (deferred_df is not None and deferred_df.height)) \
                 and not stop and pages_crawled < cfg.max_pages:
+            # reference quirk (bff_strategy.py:152-171): the pop loop always
+            # consumes a full BATCH_SIZE even when remaining < BATCH_SIZE —
+            # over-popped rows are marked visited and fetched; the result
+            # loop below breaks at the cap (counted, not reported)
             n_pop = cfg.bff_batch_size
-            if cfg.max_pages != math.inf:
-                n_pop = min(n_pop, int(cfg.max_pages - pages_crawled))
-            if n_pop <= 0:
-                break
             # heap order = (score, depth, url); ties beyond that are
             # identical entries (same url) so any stable order works
             pool = pool.sort(["score", "depth", "url", "push_seq"])
@@ -1344,6 +1363,10 @@ class CrawlEngine:
             })
             state = {"pages_crawled": pages_crawled, "next_seq": seq,
                      "strategy": "best_first", "_step_order": kept_rows}
+            if gate is not None:
+                state["gate"] = gate.snapshot()
+            if deferred_df is not None and deferred_df.height:
+                state["_deferred_tbl"] = deferred_df.to_arrow()
             self._checkpoint(k, pool.to_arrow(), seen, state,
                              lineage_all[-1:])
             k += 1

@@ -27,6 +27,31 @@ import numpy as np
 _EMPTY = 0
 _MAX_KICKS = 500
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64_scalar(h: int) -> int:
+    """SplitMix64 finalizer (Steele et al., public domain) over a Python int.
+
+    The primary bucket index must NOT reuse the raw low hash bits: the seen
+    set routes hashes to shards by ``h % n_shards`` (seen.py), so within a
+    shard the low bits are constant and ``h & (n_buckets-1)`` would hit only
+    1/n_shards of the table (silent insert failures from ~0.62 load).
+    Mixing decorrelates bucket choice from shard routing."""
+    h = (h + 0x9E3779B97F4A7C15) & _M64
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & _M64
+    return h ^ (h >> 31)
+
+
+def _splitmix64_batch(h: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 over a uint64 array (wrapping arithmetic)."""
+    h = h.astype(np.uint64, copy=True)
+    h += np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
 
 def _fingerprint(h: np.ndarray | int):
     """16-bit nonzero fingerprint from the high bits of the 64-bit hash."""
@@ -52,7 +77,7 @@ class CuckooFilter:
     # -- index helpers ------------------------------------------------------
 
     def _i1(self, h):
-        return np.uint64(h) & np.uint64(self.n_buckets - 1)
+        return np.uint64(_splitmix64_scalar(int(h)) & (self.n_buckets - 1))
 
     def _i2(self, i1, fp):
         # partial-key cuckoo: alternate bucket = i1 xor H(fp)
@@ -97,7 +122,7 @@ class CuckooFilter:
         """Vectorized membership test; may return false positives."""
         h = hashes.astype(np.uint64, copy=False)
         fp = _fingerprint(h)
-        i1 = (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        i1 = (_splitmix64_batch(h) & np.uint64(self.n_buckets - 1)).astype(np.int64)
         fph = (fp.astype(np.uint64) * np.uint64(0x5BD1E995))
         i2 = ((i1.astype(np.uint64) ^ fph) & np.uint64(self.n_buckets - 1)).astype(np.int64)
         rows1 = self.table[i1]           # (n, bucket_size)
@@ -105,9 +130,17 @@ class CuckooFilter:
         fpc = fp[:, None]
         return ((rows1 == fpc).any(axis=1)) | ((rows2 == fpc).any(axis=1))
 
-    def insert_batch(self, hashes: np.ndarray) -> None:
+    def insert_batch(self, hashes: np.ndarray) -> int:
+        """Insert all; return the number of FAILED inserts (table full).
+
+        Callers (SeenShard) must treat a nonzero return as a signal to
+        rebuild at larger capacity — a dropped insert is a filter false
+        negative, which breaks the seen set's no-false-negative contract."""
+        failed = 0
         for h in hashes:
-            self.insert(int(h))
+            if not self.insert(int(h)):
+                failed += 1
+        return failed
 
     # -- serialization (checkpoint artifact) --------------------------------
 

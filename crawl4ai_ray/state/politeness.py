@@ -14,7 +14,10 @@ host echo IRLbot's politeness-at-scale treatment (Lee et al., WWW 2008).
 BSP adaptation of the reference law: wall-clock sleeps become a virtual
 clock — each superstep represents ``superstep_seconds`` of crawl time and a
 host with current delay ``d`` may fetch ``floor(superstep_seconds / d)``
-URLs that round (at least 1 when d <= superstep_seconds). Backoff is the
+URLs that round (at least 1 when d <= superstep_seconds); when
+d > superstep_seconds the host accrues fractional credit per superstep and
+is admitted once every ``ceil(d / superstep_seconds)`` supersteps (see
+``admit``). Backoff is the
 reference's: 429/503 → delay ×2 (jitter U(0.75,1.25) — deterministic
 per-host seeded RNG here so runs reproduce), capped at ``max_delay`` 60s,
 fail_count > max_retries(3) → host dropped; success → delay = max(base_lo,
@@ -37,7 +40,7 @@ import ray
 
 class _HostState:
     __slots__ = ("last_time", "current_delay", "fail_count", "robots", "rng",
-                 "dead")
+                 "dead", "credit")
 
     def __init__(self, seed: int):
         self.last_time = 0.0
@@ -46,6 +49,7 @@ class _HostState:
         self.robots = None       # list[str] disallow prefixes | None = unknown
         self.rng = random.Random(seed)
         self.dead = False
+        self.credit = 0.0        # fractional fetch budget (see admit())
 
 
 def parse_robots(text: str) -> list[str]:
@@ -117,7 +121,16 @@ class HostScheduler:
 
     def admit(self, hosts: list[str], counts: list[int]) -> list[int]:
         """For each host (with ``counts[i]`` queued URLs), how many may
-        fetch this superstep."""
+        fetch this superstep.
+
+        Credit accounting (ADVICE r1): each admit() call — one per host per
+        superstep — accrues ``superstep_seconds / current_delay`` fetch
+        credit, capped at one superstep's worth (no burst after idling), and
+        each admitted fetch spends 1.0. A host backed off to delay d >
+        superstep_seconds is therefore admitted only once every
+        ceil(d / superstep_seconds) supersteps — the virtual-clock rate the
+        module docstring promises — instead of the old floor of 1 per
+        superstep (~15x too fast at the 60s cap)."""
         out = []
         for host, cnt in zip(hosts, counts):
             st = self._state(host)
@@ -129,10 +142,11 @@ class HostScheduler:
                     st.rng.uniform(*self.base_delay) if self.jitter
                     else self.base_delay[0]
                 )
-            allowed = max(1, int(self.superstep_seconds / st.current_delay)) \
-                if st.current_delay <= self.superstep_seconds * self.max_retries \
-                else (1 if st.current_delay <= self.max_delay else 0)
-            out.append(min(cnt, allowed))
+            rate = self.superstep_seconds / st.current_delay
+            st.credit = min(st.credit + rate, max(1.0, rate))
+            take = min(cnt, int(st.credit))
+            st.credit -= take
+            out.append(take)
         return out
 
     def robots_mask(self, hosts: list[str], paths: list[str]) -> np.ndarray:
@@ -172,15 +186,16 @@ class HostScheduler:
     def snapshot(self) -> dict:
         return {
             h: (st.last_time, st.current_delay, st.fail_count, st.robots,
-                st.dead)
+                st.dead, st.credit)
             for h, st in self.hosts.items()
         }
 
     def restore(self, snap: dict) -> None:
-        for h, (lt, d, fc, robots, dead) in snap.items():
+        for h, (lt, d, fc, robots, dead, credit) in snap.items():
             st = self._state(h)
             st.last_time, st.current_delay, st.fail_count = lt, d, fc
             st.robots, st.dead = robots, dead
+            st.credit = credit
 
 
 class PolitenessGate:

@@ -52,24 +52,47 @@ class SeenShard:
         out = seen_before | ~is_first
         new = hashes[first_idx][~seen_before[first_idx]]
         if len(new):
-            self._exact_sorted = np.union1d(self._exact_sorted, new)
-            self._grow_filter_if_needed(len(new))
-            self.filter.insert_batch(new)
+            self._insert_new(new)
         return out
 
-    def _grow_filter_if_needed(self, incoming: int) -> None:
-        """Cuckoo inserts fail silently near capacity, which would break
-        the no-false-negative guarantee check_and_add relies on. Rebuild
-        at 2x from the exact array before the load factor gets there."""
-        cap = self.filter.n_buckets * self.filter.bucket_size
-        if (self.filter.count + incoming) <= 0.8 * cap:
+    def _insert_new(self, new: np.ndarray) -> None:
+        """Union into the exact set, then keep the filter in sync.
+
+        Order matters: the exact set is updated FIRST so a rebuild (which
+        re-inserts from the exact array) covers ``new``; in that case the
+        incremental insert is skipped to avoid double-counting. A failed
+        incremental insert (table locally full) forces an immediate rebuild
+        — a dropped fingerprint is a filter false negative, which would
+        make check_and_add report seen URLs as new."""
+        self._exact_sorted = np.union1d(self._exact_sorted, new)
+        if self._maybe_rebuild():
             return
+        if self.filter.insert_batch(new):
+            self._rebuild()
+
+    def _maybe_rebuild(self) -> bool:
+        """Rebuild at 2x+ before load gets near the cuckoo failure zone."""
+        cap = self.filter.n_buckets * self.filter.bucket_size
+        if len(self._exact_sorted) <= 0.8 * cap:
+            return False
+        self._rebuild()
+        return True
+
+    def _rebuild(self) -> None:
+        """Rebuild from the exact array at <=0.6 load; if a pathological
+        fingerprint distribution still overflows (e.g. low-entropy hashes
+        collapsing to one fingerprint), keep doubling until every insert
+        lands — the filter must never carry a false negative."""
+        cap = self.filter.n_buckets * self.filter.bucket_size
         new_cap = cap
-        while (len(self._exact_sorted) + incoming) > 0.6 * new_cap:
+        while len(self._exact_sorted) > 0.6 * new_cap:
             new_cap *= 2
-        f = CuckooFilter(capacity=new_cap,
-                         bucket_size=self.filter.bucket_size)
-        f.insert_batch(self._exact_sorted)
+        while True:
+            f = CuckooFilter(capacity=new_cap,
+                             bucket_size=self.filter.bucket_size)
+            if f.insert_batch(self._exact_sorted) == 0:
+                break
+            new_cap *= 2
         self.filter = f
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -85,9 +108,7 @@ class SeenShard:
         hashes = np.unique(hashes.astype(np.uint64, copy=False))
         fresh = hashes[~np.isin(hashes, self._exact_sorted)]
         if len(fresh):
-            self._exact_sorted = np.union1d(self._exact_sorted, fresh)
-            self._grow_filter_if_needed(len(fresh))
-            self.filter.insert_batch(fresh)
+            self._insert_new(fresh)
         return len(self._exact_sorted)
 
     def size(self) -> int:

@@ -17,6 +17,24 @@ def test_cuckoo_insert_contains():
     assert fp_rate < 0.05                        # 16-bit fingerprints → ~1e-3
 
 
+def test_cuckoo_decorrelated_from_shard_bits():
+    """ADVICE r1 (high): SeenSet routes by h % n_shards, so within a shard
+    the low hash bits are constant. The primary bucket index must not reuse
+    those bits or only 1/n_shards of the table is reachable as i1 and
+    inserts start failing around 0.62 load. With splitmix64 mixing, a
+    shard-resident key set must fill to 0.75 load with zero failures."""
+    f = CuckooFilter(capacity=1 << 12)
+    cap = f.n_buckets * f.bucket_size
+    n = int(0.75 * cap)
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2 ** 63, size=2 * n, dtype=np.uint64)
+    keys = (keys & ~np.uint64(7)) | np.uint64(5)  # all ≡ 5 (mod 8)
+    keys = np.unique(keys)[:n]
+    failed = f.insert_batch(keys)
+    assert failed == 0, f"{failed} inserts failed at 0.75 load"
+    assert f.contains_batch(keys).all()
+
+
 def test_cuckoo_serialization_roundtrip():
     f = CuckooFilter(capacity=1 << 10)
     keys = np.arange(100, dtype=np.uint64) * 7919
@@ -54,6 +72,28 @@ def test_politeness_jitter_deterministic(ray_session):
         return admits, admits2
 
     assert run() == run()
+
+
+def test_politeness_backed_off_host_throttled(ray_session):
+    """ADVICE r1: a host backed off to delay d > superstep_seconds must be
+    admitted only once every ceil(d / superstep_seconds) supersteps, not
+    once per superstep."""
+    from crawl4ai_ray.state.politeness import PolitenessGate
+
+    g = PolitenessGate(1, base_delay=(1.0, 1.0), superstep_seconds=4.0)
+    g.admit(["h.test"], [10])
+    # drive the delay to 16s: 1 -> 2 -> 4 -> 8 -> 16 needs fail_count <= 3,
+    # so interleave successes that reset fail_count (delay floor keeps it)
+    for _ in range(2):
+        g.report({"h.test": [429, 429]})   # x4
+        g.report({"h.test": [200]})        # x0.75, fail_count reset
+    # delay now 1*4*0.75*4*0.75 = 9.0s -> one more 429 pair: 36 -> capped? no
+    g.report({"h.test": [429]})            # 18.0s
+    admits = [g.admit(["h.test"], [10])[0] for _ in range(10)]
+    g.kill()
+    # rate = 4/18 per superstep -> one admit every ceil(18/4)=5 supersteps
+    assert sum(admits) == 2, admits
+    assert admits[4] == 1 and admits[9] == 1, admits
 
 
 def test_seen_shards_check_and_add(ray_session):
