@@ -1,0 +1,94 @@
+"""Distributed near-dup path == driver path, byte for byte.
+
+VERDICT r1 item 1: the default MinHash-LSH / SimHash / components path must
+run distributed (groupby pair emission, shingle hash-joins, min-label
+propagation). These tests prove each distributed form equals its retained
+driver-side oracle on the sf0.001 documents table, plus a synthetic-edge
+check that min-label propagation handles chains (multi-round convergence).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.pipelines import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(x) -> pd.DataFrame:
+    return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+
+def _norm(t, cols):
+    return _df(t).sort_values(cols).reset_index(drop=True)[cols]
+
+
+def test_minhash_pairs_distributed_equals_driver(ray_session):
+    cols = ["doc_a", "doc_b", "jaccard"]
+    dist = _norm(dedup.minhash_lsh_pairs(SF, threshold=0.5, k=2), cols)
+    drv = _norm(dedup.minhash_lsh_pairs_driver(SF, threshold=0.5, k=2), cols)
+    assert len(dist) > 0
+    pd.testing.assert_frame_equal(dist, drv)
+
+
+def test_survivors_distributed_equals_driver(ray_session):
+    cols = ["doc_id", "canonical_id", "survivor"]
+    dist = _norm(dedup.minhash_dedup_survivors(SF), cols)
+    drv = _norm(dedup.minhash_dedup_survivors_driver(SF), cols)
+    assert dist["survivor"].sum() < len(dist)   # some dups collapsed
+    pd.testing.assert_frame_equal(dist, drv)
+
+
+def test_simhash_pairs_distributed_equals_driver(ray_session):
+    cols = ["doc_a", "doc_b", "hamming"]
+    dist = _norm(dedup.simhash_near_pairs(SF), cols)
+    drv = _norm(dedup.simhash_near_pairs_driver(SF), cols)
+    assert len(dist) > 0
+    pd.testing.assert_frame_equal(dist, drv)
+
+
+def test_min_label_propagation_chain(ray_session):
+    """A chain 9-8-7-...-1-0 needs multiple propagation rounds (diameter >
+    1); union-find oracle must still match exactly. Also isolated nodes."""
+    import ray.data as rd
+
+    edges = pa.table(
+        {
+            "doc_a": pa.array(list(range(9)), pa.int64()),
+            "doc_b": pa.array(list(range(1, 10)), pa.int64()),
+        }
+    )
+    ids = list(range(10)) + [100, 200]
+    ids_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    )
+    labels = _df(dedup.propagate_min_labels(edges, ids_ds)) \
+        .sort_values("node").reset_index(drop=True)
+    oracle = dedup.connected_components(
+        list(zip(edges.column("doc_a").to_pylist(),
+                 edges.column("doc_b").to_pylist())), ids)
+    assert labels["label"].tolist() == [oracle[i] for i in ids]
+    assert labels["label"].tolist()[:10] == [0] * 10
+    assert labels["label"].tolist()[10:] == [100, 200]
+
+
+def test_candidate_pairs_bucket_cap(ray_session):
+    """Buckets above max_bucket are dropped (documented scale guard)."""
+    import ray.data as rd
+
+    n = 12
+    band_rows = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "band_id": pa.array([0] * n, pa.int32()),
+                "band_hash": pa.array(np.full(n, 7, dtype=np.uint64)),
+            }
+        )
+    )
+    capped = _df(dedup.lsh_candidate_pairs(band_rows, max_bucket=8))
+    assert len(capped) == 0
+    full = _df(dedup.lsh_candidate_pairs(band_rows, max_bucket=100))
+    assert len(full) == n * (n - 1) // 2
