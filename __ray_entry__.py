@@ -122,6 +122,58 @@ def _seed_sitemaps(sf_dir: str):
     )
 
 
+def _crawl_fit_markdown(sf_dir: str):
+    """fit_markdown over crawled pages: PruningContentFilter (dynamic) +
+    BM25ContentFilter block counts and fit-markdown word counts per page
+    (reference content_filter_strategy.py:381-779 — the fit-markdown
+    contract of MarkdownGenerationResult)."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, keep_html=True,
+                      out_dir=tempfile.mkdtemp(prefix="c4r_fit_"),
+                      n_seen_shards=2, fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    res = eng.run(site.seed_urls())
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "success", "html"])
+
+    def fit_stage(batch: pa.Table) -> pa.Table:
+        from crawl4ai_ray.functions.content_filter import (
+            BM25ContentFilter, PruningContentFilter, fit_markdown_from_html)
+
+        prune = PruningContentFilter(threshold_type="dynamic")
+        bm25 = BM25ContentFilter(bm25_threshold=1.0)
+        urls, n_blocks, fit_words, bm25_blocks = [], [], [], []
+        for url, ok, html in zip(batch.column("url").to_pylist(),
+                                 batch.column("success").to_pylist(),
+                                 batch.column("html").to_pylist()):
+            if not ok or not html:
+                continue
+            r = fit_markdown_from_html(html, url, prune)
+            urls.append(url)
+            n_blocks.append(r["n_blocks"])
+            fit_words.append(len(r["fit_markdown"].split()))
+            bm25_blocks.append(len(bm25.filter_content(html)))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_blocks": pa.array(n_blocks, pa.int64()),
+                "fit_md_words": pa.array(fit_words, pa.int64()),
+                "bm25_blocks": pa.array(bm25_blocks, pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(fit_stage, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _media_decode(sf_dir: str):
     from crawl4ai_ray.stages.multimodal import media_pipeline
 
@@ -185,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.lsh_topk(sf),
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
+        # approximate LSH-bucketed variant (the corpus-scale path); planes
+        # tuned to the testdata's cos range so recall ~1 at threshold 0.4
+        "cosine_near_pairs_lsh": lambda sf: similarity.cosine_near_pairs_lsh(
+            sf, threshold=0.4, n_tables=32, n_planes=4),
         # near-dup (rows-only: not SQL-expressible)
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         # exact n-gram (bigram) Jaccard verification at a looser threshold
@@ -211,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive": _crawl_adaptive,
         "seed_sitemaps": _seed_sitemaps,
         "crawl_span_kinds": _crawl_span_kinds,
+        "crawl_fit_markdown": _crawl_fit_markdown,
     }
 
 

@@ -44,6 +44,12 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     site_cfg = SiteConfig(**BENCH_SITE)
     site = SyntheticWeb(site_cfg)
     out = tempfile.mkdtemp(prefix="bench_crawl_")
+    # BENCH_DISCOVERY mode: "auto" (default — distributed above the 200k
+    # candidate threshold), "distributed" (forced for every level),
+    # "driver" (polars path only); all three are byte-equivalent
+    # (tests/test_discovery_distributed.py)
+    disc = {"auto": 200_000, "distributed": 0, "driver": None}[
+        os.environ.get("BENCH_DISCOVERY", "auto")]
     cfg = CrawlConfig(
         strategy="bfs",
         max_depth=3,
@@ -52,6 +58,7 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
         fetch_concurrency=max(2, NUM_CPUS // 2),
         fetch_batch_size=512,
         parse_batch_size=256,
+        distributed_discovery_min_candidates=disc,
     )
     eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
     t0 = time.perf_counter()

@@ -206,6 +206,13 @@ class CrawlConfig:
     # 'disabled' | 'read_only' | 'write_only' | 'bypass'
     cache_dir: str | None = None
     cache_mode: str = "bypass"
+    # distributed discovery (pipelines/discovery.py): levels with at least
+    # this many filtered candidates run level-dedup + seen-check + seq
+    # assignment as a Ray Data pipeline instead of driver polars (byte-
+    # equivalent — tests/test_discovery_distributed.py). Only engaged when
+    # max_pages is unlimited (capacity truncation is a driver-side law).
+    # None disables; 0 forces it for every level.
+    distributed_discovery_min_candidates: int | None = 200_000
 
 
 @dataclass
@@ -1057,6 +1064,14 @@ class CrawlEngine:
         lineage[0]["skipped_filtered"] = n0 - df.height
         if df.height == 0:
             return empty, 0, lineage
+        # large levels: run dedup + seen check + seq assignment distributed
+        # (pipelines/discovery.py; byte-equivalent to the polars path below)
+        thresh = cfg.distributed_discovery_min_candidates
+        if (thresh is not None and remaining == math.inf
+                and df.height >= thresh):
+            return self._next_frontier_bfs_distributed(
+                df, cur_frontier, seen, next_seq, lineage
+            )
         # ordered level-local dedup: min (parent_seq, link_idx) per canonical url
         df = df.sort(["parent_seq", "link_idx"], maintain_order=True).unique(
             subset=["url"], keep="first", maintain_order=True
@@ -1107,6 +1122,55 @@ class CrawlEngine:
                     type=pa.string(),
                 ),
                 "seq": pa.array(seqs),
+            }
+        )
+        return out, n_new, lineage
+
+    def _next_frontier_bfs_distributed(self, df, cur_frontier: pa.Table,
+                                       seen: SeenSet, next_seq: int,
+                                       lineage: list):
+        """Distributed tail of BFS discovery (pipelines/discovery.py):
+        level-local ordered dedup, cross-level seen check and deterministic
+        seq assignment run as Ray Data ops; the driver only handles block
+        metadata, the parent-url attach (the frontier table is driver-held
+        by design in this engine) and lineage counters. ``df`` is the
+        already-filtered polars candidate frame (depth/passes/score
+        applied; ``depth`` column present)."""
+        from .discovery import next_frontier_distributed
+
+        import polars as pl
+
+        cand2 = df.select(
+            ["url", "url_hash", "host", "depth", "score", "parent_seq",
+             "link_idx"]
+        ).with_columns(
+            pl.col("depth").cast(pl.Int32),
+            pl.col("score").cast(pl.Float32),
+        ).to_arrow()
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        res, stats = next_frontier_distributed(
+            cand2, seen, next_seq, n_blocks=n_blocks, with_stats=True
+        )
+        n_new = res.num_rows
+        lineage[0]["skipped_seen"] = stats["skipped_seen"]
+        lineage[0]["discovered"] = n_new
+        if n_new == 0:
+            return cur_frontier.slice(0, 0), 0, lineage
+        parent_of = dict(zip(cur_frontier.column("seq").to_pylist(),
+                             cur_frontier.column("url").to_pylist()))
+        out = pa.table(
+            {
+                "url": res.column("url"),
+                "url_hash": res.column("url_hash"),
+                "host": res.column("host"),
+                "depth": res.column("depth").cast(pa.int32()),
+                "score": res.column("score").cast(pa.float32()),
+                "parent": pa.array(
+                    [parent_of.get(s, "")
+                     for s in res.column("parent_seq").to_pylist()],
+                    type=pa.string(),
+                ),
+                "seq": res.column("seq"),
             }
         )
         return out, n_new, lineage

@@ -42,12 +42,15 @@ def _empty_frontier(cand: pa.Table) -> pa.Table:
 
 
 def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
-                              *, n_blocks: int = 8) -> pa.Table:
+                              *, n_blocks: int = 8, with_stats: bool = False):
     """Distributed equivalent of the driver's level dedup + seen check +
     seq assignment over a candidate table (already gated by the sink
-    combiner). Returns the next frontier ordered by seq."""
+    combiner). Returns the next frontier ordered by seq; with
+    ``with_stats`` also returns {"skipped_seen": ...} (the count removed by
+    the cross-level seen check, matching the driver path's lineage law)."""
     if cand.num_rows == 0:
-        return _empty_frontier(cand)
+        out = _empty_frontier(cand)
+        return (out, {"skipped_seen": 0}) if with_stats else out
 
     per = (cand.num_rows + n_blocks - 1) // n_blocks
     ds = rd.from_arrow(
@@ -115,10 +118,15 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
             dup[idx] = r
         return batch.filter(pa.array(~dup))
 
-    survivors = (
-        sorted_ds.map_batches(dedup, batch_format="pyarrow", batch_size=None)
-        .map_batches(check, batch_format="pyarrow", batch_size=None)
-    )
+    deduped = sorted_ds.map_batches(dedup, batch_format="pyarrow",
+                                    batch_size=None)
+    if with_stats:
+        # one extra materialize buys the exact "removed by seen check"
+        # lineage count (level-local dups vs cross-level dups differ)
+        deduped = deduped.materialize()
+        n_after_dedup = deduped.count()
+    survivors = deduped.map_batches(check, batch_format="pyarrow",
+                                    batch_size=None)
 
     # -- 3. sort by discovery key + block-offset seq ------------------------
     final_sorted = survivors.sort(["parent_seq", "link_idx"]).materialize()
@@ -138,7 +146,10 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
         key_count, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     if meta2.empty:
-        return _empty_frontier(cand)
+        out = _empty_frontier(cand)
+        if with_stats:
+            return out, {"skipped_seen": n_after_dedup}
+        return out
     meta2 = meta2.sort_values(["ps", "li"])
     offsets: dict[tuple, int] = {}
     acc = next_seq
@@ -166,5 +177,9 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
         if b.num_rows
     ]
     if not out_blocks:
-        return _empty_frontier(cand)
-    return pa.concat_tables(out_blocks).sort_by("seq")
+        out = _empty_frontier(cand)
+    else:
+        out = pa.concat_tables(out_blocks).sort_by("seq")
+    if with_stats:
+        return out, {"skipped_seen": n_after_dedup - out.num_rows}
+    return out

@@ -158,14 +158,100 @@ def lsh_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
     )
 
 
+def _emb_matrix(tbl: pa.Table) -> np.ndarray:
+    """Vectorized list<float> → (n, dim) float64 (fixed-dim embeddings)."""
+    col = tbl.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(tbl)
+    return vals.reshape(n, len(vals) // n) if n else vals.reshape(0, 0)
+
+
 def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
-                      max_rows: int = 20000):
+                      max_rows: int = 20000, chunk_rows: int = 2048):
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
-    Sandbox-scale exact implementation: per-batch matmul against the full
-    (broadcast) normalized matrix. The corpus-scale path buckets with LSH
-    first and only matmuls within buckets.
+    Exact DISTRIBUTED blocked self-join (VERDICT r1 item 3 — replaces the
+    full-matrix broadcast): vectors are assigned to B = ceil(n/chunk_rows)
+    chunks by vec_id; each vector is replicated B times keyed by the
+    unordered chunk pair (c, j), and a ``groupby(pair).map_groups``
+    computes the matmul between the two chunks of each group (triangular
+    within a chunk). Every unordered vector pair is scored in exactly one
+    group, per-task memory is bounded by 2 × chunk_rows vectors, and no
+    task ever sees the whole matrix. The replication factor B is the known
+    cost of EXACT all-pairs; use ``cosine_near_pairs_lsh`` for the
+    approximate high-threshold path at corpus scale.
     """
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    n_vecs = ds.count()   # parquet metadata — no data read
+    n_chunks = max(1, -(-n_vecs // chunk_rows))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        c = (ids % n_chunks).astype(np.int64)
+        reps = []
+        for j in range(n_chunks):
+            lo = np.minimum(c, j)
+            hi = np.maximum(c, j)
+            reps.append(
+                batch.append_column(
+                    "pkey", pa.array(lo * n_chunks + hi)
+                ).append_column("chunk", pa.array(c))
+            )
+        return pa.concat_tables(reps)
+
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        chunks = g.column("chunk").to_numpy()
+        ids = g.column("vec_id").to_numpy()
+        mat = _normalize(_emb_matrix(g))
+        uc = np.unique(chunks)
+        if len(uc) == 1:
+            # diagonal group: unordered pairs within one chunk
+            cos = mat @ mat.T
+            ai, bj = np.nonzero(cos >= threshold)
+            a, b = ids[ai], ids[bj]
+            keep = a < b
+            cvals = cos[ai, bj][keep]
+        else:
+            ma, mb = chunks == uc[0], chunks == uc[1]
+            cos = mat[ma] @ mat[mb].T
+            ai, bj = np.nonzero(cos >= threshold)
+            a, b = ids[ma][ai], ids[mb][bj]
+            keep = np.ones(len(a), dtype=bool)
+            cvals = cos[ai, bj]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            a, b = a2, b2
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos": pa.array(np.round(cvals, 5), type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow",
+                       batch_size=chunk_rows)
+        .groupby("pkey")
+        .map_groups(pairs_in_group, batch_format="pyarrow")
+        .limit(max_rows)
+    )
+
+
+def cosine_near_pairs_broadcast(sf_dir: str, *, threshold: float = 0.4,
+                                max_rows: int = 20000):
+    """Full-matrix-broadcast form — byte-equality oracle for the blocked
+    self-join (tests/test_similarity distributed-equality); O(corpus)
+    per-worker memory, do not use at scale."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
@@ -196,3 +282,92 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
 
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048) \
         .limit(max_rows)
+
+
+def cosine_near_pairs_lsh(sf_dir: str, *, threshold: float = 0.85,
+                          n_tables: int = 16, n_planes: int = 8,
+                          seed: int = 11, max_rows: int = 20000):
+    """Approximate cosine near-dup pairs via LSH bucketing — the corpus-
+    scale path for HIGH thresholds (true near-duplicates). Vectors are
+    exploded into their ``n_tables`` random-hyperplane buckets; an exact
+    matmul runs only WITHIN each (table, bucket) group; a final pair
+    groupby deduplicates pairs found in several tables. Recall is the
+    standard AND-OR bound 1-(1-p^P)^T with p = 1 - arccos(cos)/π — at
+    threshold 0.85 and (T=16, P=8) it is ≥ 0.95; pytest asserts the
+    empirical bound vs the exact form at sandbox scale."""
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def explode_buckets(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        planes = _plane_cache(mat.shape[1], n_tables, n_planes, seed)
+        bits = (_normalize(mat) @ planes) > 0
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint32))
+        sig = (bits.astype(np.uint32) * weights).sum(axis=2).astype(np.int64)
+        ids = batch.column("vec_id").to_numpy()
+        n = len(ids)
+        t_idx = np.tile(np.arange(n_tables, dtype=np.int64), n)
+        bkey = t_idx * (1 << n_planes) + sig.reshape(-1)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n), n_tables))
+        return pa.table({"bkey": pa.array(bkey),
+                         "vec_id": pa.array(np.repeat(ids, n_tables)),
+                         "embedding": emb.take(rep)})
+
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        if len(ids) < 2:
+            return empty
+        mat = _normalize(_emb_matrix(g))
+        cos = mat @ mat.T
+        ai, bj = np.nonzero(cos >= threshold)
+        a, b = ids[ai], ids[bj]
+        keep = a < b
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos": pa.array(np.round(cos[ai, bj][keep], 5),
+                                type=pa.float64()),
+            }
+        )
+
+    found = (
+        ds.map_batches(explode_buckets, batch_format="pyarrow",
+                       batch_size=4096)
+        .groupby("bkey")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    if found.count() == 0:
+        return empty
+    return (
+        found.groupby(["vec_a", "vec_b"])
+        .aggregate(Min("cos", alias_name="cos"))
+        .select_columns(["vec_a", "vec_b", "cos"])
+        .limit(max_rows)
+    )
+
+
+_PLANES: dict = {}
+
+
+def _plane_cache(dim: int, n_tables: int, n_planes: int,
+                 seed: int) -> np.ndarray:
+    """Per-process cache of the random hyperplane matrix (seeded, so every
+    worker derives the identical planes — broadcast-free determinism)."""
+    key = (dim, n_tables, n_planes, seed)
+    if key not in _PLANES:
+        rng = np.random.default_rng(seed)
+        _PLANES[key] = rng.standard_normal((dim, n_tables * n_planes))
+    return _PLANES[key]

@@ -103,6 +103,35 @@ def test_distributed_matches_driver(ray_session):
     seen_b.kill()
 
 
+def test_engine_distributed_discovery_end_to_end(ray_session, tmp_path):
+    """Forcing the distributed discovery path (threshold 0) must reproduce
+    the driver-path crawl byte for byte: order, seq, seen set."""
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+
+    def run(thresh, sub):
+        cfg = CrawlConfig(strategy="bfs", max_depth=3,
+                          out_dir=str(tmp_path / sub), n_seen_shards=2,
+                          fetch_concurrency=2,
+                          distributed_discovery_min_candidates=thresh)
+        eng = CrawlEngine(cfg,
+                          fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+        return eng.run(site.seed_urls())
+
+    drv = run(None, "drv")
+    dist = run(0, "dist")
+    key = lambda rows: [(r["url"], r["seq"], r["level"], r["status"])
+                        for r in rows]
+    assert key(dist.order) == key(drv.order)
+    assert np.array_equal(dist.seen_hashes, drv.seen_hashes)
+    assert [l["skipped_seen"] for l in dist.lineage] == \
+        [l["skipped_seen"] for l in drv.lineage]
+    assert [l["discovered"] for l in dist.lineage] == \
+        [l["discovered"] for l in drv.lineage]
+
+
 def test_distributed_empty_and_all_seen(ray_session):
     cand, _ = _make_candidates(n_pages=2, links_per_page=4)
     seen = SeenSet(2, 1 << 10)
