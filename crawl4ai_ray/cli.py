@@ -90,7 +90,8 @@ def cmd_seed(args) -> int:
         ds.write_parquet(args.out)
         print(json.dumps({"out": args.out}))
     else:
-        for row in ds.take_all():
+        # stream rows instead of materializing the seed set on the driver
+        for row in ds.iter_rows():
             print(row["url"])
     import ray
 

@@ -132,27 +132,102 @@ class AdaptiveCrawl:
     # -- KB statistics update per superstep ---------------------------------
 
     def _absorb(self, k: int, docs_dir: str, order_tbl) -> None:
-        import glob
-        import os
+        """Distributed partial+final KB update (VERDICT r1 item 10): each
+        batch tokenizes its docs and emits per-term partial (tf, df) rows
+        plus at most ``need`` sampled (seq, terms) rows; a small
+        ``groupby(term).sum`` merges the partials and only the vocab-sized
+        aggregate plus the bounded sample ever reach the driver — the
+        driver no longer tokenizes documents. Sample selection is the
+        lowest-seq docs (deterministic; the old driver loop used glob
+        order)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
 
-        new_terms = 0
-        for part in glob.glob(os.path.join(docs_dir, "*.parquet")):
-            t = pq.read_table(part, columns=["markdown", "success"])
-            for md, ok in zip(t.column("markdown").to_pylist(),
-                              t.column("success").to_pylist()):
+        need = max(0, self.sample - len(self.state.doc_term_sets))
+        sample_n = self.sample
+        ds = rd.read_parquet(docs_dir, columns=["seq", "markdown",
+                                                "success"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            tf: Counter = Counter()
+            df: Counter = Counter()
+            n_docs = 0
+            doc_rows: list[tuple[int, list[str]]] = []
+            order = sorted(
+                zip(batch.column("seq").to_pylist(),
+                    batch.column("markdown").to_pylist(),
+                    batch.column("success").to_pylist()),
+            )
+            for seq, md, ok in order:
                 if not ok:
                     continue
                 terms = _tokenize(md or "")
+                tf.update(terms)
                 tset = set(terms)
-                self.state.total_documents += 1
-                for w in terms:
-                    self.state.term_frequencies[w] += 1
                 for w in tset:
-                    if self.state.document_frequencies[w] == 0:
-                        new_terms += 1
-                    self.state.document_frequencies[w] += 1
-                if len(self.state.doc_term_sets) < self.sample:
-                    self.state.doc_term_sets.append(tset)
+                    df[w] += 1
+                n_docs += 1
+                if len(doc_rows) < need:
+                    doc_rows.append((int(seq), sorted(tset)))
+            terms_u = sorted(tf)
+            n = len(terms_u) + len(doc_rows)
+            return pa.table(
+                {
+                    "kind": pa.array([0] * len(terms_u) + [1] * len(doc_rows),
+                                     pa.int8()),
+                    "term": pa.array(terms_u + [""] * len(doc_rows),
+                                     pa.string()),
+                    "tf": pa.array([tf[w] for w in terms_u]
+                                   + [0] * len(doc_rows), pa.int64()),
+                    "df": pa.array([df[w] for w in terms_u]
+                                   + [0] * len(doc_rows), pa.int64()),
+                    "seq": pa.array([-1] * len(terms_u)
+                                    + [s for s, _ in doc_rows], pa.int64()),
+                    "terms": pa.array([[] for _ in terms_u]
+                                      + [t for _, t in doc_rows],
+                                      pa.list_(pa.string())),
+                    "n_docs": pa.array([n_docs] + [0] * (n - 1)
+                                       if n else [], pa.int64()),
+                }
+            )
+
+        import pyarrow.compute as pc
+
+        out = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096).materialize()
+        term_agg = (
+            out.map_batches(
+                lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                .select(["term", "tf", "df"]),
+                batch_format="pyarrow",
+            )
+            .groupby("term")
+            .aggregate(Sum("tf", alias_name="tf"),
+                       Sum("df", alias_name="df"))
+        )
+        new_terms = 0
+        for b in term_agg.iter_batches(batch_format="pyarrow",
+                                       batch_size=None):
+            for w, tfv, dfv in zip(b.column("term").to_pylist(),
+                                   b.column("tf").to_pylist(),
+                                   b.column("df").to_pylist()):
+                self.state.term_frequencies[w] += int(tfv)
+                if self.state.document_frequencies[w] == 0:
+                    new_terms += 1
+                self.state.document_frequencies[w] += int(dfv)
+        self.state.total_documents += int(out.sum("n_docs") or 0)
+        if need:
+            doc_rows = sorted(
+                (r for b in out.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)
+                 for r in b.filter(pc.equal(b.column("kind"), 1))
+                 .select(["seq", "terms"]).to_pylist()),
+                key=lambda r: r["seq"],
+            )[:need]
+            for r in doc_rows:
+                if len(self.state.doc_term_sets) < sample_n:
+                    self.state.doc_term_sets.append(set(r["terms"]))
         self.state.new_terms_history.append(new_terms)
         conf = confidence(self.state)
         self.state.confidence_history.append(conf)

@@ -113,19 +113,29 @@ def doc_chunks_exploded(sf_dir: str, chunk_size: int = 50):
 
 def event_numbers(sf_dir: str):
     """Regex entity extraction over events.props (digit runs) — the M25
-    operator on a real column. SQL oracle uses regexp_extract_all."""
+    operator on a real column. SQL oracle uses regexp_extract_all.
+
+    Per-event match counts are row-local, so this is a single vectorized
+    map_batches (pyarrow count_substring_regex) with ZERO shuffle — the
+    explode-then-groupby form it replaces (VERDICT r1 item 4) moved one
+    row per match through a global groupby for a count that never needed
+    cross-row state. RegexExtractor remains the operator for extractions
+    that DO need the match rows (values/spans)."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", ["event_id", "props"])
-    ex = RegexExtractor(custom={"num": r"\d+"}, id_col="event_id",
-                        text_col="props")
-    out = ds.map_batches(ex, batch_format="pyarrow", batch_size=8192)
-    agg = out.groupby("doc_id").aggregate(Count(alias_name="n_matches"))
 
-    def rn(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["event_id" if c == "doc_id" else c for c in batch.column_names]
+    def stage(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("props"),
+                                     pattern=r"[0-9]+"),
+            pa.int64(),
         )
+        t = pa.table({"event_id": batch.column("event_id"),
+                      "n_matches": n})
+        return t.filter(pc.greater(t.column("n_matches"), 0))
 
-    return agg.map_batches(rn, batch_format="pyarrow")
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=8192)
 
 
 def doc_embeddings(sf_dir: str):
