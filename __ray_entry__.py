@@ -122,6 +122,37 @@ def _seed_sitemaps(sf_dir: str):
     )
 
 
+def _seed_cc(sf_dir: str):
+    """Common Crawl seeder (S3) against a deterministic fixture index
+    derived from the synthetic web (reference async_url_seeder.py:709-763;
+    the live index endpoint needs network, the law doesn't)."""
+    import json
+    import os
+    import tempfile
+
+    from crawl4ai_ray.sources.seeder import seed_from_cc
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    cfg = SiteConfig(n_hosts=5)
+    site = SyntheticWeb(cfg)
+    root = tempfile.mkdtemp(prefix="c4r_cc_")
+    index_id = "CC-MAIN-2024-51"
+    by_host: dict[str, list[str]] = {}
+    for u in site.all_urls():
+        by_host.setdefault(u.split("/")[2], []).append(u)
+    os.makedirs(os.path.join(root, "index", index_id), exist_ok=True)
+    for host, urls in by_host.items():
+        with open(os.path.join(root, "index", index_id,
+                               f"{host}.jsonl"), "w") as fp:
+            for u in urls:
+                fp.write(json.dumps({"url": u}) + "\n")
+    return seed_from_cc(
+        [cfg.host(k) for k in range(cfg.n_hosts)],
+        os.path.join(root, "index"), os.path.join(root, "cache"),
+        index_id=index_id, pattern="*/cat*",
+    )
+
+
 def _crawl_fit_markdown(sf_dir: str):
     """fit_markdown over crawled pages: PruningContentFilter (dynamic) +
     BM25ContentFilter block counts and fit-markdown word counts per page
@@ -266,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_lineage": _crawl_lineage,
         "crawl_adaptive": _crawl_adaptive,
         "seed_sitemaps": _seed_sitemaps,
+        "seed_cc": _seed_cc,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_fit_markdown": _crawl_fit_markdown,
     }

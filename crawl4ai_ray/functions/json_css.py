@@ -21,18 +21,18 @@ import re
 
 import pyarrow as pa
 
-from .selectors import Node, parse_dom, select
+from .selectors import Node, css_to_xpath, parse_dom, select, xpath_select
 
 
-def _extract_field(el: Node, field: dict):
+def _extract_field(el: Node, field: dict, sel_fn=select):
     sel = field.get("selector")
-    targets = select(el, sel) if sel else [el]
+    targets = sel_fn(el, sel) if sel else [el]
     ftype = field.get("type", "text")
     if ftype == "list":
         sub = field.get("fields")
         if sub:
             return [
-                {f["name"]: _extract_field(t, f) for f in sub}
+                {f["name"]: _extract_field(t, f, sel_fn) for f in sub}
                 for t in targets
             ]
         return [t.text() for t in targets]
@@ -40,7 +40,7 @@ def _extract_field(el: Node, field: dict):
         if not targets:
             return field.get("default")
         return {
-            f["name"]: _extract_field(targets[0], f)
+            f["name"]: _extract_field(targets[0], f, sel_fn)
             for f in field.get("fields", [])
         }
     if not targets:
@@ -72,7 +72,7 @@ def _extract_field(el: Node, field: dict):
 
 
 def extract(html: str, schema: dict) -> list[dict]:
-    """Extract one dict per baseSelector match."""
+    """Extract one dict per baseSelector match (CSS selectors)."""
     dom = parse_dom(html)
     out = []
     for el in select(dom, schema["baseSelector"]):
@@ -83,20 +83,43 @@ def extract(html: str, schema: dict) -> list[dict]:
     return out
 
 
+def _xpath_sel(el: Node, sel: str):
+    return xpath_select(el, css_to_xpath(sel))
+
+
+def extract_xpath(html: str, schema: dict) -> list[dict]:
+    """XPath variant of ``extract`` — the reference's
+    JsonXPathExtractionStrategy (extraction_strategy.py:1612-1674): same
+    schema walk, selectors evaluated as XPath (with the reference's naive
+    CSS→XPath passthrough for selectors without '/')."""
+    dom = parse_dom(html)
+    out = []
+    for el in xpath_select(dom, css_to_xpath(schema["baseSelector"])):
+        out.append(
+            {f["name"]: _extract_field(el, f, _xpath_sel)
+             for f in schema.get("fields", [])}
+        )
+    return out
+
+
 class JsonCssExtractor:
-    """map_batches stage: html column → exploded (doc_key, item_json) rows."""
+    """map_batches stage: html column → exploded (doc_key, item_json) rows.
+
+    ``flavor="xpath"`` switches the selector engine to the XPath variant
+    (JsonXPathExtractionStrategy parity)."""
 
     def __init__(self, schema: dict, html_col: str = "html",
-                 key_col: str = "url"):
+                 key_col: str = "url", flavor: str = "css"):
         self.schema = schema
         self.html_col = html_col
         self.key_col = key_col
+        self._extract = extract_xpath if flavor == "xpath" else extract
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys, items = [], []
         for key, html in zip(batch.column(self.key_col).to_pylist(),
                              batch.column(self.html_col).to_pylist()):
-            for obj in extract(html or "", self.schema):
+            for obj in self._extract(html or "", self.schema):
                 keys.append(key)
                 items.append(json.dumps(obj, ensure_ascii=False,
                                         sort_keys=True))

@@ -150,6 +150,99 @@ def select(root: Node, selector: str) -> list[Node]:
     return results
 
 
+# -- XPath subset engine ----------------------------------------------------
+
+_XP_STEP = re.compile(r"(//|/)((?:[^/\[]|\[[^\]]*\])+)")
+_XP_PRED = re.compile(r"\[([^\]]*)\]")
+
+
+def _xp_parse(expr: str):
+    """Parse an XPath subset expression into (axis, name, [predicates]).
+
+    Grammar covered (the shapes the reference's JsonXPathExtractionStrategy
+    schemas and its naive _basic_css_to_xpath conversion emit —
+    extraction_strategy.py:1645-1667): ``//tag``, ``/tag``, ``.//tag``,
+    ``./tag``, ``*``, chained steps, predicates ``[@attr='v']``,
+    ``[@attr]``, ``[n]`` (1-based position), ``[contains(@attr,'v')]``,
+    ``[text()='v']``."""
+    expr = expr.strip()
+    if expr.startswith("."):
+        expr = expr[1:]
+    steps = []
+    for axis, step in _XP_STEP.findall(expr):
+        preds = _XP_PRED.findall(step)
+        name = _XP_PRED.sub("", step).strip()
+        steps.append((axis, name, preds))
+    return steps
+
+
+def _xp_pred_match(node: Node, pred: str) -> bool:
+    pred = pred.strip()
+    m = re.fullmatch(r"contains\(\s*@([\w-]+)\s*,\s*['\"](.*)['\"]\s*\)",
+                     pred)
+    if m:
+        return m.group(2) in (node.attrs.get(m.group(1)) or "")
+    m = re.fullmatch(r"contains\(\s*text\(\)\s*,\s*['\"](.*)['\"]\s*\)",
+                     pred)
+    if m:
+        return m.group(1) in node.text()
+    m = re.fullmatch(r"text\(\)\s*=\s*['\"](.*)['\"]", pred)
+    if m:
+        return node.text() == m.group(1)
+    m = re.fullmatch(r"@([\w-]+)\s*=\s*['\"](.*)['\"]", pred)
+    if m:
+        return node.attrs.get(m.group(1)) == m.group(2)
+    m = re.fullmatch(r"@([\w-]+)", pred)
+    if m:
+        return m.group(1) in node.attrs
+    return False
+
+
+def xpath_select(root: Node, expr: str) -> list[Node]:
+    """Evaluate the XPath subset relative to ``root``; document order."""
+    steps = _xp_parse(expr)
+    if not steps:
+        # "." / "./" = the context node itself
+        return [root] if expr.strip() in (".", "./") else []
+    current = [root]
+    for axis, name, preds in steps:
+        nxt: list[Node] = []
+        nxt_ids: set[int] = set()
+        for base in current:
+            pool = (
+                [n for n in base.iter() if n is not base] if axis == "//"
+                else base.children
+            )
+            cands = [n for n in pool
+                     if name == "*" or n.tag == name.lower()]
+            for pred in preds:
+                if re.fullmatch(r"\d+", pred.strip()):
+                    i = int(pred) - 1          # 1-based position
+                    cands = [cands[i]] if 0 <= i < len(cands) else []
+                else:
+                    cands = [n for n in cands if _xp_pred_match(n, pred)]
+            for n in cands:
+                if id(n) not in nxt_ids:
+                    nxt_ids.add(id(n))
+                    nxt.append(n)
+        current = nxt
+    order = {id(n): i for i, n in enumerate(root.iter())}
+    return sorted(current, key=lambda n: order.get(id(n), 1 << 30))
+
+
+def css_to_xpath(css_selector: str) -> str:
+    """The reference's naive CSS→XPath fallback (extraction_strategy.py:
+    1645-1658): selectors containing '/' pass through as XPath; otherwise
+    ' > ' maps to child steps and ' ' to descendant steps."""
+    if "/" in css_selector or css_selector.strip() == ".":
+        return css_selector
+    if " > " in css_selector:
+        return "//" + "/".join(css_selector.split(" > "))
+    if " " in css_selector:
+        return "//" + "//".join(css_selector.split(" "))
+    return "//" + css_selector
+
+
 def _select_tokens(root: Node, tokens: list[str]) -> list[Node]:
     current = [root]
     child_only = False

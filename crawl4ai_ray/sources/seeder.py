@@ -150,3 +150,158 @@ def seed_from_sitemaps(domains: list[str], site_cfg: dict, *,
     if max_urls is not None:
         urls = urls.limit(max_urls)
     return urls
+
+
+# ---------------------------------------------------------------------------
+# Common Crawl seeder (S3) — offline, against a fixture index directory
+# ---------------------------------------------------------------------------
+
+
+class CcIndexUnavailable(Exception):
+    """Stand-in for the CC index's 503 (reference retries on it)."""
+
+
+class CommonCrawlSeeder:
+    """Actor-pool stage: domain rows → Common Crawl index URL rows.
+
+    Mirrors the reference's ``_from_cc`` (async_url_seeder.py:709-763)
+    law for law:
+    - domain normalization: strip scheme, drop ``?query``/``#fragment``,
+      lstrip leading dots; the sanitized form (``[/?#]+`` → ``_``) names
+      the cache file ``{index_id}_{safe}_{md5(pattern)[:8]}.jsonl``;
+    - the JSONL cache stores EVERY index URL unfiltered; the glob
+      ``pattern`` is applied on read (so one cache file serves any
+      pattern with the same digest-keyed name);
+    - retry ladder (1, 3, 7) seconds on index 503, then raise.
+
+    The live ``index.commoncrawl.org`` endpoint needs network this
+    sandbox doesn't have, so the index is read from JSONL fixture files
+    ``<index_dir>/<index_id>/<normalized-domain>.jsonl`` (one JSON record
+    per line with a ``url`` key — the CC index response shape). The
+    ``fail_503`` map simulates index 503s for retry testing; ``sleep_fn``
+    is injectable so tests don't wall-sleep."""
+
+    RETRIES = (1, 3, 7)
+
+    def __init__(self, index_dir: str, cache_dir: str,
+                 index_id: str = "CC-MAIN-2024-51", *, pattern: str = "*",
+                 force: bool = False, fail_503: dict | None = None,
+                 sleep_fn=None):
+        import time as _time
+
+        self.index_dir = index_dir
+        self.cache_dir = cache_dir
+        self.index_id = index_id
+        self.pattern = pattern
+        self.force = force
+        self.fail_503 = dict(fail_503 or {})
+        self.sleep = sleep_fn or _time.sleep
+        self.slept: list[float] = []   # observable retry trace
+
+    # -- reference normalization (async_url_seeder.py:713-720) --------------
+
+    @staticmethod
+    def normalize_domain(domain: str) -> str:
+        raw = re.sub(r"^https?://", "", domain)
+        raw = raw.split("#", 1)[0].split("?", 1)[0].lstrip(".")
+        return raw
+
+    def _cache_path(self, raw: str) -> str:
+        import hashlib
+        import os
+
+        digest = hashlib.md5(self.pattern.encode()).hexdigest()[:8]
+        safe = re.sub("[/?#]+", "_", raw)
+        return os.path.join(self.cache_dir,
+                            f"{self.index_id}_{safe}_{digest}.jsonl")
+
+    def _fetch_index(self, raw: str) -> list[str]:
+        """One 'request' to the (fixture) index; raises CcIndexUnavailable
+        while the domain's simulated-503 budget lasts."""
+        import json
+        import os
+
+        if self.fail_503.get(raw, 0) > 0:
+            self.fail_503[raw] -= 1
+            raise CcIndexUnavailable(raw)
+        path = os.path.join(self.index_dir, self.index_id,
+                            f"{re.sub('[/?#]+', '_', raw)}.jsonl")
+        if not os.path.exists(path):
+            return []
+        urls = []
+        with open(path) as fp:
+            for line in fp:
+                line = line.strip()
+                if not line:
+                    continue
+                urls.append(json.loads(line)["url"])
+        return urls
+
+    def seed_domain(self, domain: str) -> list[str]:
+        import fnmatch as _fn
+        import os
+
+        raw = self.normalize_domain(domain)
+        cache = self._cache_path(raw)
+        if os.path.exists(cache) and not self.force:
+            with open(cache) as fp:
+                urls = [line.strip() for line in fp if line.strip()]
+        else:
+            for i, delay in enumerate(self.RETRIES + (-1,)):
+                try:
+                    urls = self._fetch_index(raw)
+                    break
+                except CcIndexUnavailable:
+                    if delay < 0:          # ladder exhausted
+                        raise
+                    self.slept.append(float(self.RETRIES[i]))
+                    self.sleep(self.RETRIES[i])
+            os.makedirs(self.cache_dir, exist_ok=True)
+            tmp = cache + ".tmp"
+            with open(tmp, "w") as fp:
+                for u in urls:
+                    fp.write(u + "\n")
+            os.replace(tmp, cache)
+        out = []
+        for u in urls:
+            if is_nonsense_url(u):
+                continue
+            if self.pattern != "*" and not _fn.fnmatch(u, self.pattern):
+                continue
+            out.append(u)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_domain, out_url = [], []
+        for domain in batch.column("domain").to_pylist():
+            for u in self.seed_domain(domain):
+                out_domain.append(domain)
+                out_url.append(u)
+        return pa.table(
+            {
+                "domain": pa.array(out_domain, type=pa.string()),
+                "url": pa.array(out_url, type=pa.string()),
+            }
+        )
+
+
+def seed_from_cc(domains: list[str], index_dir: str, cache_dir: str, *,
+                 index_id: str = "CC-MAIN-2024-51", pattern: str = "*",
+                 max_urls: int | None = None, force: bool = False):
+    """Pipeline entry (S3): domains → deduped CC-index URL dataset."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"domain": d} for d in domains])
+    urls = ds.map_batches(
+        CommonCrawlSeeder,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "cache_dir": cache_dir,
+            "index_id": index_id, "pattern": pattern, "force": force,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+    if max_urls is not None:
+        urls = urls.limit(max_urls)
+    return urls

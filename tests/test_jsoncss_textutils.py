@@ -134,3 +134,92 @@ def test_link_intrinsic_score():
         "http://a.com/x/y/z/w/v/u/t/file.zip?q=1#f", "click here")
     assert good > bad
     assert 0.0 <= bad < good <= 10.0
+
+
+# -- XPath extraction variant (M26; extraction_strategy.py:1612-1674) -------
+
+XPATH_HTML = """
+<html><body>
+  <div class="products">
+    <div class="item" data-sku="A1">
+      <h2>Widget <b>Pro</b></h2>
+      <span class="price">$9.99</span>
+      <ul><li>red</li><li>blue</li></ul>
+      <div class="meta"><span class="brand">Acme</span></div>
+    </div>
+    <div class="item" data-sku="B2">
+      <h2>Gadget</h2>
+      <span class="price">$19.50</span>
+      <ul><li>green</li></ul>
+      <div class="meta"><span class="brand">Globex</span></div>
+    </div>
+  </div>
+</body></html>"""
+
+
+def test_xpath_extract_nested_list_attr_regex_position():
+    from crawl4ai_ray.functions.json_css import extract_xpath
+
+    schema = {
+        "name": "products",
+        "baseSelector": "//div[@class='item']",
+        "fields": [
+            {"name": "title", "selector": ".//h2", "type": "text"},
+            {"name": "sku", "selector": ".", "type": "attribute",
+             "attribute": "data-sku"},
+            {"name": "price", "selector": ".//span[@class='price']",
+             "type": "regex", "pattern": r"\$([\d.]+)"},
+            {"name": "colors", "selector": ".//li", "type": "list"},
+            {"name": "meta", "selector": ".//div[@class='meta']",
+             "type": "nested",
+             "fields": [{"name": "brand",
+                         "selector": ".//span[contains(@class,'brand')]",
+                         "type": "text"}]},
+            {"name": "first_li", "selector": ".//ul/li[1]", "type": "text"},
+            {"name": "missing", "selector": ".//em", "type": "text",
+             "default": "n/a"},
+        ],
+    }
+    rows = extract_xpath(XPATH_HTML, schema)
+    assert rows == [
+        {"title": "Widget Pro", "sku": "A1", "price": "9.99",
+         "colors": ["red", "blue"], "meta": {"brand": "Acme"},
+         "first_li": "red", "missing": "n/a"},
+        {"title": "Gadget", "sku": "B2", "price": "19.50",
+         "colors": ["green"], "meta": {"brand": "Globex"},
+         "first_li": "green", "missing": "n/a"},
+    ]
+
+
+def test_xpath_css_fallback_matches_css_engine():
+    """Selectors without '/' run through the reference's naive CSS→XPath
+    conversion (extraction_strategy.py:1645-1658): plain tag and
+    descendant-space forms agree with the CSS engine."""
+    from crawl4ai_ray.functions.json_css import extract, extract_xpath
+
+    schema = {
+        "name": "p", "baseSelector": "//div[@class='item']",
+        "fields": [
+            {"name": "t", "selector": "h2", "type": "text"},
+            {"name": "b", "selector": "div span", "type": "text"},
+        ],
+    }
+    xp = extract_xpath(XPATH_HTML, schema)
+    assert [r["t"] for r in xp] == ["Widget Pro", "Gadget"]
+    assert [r["b"] for r in xp] == ["Acme", "Globex"]
+
+
+def test_xpath_predicates():
+    from crawl4ai_ray.functions.selectors import parse_dom, xpath_select
+
+    dom = parse_dom(XPATH_HTML)
+    assert len(xpath_select(dom, "//div[@class='item']")) == 2
+    assert len(xpath_select(dom, "//span[@class]")) == 4
+    assert [n.text() for n in
+            xpath_select(dom, "//div[@data-sku='B2']//h2")] == ["Gadget"]
+    assert [n.text() for n in
+            xpath_select(dom, "//li[contains(text(),'re')]")] == \
+        ["red", "green"]
+    assert [n.text() for n in
+            xpath_select(dom, "//ul/li[2]")] == ["blue"]
+    assert xpath_select(dom, "//nothing") == []

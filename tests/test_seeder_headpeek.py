@@ -90,3 +90,85 @@ def test_head_peek_stage_and_relevance_pipeline(ray_session):
     kept = relevance_filter_pipeline(urls, SITE_CFG.__dict__,
                                      "category fixture", 0.1).to_pandas()
     assert set(kept["url"]) == set(urls[:2])
+
+
+# -- Common Crawl seeder (S3, offline fixture index) ------------------------
+
+
+def _cc_fixture(tmp_path, urls_by_domain, index_id="CC-MAIN-2024-51"):
+    import json
+    import os
+
+    idx = tmp_path / "index" / index_id
+    idx.mkdir(parents=True, exist_ok=True)
+    for dom, urls in urls_by_domain.items():
+        with open(idx / f"{dom}.jsonl", "w") as fp:
+            for u in urls:
+                fp.write(json.dumps({"url": u}) + "\n")
+    return str(tmp_path / "index"), str(tmp_path / "cache")
+
+
+def test_cc_seeder_normalization_pattern_and_cache(tmp_path):
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder
+
+    urls = ["http://ex.test/cat1/a", "http://ex.test/cat1/b.css",
+            "http://ex.test/other/c", "mailto:x@ex.test"]
+    index_dir, cache_dir = _cc_fixture(tmp_path, {"ex.test": urls})
+    s = CommonCrawlSeeder(index_dir, cache_dir, pattern="*/cat1/*")
+    # reference normalization: scheme/query/fragment stripped, dots lstripped
+    assert s.normalize_domain("https://ex.test?q=1#frag") == "ex.test"
+    assert s.normalize_domain(".ex.test") == "ex.test"
+    got = s.seed_domain("https://ex.test")
+    # nonsense (.css, mailto) and non-matching paths dropped
+    assert got == ["http://ex.test/cat1/a"]
+    # cache file stores EVERY url unfiltered (reference law), named by
+    # (index_id, safe domain, md5(pattern)[:8])
+    import glob
+    import hashlib
+
+    digest = hashlib.md5(b"*/cat1/*").hexdigest()[:8]
+    files = glob.glob(f"{cache_dir}/CC-MAIN-2024-51_ex.test_{digest}.jsonl")
+    assert len(files) == 1
+    assert open(files[0]).read().splitlines() == urls
+    # second run hits the cache even if the index disappears
+    import shutil
+
+    shutil.rmtree(index_dir)
+    s2 = CommonCrawlSeeder(index_dir, cache_dir, pattern="*/cat1/*")
+    assert s2.seed_domain("ex.test") == ["http://ex.test/cat1/a"]
+
+
+def test_cc_seeder_retry_ladder(tmp_path):
+    from crawl4ai_ray.sources.seeder import CcIndexUnavailable, \
+        CommonCrawlSeeder
+
+    index_dir, cache_dir = _cc_fixture(
+        tmp_path, {"ex.test": ["http://ex.test/cat1/a"]})
+    slept = []
+    s = CommonCrawlSeeder(index_dir, cache_dir, fail_503={"ex.test": 2},
+                          sleep_fn=slept.append)
+    assert s.seed_domain("ex.test") == ["http://ex.test/cat1/a"]
+    assert slept == [1, 3]          # reference ladder (1, 3, 7)
+    # budget beyond the ladder → raise after sleeping 1, 3, 7
+    slept2 = []
+    s3 = CommonCrawlSeeder(index_dir, cache_dir, index_id="CC-OTHER",
+                           fail_503={"ex.test": 4}, sleep_fn=slept2.append)
+    import pytest as _pytest
+
+    with _pytest.raises(CcIndexUnavailable):
+        s3.seed_domain("ex.test")
+    assert slept2 == [1, 3, 7]
+
+
+def test_seed_cc_pipeline(ray_session, tmp_path):
+    from crawl4ai_ray.sources.seeder import seed_from_cc
+
+    index_dir, cache_dir = _cc_fixture(
+        tmp_path,
+        {"a.test": [f"http://a.test/cat1/p{i}" for i in range(5)],
+         "b.test": ["http://b.test/cat2/x", "http://b.test/skip.png"]})
+    ds = seed_from_cc(["a.test", "https://b.test"], index_dir, cache_dir)
+    rows = sorted(r["url"] for r in ds.take_all())
+    assert rows == sorted(
+        [f"http://a.test/cat1/p{i}" for i in range(5)]
+        + ["http://b.test/cat2/x"])
