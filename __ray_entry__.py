@@ -300,6 +300,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_cc": _seed_cc,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_fit_markdown": _crawl_fit_markdown,
+        # CosineStrategy semantic extraction (chunk→embed→cluster→extract;
+        # stub embedder, rows-only — determinism pytest-gated)
+        "doc_semantic_clusters": lambda sf: __import__(
+            "crawl4ai_ray.functions.cosine_extract",
+            fromlist=["cosine_extract_clusters"],
+        ).cosine_extract_clusters(sf),
     }
 
 
