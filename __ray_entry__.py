@@ -122,6 +122,34 @@ def _seed_sitemaps(sf_dir: str):
     )
 
 
+def _crawl_adaptive_embedding(sf_dir: str):
+    """Adaptive crawl, EmbeddingStrategy variant: semantic-space coverage
+    confidence trace (adaptive_crawler.py:593-1100; stub embedder)."""
+    import tempfile
+
+    import pandas as pd
+
+    from crawl4ai_ray.pipelines.adaptive import EmbeddingAdaptiveCrawl
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=6, hot_hosts=6)
+    site = SyntheticWeb(site_cfg)
+    cfg = CrawlConfig(max_depth=3,
+                      out_dir=tempfile.mkdtemp(prefix="c4r_eadapt_"),
+                      n_seen_shards=2, fetch_concurrency=2)
+    ac = EmbeddingAdaptiveCrawl(
+        cfg, "product category data", confidence_threshold=0.4,
+        max_pages=300, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    res, state = ac.run(site.seed_urls())
+    return pd.DataFrame(
+        {
+            "superstep": range(len(state.confidence_history)),
+            "confidence": [round(c, 6) for c in state.confidence_history],
+        }
+    )
+
+
 def _seed_cc(sf_dir: str):
     """Common Crawl seeder (S3) against a deterministic fixture index
     derived from the synthetic web (reference async_url_seeder.py:709-763;
@@ -298,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive": _crawl_adaptive,
         "seed_sitemaps": _seed_sitemaps,
         "seed_cc": _seed_cc,
+        "crawl_adaptive_embedding": _crawl_adaptive_embedding,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_fit_markdown": _crawl_fit_markdown,
         # CosineStrategy semantic extraction (chunk→embed→cluster→extract;

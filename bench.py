@@ -48,7 +48,7 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     # candidate threshold), "distributed" (forced for every level),
     # "driver" (polars path only); all three are byte-equivalent
     # (tests/test_discovery_distributed.py)
-    disc = {"auto": 200_000, "distributed": 0, "driver": None}[
+    disc = {"auto": 2_000_000, "distributed": 0, "driver": None}[
         os.environ.get("BENCH_DISCOVERY", "auto")]
     cfg = CrawlConfig(
         strategy="bfs",

@@ -244,3 +244,202 @@ class AdaptiveCrawl:
     def run(self, seed_urls: list[str]):
         res = self.engine.run(seed_urls)
         return res, self.state
+
+
+# ---------------------------------------------------------------------------
+# Embedding strategy (reference EmbeddingStrategy,
+# adaptive_crawler.py:593-1100) — semantic-space coverage stop law
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EmbeddingAdaptiveState:
+    query: str = ""
+    train_queries: list = field(default_factory=list)
+    val_queries: list = field(default_factory=list)
+    kb_doc_count: int = 0
+    confidence_history: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+    stopped_reason: str = ""
+
+
+def query_variations(query: str, n: int = 12) -> list[str]:
+    """Deterministic stand-in for the reference's LLM query expansion —
+    the reference itself ships a hard-coded mock (the LLM call at
+    adaptive_crawler.py:666-736 is commented out and replaced by a fixed
+    variation list), so a template expansion is faithful to what actually
+    runs."""
+    templates = [
+        "what is {q}", "how does {q} work", "{q} overview", "{q} details",
+        "examples of {q}", "{q} guide", "{q} explained", "{q} tutorial",
+        "compare {q}", "{q} best practices", "{q} reference",
+        "common problems with {q}",
+    ]
+    return [t.format(q=query) for t in templates[:n]]
+
+
+class EmbeddingAdaptiveCrawl:
+    """Adaptive crawl with the embedding-coverage stop law.
+
+    Reference laws reproduced (adaptive_crawler.py:924-951, 1055-1100):
+    - query semantic space: query + variations, seeded-shuffle 80/20
+      train/validation split (original query always trains);
+    - confidence = mean over train queries of BEST cosine to the KB doc
+      embeddings (hit-rate ≥ ``coverage_tau`` when tau is set);
+    - stop when confidence ≥ threshold, when it plateaus (< ``min_gain``
+      over the last 3 supersteps), or below the minimum-relevance floor
+      (0.1 → ``below_minimum_relevance_threshold``, ``is_irrelevant``);
+    - ``validate_coverage``: mean (1 − min cosine distance) of the
+      held-out queries vs the KB.
+
+    KB embeddings are computed DISTRIBUTED per superstep (map_batches over
+    the superstep's docs parquet with the stub embedder actor — swap for a
+    model actor in deployment); the driver holds only the (n_docs, dim)
+    float matrix. Link ranking uses a static url-token-embedding cosine
+    to the mean train-query embedding — the reference re-scores pending
+    links per round against coverage gaps (adaptive_crawler.py:804-922),
+    which needs per-round pool rescoring the superstep pool doesn't
+    expose; the static form is the documented divergence."""
+
+    def __init__(self, cfg: CrawlConfig, query: str, *,
+                 confidence_threshold: float = 0.75,
+                 min_gain: float = 0.005, max_pages: int = 200,
+                 coverage_tau: float | None = None,
+                 min_relevance: float = 0.1, embed_dim: int = 64,
+                 n_variations: int = 12,
+                 fetcher_kwargs: dict | None = None):
+        import random
+
+        import numpy as np
+
+        from ..functions.textstats import HashedNgramEmbedder
+
+        self.query = query
+        self.threshold = confidence_threshold
+        self.min_gain = min_gain
+        self.coverage_tau = coverage_tau
+        self.min_relevance = min_relevance
+        self._np = np
+        self._embedder = HashedNgramEmbedder(dim=embed_dim)
+
+        variations = query_variations(query, n_variations)
+        rng = random.Random(42)
+        rng.shuffle(variations)
+        n_val = max(2, int(len(variations) * 0.2))
+        self.state = EmbeddingAdaptiveState(
+            query=query,
+            train_queries=[query] + variations[:-n_val],
+            val_queries=variations[-n_val:],
+        )
+        self._q_train = self._embed_local(self.state.train_queries)
+        self._q_val = self._embed_local(self.state.val_queries)
+        self._kb = np.zeros((0, embed_dim), dtype=np.float64)
+
+        q_mean = self._q_train.mean(axis=0)
+        q_mean /= (np.linalg.norm(q_mean) or 1.0)
+
+        def scorer(url: str) -> float:
+            toks = " ".join(url.split("/")[2:]).replace("-", " ") \
+                .replace("_", " ").replace(".", " ")
+            v = self._embedder._embed(toks)
+            n = np.linalg.norm(v)
+            return -float((v / n if n else v) @ q_mean)
+
+        cfg.strategy = "best_first"
+        cfg.max_pages = max_pages
+        self.engine = CrawlEngine(cfg, fetcher_kwargs=fetcher_kwargs,
+                                  scorer_fn=scorer,
+                                  on_superstep=self._absorb)
+        self._stop_requested = False
+
+    def _embed_local(self, texts: list[str]):
+        import numpy as np
+
+        m = np.stack([self._embedder._embed(t) for t in texts]) \
+            .astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
+
+    def _absorb(self, k: int, docs_dir: str, order_tbl) -> None:
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        ds = rd.read_parquet(docs_dir, columns=["markdown", "success"])
+        dim = self._kb.shape[1] if self._kb.size else \
+            self._embedder.dim
+
+        embedder = self._embedder
+
+        def stage(batch: pa.Table) -> pa.Table:
+            embs = [
+                embedder._embed(md or "")
+                for md, ok in zip(batch.column("markdown").to_pylist(),
+                                  batch.column("success").to_pylist())
+                if ok
+            ]
+            return pa.table(
+                {"embedding": pa.array([e.tolist() for e in embs],
+                                       type=pa.list_(pa.float32()))}
+            )
+
+        new = []
+        for b in ds.map_batches(stage, batch_format="pyarrow",
+                                batch_size=4096) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            for e in b.column("embedding").to_pylist():
+                new.append(e)
+        if new:
+            m = np.asarray(new, dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            self._kb = np.vstack([self._kb, m / norms])
+        self.state.kb_doc_count = len(self._kb)
+
+        conf = self.calculate_confidence()
+        self.state.confidence_history.append(conf)
+        h = self.state.confidence_history
+        if conf >= self.threshold:
+            self._stop_requested = True
+            self.state.stopped_reason = "confidence_threshold"
+        elif conf < self.min_relevance and len(self._kb) > 0 and k >= 1:
+            self._stop_requested = True
+            self.state.stopped_reason = "below_minimum_relevance_threshold"
+            self.state.metrics["is_irrelevant"] = True
+        elif len(h) >= 3 and (h[-1] - h[-3]) < self.min_gain:
+            self._stop_requested = True
+            self.state.stopped_reason = "plateau"
+        if self._stop_requested:
+            self.engine.cfg.max_pages = max(1, self.state.kb_doc_count)
+
+    def calculate_confidence(self) -> float:
+        """Mean best-cosine (or tau hit-rate) of train queries vs the KB
+        (adaptive_crawler.py:924-951)."""
+        if len(self._kb) == 0:
+            return 0.0
+        best = (self._q_train @ self._kb.T).max(axis=1)
+        self.state.metrics["avg_best_similarity"] = float(best.mean())
+        self.state.metrics["median_best_similarity"] = float(
+            self._np.median(best))
+        if self.coverage_tau is not None:
+            score = float((best >= self.coverage_tau).mean())
+        else:
+            score = float(best.mean())
+        self.state.metrics["coverage_score"] = score
+        return score
+
+    def validate_coverage(self) -> float:
+        """Held-out-query coverage (adaptive_crawler.py:1055-1090):
+        mean (1 − min cosine distance)."""
+        if len(self._kb) == 0:
+            return 0.0
+        dist = 1.0 - (self._q_val @ self._kb.T)
+        score = float((1.0 - dist.min(axis=1)).mean())
+        self.state.metrics["validation_confidence"] = score
+        return score
+
+    def run(self, seed_urls: list[str]):
+        res = self.engine.run(seed_urls)
+        self.validate_coverage()
+        return res, self.state
