@@ -233,6 +233,48 @@ def _crawl_fit_markdown(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _crawl_markdown_compat(sf_dir: str):
+    """html2text-fidelity raw markdown over crawled pages (the reference
+    MarkdownGenerationResult.raw_markdown contract; byte-equality with the
+    reference converter is golden-gated in tests/test_md_compat.py)."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, keep_html=True,
+                      out_dir=tempfile.mkdtemp(prefix="c4r_mdc_"),
+                      n_seen_shards=2, fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    res = eng.run(site.seed_urls())
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "success", "html"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from crawl4ai_ray.functions.md_compat import html_to_markdown_compat
+
+        urls, words, chars = [], [], []
+        for url, ok, html in zip(batch.column("url").to_pylist(),
+                                 batch.column("success").to_pylist(),
+                                 batch.column("html").to_pylist()):
+            if not ok or not html:
+                continue
+            md = html_to_markdown_compat(html, url)
+            urls.append(url)
+            words.append(len(md.split()))
+            chars.append(len(md))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "md_words": pa.array(words, pa.int64()),
+                         "md_chars": pa.array(chars, pa.int64())})
+
+    out = docs.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _media_decode(sf_dir: str):
     from crawl4ai_ray.stages.multimodal import media_pipeline
 
@@ -329,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive_embedding": _crawl_adaptive_embedding,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_fit_markdown": _crawl_fit_markdown,
+        "crawl_markdown_compat": _crawl_markdown_compat,
         # CosineStrategy semantic extraction (chunk→embed→cluster→extract;
         # stub embedder, rows-only — determinism pytest-gated)
         "doc_semantic_clusters": lambda sf: __import__(

@@ -542,13 +542,29 @@ def fit_markdown_from_html(html: str, url: str = "",
     """The reference fit-markdown contract
     (markdown_generation_strategy.py / MarkdownGenerationResult): run the
     content filter, join the surviving blocks into ``fit_html`` and
-    convert THAT through the engine's markdown path. Returns
+    convert THAT through the html2text-fidelity converter (md_compat —
+    the same converter the reference applies to fit_html). Returns
     {fit_html, fit_markdown, n_blocks}."""
-    from ..stages.parse import parse_html
+    from .md_compat import html_to_markdown_compat
 
     flt = content_filter or PruningContentFilter()
     blocks = flt.filter_content(html)
     fit_html = "\n".join(blocks)
-    fit_md = parse_html(fit_html, url)["markdown"] if fit_html else ""
+    fit_md = html_to_markdown_compat(fit_html, url) if fit_html else ""
     return {"fit_html": fit_html, "fit_markdown": fit_md,
             "n_blocks": len(blocks)}
+
+
+def markdown_result(html: str, url: str = "",
+                    content_filter=None) -> dict:
+    """The full MarkdownGenerationResult surface (models.py:119-127):
+    raw_markdown via the html2text-fidelity converter + fit_html/
+    fit_markdown via the content filter."""
+    from .md_compat import html_to_markdown_compat
+
+    fit = fit_markdown_from_html(html, url, content_filter)
+    return {
+        "raw_markdown": html_to_markdown_compat(html, url),
+        "fit_html": fit["fit_html"],
+        "fit_markdown": fit["fit_markdown"],
+    }
