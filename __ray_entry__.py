@@ -327,6 +327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_part_type": analysis.revenue_by_part_type,
         "orders_priority_counts": analysis.orders_priority_counts,
         "events_type_span": analysis.events_type_span,
+        # r2: window / anti-join / median / two-key rollup shapes
+        "customer_running_revenue": analysis.customer_running_revenue,
+        "customers_without_orders": analysis.customers_without_orders,
+        "order_value_median_by_priority":
+            analysis.order_value_median_by_priority,
+        "revenue_by_nation_year": analysis.revenue_by_nation_year,
         "big_spenders_union": analysis.big_spenders_union,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
@@ -486,6 +492,36 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_counts": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority, o_orderstatus
+        """,
+        "customer_running_revenue": r"""
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 2)
+                       AS running_total
+            FROM orders WHERE o_custkey <= 200
+        """,
+        "customers_without_orders": r"""
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= DATE '2001-01-01')
+        """,
+        "order_value_median_by_priority": r"""
+            SELECT o_orderpriority,
+                   ROUND(median(o_totalprice), 2) AS median_price,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "revenue_by_nation_year": r"""
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, order_year
         """,
         "events_type_span": """
             SELECT event_type,

@@ -665,3 +665,127 @@ def orders_filter_sort(sf_dir: str, k: int = 50):
     return filt.select_columns(["o_orderkey", "o_totalprice"]) \
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
         .limit(k)
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: window / anti-join / median / two-key rollup shapes
+# ---------------------------------------------------------------------------
+
+
+def customer_running_revenue(sf_dir: str, max_custkey: int = 200):
+    """Per-customer running order total over time — the windowed-aggregate
+    shape (SUM() OVER (PARTITION BY ... ORDER BY ...)). groupby(custkey)
+    .map_groups with an in-group sort + cumsum; per-customer groups are
+    bounded, so no group outgrows a task. Restricted to custkey <=
+    max_custkey to keep the compare table small (the shape is identical
+    at any cut)."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    ds = ds.filter(lambda r: r["o_custkey"] <= max_custkey)
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        return g[["o_custkey", "o_orderkey", "o_orderdate",
+                  "running_total"]]
+
+    return ds.groupby("o_custkey").map_groups(running,
+                                              batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
+    """Anti-join: customers with no order since ``since``. The matching
+    order-key side is reduced to a DISTINCT int64 key set (distributed
+    distinct, collected — tiny next to the orders table) and broadcast
+    into a vectorized filter over customers — the guide's semi/anti-join
+    pattern; no shuffle of the big side."""
+    import ray
+
+    cutoff = np.datetime64(since)
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy()
+        keep = d >= cutoff
+        return pa.table(
+            {"o_custkey": pa.array(
+                np.unique(batch.column("o_custkey").to_numpy()[keep]))}
+        )
+
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(recent_keys, batch_format="pyarrow") \
+        .unique("o_custkey")
+    key_arr = np.asarray(sorted(keys), dtype=np.int64)
+    ref = ray.put(key_arr)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pa.Table, ref=ref) -> pa.Table:
+        have = ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy()
+        mask = ~np.isin(ck, have)
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def order_value_median_by_priority(sf_dir: str):
+    """Exact per-group median — a holistic aggregate Ray Data's built-ins
+    don't cover: groupby(priority).map_groups with np.median (per-group
+    rows bounded by the priority cardinality split)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "median_price": [round(float(np.median(g["o_totalprice"])),
+                                       2)],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(med,
+                                                    batch_format="pandas")
+
+
+def revenue_by_nation_year(sf_dir: str):
+    """Two-key rollup: order revenue by (nation, order year). Small sides
+    (customer→nation) broadcast; per-batch partial aggregation before the
+    two-key groupby shuffle (combiner pattern)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"],
+                   cust["c_nationkey"].map(
+                       dict(zip(nation["n_nationkey"], nation["n_name"])))))
+    ref = ray.put(c2n)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table, ref=ref) -> pa.Table:
+        lookup = ray.get(ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(lookup)
+        df["order_year"] = pd.to_datetime(df["o_orderdate"]).dt.year \
+            .astype("int64")
+        g = df.groupby(["n_name", "order_year"], as_index=False) \
+            .agg(_rev=("o_totalprice", "sum"), _n=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = orders.map_batches(partial, batch_format="pyarrow",
+                             batch_size=16384)
+    agg = out.groupby(["n_name", "order_year"]).aggregate(
+        Sum("_rev", alias_name="revenue"),
+        Sum("_n", alias_name="n_orders"),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("revenue"), "revenue",
+            pc.round(batch.column("revenue"), 2),
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
