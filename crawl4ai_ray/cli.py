@@ -99,6 +99,30 @@ def cmd_seed(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """S11: run the loopback REST facade (reference deploy/docker API
+    subset; port 11235 is the reference server's default)."""
+    from .serve import EngineHTTPServer
+    from .sources.synthetic_web import SiteConfig
+
+    _init_ray(args.num_cpus)
+    site_cfg = (SiteConfig(n_hosts=args.synthetic_hosts).__dict__
+                if args.synthetic_hosts else None)
+    srv = EngineHTTPServer(site_cfg=site_cfg, host=args.host,
+                           port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{srv.port}"}))
+    try:
+        srv._srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="crawl4ai_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,6 +157,13 @@ def main(argv=None) -> int:
     s.add_argument("--num-cpus", type=int, default=None)
     s.add_argument("--synthetic-hosts", type=int, default=8)
     s.set_defaults(fn=cmd_seed)
+
+    v = sub.add_parser("serve", help="REST API (S11 serving layer)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=11235)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--synthetic-hosts", type=int, default=0)
+    v.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

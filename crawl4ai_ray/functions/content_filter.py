@@ -555,16 +555,23 @@ def fit_markdown_from_html(html: str, url: str = "",
             "n_blocks": len(blocks)}
 
 
-def markdown_result(html: str, url: str = "",
-                    content_filter=None) -> dict:
+def markdown_result(html: str, url: str = "", content_filter=None,
+                    citations: bool = True) -> dict:
     """The full MarkdownGenerationResult surface (models.py:119-127):
-    raw_markdown via the html2text-fidelity converter + fit_html/
-    fit_markdown via the content filter."""
-    from .md_compat import html_to_markdown_compat
+    raw_markdown via the html2text-fidelity converter,
+    markdown_with_citations + references_markdown via the reference's
+    citation law, fit_html/fit_markdown via the content filter."""
+    from .md_compat import convert_links_to_citations, \
+        html_to_markdown_compat
 
+    raw = html_to_markdown_compat(html, url)
+    with_cit, refs = (convert_links_to_citations(raw, url)
+                      if citations else (raw, ""))
     fit = fit_markdown_from_html(html, url, content_filter)
     return {
-        "raw_markdown": html_to_markdown_compat(html, url),
+        "raw_markdown": raw,
+        "markdown_with_citations": with_cit,
+        "references_markdown": refs,
         "fit_html": fit["fit_html"],
         "fit_markdown": fit["fit_markdown"],
     }

@@ -1,0 +1,93 @@
+"""S11 serving layer: loopback HTTP facade over the engine — endpoint
+parity with the reference Docker API's data-plane subset."""
+
+import json
+import urllib.request
+
+import pytest
+
+from crawl4ai_ray.serve import EngineHTTPServer, safe_config_dump
+from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+
+@pytest.fixture(scope="module")
+def server(ray_session):
+    srv = EngineHTTPServer(site_cfg=SiteConfig(n_hosts=3).__dict__).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(srv, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_schema(server):
+    code, body = _get(server, "/health")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(server, "/schema")
+    assert code == 200 and "max_depth" in body["CrawlConfig"]
+
+
+def test_md_filters(server):
+    url = "http://h0000.test/cat0/sub0/p0.html"
+    code, raw = _post(server, "/md", {"url": url, "f": "raw"})
+    assert code == 200 and raw["markdown"]
+    code, fit = _post(server, "/md", {"url": url, "f": "fit"})
+    assert code == 200
+    code, bm = _post(server, "/md", {"url": url, "f": "bm25",
+                                     "q": "product data"})
+    assert code == 200
+    assert len(raw["markdown"]) >= len(fit["markdown"])
+    code, err = _post(server, "/md", {"url": "http://h0000.test/missing"})
+    assert code == 422
+
+
+def test_html_preprocess(server):
+    code, body = _post(server, "/html",
+                       {"url": "http://h0000.test/"})
+    assert code == 200 and body["success"] and body["html"].startswith("<")
+
+
+def test_crawl_endpoint(server):
+    code, body = _post(server, "/crawl",
+                       {"urls": ["http://h0000.test/"],
+                        "crawler_config": {"max_depth": 1}})
+    assert code == 200 and body["success"]
+    assert body["pages_crawled"] > 0
+    assert all({"url", "status", "success", "depth"} <= set(r)
+               for r in body["results"])
+    code, err = _post(server, "/crawl", {"urls": []})
+    assert code == 422
+
+
+def test_config_dump_law(server):
+    code, body = _post(server, "/config/dump",
+                       {"code": "CrawlConfig(max_depth=5, "
+                                "politeness=True)"})
+    assert code == 200 and body["max_depth"] == 5 and body["politeness"]
+    # anything but a single literal-kwargs CrawlConfig call is rejected
+    for bad in ("__import__('os')", "CrawlConfig(max_depth=open('/x'))",
+                "CrawlConfig(1)", "CrawlConfig(**{'a': 1})", "2+2"):
+        code, _ = _post(server, "/config/dump", {"code": bad})
+        assert code == 422, bad
+
+
+def test_safe_config_dump_direct():
+    d = safe_config_dump("CrawlConfig(max_pages=7)")
+    assert d["max_pages"] == 7
+    with pytest.raises((ValueError, SyntaxError)):
+        safe_config_dump("print('x')")
