@@ -384,6 +384,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.functions.cosine_extract",
             fromlist=["cosine_extract_clusters"],
         ).cosine_extract_clusters(sf),
+        # A5 LLM extraction plumbing (labeled deterministic fake client)
+        "doc_llm_blocks": lambda sf: __import__(
+            "crawl4ai_ray.functions.llm_extract",
+            fromlist=["llm_extract_blocks"],
+        ).llm_extract_blocks(sf),
     }
 
 
