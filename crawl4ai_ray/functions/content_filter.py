@@ -328,7 +328,14 @@ _NOISE = {"ccp", "up", "↑", "▲", "⬆️", "a", "an", "at", "by", "in", "of"
 
 
 def clean_tokens(tokens: list[str]) -> list[str]:
-    """Stop-word / noise / short-token removal (utils.py:2425-2652)."""
+    """Stop-word / noise / short-token removal (utils.py:2425-2652).
+
+    Deliberately DISTINCT from functions/textutils.clean_tokens: this one
+    ports the reference's full BM25 stop list (len>2, noise set, arrow
+    prefixes) because BM25ContentFilter score parity depends on it; the
+    textutils variant is the r1-tested tokenizer the adaptive crawler and
+    cosine extraction share. Keep them separate — merging would shift
+    BM25 scores or adaptive confidence trajectories."""
     return [
         t for t in tokens
         if len(t) > 2 and t not in _NOISE and t not in _STOP_WORDS
@@ -459,6 +466,10 @@ class PruningContentFilter:
 
     def filter_content(self, html: str,
                        min_word_threshold: int | None = None) -> list[str]:
+        # reference quirk kept: PruningContentFilter.filter_content accepts
+        # min_word_threshold but never reads it — only the CONSTRUCTOR's
+        # value reaches _compute_composite_score
+        # (content_filter_strategy.py:626-665)
         if not html or not isinstance(html, str):
             return []
         body = parse_tree(html)

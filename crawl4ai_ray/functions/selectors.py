@@ -217,8 +217,20 @@ def xpath_select(root: Node, expr: str) -> list[Node]:
                      if name == "*" or n.tag == name.lower()]
             for pred in preds:
                 if re.fullmatch(r"\d+", pred.strip()):
+                    # XPath positional semantics: [n] binds per PARENT
+                    # (lxml's //p[1] returns the first p of EVERY parent,
+                    # not the first of the pooled descendants)
                     i = int(pred) - 1          # 1-based position
-                    cands = [cands[i]] if 0 <= i < len(cands) else []
+                    by_parent: dict[int, list[Node]] = {}
+                    order: list[int] = []
+                    for n in cands:
+                        pid = id(n.parent)
+                        if pid not in by_parent:
+                            by_parent[pid] = []
+                            order.append(pid)
+                        by_parent[pid].append(n)
+                    cands = [by_parent[pid][i] for pid in order
+                             if i < len(by_parent[pid])]
                 else:
                     cands = [n for n in cands if _xp_pred_match(n, pred)]
             for n in cands:

@@ -171,6 +171,12 @@ class AdaptiveCrawl:
                 if len(doc_rows) < need:
                     doc_rows.append((int(seq), sorted(tset)))
             terms_u = sorted(tf)
+            if not terms_u and not doc_rows and n_docs:
+                # successful docs whose markdown tokenizes to nothing must
+                # still count toward total_documents (the driver law) —
+                # carry the count on a placeholder term row (tf=df=0 rows
+                # are skipped by the merge loop)
+                terms_u = [""]
             n = len(terms_u) + len(doc_rows)
             return pa.table(
                 {
@@ -212,6 +218,8 @@ class AdaptiveCrawl:
             for w, tfv, dfv in zip(b.column("term").to_pylist(),
                                    b.column("tf").to_pylist(),
                                    b.column("df").to_pylist()):
+                if not tfv and not dfv:
+                    continue          # n_docs placeholder rows
                 self.state.term_frequencies[w] += int(tfv)
                 if self.state.document_frequencies[w] == 0:
                     new_terms += 1

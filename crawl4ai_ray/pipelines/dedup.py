@@ -131,12 +131,9 @@ def _minhash_params(num_perm: int, seed: int = 7):
                         dtype=np.uint64)
 
 
-def _splitmix64(z: np.ndarray) -> np.ndarray:
-    # Vectorized splitmix64 finalizer — uint64 wraparound arithmetic.
-    z = (z + np.uint64(0x9E3779B97F4A7C15))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+# canonical SplitMix64 kernel lives with the cuckoo filter (one copy of
+# the mixing constants repo-wide); identical wraparound math, any shape
+from ..state.cuckoo import _splitmix64_batch as _splitmix64  # noqa: E402
 
 
 def _signature(sh: np.ndarray, seeds: np.ndarray) -> np.ndarray:

@@ -209,8 +209,13 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
         chunks = g.column("chunk").to_numpy()
         ids = g.column("vec_id").to_numpy()
         mat = _normalize(_emb_matrix(g))
-        uc = np.unique(chunks)
-        if len(uc) == 1:
+        # the group's identity comes from its pkey — classifying by the
+        # number of distinct chunk values present misfires when a residue
+        # class is empty (a cross-chunk group with one empty side would be
+        # mistaken for a diagonal group and re-emit within-chunk pairs)
+        pkey = int(g.column("pkey")[0].as_py())
+        c_lo, c_hi = divmod(pkey, n_chunks)
+        if c_lo == c_hi:
             # diagonal group: unordered pairs within one chunk
             cos = mat @ mat.T
             ai, bj = np.nonzero(cos >= threshold)
@@ -218,7 +223,9 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
             keep = a < b
             cvals = cos[ai, bj][keep]
         else:
-            ma, mb = chunks == uc[0], chunks == uc[1]
+            ma, mb = chunks == c_lo, chunks == c_hi
+            if not ma.any() or not mb.any():
+                return empty
             cos = mat[ma] @ mat[mb].T
             ai, bj = np.nonzero(cos >= threshold)
             a, b = ids[ma][ai], ids[mb][bj]

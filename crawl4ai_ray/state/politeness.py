@@ -191,7 +191,10 @@ class HostScheduler:
         }
 
     def restore(self, snap: dict) -> None:
-        for h, (lt, d, fc, robots, dead, credit) in snap.items():
+        for h, entry in snap.items():
+            # tolerate pre-credit checkpoints (5-tuple; credit added r2)
+            lt, d, fc, robots, dead = entry[:5]
+            credit = entry[5] if len(entry) > 5 else 0.0
             st = self._state(h)
             st.last_time, st.current_delay, st.fail_count = lt, d, fc
             st.robots, st.dead = robots, dead

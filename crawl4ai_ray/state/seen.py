@@ -119,8 +119,21 @@ class SeenShard:
         return self.filter.to_bytes(), self._exact_sorted.tobytes()
 
     def restore(self, filter_blob: bytes, exact_blob: bytes) -> int:
-        self.filter = CuckooFilter.from_bytes(filter_blob)
+        """Restore from a checkpoint. The filter is REBUILT from the exact
+        hash array instead of trusting the serialized table: the exact set
+        is the source of truth, and a blob written under a different
+        bucket-index scheme (e.g. a pre-splitmix64 checkpoint) would
+        silently return false negatives when probed by the current code.
+        The blob still rides in snapshots for size accounting/debugging."""
+        old = CuckooFilter.from_bytes(filter_blob)
         self._exact_sorted = np.frombuffer(exact_blob, dtype=np.uint64).copy()
+        cap = max(old.n_buckets * old.bucket_size, 1 << 8)
+        f = CuckooFilter(capacity=cap, bucket_size=old.bucket_size)
+        if f.insert_batch(self._exact_sorted):
+            self.filter = f   # let _rebuild grow it
+            self._rebuild()
+        else:
+            self.filter = f
         return len(self._exact_sorted)
 
 

@@ -223,3 +223,15 @@ def test_xpath_predicates():
     assert [n.text() for n in
             xpath_select(dom, "//ul/li[2]")] == ["blue"]
     assert xpath_select(dom, "//nothing") == []
+
+
+def test_xpath_positional_binds_per_parent():
+    """Code-review r2 regression: //p[1] returns the FIRST p OF EVERY
+    PARENT (lxml semantics), not the first of the pooled descendants."""
+    from crawl4ai_ray.functions.selectors import parse_dom, xpath_select
+
+    dom = parse_dom("<div><p>a</p><p>b</p></div>"
+                    "<div><p>c</p><p>d</p></div>")
+    assert [n.text() for n in xpath_select(dom, "//p[1]")] == ["a", "c"]
+    assert [n.text() for n in xpath_select(dom, "//p[2]")] == ["b", "d"]
+    assert [n.text() for n in xpath_select(dom, "//div[1]/p[1]")] == ["a"]

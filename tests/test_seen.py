@@ -115,3 +115,35 @@ def test_seen_shards_check_and_add(ray_session):
         [True, True, False]
     s.kill()
     s2.kill()
+
+
+def test_politeness_restore_tolerates_pre_credit_snapshot(ray_session):
+    """Code-review r2: 5-tuple gate snapshots (pre-credit checkpoints)
+    must restore with credit defaulting to 0."""
+    from crawl4ai_ray.state.politeness import PolitenessGate
+
+    g = PolitenessGate(1, base_delay=(1.0, 1.0))
+    g.restore([{"h.test": [0.0, 2.0, 1, ["/private"], False]}])
+    snap = g.snapshot()[0]["h.test"]
+    assert snap[1] == 2.0 and snap[5] == 0.0
+    g.kill()
+
+
+def test_seen_restore_rebuilds_filter_from_exact(ray_session):
+    """Code-review r2: restore must rebuild the cuckoo table from the
+    exact array (the truth) — a blob written under a different bucket
+    scheme would silently yield false negatives."""
+    import ray
+
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+    from crawl4ai_ray.state.seen import SeenShard
+
+    keys = (np.arange(2000, dtype=np.uint64) * np.uint64(0x9E3779B1)
+            + np.uint64(3))
+    # craft a blob whose table bytes are garbage relative to the keys
+    wrong = CuckooFilter(capacity=1 << 12)
+    shard = SeenShard.remote(0, 1 << 12)
+    ray.get(shard.restore.remote(wrong.to_bytes(), keys.tobytes()))
+    out = ray.get(shard.check_and_add.remote(keys))
+    assert out.all(), "restored shard lost seen hashes"
+    ray.kill(shard)

@@ -86,3 +86,32 @@ def test_lsh_pairs_recall_on_planted_dups(ray_session, planted_dir):
     assert not (ak - ek), "LSH emitted a pair the exact form rejects"
     recall = len(ek & ak) / len(ek)
     assert recall >= 0.9, f"recall {recall:.2f} below the AND-OR bound"
+
+
+def test_blocked_sparse_vec_ids_no_duplicates(ray_session,
+                                              tmp_path_factory):
+    """Code-review r2 regression: with a residue class of vec_id %
+    n_chunks empty (e.g. all-even ids), a cross-chunk group with one
+    empty side must NOT be misread as a diagonal group (which re-emitted
+    within-chunk pairs as duplicates)."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((256, 16))
+    d = tmp_path_factory.mktemp("sparse")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(256, dtype=np.int64) * 2),
+                "embedding": pa.array([list(map(float, r)) for r in mat],
+                                      type=pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    cols = ["vec_a", "vec_b", "cos"]
+    blocked = _norm(similarity.cosine_near_pairs(str(d), threshold=0.3,
+                                                 chunk_rows=64), cols)
+    bcast = _norm(similarity.cosine_near_pairs_broadcast(str(d),
+                                                         threshold=0.3),
+                  cols)
+    assert len(blocked) == len(bcast)
+    pd.testing.assert_frame_equal(blocked, bcast)
