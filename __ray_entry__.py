@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks_exploded": analysis.doc_chunks_exploded,
         "event_numbers": analysis.event_numbers,
         "exact_dedup": dedup.exact_dedup,
+        "exact_dedup_survivors": lambda sf: dedup.exact_dedup_survivors(sf),
         # similarity search
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.lsh_topk(sf),
@@ -586,6 +587,16 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(props, '[0-9]+')) AS n_matches
             FROM events
             WHERE len(regexp_extract_all(props, '[0-9]+')) > 0
+        """,
+        "exact_dedup_survivors": r"""
+            SELECT doc_id,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(substr(text, 1, 64))
+                   ) AS canonical_id,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(substr(text, 1, 64))
+                   ) AS survivor
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 64)) AS content_md5,

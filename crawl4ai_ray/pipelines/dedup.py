@@ -722,3 +722,41 @@ def simhash_near_pairs_driver(sf_dir: str, max_hamming: int = 3):
             "hamming": pa.array([r[2] for r in out], type=pa.int32()),
         }
     )
+
+
+def exact_dedup_survivors(sf_dir: str, prefix_len: int = 64):
+    """Exact-dedup keep-first corpus view: every document labeled with its
+    content group's canonical (minimum) doc_id and a survivor flag — the
+    exact-hash analogue of ``minhash_dedup_survivors``. Per-batch partial
+    (md5 → min doc_id) combiner, one small groupby, then a broadcast-free
+    second pass via ``Dataset.join`` of docs against the canonical map
+    keyed by content_md5."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = [
+            _hl.md5((t or "")[:prefix_len].encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "content_md5": pa.array(keys, pa.string())})
+
+    docs = ds.map_batches(keyed, batch_format="pyarrow",
+                          batch_size=8192).materialize()
+    canon = (
+        docs.groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="canonical_id"))
+    ).materialize()
+    n = _join_parts(docs, canon)
+    j = docs.join(canon, "inner", n, on=("content_md5",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        c = batch.column("canonical_id").to_numpy()
+        return pa.table({"doc_id": pa.array(d),
+                         "canonical_id": pa.array(c),
+                         "survivor": pa.array(d == c)})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -143,3 +143,30 @@ def test_distributed_empty_and_all_seen(ray_session):
     empty = next_frontier_distributed(cand.slice(0, 0), seen, next_seq=0)
     assert empty.num_rows == 0
     seen.kill()
+
+
+def test_engine_distributed_discovery_with_politeness(ray_session,
+                                                      tmp_path):
+    """Distributed discovery composes with the politeness gate: forced
+    threshold vs driver path must agree on fetched set and seen set even
+    when deferral mixes depths across supersteps."""
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=3)
+    site = SyntheticWeb(site_cfg)
+
+    def run(thresh, sub):
+        cfg = CrawlConfig(strategy="bfs", max_depth=3, politeness=True,
+                          politeness_partitions=2,
+                          out_dir=str(tmp_path / sub), n_seen_shards=2,
+                          fetch_concurrency=2,
+                          distributed_discovery_min_candidates=thresh)
+        eng = CrawlEngine(cfg,
+                          fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+        return eng.run(site.seed_urls())
+
+    drv = run(None, "drv")
+    dist = run(0, "dist")
+    key = lambda rows: sorted((r["url"], r["status"]) for r in rows)
+    assert key(dist.order) == key(drv.order)
+    assert np.array_equal(dist.seen_hashes, drv.seen_hashes)
