@@ -112,11 +112,17 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
         batch = batch.drop_columns(["html"])
     if batch.num_rows:
         # the cand column is internal discovery state — documents on disk
-        # carry spans/links/markdown, not the frontier plumbing
-        pq.write_table(
-            batch.drop_columns(["cand"]),
-            os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet"),
-        )
+        # carry spans/links/markdown, not the frontier plumbing.
+        # Part names are DETERMINISTIC (first seq of the batch — unique
+        # within a superstep since frontier blocks are disjoint seq
+        # slices) and the write goes through an atomic rename: a Ray task
+        # retry overwrites its own part instead of duplicating rows
+        # (code-review r2).
+        first_seq = batch.column("seq")[0].as_py()
+        final = os.path.join(out_dir, f"part-{first_seq:012d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(batch.drop_columns(["cand"]), tmp)
+        os.replace(tmp, final)
     order_struct = _table_to_struct(batch.select(_ORDER_COLS))
 
     cand_list = batch.column("cand").combine_chunks()
@@ -764,6 +770,7 @@ class CrawlEngine:
                 next_seq = state["next_seq"]
                 k = rk + 1
                 res.order = state.get("order", [])
+                res.urls_fetched = len(res.order)
                 saved_gate = state.get("gate")
         if frontier is None:
             os.makedirs(docs_root, exist_ok=True)
@@ -1210,6 +1217,7 @@ class CrawlEngine:
                 seq = state["next_seq"]
                 k = rk + 1
                 res.order = state.get("order", [])
+                res.urls_fetched = len(res.order)
                 saved_gate = state.get("gate")
                 if "deferred_tbl" in state:
                     saved_deferred = pl.from_arrow(state["deferred_tbl"])
@@ -1422,21 +1430,25 @@ class CrawlEngine:
                 "frontier_in": batch_df.height,
                 "fetched": sum(1 for r in kept_rows if r["success"]),
                 "skipped_seen": int(dup.sum()),
-                "skipped_filtered": 0, "deferred": 0,
+                "skipped_filtered": n_prefiltered, "deferred": 0,
                 "discovered": 0,
                 "fetch_ms_sum": float(sum(r.get("fetch_ms") or 0.0
                                           for r in kept_rows)),
                 "parse_ms_sum": float(sum(r.get("parse_ms") or 0.0
                                           for r in kept_rows)),
             })
-            state = {"pages_crawled": pages_crawled, "next_seq": seq,
-                     "strategy": "best_first", "_step_order": kept_rows}
-            if gate is not None:
-                state["gate"] = gate.snapshot()
-            if deferred_df is not None and deferred_df.height:
-                state["_deferred_tbl"] = deferred_df.to_arrow()
-            self._checkpoint(k, pool.to_arrow(), seen, state,
-                             lineage_all[-1:])
+            if cfg.checkpoint_dir:
+                # guard like the BFS path — the non-checkpointed hot loop
+                # must not pay pool.to_arrow() per ~10-row superstep
+                state = {"pages_crawled": pages_crawled, "next_seq": seq,
+                         "strategy": "best_first",
+                         "_step_order": kept_rows}
+                if gate is not None:
+                    state["gate"] = gate.snapshot()
+                if deferred_df is not None and deferred_df.height:
+                    state["_deferred_tbl"] = deferred_df.to_arrow()
+                self._checkpoint(k, pool.to_arrow(), seen, state,
+                                 lineage_all[-1:])
             k += 1
 
         res.pages_crawled = pages_crawled

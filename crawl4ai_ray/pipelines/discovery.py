@@ -64,28 +64,42 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
     def block_meta(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"first": pa.array([], pa.uint64()),
-                             "last": pa.array([], pa.uint64())})
+                             "last": pa.array([], pa.uint64()),
+                             "first_ps": pa.array([], pa.int64()),
+                             "first_li": pa.array([], pa.int64())})
         return pa.table(
             {"first": pa.array([batch.column("url_hash")[0].as_py()],
                                type=pa.uint64()),
              "last": pa.array(
                  [batch.column("url_hash")[batch.num_rows - 1].as_py()],
-                 type=pa.uint64())}
+                 type=pa.uint64()),
+             # (parent_seq, link_idx) of the first row — the sort key's
+             # unique tail, identifying THIS block's first row exactly
+             "first_ps": pa.array(
+                 [batch.column("parent_seq")[0].as_py()], type=pa.int64()),
+             "first_li": pa.array(
+                 [int(batch.column("link_idx")[0].as_py())],
+                 type=pa.int64())}
         )
 
     meta = (
         sorted_ds.map_batches(block_meta, batch_format="pyarrow",
                               batch_size=None)
         .to_pandas()
-        .sort_values("first")
+        .sort_values(["first", "first_ps", "first_li"])
     )
-    drop_first: set[int] = set()
+    # Drop decisions are keyed by the first ROW's unique (parent_seq,
+    # link_idx), not by the url_hash VALUE: a duplicate run that starts
+    # exactly at a block boundary and spans a further boundary would
+    # otherwise put its hash in a value-keyed drop set and delete the
+    # run's global first occurrence too (code-review r2).
+    drop_rows: set[tuple[int, int]] = set()
     prev_last = None
     for r in meta.itertuples():
         if prev_last is not None and int(r.first) == int(prev_last):
-            drop_first.add(int(r.first))
+            drop_rows.add((int(r.first_ps), int(r.first_li)))
         prev_last = r.last
-    drop_ref = ray.put(drop_first)
+    drop_ref = ray.put(drop_rows)
 
     def dedup(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
         if batch.num_rows == 0:
@@ -93,43 +107,71 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
         drops = ray.get(drop_ref)
         h = batch.column("url_hash").to_numpy(zero_copy_only=False)
         keep = np.empty(len(h), dtype=bool)
-        keep[0] = int(h[0]) not in drops
+        first_key = (int(batch.column("parent_seq")[0].as_py()),
+                     int(batch.column("link_idx")[0].as_py()))
+        keep[0] = first_key not in drops
         keep[1:] = h[1:] != h[:-1]
         return batch.filter(pa.array(keep))
 
     # -- 2. distributed seen-set check --------------------------------------
+    # Retry safety (code-review r2): a mutating check_and_add inside a
+    # retryable map task would report everything already-seen on replay
+    # and silently drop the block. Split into (a) a READ-ONLY contains()
+    # filter — idempotent, so Ray may retry it freely — materialized so
+    # every membership test observes the pre-superstep state, then (b) an
+    # IDEMPOTENT add() pass marking all deduped candidates seen
+    # (re-adding on retry is a no-op). Same final state and same return
+    # as the old single check_and_add, exactly-once no longer required.
     shards = seen.shards
     n_shards = seen.n_shards
 
-    def check(batch: pa.Table) -> pa.Table:
+    def _partition(hashes):
+        return (hashes % np.uint64(n_shards)).astype(np.int64)
+
+    def filter_unseen(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         hashes = batch.column("url_hash").to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
+        shard_of = _partition(hashes)
         dup = np.zeros(len(hashes), dtype=bool)
         futs, idxs = [], []
         for s in range(n_shards):
             idx = np.nonzero(shard_of == s)[0]
             if len(idx):
-                futs.append(shards[s].check_and_add.remote(hashes[idx]))
+                futs.append(shards[s].contains.remote(hashes[idx]))
                 idxs.append(idx)
         for idx, r in zip(idxs, ray.get(futs)):
             dup[idx] = r
         return batch.filter(pa.array(~dup))
 
+    def mark_seen(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            hashes = batch.column("url_hash") \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            shard_of = _partition(hashes)
+            futs = []
+            for s in range(n_shards):
+                idx = np.nonzero(shard_of == s)[0]
+                if len(idx):
+                    futs.append(shards[s].add.remote(hashes[idx]))
+            ray.get(futs)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
     deduped = sorted_ds.map_batches(dedup, batch_format="pyarrow",
-                                    batch_size=None)
+                                    batch_size=None).materialize()
     if with_stats:
-        # one extra materialize buys the exact "removed by seen check"
-        # lineage count (level-local dups vs cross-level dups differ)
-        deduped = deduped.materialize()
         n_after_dedup = deduped.count()
-    survivors = deduped.map_batches(check, batch_format="pyarrow",
+    survivors = deduped.map_batches(filter_unseen, batch_format="pyarrow",
                                     batch_size=None)
 
     # -- 3. sort by discovery key + block-offset seq ------------------------
     final_sorted = survivors.sort(["parent_seq", "link_idx"]).materialize()
+    # every deduped candidate is marked seen AFTER the reads completed
+    # (BFS law: over-capacity candidates are marked seen too); add() is
+    # idempotent so task retries are harmless
+    deduped.map_batches(mark_seen, batch_format="pyarrow",
+                        batch_size=None).count()
 
     def key_count(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -22,6 +22,7 @@ lookup actor (same shape as the seen-set); the store layout is unchanged.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 import pyarrow as pa
@@ -30,12 +31,21 @@ import pyarrow.parquet as pq
 VALID_MODES = ("enabled", "disabled", "read_only", "write_only", "bypass")
 
 
+def _check_mode(mode: str) -> str:
+    """A misspelled mode must fail loudly, not silently behave as bypass
+    (code-review r2)."""
+    if mode not in VALID_MODES:
+        raise ValueError(
+            f"invalid cache_mode {mode!r}; expected one of {VALID_MODES}")
+    return mode
+
+
 def should_read(mode: str) -> bool:
-    return mode in ("enabled", "read_only")
+    return _check_mode(mode) in ("enabled", "read_only")
 
 
 def should_write(mode: str) -> bool:
-    return mode in ("enabled", "write_only")
+    return _check_mode(mode) in ("enabled", "write_only")
 
 
 class CacheStore:
@@ -44,7 +54,10 @@ class CacheStore:
         os.makedirs(cache_dir, exist_ok=True)
 
     def load(self) -> dict[int, tuple[str, int]]:
-        """url_hash → (html, status). Deduped last-write-wins."""
+        """url_hash → (html, status). Deduped last-write-wins: part names
+        lead with a zero-padded write timestamp, so lexicographic order IS
+        write order (pre-timestamp uuid-only parts sort first and lose,
+        which is the correct bias for stale entries)."""
         out: dict[int, tuple[str, int]] = {}
         for name in sorted(os.listdir(self.cache_dir)):
             if not name.endswith(".parquet"):
@@ -61,11 +74,17 @@ class CacheStore:
         """Task-side append of (url_hash, url, html, status) rows."""
         if batch.num_rows == 0:
             return
-        pq.write_table(
-            batch.select(["url_hash", "url", "html", "status"]),
-            os.path.join(self.cache_dir,
-                         f"cache-{uuid.uuid4().hex}.parquet"),
+        # timestamp prefix makes sorted(filenames) == write order (the
+        # load() last-write-wins law); uuid suffix keeps concurrent
+        # writers collision-free; atomic rename keeps readers consistent
+        final = os.path.join(
+            self.cache_dir,
+            f"cache-{time.time_ns():020d}-{uuid.uuid4().hex}.parquet",
         )
+        tmp = final + ".tmp"
+        pq.write_table(batch.select(["url_hash", "url", "html", "status"]),
+                       tmp)
+        os.replace(tmp, final)
 
     def size(self) -> int:
         return len(self.load())

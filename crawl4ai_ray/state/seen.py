@@ -21,6 +21,17 @@ import ray
 from .cuckoo import CuckooFilter
 
 
+def _in_sorted(sorted_arr: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Membership of ``hashes`` in an already-sorted array via
+    searchsorted — O(n log m), unlike np.isin which re-sorts its second
+    argument on every call (code-review r2)."""
+    if not len(sorted_arr):
+        return np.zeros(len(hashes), dtype=bool)
+    idx = np.searchsorted(sorted_arr, hashes)
+    idx[idx == len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[idx] == hashes
+
+
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One shard of the URL-seen set."""
@@ -43,8 +54,7 @@ class SeenShard:
         seen_before = np.zeros(len(hashes), dtype=bool)
         if maybe.any() and len(self._exact_sorted):
             idx = np.nonzero(maybe)[0]
-            seen_before[idx] = np.isin(hashes[idx], self._exact_sorted,
-                                       assume_unique=False)
+            seen_before[idx] = _in_sorted(self._exact_sorted, hashes[idx])
         # within-batch duplicates: only the first occurrence is "new"
         _, first_idx = np.unique(hashes, return_index=True)
         is_first = np.zeros(len(hashes), dtype=bool)
@@ -64,7 +74,11 @@ class SeenShard:
         incremental insert (table locally full) forces an immediate rebuild
         — a dropped fingerprint is a filter false negative, which would
         make check_and_add report seen URLs as new."""
-        self._exact_sorted = np.union1d(self._exact_sorted, new)
+        new = np.unique(new)
+        # merge two sorted arrays in O(m+n) instead of union1d's full
+        # re-sort (np.insert with searchsorted positions keeps order)
+        pos = np.searchsorted(self._exact_sorted, new)
+        self._exact_sorted = np.insert(self._exact_sorted, pos, new)
         if self._maybe_rebuild():
             return
         if self.filter.insert_batch(new):
@@ -101,12 +115,12 @@ class SeenShard:
         out = np.zeros(len(hashes), dtype=bool)
         if maybe.any() and len(self._exact_sorted):
             idx = np.nonzero(maybe)[0]
-            out[idx] = np.isin(hashes[idx], self._exact_sorted)
+            out[idx] = _in_sorted(self._exact_sorted, hashes[idx])
         return out
 
     def add(self, hashes: np.ndarray) -> int:
         hashes = np.unique(hashes.astype(np.uint64, copy=False))
-        fresh = hashes[~np.isin(hashes, self._exact_sorted)]
+        fresh = hashes[~_in_sorted(self._exact_sorted, hashes)]
         if len(fresh):
             self._insert_new(fresh)
         return len(self._exact_sorted)
@@ -205,6 +219,14 @@ class SeenSet:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, blobs: list[tuple[bytes, bytes]]) -> None:
+        if len(blobs) != self.n_shards:
+            # hash->shard routing is h % n_shards: restoring into a
+            # different shard count would silently misplace every hash
+            # (code-review r2)
+            raise ValueError(
+                f"checkpoint has {len(blobs)} seen-set shards but this "
+                f"run is configured with {self.n_shards}; resume with "
+                f"n_seen_shards={len(blobs)}")
         ray.get(
             [
                 s.restore.remote(fb, eb)

@@ -170,3 +170,31 @@ def test_engine_distributed_discovery_with_politeness(ray_session,
     key = lambda rows: sorted((r["url"], r["status"]) for r in rows)
     assert key(dist.order) == key(drv.order)
     assert np.array_equal(dist.seen_hashes, drv.seen_hashes)
+
+
+def test_run_starting_at_block_boundary_keeps_first(ray_session):
+    """Code-review r2 regression: when a duplicate run occupies entire
+    blocks from position 0, the value-keyed drop set used to delete the
+    run's global FIRST occurrence too. One unique URL duplicated across
+    every block must survive exactly once."""
+    n = 30
+    url = "http://h0.test/only"
+    cand = pa.table(
+        {
+            "url": pa.array([url] * n, pa.string()),
+            "url_hash": pa.array(np.full(n, hash64(url), dtype=np.uint64)),
+            "host": pa.array(["h0.test"] * n, pa.string()),
+            "parent_seq": pa.array(list(range(n)), pa.int64()),
+            "link_idx": pa.array([0] * n, pa.int32()),
+            "source_depth": pa.array([1] * n, pa.int32()),
+            "passes": pa.array([True] * n, pa.bool_()),
+            "score": pa.array([0.0] * n, pa.float32()),
+        }
+    )
+    seen = SeenSet(2, 1 << 10)
+    out = next_frontier_distributed(cand, seen, next_seq=5, n_blocks=5)
+    assert out.column("url").to_pylist() == [url]
+    assert out.column("seq").to_pylist() == [5]
+    # and it is now marked seen
+    assert seen.contains(np.array([hash64(url)], dtype=np.uint64)).all()
+    seen.kill()
