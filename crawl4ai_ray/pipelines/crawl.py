@@ -212,6 +212,10 @@ class CrawlConfig:
     # 'disabled' | 'read_only' | 'write_only' | 'bypass'
     cache_dir: str | None = None
     cache_mode: str = "bypass"
+    # emit an additional ``markdown_compat`` document column rendered by
+    # the html2text-fidelity converter (byte-compatible with the
+    # reference's raw_markdown; ~doubles parse cost — off by default)
+    compat_markdown: bool = False
     # distributed discovery (pipelines/discovery.py): levels with at least
     # this many filtered candidates run level-dedup + seen-check + seq
     # assignment as a Ray Data pipeline instead of driver polars (byte-
@@ -293,7 +297,8 @@ _CAND_STRUCT = pa.struct(
 
 def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                  keep_html: bool, include_external: bool = False,
-                 filter_fn=None, scorer_fn=None) -> pa.Table:
+                 filter_fn=None, scorer_fn=None,
+                 compat_markdown: bool = False) -> pa.Table:
     """Fetch output → parsed docs + per-page candidate list.
 
     Candidate extraction (canonicalize / validate / filter / score — the
@@ -302,6 +307,20 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
     zero extra distributed passes per superstep."""
     t0 = time.perf_counter()
     out = parse_html_batch(batch, image_score_threshold=image_score_threshold)
+    if compat_markdown:
+        # html2text-fidelity markdown column (byte-compatible with the
+        # reference converter — functions/md_compat.py); the fast span
+        # converter's ``markdown`` column stays for the engine's own laws
+        from ..functions.md_compat import html_to_markdown_compat
+
+        compat = [
+            html_to_markdown_compat(h, u) if ok else ""
+            for h, u, ok in zip(batch.column("html").to_pylist(),
+                                batch.column("url").to_pylist(),
+                                out.column("success").to_pylist())
+        ]
+        out = out.append_column("markdown_compat",
+                                pa.array(compat, type=pa.large_string()))
     urls = out.column("url").to_pylist()
     succ = out.column("success").to_pylist()
     links_col = out.column("links").to_pylist()
@@ -530,6 +549,7 @@ class CrawlEngine:
                 "include_external": cfg.include_external,
                 "filter_fn": self.filter_fn,
                 "scorer_fn": self.scorer_fn,
+                "compat_markdown": cfg.compat_markdown,
             },
             batch_format="pyarrow",
             batch_size=cfg.parse_batch_size,
