@@ -114,6 +114,11 @@ class AdaptiveCrawl:
         self.max_pages = max_pages
         self.sample = consistency_sample
         self.state = AdaptiveState(query=query)
+        # never mutate the caller's config (the engine's cfg.max_pages IS
+        # the soft-stop channel mid-run — that must hit a private copy)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg)
         cfg.strategy = "best_first"
         cfg.max_pages = max_pages
         # rank links toward the query (reference rank_links: expected info
@@ -342,6 +347,9 @@ class EmbeddingAdaptiveCrawl:
         self._q_train = self._embed_local(self.state.train_queries)
         self._q_val = self._embed_local(self.state.val_queries)
         self._kb = np.zeros((0, embed_dim), dtype=np.float64)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg)   # same no-mutation rule as above
 
         q_mean = self._q_train.mean(axis=0)
         q_mean /= (np.linalg.norm(q_mean) or 1.0)
@@ -375,9 +383,6 @@ class EmbeddingAdaptiveCrawl:
         import ray.data as rd
 
         ds = rd.read_parquet(docs_dir, columns=["markdown", "success"])
-        dim = self._kb.shape[1] if self._kb.size else \
-            self._embedder.dim
-
         embedder = self._embedder
 
         def stage(batch: pa.Table) -> pa.Table:

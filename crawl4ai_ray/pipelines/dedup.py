@@ -82,7 +82,7 @@ def exact_dedup(sf_dir: str, prefix_len: int = 64):
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
         keys = [
-            hashlib.md5(t[:prefix_len].encode("utf-8")).hexdigest()
+            hashlib.md5((t or "")[:prefix_len].encode("utf-8")).hexdigest()
             for t in texts
         ]
         # per-batch partial aggregation (combiner) before the shuffle
@@ -504,6 +504,7 @@ def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64):
             }
         )
 
+    converged = False
     for _ in range(max_iters):
         n = _join_parts(edges, labels)
         cand = (
@@ -519,7 +520,16 @@ def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64):
         n_changed = stepped.sum("changed") or 0
         labels = stepped.select_columns(["node", "label"]).materialize()
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would under-deduplicate (a
+        # >max_iters-diameter chain keeps non-minimal canonical ids and
+        # extra survivors); surface it instead
+        raise RuntimeError(
+            f"min-label propagation did not converge within {max_iters} "
+            "rounds — component diameter exceeds the bound; raise "
+            "max_iters (or pre-collapse exact duplicates first)")
     return labels
 
 

@@ -65,13 +65,18 @@ def brute_force_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
         if exclude_self:
             keep = ids != query_vec_id
             ids, cos = ids[keep], cos[keep]
+        # local top-k must use the ORACLE's ordering — (round(cos,5)
+        # desc, vec_id asc) — not raw-cos argpartition with arbitrary
+        # ties, or duplicate embeddings at the k boundary resolve
+        # differently from the SQL (code-review r2)
+        r = np.round(cos, 5)
         if len(ids) > k:
-            idx = np.argpartition(-cos, k)[:k]
-            ids, cos = ids[idx], cos[idx]
+            order = np.lexsort((ids, -r))[:k]
+            ids, r = ids[order], r[order]
         return pa.table(
             {
                 "vec_id": pa.array(ids),
-                "cos": pa.array(np.round(cos, 5), type=pa.float64()),
+                "cos": pa.array(r, type=pa.float64()),
             }
         )
 

@@ -110,7 +110,10 @@ class EngineHTTPServer:
                         self._json(200, safe_config_dump(req["code"]))
                     else:
                         self._json(404, {"detail": "not found"})
-                except (KeyError, ValueError, TypeError) as exc:
+                except (KeyError, ValueError, TypeError, AttributeError,
+                        SyntaxError) as exc:
+                    # SyntaxError surfaces from /config/dump parsing;
+                    # AttributeError from non-string payload fields
                     self._json(422, {"detail": str(exc)})
 
         self._srv = ThreadingHTTPServer((host, port), Handler)
@@ -122,11 +125,8 @@ class EngineHTTPServer:
     def _fetch(self, url: str) -> dict:
         from .stages.fetch import SyntheticFetcher
 
-        return SyntheticFetcher(
-            None if self.site_cfg is None else
-            __import__("crawl4ai_ray.sources.synthetic_web",
-                       fromlist=["SiteConfig"]).SiteConfig(**self.site_cfg)
-        ).fetch_one(url)
+        # SyntheticFetcher already normalizes dict | SiteConfig | None
+        return SyntheticFetcher(self.site_cfg).fetch_one(url)
 
     def md(self, req: dict) -> dict:
         url = req["url"]

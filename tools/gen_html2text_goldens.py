@@ -86,6 +86,15 @@ CASES = {
     "empty_page": "",
     "only_ws": "  \n  ",
     "span_styles": '<p><span style="color:red">styled</span> text</p>',
+    "header_in_link": '<a href="/x"><h2>title</h2></a>',
+    "header_in_link_text": '<p><a href="/x">pre<h3>head</h3></a></p>',
+    "entity_in_pre": "q<pre>x &copy;<em>t</em></pre>",
+    "entity_in_code_abbr": '<p><b>s</b><code>q &copy;</code>'
+                           '<abbr title="T">q</abbr></p>',
+    "abbr_basic": '<p>The <abbr title="World Health Organization">WHO'
+                  "</abbr> says.</p>",
+    "stress_across_code": "<p><b>x</b><code>c</code>tail</p>",
+    "stress_across_blocks": "<p><b>x</b></p><p><code>alpha</code>tail</p>",
 }
 
 PINNED = dict(body_width=0, ignore_emphasis=False, ignore_links=False,
