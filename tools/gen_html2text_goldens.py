@@ -95,6 +95,9 @@ CASES = {
                   "</abbr> says.</p>",
     "stress_across_code": "<p><b>x</b><code>c</code>tail</p>",
     "stress_across_blocks": "<p><b>x</b></p><p><code>alpha</code>tail</p>",
+    "kbd_tt": "<p><kbd>Ctrl  C</kbd> and <tt>mono  sp</tt>tail</p>",
+    "kbd_after_stress": "<p><b>x</b><kbd>k</kbd>tail</p>",
+    "entity_after_stress": "<ul><li><b>x</b></li><li>&amp; tail</li></ul>",
 }
 
 PINNED = dict(body_width=0, ignore_emphasis=False, ignore_links=False,
