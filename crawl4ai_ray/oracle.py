@@ -179,10 +179,10 @@ def oracle_dfs(
         if not success:
             continue
         res.pages_crawled += 1
+        parsed = parse_html(page["html"], url)
+        res.docs[url] = parsed     # docs recorded for EVERY success (BFS law)
         if res.pages_crawled >= max_pages:
             break
-        parsed = parse_html(page["html"], url)
-        res.docs[url] = parsed
         next_depth = depth + 1
         if next_depth > max_depth:
             continue

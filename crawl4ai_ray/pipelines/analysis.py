@@ -121,8 +121,6 @@ def event_numbers(sf_dir: str):
     row per match through a global groupby for a count that never needed
     cross-row state. RegexExtractor remains the operator for extractions
     that DO need the match rows (values/spans)."""
-    import pyarrow.compute as pc
-
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -165,7 +163,9 @@ def bm25_rank(sf_dir: str, query: str = "window batch stream", k: int = 20,
 
     import ray
 
-    terms = [t for t in query.lower().split() if t]
+    # dedupe query terms: a repeated term must not double its df (idf
+    # corruption) nor add its score contribution twice (code-review r2)
+    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -238,10 +238,13 @@ def bm25_rank(sf_dir: str, query: str = "window batch stream", k: int = 20,
                                  type=pa.float64()),
             }
         )
-        # local top-k combiner
+        # local top-k combiner — select on the GLOBAL ordering (rounded
+        # score desc, doc_id asc) so rows tying at the k boundary cannot
+        # be kept/dropped batch-dependently (code-review r2)
         if tbl.num_rows > k:
-            idx = np.argpartition(-out_scores, k)[:k]
-            tbl = tbl.take(pa.array(np.sort(idx)))
+            r = np.round(out_scores, 6)
+            order = np.lexsort((np.asarray(ids, dtype=np.int64), -r))[:k]
+            tbl = tbl.take(pa.array(np.sort(order)))
         return tbl
 
     return (
@@ -459,6 +462,10 @@ def events_value_bands(sf_dir: str, band_width: float = 25.0,
         e = _ray.get(ref)
         v = batch.column("value").to_numpy(zero_copy_only=False)
         band = np.searchsorted(e, v, side="right").astype(np.int64) - 1
+        # negatives fall outside every oracle band (value >= lo with
+        # lo=0 for band 0) — drop them instead of clipping into band 0
+        keep = v >= 0
+        v, band = v[keep], band[keep]
         band = np.clip(band, 0, n_bands)  # overflow band = n_bands
         return pa.table({"band_id": pa.array(band)})
 

@@ -174,9 +174,7 @@ class HttpFetcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        t0 = time.perf_counter()
         pages = list(self.pool.map(self.fetch_one, urls))
-        dt = (time.perf_counter() - t0) * 1000.0 / max(1, len(urls))
         return (
             batch.append_column(
                 "html", pa.array([p["html"] for p in pages], type=pa.large_string())
@@ -190,7 +188,10 @@ class HttpFetcher:
             )
             .append_column(
                 "fetch_ms",
-                pa.array(np.full(len(urls), dt, dtype=np.float32), type=pa.float32()),
+                # per-request latency (fetch_one measures it) — a batch
+                # average would smear one slow timeout across every row
+                pa.array(np.array([p["latency_ms"] for p in pages],
+                                  dtype=np.float32), type=pa.float32()),
             )
             .append_column(
                 "from_cache",

@@ -130,10 +130,13 @@ class SpanHTMLParser(HTMLParser):
         )
 
     def _append_md(self, s: str):
-        if self._tables:
-            self._tables[-1].cell_text.append(s)
-        elif self._a_href is not None:
+        # an OPEN anchor wins over table-cell routing: anchor text inside
+        # a <td> must reach the link record (and the rendered link then
+        # lands in the cell via _close_link -> _append_md)
+        if self._a_href is not None:
             self._a_text.append(s)
+        elif self._tables:
+            self._tables[-1].cell_text.append(s)
         else:
             self._md.append(s)
 
@@ -146,6 +149,10 @@ class SpanHTMLParser(HTMLParser):
         if self._skip_depth:
             return
         a = dict(attrs)
+        if tag == "body":
+            # HTML parsing rules imply </head> at <body>; without this a
+            # page omitting </head> would drop its entire body
+            self._in_head = False
         if tag == "head":
             self._in_head = True
         elif tag == "title":
@@ -161,6 +168,8 @@ class SpanHTMLParser(HTMLParser):
         elif self._in_head:
             return
         elif tag == "a":
+            if self._a_href is not None:
+                self._close_link()   # browsers auto-close unclosed anchors
             self._a_href = a.get("href") or ""
             self._a_title = a.get("title") or ""
             self._a_text = []
@@ -234,6 +243,11 @@ class SpanHTMLParser(HTMLParser):
             self._md.append("\n\n")
 
     def handle_startendtag(self, tag, attrs):
+        if tag in _SKIP_CONTENT and tag != "head":
+            # a self-closing skip tag (<iframe/>, <svg/>) opens and closes
+            # in one event — incrementing _skip_depth here would never be
+            # matched by an end tag and silently drop the rest of the doc
+            return
         self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
@@ -364,11 +378,11 @@ class SpanHTMLParser(HTMLParser):
                     idx = len(self._cite_order) + 1
                     self._cite_index[resolved] = idx
                     self._cite_order.append(resolved)
-                self._md.append(f"{text}⟨{idx}⟩")
+                self._append_md(f"{text}⟨{idx}⟩")
             else:
-                self._md.append(f"[{text}]({resolved})")
+                self._append_md(f"[{text}]({resolved})")
         elif text:
-            self._md.append(text)
+            self._append_md(text)
 
     def _close_table(self, t: _Table):
         score = 0

@@ -188,3 +188,39 @@ def test_malformed_html_no_crash():
     assert isinstance(r["spans"], list)
     r2 = parse_html("", URL)
     assert r2["spans"] == []
+
+
+# -- code-review r2 regressions ---------------------------------------------
+
+
+def test_selfclosing_skip_tag_does_not_swallow_document():
+    r = parse_html('<p>before</p><iframe src="x"/><p>after content</p>',
+                   "http://a.com/")
+    assert "after content" in r["markdown"]
+    r2 = parse_html('<p>a</p><svg/><p>b</p>', "http://a.com/")
+    assert "b" in r2["markdown"]
+
+
+def test_missing_head_close_keeps_body():
+    r = parse_html('<html><head><title>T</title><body><p>hello world</p>'
+                   "</body></html>", "http://a.com/")
+    assert r["title"] == "T" and "hello world" in r["markdown"]
+
+
+def test_link_inside_table_cell():
+    r = parse_html('<table><tr><th>h</th></tr><tr><td>'
+                   '<a href="/x">Click</a></td></tr></table>',
+                   "http://a.com/page")
+    assert r["links"] and r["links"][0]["text"] == "Click"
+    # the rendered link lands inside the table cell, not as a stray
+    # text span before the table
+    assert not any(s["kind"] == "text" and "](http" in s["text"]
+                   for s in r["spans"])
+
+
+def test_unclosed_anchor_autocloses():
+    r = parse_html('<p><a href="/x">first<a href="/y">second</a></p>',
+                   "http://a.com/")
+    hrefs = [l["href"] for l in r["links"]]
+    assert "http://a.com/x" in hrefs and "http://a.com/y" in hrefs
+    assert "first" in r["markdown"] and "second" in r["markdown"]
