@@ -37,6 +37,13 @@ class SentenceChunking:
     """Sentence splitter on end-punctuation + whitespace (the reference's
     regex fallback at chunking_strategy.py:79-83; nltk unavailable)."""
 
+    # deliberately NOT the reference's commented-out fallback verbatim:
+    # its (?<![A-Za-z]\.) lookbehind suppresses a split after ANY word
+    # ending in a period (every normal sentence), which is why that regex
+    # is commented out in the reference and nltk.sent_tokenize ships
+    # instead (chunking_strategy.py:79-84; nltk unavailable here). This
+    # keeps the two sane guards (mid-token dots, capitalized
+    # abbreviations like "Dr.") and splits on end punctuation.
     _SENT_RE = re.compile(
         r"(?<!\w\.\w.)(?<![A-Z][a-z]\.)(?<=\.|\?|\!|\n)\s+"
     )

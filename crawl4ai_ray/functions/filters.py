@@ -131,6 +131,33 @@ _MIME_MAP = {
     "rtf": "application/rtf", "epub": "application/epub+zip",
     "jar": "application/java-archive", "bin": "application/octet-stream",
     "php": "application/x-httpd-php",
+    # completing reference parity (code-review r2: the table claimed to
+    # mirror filters.py:264-360 but omitted ~30 entries)
+    "exe": "application/vnd.microsoft.portable-executable",
+    "msi": "application/x-msdownload",
+    "woff": "font/woff", "woff2": "font/woff2",
+    "ttf": "font/ttf", "otf": "font/otf",
+    "dot": "application/msword",
+    "pptx": ("application/vnd.openxmlformats-officedocument"
+             ".presentationml.presentation"),
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+    "tar.gz": "application/gzip", "tgz": "application/gzip",
+    "apk": "application/vnd.android.package-archive",
+    "swf": "application/x-shockwave-flash",
+    "midi": "audio/midi", "mid": "audio/midi",
+    "ps": "application/postscript", "ai": "application/postscript",
+    "eps": "application/postscript",
+    "dmg": "application/x-apple-diskimage",
+    "iso": "application/x-iso9660-image",
+    "deb": "application/x-debian-package", "rpm": "application/x-rpm",
+    "sqlite": "application/vnd.sqlite3",
+    "unknown": "application/octet-stream",
+    "php3": "application/x-httpd-php", "php4": "application/x-httpd-php",
+    "php5": "application/x-httpd-php", "php7": "application/x-httpd-php",
+    "phtml": "application/x-httpd-php",
+    "phps": "application/x-httpd-php-source",
 }
 
 
@@ -174,7 +201,10 @@ class DomainFilter(BaseFilter):
     """Allow/block by domain with subdomain matching (filters.py:424-498):
     blocked wins; with no allow-list all non-blocked pass."""
 
-    _DOMAIN_RE = re.compile(r"://([^/?#]+)")
+    # the reference's extraction regex keeps the :port (and any ?#
+    # oddities up to the first slash) — ports therefore DON'T match their
+    # portless domain entries, faithfully
+    _DOMAIN_RE = re.compile(r"://([^/]+)")
 
     def __init__(self, allowed_domains=None, blocked_domains=None):
         def norm(ds):
@@ -184,8 +214,11 @@ class DomainFilter(BaseFilter):
                 ds = [ds]
             return frozenset(d.lower() for d in ds)
 
-        self._allowed = norm(allowed_domains)
-        self._blocked = norm(blocked_domains) or frozenset()
+        # reference law (filters.py:424-446): an EMPTY allow-list means
+        # "no allow restriction" (None), not "allow nothing"
+        self._allowed = norm(allowed_domains) if allowed_domains else None
+        self._blocked = (norm(blocked_domains) or frozenset()) \
+            if blocked_domains else frozenset()
 
     @staticmethod
     def _is_subdomain(domain: str, parent: str) -> bool:
@@ -193,8 +226,7 @@ class DomainFilter(BaseFilter):
 
     def _domain(self, url: str) -> str:
         m = self._DOMAIN_RE.search(url)
-        d = m.group(1).lower() if m else ""
-        return d.split(":")[0]
+        return m.group(1).lower() if m else ""
 
     def apply(self, url: str) -> bool:
         if not self._blocked and self._allowed is None:

@@ -190,18 +190,22 @@ class CompositeScorer(BaseScorer):
         self.normalize = normalize
 
     def _calculate(self, url: str) -> float:
-        total = sum(s.score(url) for s in self.scorers)
+        # the reference buffers each scorer's value in an array('f')
+        # before summing — per-scorer float32 rounding is part of the
+        # bit-for-bit contract (code-review r2)
+        total = sum(float(np.float32(s.score(url))) for s in self.scorers)
         if self.normalize and self.scorers:
             return total / len(self.scorers)
         return total
 
     def score_batch(self, urls) -> np.ndarray:
-        """Vectorized column arithmetic: one pass per scorer, summed."""
-        if not urls:
+        """Vectorized column arithmetic: one pass per scorer, summed
+        (per-scorer float32 rounding as in the scalar path)."""
+        if len(urls) == 0:
             return np.zeros(0)
         acc = np.zeros(len(urls))
         for s in self.scorers:
-            acc += s.score_batch(urls)
+            acc += s.score_batch(urls).astype(np.float32).astype(np.float64)
         if self.normalize and self.scorers:
             acc /= len(self.scorers)
         return acc

@@ -71,7 +71,7 @@ class SitemapSeeder:
 
     def __init__(self, site_cfg: dict | None = None, *, pattern: str = "*",
                  max_depth: int = 4, max_urls_per_domain: int = 100_000):
-        from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+        from ..sources.synthetic_web import SiteConfig
         from ..stages.fetch import SyntheticFetcher
 
         self.fetcher = SyntheticFetcher(
@@ -134,6 +134,20 @@ class SitemapSeeder:
         )
 
 
+
+def _dedupe_urls(urls):
+    """One row per URL across domains (the documented contract): a tiny
+    (url -> min domain) groupby — the url column is compact next to the
+    pages it seeds."""
+    from ray.data.aggregate import Min
+
+    return (
+        urls.groupby("url")
+        .aggregate(Min("domain", alias_name="domain"))
+        .select_columns(["domain", "url"])
+    )
+
+
 def seed_from_sitemaps(domains: list[str], site_cfg: dict, *,
                        pattern: str = "*", max_urls: int | None = None):
     """Pipeline entry: domains → deduped URL dataset (one row per URL)."""
@@ -147,6 +161,7 @@ def seed_from_sitemaps(domains: list[str], site_cfg: dict, *,
         batch_size=8,
         concurrency=2,
     )
+    urls = _dedupe_urls(urls)
     if max_urls is not None:
         urls = urls.limit(max_urls)
     return urls
@@ -302,6 +317,7 @@ def seed_from_cc(domains: list[str], index_dir: str, cache_dir: str, *,
         batch_size=8,
         concurrency=2,
     )
+    urls = _dedupe_urls(urls)
     if max_urls is not None:
         urls = urls.limit(max_urls)
     return urls

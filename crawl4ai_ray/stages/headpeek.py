@@ -21,12 +21,16 @@ from collections import defaultdict
 import numpy as np
 import pyarrow as pa
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
-_META_RE = re.compile(
-    r"<meta\s+[^>]*?(?:name|property)=[\"']([^\"']+)[\"'][^>]*?"
-    r"content=[\"']([^\"']*)[\"']",
-    re.I,
-)
+# reference HeadPeekr laws (utils.py:2859-2881), quirks included: the
+# title regex matches BARE <title> only and returns the raw capture (no
+# whitespace collapse); meta tags match name/property and content in ANY
+# attribute order, keys preserve case (so <meta name="Description"> does
+# NOT feed the description factors — the reference reads exact keys)
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.I | re.S)
+_META_TAG_RE = re.compile(r"<meta[^>]+>")
+_META_NAME_RE = re.compile(r"name=[\"'](.*?)[\"']")
+_META_PROP_RE = re.compile(r"property=[\"'](.*?)[\"']")
+_META_CONTENT_RE = re.compile(r"content=[\"'](.*?)[\"']")
 _LDJSON_RE = re.compile(r'<script[^>]+type=["\']application/ld\+json', re.I)
 
 
@@ -38,11 +42,20 @@ def peek_head(html: str) -> str:
 
 def get_title(head: str) -> str:
     m = _TITLE_RE.search(head)
-    return re.sub(r"\s+", " ", m.group(1)).strip() if m else ""
+    return m.group(1) if m else ""
 
 
 def extract_meta_tags(head: str) -> dict:
-    return {m.group(1).lower(): m.group(2) for m in _META_RE.finditer(head)}
+    out: dict = {}
+    for m in _META_TAG_RE.finditer(head):
+        tag = m.group(0)
+        name = _META_NAME_RE.search(tag)
+        prop = _META_PROP_RE.search(tag)
+        content = _META_CONTENT_RE.search(tag)
+        if content and (name or prop):
+            key = name.group(1) if name else prop.group(1)
+            out[key] = content.group(1)
+    return out
 
 
 def bm25_head_score(head: str, query: str, *, k1: float = 1.2,

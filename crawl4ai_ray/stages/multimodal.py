@@ -107,7 +107,7 @@ class MediaDecodeStage:
         for blob in batch.column("payload").to_pylist():
             try:
                 d = self.codec.decode(blob)
-            except ValueError:
+            except (ValueError, struct.error, IndexError):
                 if self.strict:
                     raise
                 d = {"width": -1, "height": -1, "n_frames": -1,
