@@ -44,12 +44,16 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     site_cfg = SiteConfig(**BENCH_SITE)
     site = SyntheticWeb(site_cfg)
     out = tempfile.mkdtemp(prefix="bench_crawl_")
-    # BENCH_DISCOVERY mode: "auto" (default — distributed above the 200k
-    # candidate threshold), "distributed" (forced for every level),
-    # "driver" (polars path only); all three are byte-equivalent
-    # (tests/test_discovery_distributed.py)
-    disc = {"auto": 2_000_000, "distributed": 0, "driver": None}[
-        os.environ.get("BENCH_DISCOVERY", "auto")]
+    # BENCH_DISCOVERY mode: "auto" (default — distributed above the 2M
+    # candidate threshold, the measured driver/distributed crossover),
+    # "distributed" (forced for every level), "driver" (polars path only);
+    # all three are byte-equivalent (tests/test_discovery_distributed.py)
+    disc_modes = {"auto": 2_000_000, "distributed": 0, "driver": None}
+    disc_mode = os.environ.get("BENCH_DISCOVERY", "auto")
+    if disc_mode not in disc_modes:
+        raise SystemExit(
+            f"BENCH_DISCOVERY={disc_mode!r}: expected auto|distributed|driver")
+    disc = disc_modes[disc_mode]
     cfg = CrawlConfig(
         strategy="bfs",
         max_depth=3,

@@ -223,8 +223,12 @@ def extract_page_query(body: Node, user_query: str | None = None) -> str:
     if h1 is not None:
         parts.append(h1.get_text())
     temp = ""
-    metas = {m.attrs.get("name"): m.attrs.get("content", "")
-             for m in root.find_all("meta")}
+    # First occurrence per name wins, matching bs4 soup.find semantics
+    # (content_filter_strategy.py uses soup.find which returns the FIRST
+    # matching <meta>; a dict comprehension would keep the last).
+    metas: dict = {}
+    for m in root.find_all("meta"):
+        metas.setdefault(m.attrs.get("name"), m.attrs.get("content", ""))
     for meta_name in ("keywords", "description"):
         content = metas.get(meta_name)
         if content:

@@ -395,52 +395,131 @@ def events_daily(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
-def events_asof_orders(sf_dir: str):
+def events_asof_orders(sf_dir: str, form: str = "auto",
+                       broadcast_limit: int = 2_000_000,
+                       n_buckets: int = 64):
     """As-of join — for each event, the user's most recent order at or
-    before the event time. Ray Data has no asof-join primitive; this is
-    the broadcast form (orders per key sorted into a numpy searchsorted
-    index, shipped once with ray.put). The big-big form buckets both
-    sides by key and runs pd.merge_asof per bucket inside map_groups
-    (ray_guide joins section). Output keeps the matched o_orderdate
-    (unambiguous under same-date ties, unlike the order key).
+    before the event time. Ray Data has no asof-join primitive; two forms:
+
+    - broadcast (small orders side): orders per key sorted into a numpy
+      searchsorted index, shipped once with ray.put — no shuffle of the
+      big events side;
+    - bucketed big-big (scale path): BOTH sides hash-bucketed on the key,
+      tagged and unioned, then one ``groupby(bucket).map_groups`` runs
+      ``pd.merge_asof(by=user_id)`` per bucket. Per-task memory is
+      (events+orders)/n_buckets — neither side is ever whole in one
+      place. Byte-equal to the broadcast form
+      (tests/test_analysis_scale.py).
+
+    ``form``: 'auto' picks by orders row count vs ``broadcast_limit``;
+    'broadcast' / 'bucketed' force a path. Output keeps the matched
+    o_orderdate (unambiguous under same-date ties, unlike the order key).
     """
     import ray
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
-        .to_pandas()
-    orders = orders.sort_values(["o_custkey", "o_orderdate"])
-    index = {
-        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
-        for k, g in orders.groupby("o_custkey")
-    }
-    ref = ray.put(index)
+    orders_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    events_ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    if form == "auto":
+        form = "broadcast" if orders_ds.count() <= broadcast_limit \
+            else "bucketed"
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    if form == "broadcast":
+        orders = orders_ds.to_pandas().sort_values(
+            ["o_custkey", "o_orderdate"])
+        index = {
+            int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
+            for k, g in orders.groupby("o_custkey")
+        }
+        ref = ray.put(index)
 
-    def asof(batch: pa.Table, ref=ref) -> pa.Table:
-        import ray as _ray
+        def asof(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
 
-        idx = _ray.get(ref)
-        uids = batch.column("user_id").to_pylist()
-        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]")
-        out_dates = []
-        for u, t in zip(uids, ts):
-            dates = idx.get(int(u))
-            if dates is None or len(dates) == 0:
-                out_dates.append(None)
-                continue
-            pos = int(np.searchsorted(dates, t, side="right")) - 1
-            out_dates.append(str(dates[pos])[:10] if pos >= 0 else None)
-        return pa.table(
-            {
-                "event_id": batch.column("event_id"),
-                "user_id": batch.column("user_id"),
-                "asof_order_date": pa.array(out_dates, type=pa.string()),
-            }
-        )
+            idx = _ray.get(ref)
+            uids = batch.column("user_id").to_pylist()
+            ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]")
+            out_dates = []
+            for u, t in zip(uids, ts):
+                dates = idx.get(int(u))
+                if dates is None or len(dates) == 0:
+                    out_dates.append(None)
+                    continue
+                pos = int(np.searchsorted(dates, t, side="right")) - 1
+                out_dates.append(str(dates[pos])[:10] if pos >= 0 else None)
+            return pa.table(
+                {
+                    "event_id": batch.column("event_id"),
+                    "user_id": batch.column("user_id"),
+                    "asof_order_date": pa.array(out_dates,
+                                                type=pa.string()),
+                }
+            )
 
-    return ds.map_batches(asof, batch_format="pyarrow", batch_size=65536)
+        return events_ds.map_batches(asof, batch_format="pyarrow",
+                                     batch_size=65536)
+
+    # bucketed big-big: unify schemas (side 0=event, 1=order), bucket on a
+    # splitmix-style key hash, co-group with ONE shuffle, merge_asof per
+    # bucket. Key hashing (not raw key % P) spreads sequential custkeys.
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(_bucket(uid)),
+            "_side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "_t": batch.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]"),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(_bucket(ck)),
+            "_side": pa.array(np.ones(len(ck), dtype=np.int8)),
+            "event_id": pa.array(np.zeros(len(ck), dtype=np.int64)),
+            "user_id": pa.array(ck),
+            "_t": batch.column("o_orderdate")
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]"),
+        })
+
+    tagged = events_ds.map_batches(tag_events, batch_format="pyarrow",
+                                   batch_size=65536) \
+        .union(orders_ds.map_batches(tag_orders, batch_format="pyarrow",
+                                     batch_size=65536))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0].sort_values("_t", kind="mergesort")
+        od = g[g["_side"] == 1][["user_id", "_t"]] \
+            .sort_values("_t", kind="mergesort") \
+            .rename(columns={"_t": "_ot"})
+        if len(ev) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "asof_order_date":
+                                     pd.Series([], dtype="object")})
+        m = pd.merge_asof(ev, od, left_on="_t", right_on="_ot",
+                          by="user_id", direction="backward")
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "asof_order_date":
+                m["_ot"].dt.strftime("%Y-%m-%d").astype("object")
+                .where(m["_ot"].notna(), None),
+        })
+
+    return tagged.groupby("_bucket").map_groups(merge,
+                                                batch_format="pandas")
 
 
 def events_value_bands(sf_dir: str, band_width: float = 25.0,
@@ -688,7 +767,7 @@ def customer_running_revenue(sf_dir: str, max_custkey: int = 200):
     at any cut)."""
     ds = _read(sf_dir, "orders",
                ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
-    ds = ds.filter(lambda r: r["o_custkey"] <= max_custkey)
+    ds = ds.filter(expr=f"o_custkey <= {int(max_custkey)}")
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_orderdate", "o_orderkey"])
@@ -700,12 +779,20 @@ def customer_running_revenue(sf_dir: str, max_custkey: int = 200):
                                               batch_format="pandas")
 
 
-def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
-    """Anti-join: customers with no order since ``since``. The matching
-    order-key side is reduced to a DISTINCT int64 key set (distributed
-    distinct, collected — tiny next to the orders table) and broadcast
-    into a vectorized filter over customers — the guide's semi/anti-join
-    pattern; no shuffle of the big side."""
+def customers_without_orders(sf_dir: str, since: str = "2001-01-01",
+                             broadcast_limit: int = 2_000_000):
+    """Anti-join: customers with no order since ``since``. Two forms,
+    auto-switched on the distinct-key cardinality:
+
+    - broadcast (default at TPC-H shapes): the matching side is reduced to
+      a DISTINCT int64 key set per batch, distinct-merged with a groupby
+      (distributed), and — when small — collected + broadcast into a
+      vectorized np.isin filter over customers; no shuffle of either side.
+    - hash anti-join (scale-safe fallback): when the distinct key set
+      exceeds ``broadcast_limit`` rows it would be O(keys) per worker to
+      broadcast, so both sides shuffle through Ray Data's native
+      ``left_anti`` hash join instead.
+    """
     import ray
 
     cutoff = np.datetime64(since)
@@ -718,13 +805,29 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
                 np.unique(batch.column("o_custkey").to_numpy()[keep]))}
         )
 
-    keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+    # distributed distinct: per-batch unique combiner, then a groupby on
+    # the (already compacted) key column — the collected result is at most
+    # one row per distinct key.
+    keys_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
         .map_batches(recent_keys, batch_format="pyarrow") \
-        .unique("o_custkey")
-    key_arr = np.asarray(sorted(keys), dtype=np.int64)
-    ref = ray.put(key_arr)
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
+        .select_columns(["o_custkey"]) \
+        .materialize()
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    if keys_ds.count() > broadcast_limit:
+        from .dedup import _join_parts
+
+        return cust.join(
+            keys_ds, join_type="left_anti",
+            num_partitions=_join_parts(cust, keys_ds),
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+
+    key_arr = np.sort(np.asarray(
+        [r["o_custkey"] for r in keys_ds.take_all()], dtype=np.int64))
+    ref = ray.put(key_arr)
 
     def anti(batch: pa.Table, ref=ref) -> pa.Table:
         have = ray.get(ref)
@@ -735,24 +838,223 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def grouped_median_distributed(ds, key_col: str, val_col: str,
+                               bins: int = 4096,
+                               collect_cap: int = 262_144) -> pa.Table:
+    """Exact per-group median without ever holding a group in one task.
+
+    A holistic aggregate over LOW-cardinality keys is the worst case for
+    ``groupby(key).map_groups``: 5 distinct keys means each "group" is
+    ~n/5 of the table in a single task. This is the distributed
+    selection-by-histogram form instead:
+
+    1. one aggregate pass → per-key (count, min, max) — driver holds one
+       row per key (the helper's only assumption: distinct-key count is
+       driver-resident; for HIGH-cardinality keys plain map_groups is
+       already safe and preferable);
+    2. iterate: a map_batches histogram pass buckets each key's values
+       inside its current [lo, hi] window into ``bins`` bins (per-batch
+       partials, merged by a tiny groupby — n_keys×bins rows); the driver
+       locates the bins containing the two median ranks and narrows the
+       window, accumulating the count below it. Candidates shrink ~bins×
+       per pass (10^12 rows → ≤3 passes at 4096 bins);
+    3. when total in-window candidates ≤ ``collect_cap``, a final filter
+       pass collects them and the driver takes the exact order statistics
+       (mean of the two middle values — np.median / DuckDB ``median()``
+       semantics).
+
+    Returns a driver-resident Arrow table (n_keys rows):
+    (key_col, median, n).
+    """
+    import ray
+
+    stats = {
+        r[key_col]: r
+        for r in ds.groupby(key_col).aggregate(
+            Count(alias_name="_n"),
+            Min(val_col, alias_name="_lo"),
+            Max(val_col, alias_name="_hi"),
+        ).take_all()
+    }
+    # per-key selection state: window [lo, hi] (inclusive), candidate
+    # upper bound, and the two 0-indexed median ranks r1 <= r2. The
+    # below-window count is NOT accumulated across passes — every
+    # histogram pass recounts v < lo fresh over the whole column, so
+    # float drift at bin edges can never corrupt the rank arithmetic.
+    state = {}
+    for k, r in stats.items():
+        n = int(r["_n"])
+        state[k] = {
+            "lo": float(r["_lo"]), "hi": float(r["_hi"]),
+            "r1": (n - 1) // 2, "r2": n // 2, "cand": n,
+        }
+
+    def _hist_pass(windows):
+        """One full-scan pass → per key: (count of v < lo, bin counts
+        inside [lo, hi]). Per-batch partials merged by a tiny groupby
+        (n_keys × (bins+1) rows reach the driver)."""
+        ref = ray.put(windows)
+
+        def hist(batch: pa.Table, ref=ref, bins=bins,
+                 key_col=key_col, val_col=val_col) -> pa.Table:
+            import ray as _ray
+
+            win = _ray.get(ref)
+            keys = batch.column(key_col).to_pylist()
+            vals = batch.column(val_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            karr = np.asarray(keys, dtype=object)
+            out_k, out_b, out_c = [], [], []
+            for k, (lo, hi) in win.items():
+                v = vals[karr == k]
+                n_below = int(np.count_nonzero(v < lo))
+                if n_below:
+                    out_k.append(k)
+                    out_b.append(-1)  # bin -1 = below-window count
+                    out_c.append(n_below)
+                v = v[(v >= lo) & (v <= hi)]
+                if len(v) == 0:
+                    continue
+                width = (hi - lo) / bins
+                idx = np.clip(((v - lo) / width).astype(np.int64),
+                              0, bins - 1) if width > 0 else \
+                    np.zeros(len(v), dtype=np.int64)
+                bc = np.bincount(idx, minlength=bins)
+                nz = np.nonzero(bc)[0]
+                out_k.extend([k] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(bc[nz].tolist())
+            return pa.table({
+                "_k": pa.array(out_k),
+                "_bin": pa.array(out_b, type=pa.int64()),
+                "_cnt": pa.array(out_c, type=pa.int64()),
+            })
+
+        parts = ds.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536) \
+            .groupby(["_k", "_bin"]).aggregate(Sum("_cnt", alias_name="_c")) \
+            .take_all()
+        by_key: dict = {}
+        for row in parts:
+            by_key.setdefault(row["_k"], {})[int(row["_bin"])] = int(row["_c"])
+        return by_key
+
+    it = 0
+    while sum(s["cand"] for s in state.values()
+              if s["lo"] < s["hi"]) > collect_cap and it < 48:
+        it += 1
+        act = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
+        by_key = _hist_pass({k: (s["lo"], s["hi"]) for k, s in act.items()})
+
+        progressed = False
+        for k, s in act.items():
+            counts = by_key.get(k, {})
+            below = counts.pop(-1, 0)
+            lo, hi = s["lo"], s["hi"]
+            width = (hi - lo) / bins
+            order = sorted(counts)
+            t1, t2 = s["r1"] - below, s["r2"] - below
+            cum, b_lo, b_hi = 0, None, None
+            for b in order:
+                c = counts[b]
+                if b_lo is None and cum <= t1 < cum + c:
+                    b_lo = b
+                if cum <= t2 < cum + c:
+                    b_hi = b
+                cum += c
+            if b_lo is None or b_hi is None:
+                continue  # defensive: leave window as-is, collect later
+            new_lo = lo + b_lo * width
+            new_hi = hi if b_hi == bins - 1 else lo + (b_hi + 1) * width
+            in_window = sum(counts[b] for b in order if b_lo <= b <= b_hi)
+            if (new_lo, new_hi) != (lo, hi):
+                progressed = True
+            s["lo"], s["hi"], s["cand"] = new_lo, new_hi, in_window
+        if not progressed:
+            break  # duplicate-heavy window stopped splitting; collect as-is
+
+    # keys whose window collapsed to a point need no collection: every
+    # remaining candidate equals lo, so the median IS lo
+    solved = {k: s["lo"] for k, s in state.items() if s["lo"] == s["hi"]}
+
+    # final pass: per key, fresh below-count + collect in-window candidates
+    # (bounded by collect_cap, modulo degenerate duplicate-heavy windows)
+    windows = {k: (s["lo"], s["hi"]) for k, s in state.items()
+               if k not in solved}
+    ref = ray.put(windows)
+
+    def in_window(batch: pa.Table, ref=ref, key_col=key_col,
+                  val_col=val_col) -> pa.Table:
+        import ray as _ray
+
+        win = _ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        karr = np.asarray(keys, dtype=object)
+        mask = np.zeros(len(vals), dtype=bool)
+        below_k, below_c = [], []
+        for k, (lo, hi) in win.items():
+            km = karr == k
+            mask |= km & (vals >= lo) & (vals <= hi)
+            nb = int(np.count_nonzero(km & (vals < lo)))
+            if nb:
+                below_k.append(k)
+                below_c.append(nb)
+        t = pa.table({
+            key_col: pa.array(karr[mask].tolist() + below_k),
+            val_col: pa.array(np.concatenate(
+                [vals[mask], np.full(len(below_k), np.nan)])),
+            "_below": pa.array([0] * int(mask.sum()) + below_c,
+                               type=pa.int64()),
+        })
+        return t
+
+    cand: dict = {k: [] for k in windows}
+    below_tot: dict = {k: 0 for k in windows}
+    if windows:
+        for row in ds.map_batches(in_window, batch_format="pyarrow",
+                                  batch_size=65536).iter_rows():
+            if row["_below"]:
+                below_tot[row[key_col]] += row["_below"]
+            else:
+                cand[row[key_col]].append(row[val_col])
+
+    out_k, out_m, out_n = [], [], []
+    for k in sorted(state):
+        if k in solved:
+            med = solved[k]
+        else:
+            s = state[k]
+            v = np.sort(np.asarray(cand[k], dtype=np.float64))
+            i1, i2 = s["r1"] - below_tot[k], s["r2"] - below_tot[k]
+            med = (float(v[i1]) + float(v[i2])) / 2.0
+        out_k.append(k)
+        out_m.append(med)
+        out_n.append(int(stats[k]["_n"]))
+    return pa.table({key_col: pa.array(out_k),
+                     "median": pa.array(out_m, type=pa.float64()),
+                     "n": pa.array(out_n, type=pa.int64())})
+
+
 def order_value_median_by_priority(sf_dir: str):
     """Exact per-group median — a holistic aggregate Ray Data's built-ins
-    don't cover: groupby(priority).map_groups with np.median (per-group
-    rows bounded by the priority cardinality split)."""
+    don't cover, over a LOW-cardinality key (~5 priorities), so the naive
+    groupby.map_groups would put ~n/5 of the table in one task. Uses the
+    distributed two-pass histogram selection instead
+    (grouped_median_distributed): no task ever holds more than
+    collect_cap candidate rows."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-                "median_price": [round(float(np.median(g["o_totalprice"])),
-                                       2)],
-                "n_orders": [len(g)],
-            }
-        )
-
-    return ds.groupby("o_orderpriority").map_groups(med,
-                                                    batch_format="pandas")
+    t = grouped_median_distributed(ds, "o_orderpriority", "o_totalprice")
+    return pa.table({
+        "o_orderpriority": t.column("o_orderpriority"),
+        # DuckDB ROUND on DOUBLE is half-away-from-zero; Arrow's default
+        # half_to_even diverges on exact .xx5 midpoints (observed on a
+        # real two-middle-value average)
+        "median_price": pc.round(t.column("median"), 2,
+                                 round_mode="half_towards_infinity"),
+        "n_orders": t.column("n"),
+    })
 
 
 def revenue_by_nation_year(sf_dir: str):

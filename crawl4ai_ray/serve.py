@@ -115,6 +115,10 @@ class EngineHTTPServer:
                     # SyntaxError surfaces from /config/dump parsing;
                     # AttributeError from non-string payload fields
                     self._json(422, {"detail": str(exc)})
+                except Exception as exc:  # noqa: BLE001 — engine failures
+                    # (RuntimeError/OSError/...) must yield an HTTP status,
+                    # not a dropped connection.
+                    self._json(500, {"detail": f"internal error: {exc}"})
 
         self._srv = ThreadingHTTPServer((host, port), Handler)
         self.port = self._srv.server_address[1]
@@ -160,11 +164,32 @@ class EngineHTTPServer:
         urls = req["urls"]
         if not isinstance(urls, list) or not (1 <= len(urls) <= 100):
             raise ValueError("urls must be a list of 1..100")
-        ccfg = dict(req.get("crawler_config") or {})
+        raw_cfg = dict(req.get("crawler_config") or {})
+        # Only behavioural knobs are accepted over HTTP. Filesystem-path
+        # fields (out_dir / cache_dir / checkpoint_dir) are server-owned:
+        # a client that can reach the socket must not direct writes to
+        # arbitrary paths (the CLI allows non-loopback binds).
+        allowed = {
+            "strategy", "max_depth", "max_pages", "include_external",
+            "score_threshold", "bff_batch_size", "n_seen_shards",
+            "fetch_concurrency", "fetch_batch_size", "parse_batch_size",
+            "keep_html", "image_score_threshold", "simulate_latency",
+            "politeness", "politeness_partitions", "superstep_seconds",
+            "politeness_jitter", "check_robots", "cache_mode",
+            "compat_markdown",
+        }
+        rejected = sorted(set(raw_cfg) - allowed)
+        if rejected:
+            raise ValueError(
+                f"crawler_config fields not accepted over HTTP: {rejected}")
+        ccfg = {k: v for k, v in raw_cfg.items() if k in allowed}
         ccfg.setdefault("max_depth", 1)
-        ccfg.setdefault("out_dir", tempfile.mkdtemp(prefix="c4r_srv_"))
         ccfg.setdefault("n_seen_shards", 2)
         ccfg.setdefault("fetch_concurrency", 2)
+        srv_root = tempfile.mkdtemp(prefix="c4r_srv_")
+        ccfg["out_dir"] = srv_root
+        if ccfg.get("cache_mode", "bypass") != "bypass":
+            ccfg["cache_dir"] = srv_root + "/cache"
         cfg = CrawlConfig(**ccfg)
         eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": self.site_cfg})
         res = eng.run(urls)

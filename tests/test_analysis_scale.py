@@ -1,0 +1,96 @@
+"""Scale-path variants of the relational pipelines: the bucketed big-big
+as-of join, the hash anti-join fallback, and the distributed
+histogram-selection median — each checked for exact equality against the
+small-scale form (or numpy ground truth) on the sf0.001 tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from crawl4ai_ray.pipelines import analysis
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_asof_bucketed_equals_broadcast():
+    a = _norm(analysis.events_asof_orders(SF, form="broadcast").to_pandas())
+    b = _norm(analysis.events_asof_orders(SF, form="bucketed",
+                                          n_buckets=7).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_asof_auto_picks_bucketed_when_orders_big():
+    # broadcast_limit=0 forces every orders table over the limit
+    b = _norm(analysis.events_asof_orders(SF, form="auto",
+                                          broadcast_limit=0).to_pandas())
+    a = _norm(analysis.events_asof_orders(SF, form="broadcast").to_pandas())
+    assert a.equals(b)
+
+
+def test_customers_without_orders_join_fallback():
+    small = _norm(analysis.customers_without_orders(SF).to_pandas())
+    big = _norm(analysis.customers_without_orders(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(small) > 0
+    assert small.equals(big)
+
+
+def test_grouped_median_matches_numpy():
+    ds = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    got = analysis.grouped_median_distributed(
+        ds, "o_orderpriority", "o_totalprice").to_pandas() \
+        .set_index("o_orderpriority")
+    df = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    for k, g in df.groupby("o_orderpriority"):
+        assert got.loc[k, "median"] == pytest.approx(
+            float(np.median(g["o_totalprice"])), abs=0.0), k
+        assert int(got.loc[k, "n"]) == len(g)
+
+
+def test_grouped_median_forced_iterations():
+    # tiny bins + collect cap force the iterative narrowing loop to run
+    ds = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    got = analysis.grouped_median_distributed(
+        ds, "o_orderpriority", "o_totalprice", bins=4,
+        collect_cap=64).to_pandas().set_index("o_orderpriority")
+    df = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    for k, g in df.groupby("o_orderpriority"):
+        assert got.loc[k, "median"] == pytest.approx(
+            float(np.median(g["o_totalprice"])), abs=0.0), k
+
+
+def test_grouped_median_degenerate_constant_key():
+    # a key whose values are all identical collapses the window to a point
+    t = pa.table({
+        "k": ["a"] * 101 + ["b"] * 50,
+        "v": [7.0] * 101 + [float(i) for i in range(50)],
+    })
+    ds = rd.from_arrow([t.slice(i * 20, 20) for i in range(8)])
+    got = analysis.grouped_median_distributed(
+        ds, "k", "v", bins=4, collect_cap=8).to_pandas().set_index("k")
+    assert got.loc["a", "median"] == 7.0
+    assert got.loc["b", "median"] == pytest.approx(24.5)
+
+
+def test_grouped_median_even_and_odd_counts():
+    t = pa.table({
+        "k": ["e"] * 4 + ["o"] * 5,
+        "v": [1.0, 2.0, 3.0, 10.0, 5.0, 1.0, 9.0, 3.0, 7.0],
+    })
+    ds = rd.from_arrow([t.slice(0, 5), t.slice(5)])
+    got = analysis.grouped_median_distributed(
+        ds, "k", "v").to_pandas().set_index("k")
+    assert got.loc["e", "median"] == 2.5   # (2+3)/2
+    assert got.loc["o", "median"] == 5.0
