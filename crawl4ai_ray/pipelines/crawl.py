@@ -81,7 +81,10 @@ def _table_to_struct(t: pa.Table) -> pa.StructArray:
 def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
                 score_threshold: float, block_dedup: bool,
                 cache_dir: str | None = None,
-                drop_html: bool = False) -> pa.Table:
+                drop_html: bool = False,
+                cand_dir: str | None = None,
+                order_dir: str | None = None,
+                level_k: int = 0) -> pa.Table:
     """Task-side sink + combiner. Writes the full parsed batch as one
     parquet part (resumable superstep-partitioned output), then returns ONE
     row holding two nested lists: the compact order rows and the
@@ -163,6 +166,46 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
             .to_arrow()
             .cast(cand.schema)
         )
+    if cand_dir is not None:
+        # frontier-table mode: candidate + order rows are written to
+        # parquet TASK-SIDE (same deterministic part name + atomic-rename
+        # law as the documents write) and only tiny counters return to the
+        # driver — frontier data never transits driver heap.
+        first_seq = batch.column("seq")[0].as_py() if batch.num_rows else 0
+        if cand.num_rows:
+            final = os.path.join(cand_dir,
+                                 f"part-{first_seq:012d}.parquet")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(cand, tmp)
+            os.replace(tmp, final)
+        if order_dir is not None and batch.num_rows:
+            order_tbl = batch.select(_ORDER_COLS).append_column(
+                "level", pa.array([level_k] * batch.num_rows,
+                                  type=pa.int64()))
+            final = os.path.join(order_dir,
+                                 f"part-{first_seq:012d}.parquet")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(order_tbl, tmp)
+            os.replace(tmp, final)
+        n_success = int(
+            pc.sum(batch.column("success")).as_py() or 0
+        ) if batch.num_rows else 0
+        fetch_ms = float(
+            pc.sum(batch.column("fetch_ms")).as_py() or 0.0
+        ) if batch.num_rows else 0.0
+        parse_ms = float(
+            pc.sum(batch.column("parse_ms")).as_py() or 0.0
+        ) if batch.num_rows else 0.0
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+                "n_success": pa.array([n_success], type=pa.int64()),
+                "n_filtered": pa.array([n_filtered], type=pa.int64()),
+                "fetch_ms_sum": pa.array([fetch_ms], type=pa.float64()),
+                "parse_ms_sum": pa.array([parse_ms], type=pa.float64()),
+            }
+        )
+
     cand_struct = _table_to_struct(cand)
 
     def wrap(values):
@@ -227,6 +270,17 @@ class CrawlConfig:
     # distributed path's two sorts + materializations per level only pay
     # off when a level cannot be driver-resident at all).
     distributed_discovery_min_candidates: int | None = 2_000_000
+    # frontier-table mode (BFS only): the frontier lives as parquet
+    # between supersteps; candidates and crawl-order rows are written
+    # task-side, discovery runs fully distributed, and parents attach via
+    # a seq-keyed Dataset.join — the driver holds ONLY per-superstep
+    # counters. 'driver' (default) keeps the measured-faster small-scale
+    # path; 'table' is the 10^8-row/level path (bench: BENCH_FRONTIER).
+    frontier_mode: str = "driver"         # 'driver' | 'table'
+    # frontier-table mode: read the order parquet back into res.order at
+    # the end of the run (API parity with driver mode). Disable at corpus
+    # scale and consume res.order_dir instead.
+    collect_order: bool = True
 
 
 @dataclass
@@ -239,6 +293,7 @@ class CrawlRunResult:
     urls_fetched: int = 0
     wall_sec: float = 0.0
     seen_hashes: np.ndarray | None = None   # sorted uint64 (oracle comparison)
+    order_dir: str = ""                     # frontier-table mode: order parquet root
     # crawl order accumulates as segments — python dict lists for small
     # strategies (bff/dfs/politeness rows) and Arrow tables for BFS levels
     # (a 190k-row level stays columnar; ``order`` materializes lazily so
@@ -361,6 +416,46 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
     if not keep_html:
         out = out.drop_columns(["html"])
     return out
+
+
+def _cand_prep(batch: pa.Table) -> pa.Table:
+    """Frontier-table mode: candidate parquet → discovery input schema
+    (depth = source_depth + 1; sink already applied the depth/passes/score
+    gates and the block dedup)."""
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "url": batch.column("url"),
+        "url_hash": batch.column("url_hash"),
+        "host": batch.column("host"),
+        "depth": pc.add(batch.column("source_depth"),
+                        pa.scalar(1, type=pa.int32())).cast(pa.int32()),
+        "score": batch.column("score").cast(pa.float32()),
+        "parent_seq": batch.column("parent_seq"),
+        "link_idx": batch.column("link_idx"),
+    })
+
+
+def _prev_frontier_prep(batch: pa.Table) -> pa.Table:
+    """Frontier-table mode: previous frontier (seq, url) → join side
+    (parent_seq, parent) for the seq-keyed parent attach."""
+    return pa.table({
+        "parent_seq": batch.column("seq"),
+        "parent": batch.column("url"),
+    })
+
+
+def _frontier_project(batch: pa.Table) -> pa.Table:
+    """Frontier-table mode: join output → frontier parquet schema."""
+    return pa.table({
+        "url": batch.column("url"),
+        "url_hash": batch.column("url_hash").cast(pa.uint64()),
+        "host": batch.column("host"),
+        "depth": batch.column("depth").cast(pa.int32()),
+        "score": batch.column("score").cast(pa.float32()),
+        "parent": batch.column("parent"),
+        "seq": batch.column("seq").cast(pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -490,27 +585,39 @@ class CrawlEngine:
             if store:
                 self._cache_ref = ray.put(store)
 
-    def _fetch_parse_write(self, frontier: pa.Table, k: int,
-                           docs_root: str) -> str:
+    def _fetch_parse_write(self, frontier, k: int,
+                           docs_root: str, *,
+                           cand_dir: str | None = None,
+                           order_dir: str | None = None,
+                           n_frontier: int | None = None) -> str:
         """Distributed fetch→parse→write for one superstep; returns the
         superstep's documents dir. Payloads never touch the driver.
 
-        The frontier is pre-sliced into ~fetch_batch_size blocks so the map
-        operators get real parallelism (a single from_arrow block would
-        serialize the whole level into one task)."""
+        ``frontier`` is a driver ``pa.Table`` (pre-sliced into
+        ~fetch_batch_size blocks so the map operators get real
+        parallelism — a single from_arrow block would serialize the whole
+        level into one task) or an already-distributed Dataset
+        (frontier-table mode; pass ``n_frontier`` for block sizing and
+        ``cand_dir``/``order_dir`` so the sink writes frontier data
+        task-side and returns only counters)."""
         cfg = self.cfg
         out_dir = os.path.join(docs_root, f"superstep={k:05d}")
         shutil.rmtree(out_dir, ignore_errors=True)
-        n = frontier.num_rows
+        n = n_frontier if n_frontier is not None else frontier.num_rows
         ncpu = int(ray.cluster_resources().get("CPU",
                                                cfg.fetch_concurrency))
         n_blocks = max(1, min((n + cfg.fetch_batch_size - 1)
                               // cfg.fetch_batch_size,
                               4 * max(ncpu, cfg.fetch_concurrency)))
-        per = (n + n_blocks - 1) // n_blocks
-        slices = [frontier.slice(i * per, per) for i in range(n_blocks)
-                  if i * per < n]
-        ds = rd.from_arrow(slices)
+        if isinstance(frontier, rd.Dataset):
+            ds = frontier
+            n_slices = n_blocks
+        else:
+            per = (n + n_blocks - 1) // n_blocks
+            slices = [frontier.slice(i * per, per) for i in range(n_blocks)
+                      if i * per < n]
+            n_slices = len(slices)
+            ds = rd.from_arrow(slices)
         if self.fetcher_cls is SyntheticFetcher:
             # pure-function site → stateless tasks, no actor-pool spin-up
             from ..stages.fetch import make_task_fetcher
@@ -525,7 +632,7 @@ class CrawlEngine:
                 batch_size=cfg.fetch_batch_size,
             )
         else:
-            fetch_conc = max(1, min(cfg.fetch_concurrency, len(slices)))
+            fetch_conc = max(1, min(cfg.fetch_concurrency, n_slices))
             ds = ds.map_batches(
                 self.fetcher_cls,
                 fn_constructor_kwargs=self.fetcher_kwargs,
@@ -560,6 +667,10 @@ class CrawlEngine:
         # reach the driver (write_parquet + re-read would cost a second
         # execution + a read per superstep).
         os.makedirs(out_dir, exist_ok=True)
+        if cand_dir is not None:
+            os.makedirs(cand_dir, exist_ok=True)
+        if order_dir is not None:
+            os.makedirs(order_dir, exist_ok=True)
         ds = ds.map_batches(
             _sink_stage,
             fn_kwargs={
@@ -572,6 +683,9 @@ class CrawlEngine:
                 "block_dedup": cfg.strategy == "bfs",
                 "cache_dir": cfg.cache_dir if cache_writing else None,
                 "drop_html": cache_writing and not cfg.keep_html,
+                "cand_dir": cand_dir,
+                "order_dir": order_dir,
+                "level_k": k,
             },
             batch_size=None,
             batch_format="pyarrow",
@@ -642,6 +756,8 @@ class CrawlEngine:
 
     def run(self, seed_urls: list[str], *, resume: bool = False) -> CrawlRunResult:
         if self.cfg.strategy == "bfs":
+            if self.cfg.frontier_mode == "table":
+                return self._run_bfs_table(seed_urls, resume=resume)
             return self._run_bfs(seed_urls, resume=resume)
         if self.cfg.strategy == "best_first":
             return self._run_best_first(seed_urls, resume=resume)
@@ -922,6 +1038,223 @@ class CrawlEngine:
             gate.kill()
         return res
 
+    # -- BFS, frontier-table mode -------------------------------------------
+
+    @staticmethod
+    def _frontier_dir(root: str, k: int) -> str:
+        return os.path.join(root, f"superstep={k:05d}")
+
+    def _checkpoint_table(self, k: int, seen: SeenSet, state: dict) -> None:
+        """Frontier-table checkpoint: seen snapshot + counters only — the
+        frontier/order/cand parquet for every superstep is already on disk
+        under out_dir (written task-side), so the checkpoint never copies
+        frontier data through the driver."""
+        if not self.cfg.checkpoint_dir:
+            return
+        final = self._ckpt_path(k)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        blobs = seen.snapshot()
+        seen_tbl = pa.table(
+            {
+                "shard": pa.array(range(len(blobs)), type=pa.int32()),
+                "superstep": pa.array([k] * len(blobs), type=pa.int32()),
+                "filter_blob": pa.array([b[0] for b in blobs],
+                                        type=pa.large_binary()),
+                "exact_hashes": pa.array([b[1] for b in blobs],
+                                         type=pa.large_binary()),
+            }
+        )
+        pq.write_table(seen_tbl, os.path.join(tmp, "seen.parquet"))
+        with open(os.path.join(tmp, "state.json"), "w") as f:
+            json.dump(state, f)
+        with open(os.path.join(tmp, "_COMMIT"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, final)
+
+    def _restore_table(self, k: int, seen: SeenSet) -> dict:
+        path = self._ckpt_path(k)
+        seen_tbl = pq.read_table(os.path.join(path, "seen.parquet"))
+        seen.restore(list(zip(
+            seen_tbl.column("filter_blob").to_pylist(),
+            seen_tbl.column("exact_hashes").to_pylist(),
+        )))
+        with open(os.path.join(path, "state.json")) as f:
+            return json.load(f)
+
+    def _run_bfs_table(self, seed_urls: list[str], *,
+                       resume: bool = False) -> CrawlRunResult:
+        """BFS with the frontier held as parquet between supersteps — the
+        driver-free data path (SURVEY §1.1's frontier-table design):
+
+        - the sink writes candidates + order rows to parquet task-side and
+          returns one counter row per block;
+        - discovery reads the candidate parquet as a Dataset and runs the
+          distributed dedup/seen/capacity/seq algebra
+          (pipelines/discovery.py) end to end;
+        - parent URLs attach via a seq-keyed Dataset.join against the
+          previous frontier parquet (no driver parent dict);
+        - the next frontier is written straight back to parquet.
+
+        Driver state per superstep: counters + per-block metadata. Crawl
+        output is byte-identical to driver mode
+        (tests/test_frontier_table.py). The politeness gate is driver-mode
+        only for now (its budget split is a driver law)."""
+        from .dedup import _join_parts
+        from .discovery import next_frontier_distributed
+
+        cfg = self.cfg
+        if cfg.politeness:
+            raise ValueError(
+                "frontier_mode='table' does not compose with politeness "
+                "(use frontier_mode='driver')")
+        t_start = time.perf_counter()
+        res = CrawlRunResult()
+        docs_root = os.path.join(cfg.out_dir, "documents")
+        frontier_root = os.path.join(cfg.out_dir, "frontier")
+        cand_root = os.path.join(cfg.out_dir, "cand")
+        order_root = os.path.join(cfg.out_dir, "order")
+        res.order_dir = order_root
+        self._setup_cache()
+        seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+        pages_crawled, next_seq, k = 0, 0, 0
+        n_frontier: int | None = None
+        lineage_all: list = []
+
+        if resume:
+            rk = self._find_resume_point()
+            if rk is not None:
+                state = self._restore_table(rk, seen)
+                pages_crawled = state["pages_crawled"]
+                next_seq = state["next_seq"]
+                n_frontier = state["n_frontier"]
+                k = rk + 1
+        if n_frontier is None:
+            os.makedirs(docs_root, exist_ok=True)
+            seed_tbl = self._seed_frontier(seed_urls, seen)
+            next_seq = n_frontier = seed_tbl.num_rows
+            fdir = self._frontier_dir(frontier_root, 0)
+            shutil.rmtree(fdir, ignore_errors=True)
+            os.makedirs(fdir, exist_ok=True)
+            pq.write_table(seed_tbl,
+                           os.path.join(fdir, "part-000000000000.parquet"))
+
+        ncpu = int(ray.cluster_resources().get("CPU",
+                                               cfg.fetch_concurrency))
+        while n_frontier and pages_crawled < cfg.max_pages:
+            fdir = self._frontier_dir(frontier_root, k)
+            n_blocks = max(1, min(
+                (n_frontier + cfg.fetch_batch_size - 1)
+                // cfg.fetch_batch_size,
+                4 * max(ncpu, cfg.fetch_concurrency)))
+            fr_ds = rd.read_parquet(fdir, override_num_blocks=n_blocks)
+            cand_dir = os.path.join(cand_root, f"superstep={k:05d}")
+            order_dir = os.path.join(order_root, f"superstep={k:05d}")
+            shutil.rmtree(cand_dir, ignore_errors=True)
+            shutil.rmtree(order_dir, ignore_errors=True)
+            docs_dir, stats = self._fetch_parse_write(
+                fr_ds, k, docs_root, cand_dir=cand_dir,
+                order_dir=order_dir, n_frontier=n_frontier)
+            n_rows = sum(int(v) for t in stats
+                         for v in t.column("n_rows").to_pylist())
+            n_success = sum(int(v) for t in stats
+                            for v in t.column("n_success").to_pylist())
+            n_prefiltered = sum(int(v) for t in stats
+                                for v in t.column("n_filtered").to_pylist())
+            fetch_ms = sum(float(v) for t in stats
+                           for v in t.column("fetch_ms_sum").to_pylist())
+            parse_ms = sum(float(v) for t in stats
+                           for v in t.column("parse_ms_sum").to_pylist())
+            pages_crawled += n_success
+            res.urls_fetched += n_rows
+            if self.on_superstep is not None:
+                # hook opt-in materializes THIS superstep's order table
+                otbl = (pq.read_table(order_dir).sort_by("seq")
+                        if os.path.isdir(order_dir)
+                        and os.listdir(order_dir) else None)
+                self.on_superstep(k, docs_dir, otbl)
+            lineage = [{
+                "superstep": k, "partition": 0, "frontier_in": n_rows,
+                "fetched": n_success, "skipped_seen": 0,
+                "skipped_filtered": n_prefiltered, "deferred": 0,
+                "discovered": 0, "fetch_ms_sum": fetch_ms,
+                "parse_ms_sum": parse_ms,
+            }]
+            remaining = cfg.max_pages - pages_crawled
+            have_cands = os.path.isdir(cand_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(cand_dir))
+            n_new = 0
+            if remaining > 0 and have_cands:
+                cand_ds = rd.read_parquet(
+                    cand_dir,
+                    columns=["url", "url_hash", "host", "source_depth",
+                             "score", "parent_seq", "link_idx"],
+                ).map_batches(_cand_prep, batch_format="pyarrow")
+                assigned, dstats = next_frontier_distributed(
+                    cand_ds, seen, next_seq, with_stats=True,
+                    remaining=remaining,
+                    use_score_order=self.scorer_fn is not None,
+                    as_dataset=True,
+                )
+                lineage[0]["skipped_seen"] = dstats["skipped_seen"]
+                n_new = dstats.get("n_new", 0)
+                if n_new:
+                    prev = rd.read_parquet(
+                        fdir, columns=["seq", "url"]
+                    ).map_batches(_prev_frontier_prep,
+                                  batch_format="pyarrow")
+                    joined = assigned.join(
+                        prev, "inner",
+                        num_partitions=_join_parts(assigned, prev),
+                        on=("parent_seq",),
+                    )
+                    nfdir = self._frontier_dir(frontier_root, k + 1)
+                    shutil.rmtree(nfdir, ignore_errors=True)
+                    joined.map_batches(
+                        _frontier_project, batch_format="pyarrow"
+                    ).write_parquet(nfdir)
+            lineage[0]["discovered"] = n_new
+            lineage_all.extend(lineage)
+            next_seq += n_new
+            n_frontier = n_new
+            if cfg.checkpoint_dir:
+                self._checkpoint_table(k, seen, {
+                    "pages_crawled": pages_crawled,
+                    "next_seq": next_seq,
+                    "n_frontier": n_frontier,
+                    "strategy": "bfs",
+                    "frontier_mode": "table",
+                })
+            k += 1
+
+        res.pages_crawled = pages_crawled
+        res.supersteps = k
+        res.seen_size = seen.size()
+        res.seen_hashes = np.sort(
+            np.concatenate(
+                [np.frombuffer(eb, dtype=np.uint64)
+                 for _, eb in seen.snapshot()]
+                or [np.zeros(0, dtype=np.uint64)]
+            )
+        )
+        res.docs_dir = docs_root
+        res.lineage = lineage_all
+        if cfg.collect_order and os.path.isdir(order_root):
+            parts = [
+                pq.read_table(os.path.join(order_root, d, f))
+                for d in sorted(os.listdir(order_root))
+                for f in sorted(os.listdir(os.path.join(order_root, d)))
+                if f.endswith(".parquet")
+            ]
+            if parts:
+                res.add_order_rows(
+                    pa.concat_tables(parts).sort_by("seq").to_pylist())
+        res.wall_sec = time.perf_counter() - t_start
+        seen.kill()
+        return res
+
     def _politeness_split(self, frontier: pa.Table, gate, k: int):
         """Apply robots + per-host budgets to the superstep's frontier.
 
@@ -1096,12 +1429,13 @@ class CrawlEngine:
         if df.height == 0:
             return empty, 0, lineage
         # large levels: run dedup + seen check + seq assignment distributed
-        # (pipelines/discovery.py; byte-equivalent to the polars path below)
+        # (pipelines/discovery.py; byte-equivalent to the polars path
+        # below, including per-parent capacity truncation under max_pages)
         thresh = cfg.distributed_discovery_min_candidates
-        if (thresh is not None and remaining == math.inf
-                and df.height >= thresh):
+        if thresh is not None and df.height >= thresh:
             return self._next_frontier_bfs_distributed(
-                df, cur_frontier, seen, next_seq, lineage
+                df, cur_frontier, seen, next_seq, lineage,
+                remaining=remaining,
             )
         # ordered level-local dedup: min (parent_seq, link_idx) per canonical url
         df = df.sort(["parent_seq", "link_idx"], maintain_order=True).unique(
@@ -1159,12 +1493,14 @@ class CrawlEngine:
 
     def _next_frontier_bfs_distributed(self, df, cur_frontier: pa.Table,
                                        seen: SeenSet, next_seq: int,
-                                       lineage: list):
+                                       lineage: list,
+                                       remaining: float = math.inf):
         """Distributed tail of BFS discovery (pipelines/discovery.py):
-        level-local ordered dedup, cross-level seen check and deterministic
-        seq assignment run as Ray Data ops; the driver only handles block
-        metadata, the parent-url attach (the frontier table is driver-held
-        by design in this engine) and lineage counters. ``df`` is the
+        level-local ordered dedup, cross-level seen check, capacity
+        truncation and deterministic seq assignment run as Ray Data ops;
+        the driver only handles block metadata, the parent-url attach (the
+        frontier table is driver-held in this mode — frontier_mode='table'
+        removes even that) and lineage counters. ``df`` is the
         already-filtered polars candidate frame (depth/passes/score
         applied; ``depth`` column present)."""
         from .discovery import next_frontier_distributed
@@ -1180,7 +1516,9 @@ class CrawlEngine:
         ).to_arrow()
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
         res, stats = next_frontier_distributed(
-            cand2, seen, next_seq, n_blocks=n_blocks, with_stats=True
+            cand2, seen, next_seq, n_blocks=n_blocks, with_stats=True,
+            remaining=remaining,
+            use_score_order=self.scorer_fn is not None,
         )
         n_new = res.num_rows
         lineage[0]["skipped_seen"] = stats["skipped_seen"]

@@ -37,26 +37,60 @@ import ray
 import ray.data as rd
 
 
-def _empty_frontier(cand: pa.Table) -> pa.Table:
-    return cand.slice(0, 0).append_column("seq", pa.array([], pa.int64()))
+_CAND_SCHEMA = pa.schema([
+    ("url", pa.string()), ("url_hash", pa.uint64()), ("host", pa.string()),
+    ("depth", pa.int32()), ("score", pa.float32()),
+    ("parent_seq", pa.int64()), ("link_idx", pa.int32()),
+])
 
 
-def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
-                              *, n_blocks: int = 8, with_stats: bool = False):
+def _empty_frontier(cand=None) -> pa.Table:
+    base = cand.slice(0, 0) if isinstance(cand, pa.Table) \
+        else _CAND_SCHEMA.empty_table()
+    return base.append_column("seq", pa.array([], pa.int64()))
+
+
+def next_frontier_distributed(cand, seen, next_seq: int,
+                              *, n_blocks: int = 8, with_stats: bool = False,
+                              remaining: float | int = None,
+                              use_score_order: bool = False,
+                              as_dataset: bool = False):
     """Distributed equivalent of the driver's level dedup + seen check +
     seq assignment over a candidate table (already gated by the sink
-    combiner). Returns the next frontier ordered by seq; with
+    combiner). ``cand`` is a driver ``pa.Table`` (pre-sliced here) or an
+    already-distributed ``ray.data.Dataset`` (e.g. a ``read_parquet`` of
+    the sink's candidate parquet — the driver-free path; candidate data
+    then never touches driver heap). Returns the next frontier ordered by
+    seq — as a driver table, or a Dataset when ``as_dataset`` (the
+    frontier-table mode consumes it with a join + write_parquet); with
     ``with_stats`` also returns {"skipped_seen": ...} (the count removed by
-    the cross-level seen check, matching the driver path's lineage law)."""
-    if cand.num_rows == 0:
-        out = _empty_frontier(cand)
-        return (out, {"skipped_seen": 0}) if with_stats else out
+    the cross-level seen check, matching the driver path's lineage law).
 
-    per = (cand.num_rows + n_blocks - 1) // n_blocks
-    ds = rd.from_arrow(
-        [cand.slice(i * per, per) for i in range(n_blocks)
-         if i * per < cand.num_rows]
-    )
+    ``remaining`` (finite int) engages the reference's per-page capacity
+    truncation (bfs_strategy.py:124-131) distributed: a per-parent
+    groupby keeps the first ``remaining`` candidates of each parent — in
+    (-score, link_idx) order when ``use_score_order`` (scorer present),
+    link_idx order otherwise — and the post-truncation order becomes the
+    seq order, exactly like the driver path. Truncated rows are already
+    marked seen (reference quirk: over-capacity candidates burn seen
+    entries) and are NOT counted in skipped_seen."""
+    import math as _math
+
+    capacity = remaining is not None and remaining != _math.inf
+
+    if isinstance(cand, rd.Dataset):
+        ds = cand
+    else:
+        if cand.num_rows == 0:
+            out = _empty_frontier(cand)
+            if as_dataset:
+                out = rd.from_arrow(out)
+            return (out, {"skipped_seen": 0}) if with_stats else out
+        per = (cand.num_rows + n_blocks - 1) // n_blocks
+        ds = rd.from_arrow(
+            [cand.slice(i * per, per) for i in range(n_blocks)
+             if i * per < cand.num_rows]
+        )
 
     # -- 1. sort + boundary-aware per-block dedup ---------------------------
     sorted_ds = ds.sort(["url_hash", "parent_seq", "link_idx"]).materialize()
@@ -160,27 +194,58 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
 
     deduped = sorted_ds.map_batches(dedup, batch_format="pyarrow",
                                     batch_size=None).materialize()
-    if with_stats:
-        n_after_dedup = deduped.count()
+    n_after_dedup = deduped.count() if (with_stats or capacity) else None
     survivors = deduped.map_batches(filter_unseen, batch_format="pyarrow",
                                     batch_size=None)
 
+    # -- 2b. optional per-parent capacity truncation ------------------------
+    # Reference law: only over-capacity parents reorder (score desc,
+    # stable) before truncating; post-truncation order IS the seq order.
+    # A per-parent groupby is the extra shuffle this path pays; group size
+    # is bounded by links-per-page. link_rank (position within parent in
+    # final order) becomes the second sort key so step 3 is unambiguous.
+    rank_col = "link_idx"
+    n_truncated = 0
+    if capacity:
+        cap = int(remaining)
+        survivors = survivors.materialize()
+        n_surv = survivors.count()
+        if n_surv == 0:
+            capacity = False
+            n_truncated = 0
+
+    if capacity:
+        def truncate(g, cap=cap, use_score_order=use_score_order):
+            g = g.sort_values("link_idx", kind="mergesort")
+            if use_score_order and len(g) > cap:
+                g = g.sort_values("score", kind="mergesort",
+                                  ascending=False)
+            g = g.iloc[:cap].copy()
+            g["link_rank"] = np.arange(len(g), dtype=np.int32)
+            return g
+
+        survivors = survivors.groupby("parent_seq") \
+            .map_groups(truncate, batch_format="pandas")
+        rank_col = "link_rank"
+
     # -- 3. sort by discovery key + block-offset seq ------------------------
-    final_sorted = survivors.sort(["parent_seq", "link_idx"]).materialize()
+    final_sorted = survivors.sort(["parent_seq", rank_col]).materialize()
     # every deduped candidate is marked seen AFTER the reads completed
     # (BFS law: over-capacity candidates are marked seen too); add() is
     # idempotent so task retries are harmless
     deduped.map_batches(mark_seen, batch_format="pyarrow",
                         batch_size=None).count()
+    if capacity:
+        n_truncated = n_surv - final_sorted.count()
 
-    def key_count(batch: pa.Table) -> pa.Table:
+    def key_count(batch: pa.Table, rank_col=rank_col) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"ps": pa.array([], pa.int64()),
                              "li": pa.array([], pa.int32()),
                              "n": pa.array([], pa.int64())})
         return pa.table(
             {"ps": [batch.column("parent_seq")[0].as_py()],
-             "li": [batch.column("link_idx")[0].as_py()],
+             "li": [batch.column(rank_col)[0].as_py()],
              "n": [batch.num_rows]}
         )
 
@@ -189,6 +254,8 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
     ).to_pandas()
     if meta2.empty:
         out = _empty_frontier(cand)
+        if as_dataset:
+            out = rd.from_arrow(out)
         if with_stats:
             return out, {"skipped_seen": n_after_dedup}
         return out
@@ -198,24 +265,37 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
     for r in meta2.itertuples():
         offsets[(int(r.ps), int(r.li))] = acc
         acc += int(r.n)
+    n_out = acc - next_seq
     off_ref = ray.put(offsets)
 
-    def assign(batch: pa.Table, off_ref=off_ref) -> pa.Table:
+    def assign(batch: pa.Table, off_ref=off_ref,
+               rank_col=rank_col) -> pa.Table:
         if batch.num_rows == 0:
+            if rank_col in batch.column_names and rank_col != "link_idx":
+                batch = batch.drop_columns([rank_col])
             return batch.append_column("seq", pa.array([], pa.int64()))
         offs = ray.get(off_ref)
         key = (batch.column("parent_seq")[0].as_py(),
-               batch.column("link_idx")[0].as_py())
+               batch.column(rank_col)[0].as_py())
         base = offs[key]
+        if rank_col != "link_idx":
+            batch = batch.drop_columns([rank_col])
         return batch.append_column(
             "seq",
             pa.array(np.arange(base, base + batch.num_rows, dtype=np.int64)),
         )
 
+    assigned = final_sorted.map_batches(assign, batch_format="pyarrow",
+                                        batch_size=None)
+    if as_dataset:
+        if with_stats:
+            skipped = n_after_dedup - n_out - n_truncated
+            return assigned, {"skipped_seen": skipped, "n_new": n_out}
+        return assigned
+
     out_blocks = [
-        b for b in final_sorted.map_batches(
-            assign, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        b for b in assigned.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
         if b.num_rows
     ]
     if not out_blocks:
@@ -223,5 +303,6 @@ def next_frontier_distributed(cand: pa.Table, seen, next_seq: int,
     else:
         out = pa.concat_tables(out_blocks).sort_by("seq")
     if with_stats:
-        return out, {"skipped_seen": n_after_dedup - out.num_rows}
+        return out, {"skipped_seen":
+                     n_after_dedup - out.num_rows - n_truncated}
     return out

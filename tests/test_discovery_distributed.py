@@ -198,3 +198,39 @@ def test_run_starting_at_block_boundary_keeps_first(ray_session):
     # and it is now marked seen
     assert seen.contains(np.array([hash64(url)], dtype=np.uint64)).all()
     seen.kill()
+
+
+def test_engine_distributed_discovery_with_max_pages(ray_session, tmp_path):
+    """The distributed path now engages under max_pages: per-parent
+    capacity truncation (score order for over-capacity parents) must
+    reproduce the driver path exactly — order, seqs, seen set."""
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+
+    def scorer(url: str) -> float:
+        return float(len(url) % 7)
+
+    def run(thresh, sub, max_pages, use_scorer):
+        cfg = CrawlConfig(strategy="bfs", max_depth=3,
+                          out_dir=str(tmp_path / sub), n_seen_shards=2,
+                          fetch_concurrency=2, max_pages=max_pages,
+                          distributed_discovery_min_candidates=thresh)
+        eng = CrawlEngine(cfg,
+                          fetcher_kwargs={"site_cfg": site_cfg.__dict__},
+                          scorer_fn=scorer if use_scorer else None)
+        return eng.run(site.seed_urls())
+
+    for max_pages, use_scorer, tag in [(9, False, "a"), (9, True, "b"),
+                                       (25, True, "c")]:
+        drv = run(None, f"drv{tag}", max_pages, use_scorer)
+        dist = run(0, f"dist{tag}", max_pages, use_scorer)
+        key = lambda rows: [(r["url"], r["seq"], r["level"], r["status"])
+                            for r in rows]
+        assert key(dist.order) == key(drv.order), (max_pages, use_scorer)
+        assert np.array_equal(dist.seen_hashes, drv.seen_hashes)
+        assert [l["skipped_seen"] for l in dist.lineage] == \
+            [l["skipped_seen"] for l in drv.lineage]
+        assert [l["discovered"] for l in dist.lineage] == \
+            [l["discovered"] for l in drv.lineage]

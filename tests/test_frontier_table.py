@@ -1,0 +1,112 @@
+"""Frontier-table mode (frontier_mode='table') == driver mode, byte for
+byte: crawl order, seqs, seen set, lineage counters — with the frontier
+living as parquet between supersteps, candidates/order written task-side,
+discovery fully distributed, and parents attached via a seq-keyed join."""
+
+import os
+
+import numpy as np
+import pytest
+
+from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+SITE_CFG = SiteConfig(n_hosts=4)
+SITE = SyntheticWeb(SITE_CFG)
+
+
+def _run(mode, out_dir, *, scorer=None, **kw):
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=str(out_dir),
+                      n_seen_shards=2, fetch_concurrency=2,
+                      frontier_mode=mode, **kw)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": SITE_CFG.__dict__},
+                      scorer_fn=scorer)
+    return eng.run(SITE.seed_urls())
+
+
+def _key(rows):
+    return [(r["url"], r["seq"], r["level"], r["status"]) for r in rows]
+
+
+def _assert_equal(a, b):
+    assert _key(a.order) == _key(b.order)
+    assert np.array_equal(a.seen_hashes, b.seen_hashes)
+    assert a.pages_crawled == b.pages_crawled
+    assert [l["skipped_seen"] for l in a.lineage] == \
+        [l["skipped_seen"] for l in b.lineage]
+    assert [l["discovered"] for l in a.lineage] == \
+        [l["discovered"] for l in b.lineage]
+
+
+def test_table_mode_matches_driver(ray_session, tmp_path):
+    drv = _run("driver", tmp_path / "drv")
+    tab = _run("table", tmp_path / "tab")
+    assert len(tab.order) > 0
+    _assert_equal(tab, drv)
+    # frontier/cand/order parquet exist per superstep
+    for sub in ("frontier", "cand", "order"):
+        assert os.path.isdir(tmp_path / "tab" / sub)
+    assert tab.order_dir.endswith("order")
+
+
+def test_table_mode_max_pages_and_scorer(ray_session, tmp_path):
+    def scorer(url):
+        return float(len(url) % 7)
+
+    for mp, sc, tag in [(9, None, "a"), (9, scorer, "b"), (25, scorer, "c")]:
+        drv = _run("driver", tmp_path / f"drv{tag}", max_pages=mp,
+                   scorer=sc)
+        tab = _run("table", tmp_path / f"tab{tag}", max_pages=mp,
+                   scorer=sc)
+        _assert_equal(tab, drv)
+
+
+def test_table_mode_docs_match(ray_session, tmp_path):
+    import ray.data as rd
+
+    drv = _run("driver", tmp_path / "drv")
+    tab = _run("table", tmp_path / "tab")
+    d1 = rd.read_parquet(drv.docs_dir).to_pandas().sort_values("seq")
+    d2 = rd.read_parquet(tab.docs_dir).to_pandas().sort_values("seq")
+    assert list(d1["url"]) == list(d2["url"])
+    assert list(d1["depth"]) == list(d2["depth"])
+
+
+def test_table_mode_collect_order_off(ray_session, tmp_path):
+    tab = _run("table", tmp_path / "tab", collect_order=False)
+    assert tab.order == []           # not materialized on the driver
+    assert tab.urls_fetched > 0
+    import pyarrow.parquet as pq
+
+    parts = [
+        pq.read_table(os.path.join(tab.order_dir, d, f))
+        for d in sorted(os.listdir(tab.order_dir))
+        for f in sorted(os.listdir(os.path.join(tab.order_dir, d)))
+    ]
+    assert sum(p.num_rows for p in parts) == tab.urls_fetched
+
+
+def test_table_mode_politeness_raises(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="politeness"):
+        _run("table", tmp_path / "x", politeness=True)
+
+
+def test_table_mode_checkpoint_resume(ray_session, tmp_path):
+    import shutil
+
+    full = _run("table", tmp_path / "full",
+                checkpoint_dir=str(tmp_path / "full_ckpt"))
+    # fresh run with checkpoints, then truncate to superstep 1 and resume
+    _run("table", tmp_path / "part",
+         checkpoint_dir=str(tmp_path / "part_ckpt"))
+    for name in sorted(os.listdir(tmp_path / "part_ckpt")):
+        if name.startswith("superstep=") and int(name.split("=")[1]) > 1:
+            shutil.rmtree(tmp_path / "part_ckpt" / name)
+    cfg = CrawlConfig(strategy="bfs", max_depth=3,
+                      out_dir=str(tmp_path / "part"), n_seen_shards=2,
+                      fetch_concurrency=2, frontier_mode="table",
+                      checkpoint_dir=str(tmp_path / "part_ckpt"))
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": SITE_CFG.__dict__})
+    resumed = eng.run(SITE.seed_urls(), resume=True)
+    assert _key(resumed.order) == _key(full.order)
+    assert np.array_equal(resumed.seen_hashes, full.seen_hashes)
