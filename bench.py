@@ -54,6 +54,13 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
         raise SystemExit(
             f"BENCH_DISCOVERY={disc_mode!r}: expected auto|distributed|driver")
     disc = disc_modes[disc_mode]
+    # BENCH_FRONTIER mode: "driver" (default — frontier table on the
+    # driver) or "table" (frontier as parquet between supersteps, fully
+    # driver-free data path; order stays parquet so driver RSS is flat)
+    frontier_mode = os.environ.get("BENCH_FRONTIER", "driver")
+    if frontier_mode not in ("driver", "table"):
+        raise SystemExit(
+            f"BENCH_FRONTIER={frontier_mode!r}: expected driver|table")
     cfg = CrawlConfig(
         strategy="bfs",
         max_depth=3,
@@ -63,8 +70,19 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
         fetch_batch_size=512,
         parse_batch_size=256,
         distributed_discovery_min_candidates=disc,
+        frontier_mode=frontier_mode,
+        collect_order=frontier_mode == "driver",
     )
     eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return round(int(line.split()[1]) / 1024, 1)
+        return -1.0
+
+    rss0 = _rss_mb()
     t0 = time.perf_counter()
     res = eng.run(site.seed_urls())
     dt = time.perf_counter() - t0
@@ -76,6 +94,9 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     stats["pages_crawled"] = res.pages_crawled
     stats["urls_per_sec"] = round(res.urls_fetched / dt, 1)
     stats["frontier_ops_per_sec"] = round(frontier_ops / dt, 1)
+    stats["frontier_mode"] = frontier_mode
+    stats["driver_rss_mb_start"] = rss0
+    stats["driver_rss_mb_end"] = _rss_mb()
     shutil.rmtree(out, ignore_errors=True)
 
 
