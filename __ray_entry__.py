@@ -390,6 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.functions.llm_extract",
             fromlist=["llm_extract_blocks"],
         ).llm_extract_blocks(sf),
+        # PDF source (processors/pdf port on the stdlib-subset reader;
+        # rows-only — PDF parsing is not SQL-expressible, byte-level laws
+        # pytest-gated incl. reference-generated cleanup goldens)
+        "pdf_pages": analysis.pdf_pages,
     }
 
 

@@ -1057,6 +1057,52 @@ def order_value_median_by_priority(sf_dir: str):
     })
 
 
+def pdf_pages(sf_dir: str):
+    """PDF document source (reference processors/pdf/processor.py as a
+    Ray pipeline): documents.text → deterministic fixture PDFs
+    (sources/pdf_fixture.doc_text_to_pdf — no PDF libs exist in this
+    environment, so inputs are generated, not read) → actor-pool
+    PdfProcessStage → one row per extracted page with text/markdown/image
+    /link stats. The render stage stands in for a binary-column parquet
+    read; the processing stage is the real operator."""
+    from ..sources.pdf_fixture import doc_text_to_pdf
+    from ..stages.pdf import PdfProcessStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pdf": pa.array([doc_text_to_pdf(int(i), t or "")
+                             for i, t in zip(ids, texts)],
+                            type=pa.large_binary()),
+        })
+
+    # autoscaling actor pool (min 1): a fixed pool sized at the CPU count
+    # would starve the upstream read/render tasks on small clusters
+    pages = ds.map_batches(render, batch_format="pyarrow",
+                           batch_size=64) \
+        .map_batches(PdfProcessStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "page_number": batch.column("page_number"),
+            "n_pages": batch.column("n_pages"),
+            "n_chars": pc.utf8_length(batch.column("raw_text"))
+                .cast(pa.int64()),
+            "n_images": batch.column("n_images"),
+            "n_links": pc.list_value_length(batch.column("links"))
+                .cast(pa.int32()),
+            "title": batch.column("title"),
+        })
+
+    return pages.map_batches(summarize, batch_format="pyarrow")
+
+
 def revenue_by_nation_year(sf_dir: str):
     """Two-key rollup: order revenue by (nation, order year). Small sides
     (customer→nation) broadcast; per-batch partial aggregation before the
