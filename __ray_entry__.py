@@ -181,6 +181,39 @@ def _seed_cc(sf_dir: str):
     )
 
 
+def _link_preview(sf_dir: str):
+    """M24 per-link head_data + preview scoring over crawled pages
+    (stages/linkpreview.py): crawl a synthetic site, explode links, head-
+    fetch each unique target once (actor pool), BM25-score per page,
+    merge intrinsic/contextual/total per the reference laws. Rows-only —
+    law parity is pytest-gated (tests/test_linkpreview.py)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+    from crawl4ai_ray.stages.linkpreview import (
+        LinkPreviewConfig,
+        link_preview_pipeline,
+    )
+
+    site_cfg = SiteConfig(n_hosts=3)
+    site = SyntheticWeb(site_cfg)
+    cfg = CrawlConfig(strategy="bfs", max_depth=2,
+                      out_dir=tempfile.mkdtemp(prefix="c4r_lp_"),
+                      n_seen_shards=2, fetch_concurrency=2)
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    res = eng.run(site.seed_urls())
+    docs = rd.read_parquet(res.docs_dir,
+                           columns=["seq", "url", "links", "success"]) \
+        .filter(expr="success == True")
+    lp = LinkPreviewConfig(query="catalog product items", max_links=10)
+    out = link_preview_pipeline(docs, lp, site_cfg.__dict__,
+                                score_links=True)
+    return out.sort(["page_seq", "link_rank"])
+
+
 def _crawl_fit_markdown(sf_dir: str):
     """fit_markdown over crawled pages: PruningContentFilter (dynamic) +
     BM25ContentFilter block counts and fit-markdown word counts per page
@@ -379,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_fit_markdown": _crawl_fit_markdown,
         "crawl_markdown_compat": _crawl_markdown_compat,
+        "link_preview": _link_preview,
         # CosineStrategy semantic extraction (chunk→embed→cluster→extract;
         # stub embedder, rows-only — determinism pytest-gated)
         "doc_semantic_clusters": lambda sf: __import__(

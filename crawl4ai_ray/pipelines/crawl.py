@@ -277,6 +277,12 @@ class CrawlConfig:
     # counters. 'driver' (default) keeps the measured-faster small-scale
     # path; 'table' is the 10^8-row/level path (bench: BENCH_FRONTIER).
     frontier_mode: str = "driver"         # 'driver' | 'table'
+    # M24 link preview (stages/linkpreview.py): when set (LinkPreviewConfig
+    # kwargs dict), the parse stage computes per-link head_data +
+    # total_score and candidate scores BECOME the preview totals — a
+    # best-first crawl then pops by total_score. Head fetches reuse the
+    # task-local site cache (synthetic fetcher) inside the parse tasks.
+    link_preview: dict | None = None
     # frontier-table mode: read the order parquet back into res.order at
     # the end of the run (API parity with driver mode). Disable at corpus
     # scale and consume res.order_dir instead.
@@ -353,7 +359,9 @@ _CAND_STRUCT = pa.struct(
 def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                  keep_html: bool, include_external: bool = False,
                  filter_fn=None, scorer_fn=None,
-                 compat_markdown: bool = False) -> pa.Table:
+                 compat_markdown: bool = False,
+                 link_preview_cfg: dict | None = None,
+                 link_preview_site: dict | None = None) -> pa.Table:
     """Fetch output → parsed docs + per-page candidate list.
 
     Candidate extraction (canonicalize / validate / filter / score — the
@@ -386,6 +394,23 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
             ordered = [l for l in links if l["internal"]]
             if include_external:
                 ordered += [l for l in links if not l["internal"]]
+            totals = None
+            if link_preview_cfg is not None:
+                # M24: per-link head_data + total-score law
+                # (stages/linkpreview.py) — candidate scores become the
+                # preview total (intrinsic 70% / contextual 30%), so
+                # best-first consumes total_score directly
+                from ..stages.linkpreview import (
+                    LinkPreviewConfig,
+                    cached_head_stage,
+                    preview_total_scores,
+                )
+
+                totals = preview_total_scores(
+                    ordered, LinkPreviewConfig(**link_preview_cfg),
+                    cached_head_stage(link_preview_site),
+                    score_links=True,
+                )
             for idx, link in enumerate(ordered):
                 raw = link["href"]
                 canon = urlkit.canonicalize(raw, url)
@@ -394,6 +419,12 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                 ok_url = urlkit.is_valid_crawl_url(raw)
                 if ok_url and filter_fn is not None and not filter_fn(raw):
                     ok_url = False
+                if totals is not None:
+                    score = totals.get(raw, 5.0)
+                elif scorer_fn:
+                    score = float(scorer_fn(canon))
+                else:
+                    score = 0.0
                 cands.append(
                     {
                         "url": canon,
@@ -401,7 +432,7 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                         "host": urlkit.host_of(canon),
                         "link_idx": idx,
                         "passes": ok_url,
-                        "score": float(scorer_fn(canon)) if scorer_fn else 0.0,
+                        "score": score,
                     }
                 )
         cand_col.append(cands)
@@ -657,6 +688,10 @@ class CrawlEngine:
                 "filter_fn": self.filter_fn,
                 "scorer_fn": self.scorer_fn,
                 "compat_markdown": cfg.compat_markdown,
+                "link_preview_cfg": cfg.link_preview,
+                "link_preview_site":
+                    self.fetcher_kwargs.get("site_cfg")
+                    if cfg.link_preview is not None else None,
             },
             batch_format="pyarrow",
             batch_size=cfg.parse_batch_size,
