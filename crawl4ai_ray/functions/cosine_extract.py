@@ -97,17 +97,25 @@ class CosineClusterStrategy:
     def __init__(self, semantic_filter: str | None = None, *,
                  word_count_threshold: int = 10, max_dist: float = 0.2,
                  top_k: int = 3, sim_threshold: float = 0.3,
-                 embed_dim: int = 64):
+                 embed_dim: int = 64, model_name: str | None = None,
+                 device: str | None = None):
+        # model plug point (functions/model_loader.py): same constructor
+        # surface as a real sentence-transformers actor — with weights
+        # present load_embedding_model returns the HF adapter, here the
+        # deterministic HashedNgram stub (identical .encode interface)
+        from .model_loader import DEFAULT_EMBEDDING_MODEL, \
+            load_embedding_model
+
         self.semantic_filter = semantic_filter
         self.word_count_threshold = word_count_threshold
         self.max_dist = max_dist
         self.top_k = top_k
         self.sim_threshold = sim_threshold
-        self._embedder = HashedNgramEmbedder(dim=embed_dim)
+        self._model = load_embedding_model(
+            model_name or DEFAULT_EMBEDDING_MODEL, device, dim=embed_dim)
 
     def embed(self, texts: list[str]) -> np.ndarray:
-        return np.stack([self._embedder._embed(t or "") for t in texts]) \
-            .astype(np.float64)
+        return self._model.encode(list(texts)).astype(np.float64)
 
     def _filter_chunks(self, chunks: list[str],
                        at_least_k: int = 20) -> list[str]:
