@@ -428,6 +428,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — PDF parsing is not SQL-expressible, byte-level laws
         # pytest-gated incl. reference-generated cleanup goldens)
         "pdf_pages": analysis.pdf_pages,
+        # r3: group-wise top-k, deterministic hash sample, full-outer
+        # join, distributed p95, hopping-window aggregate, vocabulary
+        "top_orders_per_customer": analysis.top_orders_per_customer,
+        "doc_hash_sample": analysis.doc_hash_sample,
+        "orders_year_matrix": analysis.orders_year_matrix,
+        "order_value_p95_by_priority":
+            analysis.order_value_p95_by_priority,
+        "events_hopping_window": analysis.events_hopping_window,
+        "corpus_top_terms": analysis.corpus_top_terms,
     }
 
 
@@ -649,5 +658,114 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)), 5) AS cos
             FROM embeddings e WHERE e.vec_id <> 0
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        # exact all-pairs cosine: validated vs the blocked self-join at
+        # sf0.001/0.01/0.1 (round-5 values are bit-stable across the numpy
+        # matmul and DuckDB's list_cosine_similarity after DOUBLE cast)
+        "cosine_near_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 5)
+                       AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # BM25 (Robertson/Sparck Jones idf, k1=1.2 b=0.75) over
+        # lower().split() tokens — the same law as pipelines/analysis.py
+        # bm25_rank; zero-score docs fill the top-k tail by doc_id, hence
+        # the LEFT JOIN against all documents
+        "bm25_rank": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents
+            ),
+            stats AS (
+                SELECT count(*) AS n_total,
+                       sum(len(words)) * 1.0 / count(*) AS avgdl
+                FROM toks
+            ),
+            terms AS (SELECT unnest(['window','batch','stream']) AS term),
+            idf AS (
+                SELECT term,
+                       ln(1 + ((SELECT n_total FROM stats)
+                               - count(*) FILTER (list_contains(words, term))
+                               + 0.5)
+                            / (count(*) FILTER (list_contains(words, term))
+                               + 0.5)) AS idf
+                FROM toks, terms GROUP BY term
+            ),
+            tf AS (
+                SELECT doc_id, len(words) AS dl, term,
+                       len(list_filter(words, x -> x = term)) AS f
+                FROM toks, terms
+            ),
+            scored AS (
+                SELECT doc_id,
+                       sum(i.idf * (f * (1.2 + 1))
+                           / (f + 1.2 * (1 - 0.75 + 0.75 * dl
+                                         / (SELECT avgdl FROM stats)))) AS s
+                FROM tf JOIN idf i USING (term)
+                WHERE f > 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS bm25
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+        """,
+        "orders_year_matrix": """
+            WITH a AS (
+                SELECT o_custkey, count(*) AS n_a FROM orders
+                WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+            ), b AS (
+                SELECT o_custkey, count(*) AS n_b FROM orders
+                WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+            )
+            SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   coalesce(a.n_a, 0) AS n_a,
+                   coalesce(b.n_b, 0) AS n_b
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "order_value_p95_by_priority": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.95), 2)
+                       AS p95_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_hopping_window": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts)
+                            - (off * INTERVAL 1 DAY), '%Y-%m-%d')
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events, range(0, 7) t(off)
+            GROUP BY event_type, window_start
+        """,
+        "corpus_top_terms": r"""
+            SELECT term, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS term
+                FROM documents
+            ) WHERE term <> ''
+            GROUP BY term ORDER BY n DESC, term LIMIT 50
         """,
     }

@@ -840,8 +840,15 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01",
 
 def grouped_median_distributed(ds, key_col: str, val_col: str,
                                bins: int = 4096,
-                               collect_cap: int = 262_144) -> pa.Table:
-    """Exact per-group median without ever holding a group in one task.
+                               collect_cap: int = 262_144,
+                               q: float = 0.5) -> pa.Table:
+    """Exact per-group quantile (default: median) without ever holding a
+    group in one task.
+
+    ``q`` selects the continuous quantile with DuckDB ``quantile_cont``
+    semantics: position p = (n-1)*q, result = v[floor(p)] interpolated
+    toward v[ceil(p)] by frac(p). q=0.5 reproduces the original median
+    law (mean of the two middle values) bit-for-bit.
 
     A holistic aggregate over LOW-cardinality keys is the worst case for
     ``groupby(key).map_groups``: 5 distinct keys means each "group" is
@@ -881,12 +888,16 @@ def grouped_median_distributed(ds, key_col: str, val_col: str,
     # below-window count is NOT accumulated across passes — every
     # histogram pass recounts v < lo fresh over the whole column, so
     # float drift at bin edges can never corrupt the rank arithmetic.
+    import math as _math
+
     state = {}
     for k, r in stats.items():
         n = int(r["_n"])
+        p = (n - 1) * q
         state[k] = {
             "lo": float(r["_lo"]), "hi": float(r["_hi"]),
-            "r1": (n - 1) // 2, "r2": n // 2, "cand": n,
+            "r1": int(_math.floor(p)), "r2": int(_math.ceil(p)),
+            "frac": p - _math.floor(p), "cand": n,
         }
 
     def _hist_pass(windows):
@@ -1028,7 +1039,13 @@ def grouped_median_distributed(ds, key_col: str, val_col: str,
             s = state[k]
             v = np.sort(np.asarray(cand[k], dtype=np.float64))
             i1, i2 = s["r1"] - below_tot[k], s["r2"] - below_tot[k]
-            med = (float(v[i1]) + float(v[i2])) / 2.0
+            if s["frac"] == 0.5:
+                # median fast path: keep the original (a+b)/2 law
+                # bit-for-bit (a + 0.5*(b-a) can differ in the last ulp)
+                med = (float(v[i1]) + float(v[i2])) / 2.0
+            else:
+                med = float(v[i1]) + s["frac"] * (float(v[i2])
+                                                  - float(v[i1]))
         out_k.append(k)
         out_m.append(med)
         out_n.append(int(stats[k]["_n"]))
@@ -1144,3 +1161,190 @@ def revenue_by_nation_year(sf_dir: str):
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: group-wise top-k, deterministic sampling, full-outer
+# join, distributed quantile, hopping-window aggregate, vocabulary
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by value — the group-wise top-k operator.
+
+    Scale shape: a per-batch combiner first prunes every batch to its own
+    top-k per customer (top-k of a union is the top-k of per-part top-ks),
+    so the groupby shuffle carries at most k rows per (batch, customer)
+    instead of the whole orders table; the final per-group selection then
+    ranks at most k*n_blocks rows per customer."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("o_custkey").head(k),
+                                    preserve_index=False)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def doc_hash_sample(sf_dir: str, pct: int = 20):
+    """Deterministic hash-Bernoulli document sample — the reproducible
+    corpus-subsetting operator (training-data pipelines sample by content
+    hash so every run and every engine picks the SAME subset; no RNG
+    state, no seed coordination across workers).
+
+    A doc is kept iff the first 8 hex chars of md5(str(doc_id)) fall in
+    the lowest ``pct`` % of the hash space, compared lexicographically —
+    identical in python and SQL (DuckDB md5()) with no integer parsing."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    # lexicographic cutoff: first pct% of the uniform 32-bit hex space
+    cut = format(int((1 << 32) * pct / 100), "08x")
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        h8 = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+        mask = pa.array([h < cut for h in h8])
+        t = batch.append_column("h8", pa.array(h8, type=pa.string()))
+        return t.filter(mask)
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=8192)
+
+
+def orders_year_matrix(sf_dir: str, y_a: int = 1996, y_b: int = 1997):
+    """Per-customer order counts for two years, FULL OUTER joined — the
+    two-sided outer-join operator (Dataset.join full_outer, hash-
+    partitioned; neither side is broadcast)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def year_counts(y: int, out_name: str):
+        def prep(batch: pa.Table, y=y) -> pa.Table:
+            yr = pc.year(batch.column("o_orderdate"))
+            return batch.filter(pc.equal(yr, pa.scalar(y)))
+
+        return (
+            orders.map_batches(prep, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name=out_name))
+        )
+
+    a = year_counts(y_a, "n_a")
+    b = year_counts(y_b, "n_b").map_batches(
+        lambda t: t.rename_columns(["ck_b", "n_b"]),
+        batch_format="pyarrow")
+    joined = a.join(b, join_type="full_outer", num_partitions=8,
+                    on=("o_custkey",), right_on=("ck_b",))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer join already coalesces the (on, right_on) key
+        # pair into the left key column; only the counts keep nulls
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "n_a": pc.coalesce(batch.column("n_a"), zero),
+            "n_b": pc.coalesce(batch.column("n_b"), zero),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def order_value_p95_by_priority(sf_dir: str):
+    """Exact per-group p95 — the same distributed histogram-selection
+    machinery as the median (grouped_median_distributed, q=0.95), so a
+    holistic aggregate over a low-cardinality key never puts a whole
+    group in one task. Oracle: DuckDB quantile_cont(.., 0.95)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    t = grouped_median_distributed(ds, "o_orderpriority", "o_totalprice",
+                                   q=0.95)
+    return pa.table({
+        "o_orderpriority": t.column("o_orderpriority"),
+        "p95_price": pc.round(t.column("median"), 2,
+                              round_mode="half_towards_infinity"),
+        "n_orders": t.column("n"),
+    })
+
+
+def events_hopping_window(sf_dir: str, window_days: int = 7):
+    """Hopping-window aggregate over the events stream: for every
+    (event_type, 7-day window hopping by 1 day) → count + sum(value).
+    The streaming-window operator expressed Ray-Data-first: each event is
+    exploded to the ``window_days`` windows containing it (vectorized
+    datetime64 arithmetic), then a plain groupby-aggregate; no ordered
+    scan, no per-key state actor, arbitrarily parallel."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").to_numpy().astype("datetime64[D]")
+        n = len(days)
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        offs = np.arange(window_days, dtype="timedelta64[D]")
+        # event at day d belongs to windows starting at d-6 .. d
+        starts = np.repeat(days, window_days) - np.tile(offs, n)
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, window_days)),
+            "window_start": pa.array(
+                np.datetime_as_string(starts, unit="D")),
+            "n_events": pa.array(np.ones(n * window_days,
+                                         dtype=np.int64)),
+            "value": pa.array(np.repeat(val, window_days)),
+        })
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=32768)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(batch.column("sum_value"), 4),
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def corpus_top_terms(sf_dir: str, k: int = 50):
+    """Top-k corpus vocabulary by total term occurrences — per-batch
+    Counter partials (each batch ships at most its distinct-term rows,
+    not its token stream) → groupby(term).sum → tiny global sort."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            c.update((text or "").lower().split())
+        return pa.table({
+            "term": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )

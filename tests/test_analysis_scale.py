@@ -94,3 +94,34 @@ def test_grouped_median_even_and_odd_counts():
         ds, "k", "v").to_pandas().set_index("k")
     assert got.loc["e", "median"] == 2.5   # (2+3)/2
     assert got.loc["o", "median"] == 5.0
+
+
+def test_grouped_quantile_matches_numpy_linear():
+    """q != 0.5: quantile_cont semantics == numpy 'linear' interpolation,
+    including under forced iterative narrowing."""
+    ds = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    df = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    for q in (0.05, 0.25, 0.9, 0.95):
+        got = analysis.grouped_median_distributed(
+            ds, "o_orderpriority", "o_totalprice", q=q,
+            bins=16, collect_cap=128).to_pandas() \
+            .set_index("o_orderpriority")
+        for k, g in df.groupby("o_orderpriority"):
+            want = float(np.quantile(g["o_totalprice"], q,
+                                     method="linear"))
+            assert got.loc[k, "median"] == pytest.approx(
+                want, rel=1e-12), (k, q)
+
+
+def test_grouped_quantile_extremes_are_min_max():
+    t = pa.table({
+        "k": ["a"] * 9,
+        "v": [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0],
+    })
+    ds = rd.from_arrow([t.slice(0, 5), t.slice(5)])
+    lo = analysis.grouped_median_distributed(ds, "k", "v", q=0.0)
+    hi = analysis.grouped_median_distributed(ds, "k", "v", q=1.0)
+    assert lo.column("median")[0].as_py() == 1.0
+    assert hi.column("median")[0].as_py() == 9.0
