@@ -437,6 +437,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.order_value_p95_by_priority,
         "events_hopping_window": analysis.events_hopping_window,
         "corpus_top_terms": analysis.corpus_top_terms,
+        # r3: distinct counting (exact two-level groupby + HLL sketch)
+        # and distributed Lloyd's k-means over the embeddings table
+        "distinct_users_by_type": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["distinct_users_by_type"],
+        ).distinct_users_by_type(sf),
+        # HLL is approximate by construction — rows-only; the ±2σ error
+        # bound vs the exact count is pytest-gated (test_sketches.py)
+        "distinct_users_hll": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["distinct_users_hll"],
+        ).distinct_users_hll(sf),
+        # iterative algorithm — rows-only; determinism + convergence
+        # pytest-gated
+        "embedding_kmeans": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["kmeans_assignments"],
+        ).kmeans_assignments(sf),
     }
 
 
@@ -767,5 +785,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE term <> ''
             GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

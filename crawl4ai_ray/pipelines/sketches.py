@@ -1,0 +1,265 @@
+"""Distributed sketch + distinct-count operators.
+
+Exact distinct counting is a groupby (every distinct key crosses the
+shuffle once); the HyperLogLog sketch replaces that all-to-all with a
+fixed 2^p-register exchange — the standard trade for corpus-scale
+cardinality (Flajolet et al., AofA 2007: HyperLogLog — the analysis of a
+near-optimal cardinality estimation algorithm).
+
+Scale shape:
+- exact: per-batch ``np.unique`` partials prune duplicate keys inside a
+  block before the groupby, so the shuffle carries each block's distinct
+  keys once, not the raw rows;
+- HLL: each batch emits at most 2^p (register, rho) rows, merged by a
+  tiny ``groupby(register).max`` — the shuffle volume is independent of
+  input size, and the registers themselves are the mergeable state, so
+  the same pipeline shape works for any downstream union/re-aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (Steele et al., OOPSLA 2014 fast splittable PRNGs)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact distinct user_id count per event_type.
+
+    Two-level groupby: the (event_type, user_id) pairs are deduped by the
+    first groupby (with per-batch np.unique partials pruning within-block
+    duplicates first), then a Count per type. No driver set, no broadcast.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        uid = batch.column("user_id").to_numpy()
+        _, et_inv = np.unique(et, return_inverse=True)
+        order = np.lexsort((uid, et_inv))
+        ei, ui = et_inv[order], uid[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (ei[1:] != ei[:-1]) | (ui[1:] != ui[:-1])
+        return batch.take(pa.array(np.sort(order[first])))
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def hll_partial_registers(ds, col: str, p: int = 14):
+    """Dataset of (reg, rho) HLL partials for an integer column: one row
+    per register observed per batch (≤ 2^p rows/batch), merged by max."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _splitmix64(batch.column(col).to_numpy().astype(np.uint64))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # top 64-p hash bits shifted up
+        # rho = position of the leftmost 1-bit in the remaining bits
+        # (1-based); all-zero rest -> 64-p+1
+        nz = rest != 0
+        lead = np.full(len(h), 64 - p + 1, dtype=np.int64)
+        if nz.any():
+            r = rest[nz]
+            # vectorized count-leading-zeros via float64 exponent trick is
+            # unsafe for >2^53; use bit_length via log2 on the high word
+            hi = (r >> np.uint64(32)).astype(np.uint32)
+            lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            bl_hi = np.zeros(len(r), dtype=np.int64)
+            m_hi = hi != 0
+            bl_hi[m_hi] = np.floor(
+                np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 1
+            bl_lo = np.zeros(len(r), dtype=np.int64)
+            m_lo = (~m_hi) & (lo != 0)
+            bl_lo[m_lo] = np.floor(
+                np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
+            bitlen = np.where(m_hi, bl_hi + 32, bl_lo)
+            lead[nz] = 64 - bitlen + 1
+        # max rho per register within the batch
+        order = np.lexsort((-lead, reg))
+        reg_s, lead_s = reg[order], lead[order]
+        first = np.ones(len(reg_s), dtype=bool)
+        first[1:] = reg_s[1:] != reg_s[:-1]
+        return pa.table({
+            "reg": pa.array(reg_s[first], type=pa.int64()),
+            "rho": pa.array(lead_s[first], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+    ), m
+
+
+def hll_estimate(registers: dict[int, int], m: int) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007, §4)."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zsum = (m - len(registers)) * 1.0 + sum(
+        2.0 ** -rho for rho in registers.values()
+    )
+    est = alpha * m * m / zsum
+    zeros = m - len(registers)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_users_hll(sf_dir: str, p: int = 14):
+    """Approximate global distinct user_id count (HLL, ±~1.04/sqrt(2^p)).
+    Returns a one-row table (n_users_approx, precision_p); the error
+    bound against the exact count is pytest-gated."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    regs_ds, m = hll_partial_registers(ds, "user_id", p)
+    registers = {int(r["reg"]): int(r["rho"]) for r in regs_ds.take_all()}
+    est = hll_estimate(registers, m)
+    return pa.table({
+        "n_users_approx": pa.array([int(round(est))], type=pa.int64()),
+        "precision_p": pa.array([p], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's iterations over map_batches partials)
+# ---------------------------------------------------------------------------
+
+
+def _stack_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy per chunk."""
+    arr = batch.column(col)
+    if arr.num_chunks == 1:
+        chunk = arr.chunk(0)
+    else:
+        chunk = arr.combine_chunks()
+    flat = np.asarray(chunk.values, dtype=np.float64)
+    d = len(flat) // len(batch)
+    return flat.reshape(len(batch), d)
+
+
+def kmeans_fit(
+    sf_dir: str,
+    k: int = 8,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd's k-means over the embeddings table.
+
+    Scale shape (the mini-batch-free classic, Bahmani et al. VLDB 2012
+    framing): per iteration the (k x d) centroid matrix is broadcast via
+    ``ray.put`` ONCE, each batch computes assignments with one matmul and
+    emits only k partial (sum_vec, count) rows, and the driver reduces
+    k rows — shuffle volume is O(k*d*num_blocks), independent of n.
+    Deterministic init: the k lowest vec_ids (the table is synthetic and
+    id-dense; kmeans++ would sample, breaking run-to-run equality).
+
+    Returns (centroids ndarray (k,d), n_iters, inertia).
+    """
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # deterministic init: first k by vec_id (tiny driver pull of k rows)
+    first = ds.sort("vec_id").limit(k)
+    init_rows = first.take_all()
+    cent = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64) for r in init_rows
+    ])
+
+    n_iters, inertia = 0, float("nan")
+    for it in range(max_iters):
+        cent_ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)  # noqa: B023 — rebound per iteration
+            x = _stack_embeddings(batch)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (
+                -2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(x)), assign] + (x * x).sum(axis=1)
+            sums = np.zeros((len(c), x.shape[1]))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), type=pa.int64()),
+                "vsum": pa.array(
+                    [s.tobytes() for s in sums], type=pa.large_binary()),
+                "count": pa.array(counts, type=pa.int64()),
+                "sse": pa.array(
+                    np.bincount(assign, weights=best, minlength=len(c))),
+            })
+
+        parts = ds.map_batches(
+            partials, batch_format="pyarrow", batch_size=4096
+        ).take_all()
+        d = cent.shape[1]
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for r in parts:
+            sums[r["cid"]] += np.frombuffer(r["vsum"], dtype=np.float64)
+            counts[r["cid"]] += r["count"]
+            sse += r["sse"]
+        nz = counts > 0
+        new_cent = cent.copy()
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new_cent - cent).max())
+        cent, inertia, n_iters = new_cent, sse, it + 1
+        if shift < tol:
+            break
+    return cent, n_iters, inertia
+
+
+def kmeans_assignments(sf_dir: str, k: int = 8, max_iters: int = 20):
+    """Query surface: cluster id + distance per vec_id (deterministic).
+
+    The fit is the iterative partial-reduction above; the final labeling
+    pass is one more broadcast + map_batches. Rows-only oracle (iterative
+    algorithms are not SQL-expressible); determinism and quality
+    (inertia monotonically non-increasing, all-points-covered) are
+    pytest-gated.
+    """
+    import ray
+
+    cent, n_iters, _ = kmeans_fit(sf_dir, k=k, max_iters=max_iters)
+    cent_ref = ray.put(cent)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _stack_embeddings(batch)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        best = np.sqrt(np.maximum(d2[np.arange(len(x)), assign], 0.0))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "dist": pa.array(np.round(best, 5)),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=4096)

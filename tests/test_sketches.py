@@ -1,0 +1,136 @@
+"""Distinct-count (exact + HLL) and distributed k-means operators.
+
+Gates:
+- exact distinct per type == DuckDB COUNT(DISTINCT) on the same parquet;
+- HLL estimate within the standard-error bound of the exact count, and
+  the register table is merge-stable (splitting the input and merging
+  partials gives the identical estimate — the mergeability law);
+- k-means: deterministic across runs, inertia non-increasing over
+  iterations, every point labeled, distances consistent with centroids.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.pipelines import sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_distinct_duckdb(sf_dir):
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"""
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY event_type ORDER BY event_type
+            """
+        ).fetch_arrow_table()
+    finally:
+        con.close()
+
+
+def test_distinct_users_by_type_matches_duckdb():
+    got = (
+        sketches.distinct_users_by_type(SF)
+        .sort("event_type")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _exact_distinct_duckdb(SF).to_pandas()
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n_users"]) == list(want["n_users"])
+
+
+def test_hll_within_error_bound():
+    con = duckdb.connect()
+    try:
+        exact = con.execute(
+            f"SELECT count(DISTINCT user_id) FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    p = 14
+    tbl = sketches.distinct_users_hll(SF, p=p)
+    est = tbl.column("n_users_approx")[0].as_py()
+    assert tbl.column("precision_p")[0].as_py() == p
+    # standard error 1.04/sqrt(m); allow 3 sigma
+    rel_err = abs(est - exact) / exact
+    assert rel_err < 3 * 1.04 / np.sqrt(1 << p), (est, exact)
+
+
+def test_hll_registers_merge_stable():
+    """Splitting the input into halves and merging register partials by
+    max must equal the single-pass registers — the HLL mergeability law
+    that makes the sketch safe for re-aggregation across shards."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    full_ds, m = sketches.hll_partial_registers(ds, "user_id", p=12)
+    full = {r["reg"]: r["rho"] for r in full_ds.take_all()}
+
+    tbl = pa.concat_tables(
+        ds.iter_batches(batch_size=10**9, batch_format="pyarrow")
+    )
+    half = len(tbl) // 2
+    merged = {}
+    for part in (tbl.slice(0, half), tbl.slice(half)):
+        part_ds, _ = sketches.hll_partial_registers(
+            rd.from_arrow(part), "user_id", p=12)
+        for r in part_ds.take_all():
+            merged[r["reg"]] = max(merged.get(r["reg"], 0), r["rho"])
+    assert merged == full
+    assert sketches.hll_estimate(merged, m) == sketches.hll_estimate(
+        full, m)
+
+
+@pytest.fixture(scope="module")
+def kmeans_result():
+    cent, n_iters, inertia = sketches.kmeans_fit(SF, k=6, max_iters=15)
+    return cent, n_iters, inertia
+
+
+def test_kmeans_deterministic(kmeans_result):
+    cent, n_iters, inertia = kmeans_result
+    cent2, n_iters2, inertia2 = sketches.kmeans_fit(SF, k=6, max_iters=15)
+    assert n_iters == n_iters2
+    assert inertia == pytest.approx(inertia2, rel=0, abs=0)
+    np.testing.assert_array_equal(cent, cent2)
+
+
+def test_kmeans_inertia_non_increasing():
+    seen = []
+    for iters in (1, 2, 4, 8):
+        _, _, inertia = sketches.kmeans_fit(SF, k=6, max_iters=iters)
+        seen.append(inertia)
+    assert all(b <= a + 1e-9 for a, b in zip(seen, seen[1:])), seen
+
+
+def test_kmeans_assignments_cover_and_match_centroids(kmeans_result):
+    cent, _, _ = kmeans_result
+    df = sketches.kmeans_assignments(SF, k=6, max_iters=15).to_pandas()
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    assert len(df) == emb.num_rows
+    assert sorted(df["vec_id"]) == sorted(
+        emb.column("vec_id").to_pylist())
+    assert df["cluster"].between(0, 5).all()
+    # spot-check: reported dist equals the true distance to the reported
+    # centroid, and no other centroid is closer
+    x = np.array(
+        emb.column("embedding").to_pylist(), dtype=np.float64)
+    by_id = {int(v): i for i, v in enumerate(
+        emb.column("vec_id").to_pylist())}
+    rows = df.sample(n=50, random_state=7)
+    for _, r in rows.iterrows():
+        xi = x[by_id[int(r["vec_id"])]]
+        dists = np.linalg.norm(cent - xi[None, :], axis=1)
+        assert r["dist"] == pytest.approx(
+            round(float(dists[int(r["cluster"])]), 5), abs=1e-5)
+        assert dists[int(r["cluster"])] <= dists.min() + 1e-9
