@@ -455,6 +455,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["kmeans_assignments"],
         ).kmeans_assignments(sf),
+        # r3: corpus-prep layer (decontamination / inverted index /
+        # stratified sampling) — all DuckDB-oracle-gated
+        "doc_decontaminate": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["decontaminate"],
+        ).decontaminate(sf),
+        "corpus_postings": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["corpus_postings"],
+        ).corpus_postings(sf),
+        "doc_stratified_sample": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["stratified_sample"],
+        ).stratified_sample(sf),
     }
 
 
@@ -789,5 +800,67 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # integer-exact 3-gram overlap vs the doc_id<20 "benchmark" docs
+        # (contaminated = majority of a doc's distinct 3-grams appear in
+        # the benchmark set) — counts only, no float rounding
+        "doc_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           )) AS g
+                    FROM toks
+                )
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+            scored AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       count(*) FILTER (g IN (SELECT g FROM bench))
+                           AS n_hit
+                FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(coalesce(2 * s.n_hit >= s.n_grams, FALSE)
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "corpus_postings": r"""
+            WITH posting AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\s+')) AS term
+                    FROM documents
+                ) WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM posting GROUP BY term
+            )
+            SELECT p.term, p.doc_id, p.tf, d.df
+            FROM posting p JOIN dfreq d USING (term)
+            WHERE d.df >= 2
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents
+            QUALIFY rnk <= 25
         """,
     }

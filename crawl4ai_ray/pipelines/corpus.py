@@ -1,0 +1,153 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond
+the reference's own surface: benchmark decontamination, inverted-index
+postings, and stratified deterministic sampling.
+
+Reference scope note: cbwinslow/crawl4ai has no corpus-level operators
+(its unit is one page); these are the Ray-Data-native corpus layer the
+SURVEY's §2 "beyond the reference" mandate calls for. All three are
+DuckDB-oracle-gated.
+
+Scale shapes:
+- decontamination (Brown et al. 2020 appendix C / The Pile: n-gram
+  overlap against held-out benchmarks): the benchmark side is SMALL by
+  nature — build its n-gram set once, ``ray.put`` it, and score every
+  batch against the broadcast set; no shuffle at all, output is one row
+  per document.
+- postings: tf is computed entirely inside a document, so the map stage
+  emits final (term, doc_id, tf) rows with no shuffle; only df (a
+  per-term count) shuffles, carrying one row per distinct (term, doc)
+  — then a term-keyed hash join attaches df. No driver state.
+- stratified sample: per-batch local top-n per stratum (top-n of a
+  union is the top-n of per-part top-ns) caps the shuffle at
+  n rows/stratum/block; the final per-stratum selection ranks at most
+  n*n_blocks rows. Hash-ordered (md5) so every engine picks the SAME
+  docs — no RNG state, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _tokens(text: str) -> list[str]:
+    """The corpus tokenization convention (same as bm25_rank /
+    corpus_top_terms: lower + whitespace split)."""
+    return (text or "").lower().split()
+
+
+def _ngrams(words: list[str], n: int) -> set[str]:
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate(sf_dir: str, n: int = 3, bench_max_doc: int = 20):
+    """Benchmark-contamination scan: distinct word n-gram overlap of
+    every document against a benchmark set (docs with
+    doc_id < bench_max_doc stand in for the held-out eval set).
+
+    Counts are integer-exact (n_hit / n_grams as columns, the
+    contaminated flag compares 2*n_hit >= n_grams) so the DuckDB oracle
+    matches bit-for-bit with no float-rounding-mode hazards.
+    """
+    bench_tbl = pa.concat_tables(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id < {bench_max_doc}")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    bench: set[str] = set()
+    for text in bench_tbl.column("text").to_pylist():
+        bench |= _ngrams(_tokens(text), n)
+    bench_ref = ray.put(bench)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        n_grams, n_hit = [], []
+        for text in batch.column("text").to_pylist():
+            g = _ngrams(_tokens(text), n)
+            n_grams.append(len(g))
+            n_hit.append(len(g & b))
+        ng = np.asarray(n_grams, dtype=np.int64)
+        nh = np.asarray(n_hit, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(ng),
+            "n_hit": pa.array(nh),
+            "contaminated": pa.array(
+                ((2 * nh >= ng) & (ng > 0)).astype(np.int32)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def corpus_postings(sf_dir: str, min_df: int = 2):
+    """Inverted-index postings: (term, doc_id, tf, df) for every term
+    with document frequency >= min_df."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import collections
+
+        terms, docs, tfs = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for term, tf in collections.Counter(_tokens(text)).items():
+                terms.append(term)
+                docs.append(doc_id)
+                tfs.append(tf)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+
+    postings = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=4096)
+    # postings are distinct per (term, doc): df is a plain per-term count
+    df = postings.groupby("term").aggregate(Count(alias_name="df"))
+    from .dedup import _join_parts
+
+    joined = postings.join(
+        df, join_type="inner", on=("term",),
+        num_partitions=_join_parts(postings, df),
+    )
+    return joined.filter(expr=f"df >= {min_df}")
+
+
+def stratified_sample(sf_dir: str, n_per: int = 25):
+    """Deterministic stratified sample: the n_per docs per language
+    whose md5(doc_id) hex prefix sorts lowest (hash order = reproducible
+    pseudo-random order, identical in python and DuckDB)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h8 = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+        t = batch.append_column("h8", pa.array(h8, type=pa.string()))
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "h8", "doc_id"])
+        return pa.Table.from_pandas(df.groupby("lang").head(n_per),
+                                    preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h8", "doc_id"]).head(n_per)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(with_hash, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -1,0 +1,65 @@
+"""Corpus-prep operators: decontamination, postings, stratified sample.
+
+The three driver-style oracle gates live in test_entry_oracle.py (these
+queries are in oracle_sql()); here we gate the operator-specific laws:
+benchmark docs are always contaminated, postings tf sums to the token
+count, stratified picks are stable and exactly n per stratum.
+"""
+
+import duckdb
+import pyarrow as pa
+
+from crawl4ai_ray.pipelines import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(ds):
+    return ds.to_pandas()
+
+
+def test_decontaminate_benchmark_docs_fully_hit():
+    df = _pd(corpus.decontaminate(SF)).set_index("doc_id")
+    bench = df[df.index < 20]
+    nonempty = bench[bench["n_grams"] > 0]
+    assert (nonempty["n_hit"] == nonempty["n_grams"]).all()
+    assert (nonempty["contaminated"] == 1).all()
+    # and the flag law holds corpus-wide
+    law = ((2 * df["n_hit"] >= df["n_grams"]) & (df["n_grams"] > 0))
+    assert (df["contaminated"] == law.astype("int32")).all()
+
+
+def test_postings_tf_sums_to_token_count():
+    df = _pd(corpus.corpus_postings(SF, min_df=1))
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            f"""
+            SELECT sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+            FROM read_parquet('{SF}/documents.parquet')
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert df["tf"].sum() == want
+    # df column is consistent: every term's df equals its distinct-doc count
+    per_term = df.groupby("term").agg(
+        n_docs=("doc_id", "nunique"), df_col=("df", "first"),
+        df_nunique=("df", "nunique"))
+    assert (per_term["df_nunique"] == 1).all()
+    assert (per_term["n_docs"] == per_term["df_col"]).all()
+
+
+def test_stratified_sample_exact_n_and_stable():
+    a = _pd(corpus.stratified_sample(SF, n_per=10))
+    b = _pd(corpus.stratified_sample(SF, n_per=10))
+    key = ["lang", "rnk"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[["lang", "doc_id", "h8", "rnk"]].equals(
+        b[["lang", "doc_id", "h8", "rnk"]])
+    counts = a.groupby("lang").size()
+    assert (counts == 10).all()
+    # hash order: within a stratum rnk follows h8 lexicographic order
+    for _, g in a.groupby("lang"):
+        assert list(g.sort_values("rnk")["h8"]) == sorted(g["h8"])
