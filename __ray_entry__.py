@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.lsh_topk(sf),
+        # IVF (inverted-file) ANN: k-means coarse quantizer, index stored
+        # as parquet partitioned by inverted list, probe reads only
+        # n_probe/nlist of the corpus. Rows-only (iterative quantizer not
+        # SQL-expressible); full-probe==brute-force + recall pytest-gated
+        "ann_topk_ivf": lambda sf: similarity.ivf_topk(
+            sf, nlist=8, n_probe=4),
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
