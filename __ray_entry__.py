@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.order_value_median_by_priority,
         "revenue_by_nation_year": analysis.revenue_by_nation_year,
         "big_spenders_union": analysis.big_spenders_union,
+        # r3 session 5: LAG window / ROLLUP / above-group-average shapes
+        "events_lag_gap": analysis.events_lag_gap,
+        "revenue_rollup": analysis.revenue_rollup,
+        "parts_above_type_avg": analysis.parts_above_type_avg,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -868,5 +872,43 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 25
+        """,
+        "events_lag_gap": r"""
+            SELECT event_id, user_id,
+                   COALESCE(
+                       (epoch_us(ts) - epoch_us(
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+                       / 1000000.0, -1.0) AS gap_s
+            FROM events
+        """,
+        "revenue_rollup": r"""
+            WITH leaf AS (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) AS VARCHAR) AS order_year,
+                       SUM(o_totalprice) AS rev,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT nation, order_year,
+                   ROUND(rev, 2) AS revenue, n_orders FROM leaf
+            UNION ALL
+            SELECT nation, 'ALL', ROUND(SUM(rev), 2),
+                   CAST(SUM(n_orders) AS BIGINT)
+            FROM leaf GROUP BY nation
+            UNION ALL
+            SELECT 'ALL', 'ALL', ROUND(SUM(rev), 2),
+                   CAST(SUM(n_orders) AS BIGINT) FROM leaf
+        """,
+        "parts_above_type_avg": r"""
+            SELECT p_partkey, p_type, p_retailprice,
+                   ROUND(avg_price, 4) AS type_avg
+            FROM part
+            JOIN (SELECT p_type AS t, AVG(p_retailprice) AS avg_price
+                  FROM part GROUP BY p_type) ON p_type = t
+            WHERE p_retailprice > avg_price
         """,
     }

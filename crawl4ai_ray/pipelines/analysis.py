@@ -1348,3 +1348,116 @@ def corpus_top_terms(sf_dir: str, k: int = 50):
         .sort(["n", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions (session 5): lag/lead gaps, rollup subtotals,
+# above-group-average filter
+# ---------------------------------------------------------------------------
+
+
+def events_lag_gap(sf_dir: str):
+    """Per-user gap (seconds) since the previous event — the LAG() window
+    shape. groupby(user_id).map_groups with an in-group sort + diff;
+    per-user groups are bounded by per-user event counts, so no task
+    outgrows its heap at corpus scale. First event per user gets -1.0
+    (COALESCE'd identically in the SQL oracle so the hash compares)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "gap_s": gap.fillna(-1.0).astype("float64"),
+        })
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP(nation, year): leaf revenue per (nation, year) PLUS per-nation
+    subtotals PLUS the grand total, sentinel 'ALL' marking rolled-up keys.
+
+    Scale shape: the only big-data pass is the leaf aggregation (the same
+    broadcast-map + combiner + two-key groupby as revenue_by_nation_year);
+    the subtotal levels re-aggregate the LEAF table (nations x years rows
+    — hundreds), so rollup costs one extra tiny shuffle, not a second
+    scan. Sums stay unrounded until the final union so subtotal = sum of
+    leaves bit-for-bit like the SQL."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"],
+                   cust["c_nationkey"].map(
+                       dict(zip(nation["n_nationkey"], nation["n_name"])))))
+    ref = ray.put(c2n)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table, ref=ref) -> pa.Table:
+        lookup = ray.get(ref)
+        df = batch.to_pandas()
+        df["nation"] = df["o_custkey"].map(lookup)
+        df["order_year"] = pd.to_datetime(df["o_orderdate"]).dt.year \
+            .astype("int64").astype(str)
+        g = df.groupby(["nation", "order_year"], as_index=False) \
+            .agg(_rev=("o_totalprice", "sum"), _n=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    leaf = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           batch_size=16384)
+        .groupby(["nation", "order_year"])
+        .aggregate(Sum("_rev", alias_name="_rev"),
+                   Sum("_n", alias_name="_n"))
+    )
+    # leaf is nations x years — tiny; derive the two rolled-up levels
+    # driver-side (the SQL's ROLLUP does exactly this re-aggregation)
+    df = leaf.to_pandas()
+    by_nation = df.groupby("nation", as_index=False) \
+        .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
+    by_nation["order_year"] = "ALL"
+    total = pd.DataFrame({
+        "nation": ["ALL"], "order_year": ["ALL"],
+        "_rev": [df["_rev"].sum()], "_n": [df["_n"].sum()],
+    })
+    out = pd.concat([df, by_nation[df.columns], total[df.columns]],
+                    ignore_index=True)
+    out["revenue"] = out["_rev"].round(2)
+    out["n_orders"] = out["_n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["nation", "order_year", "revenue", "n_orders"]],
+        preserve_index=False)
+
+
+def parts_above_type_avg(sf_dir: str):
+    """Parts priced above their p_type group average — the correlated-
+    subquery / above-group-average shape. The group-average table is
+    p_type-cardinality rows (single digits), so it is aggregated
+    distributed, collected, and broadcast into a vectorized per-batch
+    filter — no second scan, no shuffle of part."""
+    import ray
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+    avg = ds.groupby("p_type").aggregate(
+        Mean("p_retailprice", alias_name="avg_price"))
+    lut = {r["p_type"]: r["avg_price"] for r in avg.take_all()}
+    ref = ray.put(lut)
+
+    def above(batch: pa.Table, ref=ref) -> pa.Table:
+        lookup = ray.get(ref)
+        types = batch.column("p_type").to_pylist()
+        thr = np.array([lookup[t] for t in types], dtype=np.float64)
+        price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        keep = price > thr
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            "type_avg",
+            pa.array(np.round(thr[keep], 4), type=pa.float64()))
+
+    return ds.map_batches(above, batch_format="pyarrow", batch_size=16384)
