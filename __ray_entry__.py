@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gap": analysis.events_lag_gap,
         "revenue_rollup": analysis.revenue_rollup,
         "parts_above_type_avg": analysis.parts_above_type_avg,
+        "doc_repetition_stats": analysis.doc_repetition_stats,
+        "q3_shipping_priority": analysis.q3_shipping_priority,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -902,6 +904,60 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', 'ALL', ROUND(SUM(rev), 2),
                    CAST(SUM(n_orders) AS BIGINT) FROM leaf
+        """,
+        "q3_shipping_priority": r"""
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "doc_repetition_stats": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            flat AS (
+                SELECT doc_id, unnest(w) AS term, len(w) AS n FROM words
+            ),
+            wstat AS (
+                SELECT doc_id,
+                       CAST(any_value(n) AS BIGINT) AS n_words,
+                       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+                       max(cnt) AS top_cnt
+                FROM (SELECT doc_id, term, n, count(*) AS cnt
+                      FROM flat GROUP BY doc_id, term, n)
+                GROUP BY doc_id
+            ),
+            bigrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(w)),
+                           i -> list_extract(w, i) || ' '
+                                || list_extract(w, i + 1))) AS bg
+                FROM words WHERE len(w) >= 2
+            ),
+            bstat AS (
+                SELECT doc_id, max(cnt) AS top_bg
+                FROM (SELECT doc_id, bg, count(*) AS cnt
+                      FROM bigrams GROUP BY doc_id, bg)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_words, s.n_distinct,
+                   round(1.0 - s.n_distinct / s.n_words, 6) AS dup_frac,
+                   round(s.top_cnt * 1.0 / s.n_words, 6) AS top_word_frac,
+                   COALESCE(round(b.top_bg * 1.0 / (s.n_words - 1), 6),
+                            0.0) AS top_bigram_frac
+            FROM wstat s LEFT JOIN bstat b USING (doc_id)
         """,
         "parts_above_type_avg": r"""
             SELECT p_partkey, p_type, p_retailprice,

@@ -1461,3 +1461,145 @@ def parts_above_type_avg(sf_dir: str):
             pa.array(np.round(thr[keep], 4), type=pa.float64()))
 
     return ds.map_batches(above, batch_format="pyarrow", batch_size=16384)
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Per-document repetition signals — the Gopher/C4-style quality
+    rules (Rae et al. 2021 'duplicate n-gram fraction'): duplicate-word
+    fraction, most-frequent-word fraction, most-frequent-bigram fraction.
+    Pure per-document map (one Counter pass per doc inside map_batches —
+    inherently per-string work, no shuffle, scales linearly)."""
+    import collections
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {"doc_id": [], "n_words": [], "n_distinct": [],
+               "dup_frac": [], "top_word_frac": [], "top_bigram_frac": []}
+        for i, text in zip(ids, batch.column("text").to_pylist()):
+            w = (text or "").split()
+            n = len(w)
+            wc = collections.Counter(w)
+            bg = collections.Counter(zip(w, w[1:]))
+            out["doc_id"].append(i)
+            out["n_words"].append(n)
+            out["n_distinct"].append(len(wc))
+            out["dup_frac"].append(
+                round(1.0 - len(wc) / n, 6) if n else 0.0)
+            out["top_word_frac"].append(
+                round(max(wc.values()) / n, 6) if n else 0.0)
+            out["top_bigram_frac"].append(
+                round(max(bg.values()) / (n - 1), 6) if n >= 2 else 0.0)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "n_words": pa.array(out["n_words"], type=pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], type=pa.int64()),
+            "dup_frac": pa.array(out["dup_frac"], type=pa.float64()),
+            "top_word_frac": pa.array(out["top_word_frac"],
+                                      type=pa.float64()),
+            "top_bigram_frac": pa.array(out["top_bigram_frac"],
+                                        type=pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H Q3 shape — the big-big hash join: lineitem revenue joined to
+    orders on orderkey via Ray Data's native hash join.
+
+    Scale decomposition:
+    - customer (small side) filtered to the segment, reduced to a custkey
+      set, broadcast via ``ray.put`` into the orders filter (no shuffle);
+    - lineitem (biggest table) is filtered at the batch, pre-aggregated
+      per batch (combiner), then groupby(l_orderkey).sum — the first
+      shuffle carries (orderkey, partial_rev) only;
+    - the aggregated lineitem side joins filtered orders with
+      ``Dataset.join`` — the second shuffle; both sides are
+      orderkey-partitioned compact tables, the canonical big-big case
+      where neither side may broadcast;
+    - top-k: local sort only after the join (k rows to the driver).
+    """
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr=f"c_mktsegment == '{segment}'") \
+        .select_columns(["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    kref = ray.put(np.sort(keys))
+
+    cut = np.datetime64(cutoff)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def ofilt(batch: pa.Table, kref=kref) -> pa.Table:
+        ks = ray.get(kref)
+        dates = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = (dates < cut) & np.isin(ck, ks)
+        t = batch.filter(pa.array(keep))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
+                                   batch_size=16384)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = ship > cut
+        t = batch.filter(pa.array(keep))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"l_orderkey": ok, "_rev": ep * (1.0 - dc)})
+        g = df.groupby("l_orderkey", as_index=False)["_rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(lpartial, batch_format="pyarrow", batch_size=32768)
+        .groupby("l_orderkey")
+        .aggregate(Sum("_rev", alias_name="_rev"))
+    )
+
+    joined = rev.join(ofiltered, join_type="inner",
+                      num_partitions=_join_ray_parts(rev, ofiltered),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue": pc.round(batch.column("_rev"), 2),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    return (
+        joined.map_batches(fin, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _join_ray_parts(*dss) -> int:
+    """Hash-join partition count: ~blocks of the larger side, capped at
+    session CPUs (same law as dedup._join_parts — tiny inputs get 2
+    aggregator actors, corpus-scale inputs get the CPU cap)."""
+    import ray
+
+    blocks = 2
+    for d in dss:
+        try:
+            blocks = max(blocks, d.num_blocks())
+        except Exception:
+            pass
+    try:
+        cap = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cap = 8
+    return max(2, min(cap, blocks))
