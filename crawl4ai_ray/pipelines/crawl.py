@@ -84,6 +84,7 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
                 drop_html: bool = False,
                 cand_dir: str | None = None,
                 order_dir: str | None = None,
+                order_inline: bool = False,
                 level_k: int = 0) -> pa.Table:
     """Task-side sink + combiner. Writes the full parsed batch as one
     parquet part (resumable superstep-partitioned output), then returns ONE
@@ -196,15 +197,24 @@ def _sink_stage(batch: pa.Table, *, out_dir: str, max_depth: int,
         parse_ms = float(
             pc.sum(batch.column("parse_ms")).as_py() or 0.0
         ) if batch.num_rows else 0.0
-        return pa.table(
-            {
-                "n_rows": pa.array([batch.num_rows], type=pa.int64()),
-                "n_success": pa.array([n_success], type=pa.int64()),
-                "n_filtered": pa.array([n_filtered], type=pa.int64()),
-                "fetch_ms_sum": pa.array([fetch_ms], type=pa.float64()),
-                "parse_ms_sum": pa.array([parse_ms], type=pa.float64()),
-            }
-        )
+        cols = {
+            "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+            "n_success": pa.array([n_success], type=pa.int64()),
+            "n_filtered": pa.array([n_filtered], type=pa.int64()),
+            "fetch_ms_sum": pa.array([fetch_ms], type=pa.float64()),
+            "parse_ms_sum": pa.array([parse_ms], type=pa.float64()),
+        }
+        if order_inline:
+            # best-first table mode: the pop batch is bounded by
+            # bff_batch_size, so its order rows return inline (the driver
+            # needs them for the streaming max_pages cap law) while the
+            # unbounded candidate rows stay task-side in cand_dir.
+            order_struct = _table_to_struct(batch.select(_ORDER_COLS))
+            cols["order"] = pa.ListArray.from_arrays(
+                pa.array([0, len(order_struct)], type=pa.int32()),
+                order_struct,
+            )
+        return pa.table(cols)
 
     cand_struct = _table_to_struct(cand)
 
@@ -287,6 +297,11 @@ class CrawlConfig:
     # the end of the run (API parity with driver mode). Disable at corpus
     # scale and consume res.order_dir instead.
     collect_order: bool = True
+    # best-first frontier-table mode: compact the pool (rewrite live rows,
+    # clear tombstones) once dead keys exceed max(this floor, live rows).
+    # Tombstones are O(pages popped), so the floor only matters for tiny
+    # crawls; tests lower it to exercise compaction.
+    pool_compact_min: int = 1024
 
 
 @dataclass
@@ -620,6 +635,7 @@ class CrawlEngine:
                            docs_root: str, *,
                            cand_dir: str | None = None,
                            order_dir: str | None = None,
+                           order_inline: bool = False,
                            n_frontier: int | None = None) -> str:
         """Distributed fetch→parse→write for one superstep; returns the
         superstep's documents dir. Payloads never touch the driver.
@@ -720,6 +736,7 @@ class CrawlEngine:
                 "drop_html": cache_writing and not cfg.keep_html,
                 "cand_dir": cand_dir,
                 "order_dir": order_dir,
+                "order_inline": order_inline,
                 "level_k": k,
             },
             batch_size=None,
@@ -795,6 +812,8 @@ class CrawlEngine:
                 return self._run_bfs_table(seed_urls, resume=resume)
             return self._run_bfs(seed_urls, resume=resume)
         if self.cfg.strategy == "best_first":
+            if self.cfg.frontier_mode == "table":
+                return self._run_best_first_table(seed_urls, resume=resume)
             return self._run_best_first(seed_urls, resume=resume)
         if self.cfg.strategy == "dfs":
             return self._run_dfs(seed_urls)
@@ -1079,7 +1098,8 @@ class CrawlEngine:
     def _frontier_dir(root: str, k: int) -> str:
         return os.path.join(root, f"superstep={k:05d}")
 
-    def _checkpoint_table(self, k: int, seen: SeenSet, state: dict) -> None:
+    def _checkpoint_table(self, k: int, seen: SeenSet, state: dict,
+                          extra_tables: dict | None = None) -> None:
         """Frontier-table checkpoint: seen snapshot + counters only — the
         frontier/order/cand parquet for every superstep is already on disk
         under out_dir (written task-side), so the checkpoint never copies
@@ -1103,6 +1123,8 @@ class CrawlEngine:
             }
         )
         pq.write_table(seen_tbl, os.path.join(tmp, "seen.parquet"))
+        for name, tbl in (extra_tables or {}).items():
+            pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"))
         with open(os.path.join(tmp, "state.json"), "w") as f:
             json.dump(state, f)
         with open(os.path.join(tmp, "_COMMIT"), "w") as f:
@@ -1860,4 +1882,339 @@ class CrawlEngine:
         seen.kill()
         if gate is not None:
             gate.kill()
+        return res
+
+    # -- best-first, frontier-table mode -------------------------------------
+
+    @staticmethod
+    def _replay_bff_order(order_root: str, up_to_k: int,
+                          max_pages: float) -> tuple[list, int]:
+        """Rebuild the kept order rows from the task-side order parquet by
+        replaying the reference's streaming max_pages cap law (count
+        successes as they stream, stop BEFORE yielding the cap-hitting
+        row). Used on resume so the checkpoint stays counters-only."""
+        kept: list = []
+        pages = 0
+        if not os.path.isdir(order_root):
+            return kept, pages
+        for d in sorted(os.listdir(order_root)):
+            kk = int(d.split("=")[1])
+            if kk > up_to_k:
+                continue
+            sdir = os.path.join(order_root, d)
+            parts = [pq.read_table(os.path.join(sdir, f))
+                     for f in sorted(os.listdir(sdir))
+                     if f.endswith(".parquet")]
+            if not parts:
+                continue
+            for r in pa.concat_tables(parts).sort_by("seq").to_pylist():
+                if r["success"]:
+                    pages += 1
+                    if pages >= max_pages:
+                        return kept, pages
+                r["level"] = kk
+                kept.append(r)
+        return kept, pages
+
+    @staticmethod
+    def _pool_compact(gen_dir: str, new_gen_dir: str,
+                      popped_keys: np.ndarray) -> None:
+        """Rewrite the pool without tombstoned rows (distributed filter ->
+        parquet; the driver never holds pool rows)."""
+        dead_ref = ray.put(np.asarray(popped_keys, dtype=np.int64))
+
+        def drop_dead(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            dead = ray.get(dead_ref)
+            ps = batch.column("push_seq").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ps, dead)))
+
+        shutil.rmtree(new_gen_dir, ignore_errors=True)
+        rd.read_parquet(gen_dir, partitioning=None).map_batches(
+            drop_dead, batch_format="pyarrow"
+        ).write_parquet(new_gen_dir)
+        # the OLD gen is deleted by the caller AFTER the checkpoint
+        # commits — a crash between compact and checkpoint must leave the
+        # generation the checkpoint points at intact
+
+    def _run_best_first_table(self, seed_urls: list[str], *,
+                              resume: bool = False) -> CrawlRunResult:
+        """Best-first with the priority pool held as parquet fragments --
+        the driver-free scale path for the bff strategy (complement of
+        _run_bfs_table):
+
+        - the pool is append-only parquet under out_dir/pool/gen=G; popped
+          rows are "removed" via a driver tombstone set of push_seq keys
+          (O(pages popped), NOT O(pool)), compacted away once dead keys
+          outnumber live rows;
+        - each pop is ONE distributed scan: per-block tombstone filter +
+          local top-k, so the driver receives <= bff_batch_size rows per
+          block, merged to the global pop batch (discovery.pool_pop_topk)
+          -- the reference heap order (score, depth, url, push_seq),
+          bff_strategy.py:129-152;
+        - fetch/parse/sink write docs + candidates task-side; the order
+          rows return INLINE (bounded by the pop batch) because the
+          streaming max_pages cap law is driver state;
+        - link discovery (kept-parent gate, read-only seen check,
+          per-parent capacity rank, global push_seq assignment) runs
+          distributed and appends survivors straight to a new pool
+          fragment (discovery.bff_pool_append) -- candidate rows never
+          transit driver heap;
+        - checkpoints are counters + seen snapshot + the tombstone keys;
+          resume replays the cap law from the on-disk order parquet.
+
+        Byte-equal to the driver pool (tests/test_frontier_table.py). The
+        politeness gate remains driver-mode only (its budget split is a
+        driver law)."""
+        from .discovery import bff_pool_append, pool_pop_topk
+
+        cfg = self.cfg
+        if cfg.politeness:
+            raise ValueError(
+                "frontier_mode='table' does not compose with politeness "
+                "(use frontier_mode='driver')")
+        import polars as pl
+
+        t_start = time.perf_counter()
+        res = CrawlRunResult()
+        docs_root = os.path.join(cfg.out_dir, "documents")
+        pool_root = os.path.join(cfg.out_dir, "pool")
+        cand_root = os.path.join(cfg.out_dir, "cand")
+        order_root = os.path.join(cfg.out_dir, "order")
+        res.order_dir = order_root
+        self._setup_cache()
+        seen = SeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+
+        pages_crawled, seq, k, push_seq, gen = 0, 0, 0, 0, 0
+        pool_live: int | None = None
+        popped_keys = np.zeros(0, dtype=np.int64)
+        lineage_all: list = []
+
+        if resume:
+            rk = self._find_resume_point()
+            if rk is not None:
+                state = self._restore_table(rk, seen)
+                pages_crawled = state["pages_crawled"]
+                seq = state["next_seq"]
+                push_seq = state["push_seq"]
+                pool_live = state["pool_live"]
+                gen = state.get("pool_gen", 0)
+                ppath = os.path.join(self._ckpt_path(rk), "popped.parquet")
+                if os.path.exists(ppath):
+                    popped_keys = pq.read_table(ppath).column(
+                        "push_seq").to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                kept, _replay_pages = self._replay_bff_order(
+                    order_root, rk, cfg.max_pages)
+                res.order = kept
+                res.urls_fetched = len(kept)
+                k = rk + 1
+                # Resume is crash-consistent from the LATEST committed
+                # checkpoint: an old pool generation is deleted only
+                # after the checkpoint that supersedes it commits, so the
+                # latest checkpoint's gen dir always survives a crash.
+                # Rewinding further (hand-deleting newer checkpoints)
+                # can cross a compaction that already GC'd this gen:
+                if not os.path.isdir(
+                        os.path.join(pool_root, f"gen={gen:05d}")):
+                    raise RuntimeError(
+                        f"pool generation gen={gen:05d} referenced by "
+                        f"checkpoint superstep={rk} no longer exists — "
+                        "best-first table resume is only supported from "
+                        "the latest committed checkpoint (compaction "
+                        "GC'd older generations)")
+                # drop pool state the checkpoint doesn't cover: stale
+                # generations (crashed mid-compaction) and fragments
+                # appended by supersteps after rk (crashed mid-append) —
+                # the replayed supersteps re-create them byte-identically
+                if os.path.isdir(pool_root):
+                    for d in os.listdir(pool_root):
+                        if d != f"gen={gen:05d}":
+                            shutil.rmtree(os.path.join(pool_root, d),
+                                          ignore_errors=True)
+                cur_gen = os.path.join(pool_root, f"gen={gen:05d}")
+                if os.path.isdir(cur_gen):
+                    for d in os.listdir(cur_gen):
+                        if (d.startswith("step=")
+                                and int(d.split("=")[1]) > rk):
+                            shutil.rmtree(os.path.join(cur_gen, d),
+                                          ignore_errors=True)
+        if pool_live is None:
+            os.makedirs(docs_root, exist_ok=True)
+            # reference seed law: canonicalize, NO dedup (duplicate queue
+            # entries consume pop slots; seen marks at pop time)
+            canon = [c for c in
+                     (urlkit.canonicalize(u, u) for u in seed_urls) if c]
+            seed_tbl = pa.table({
+                "url": pa.array(canon, type=pa.string()),
+                "url_hash": pa.array(
+                    np.array(urlkit.hash64_batch(canon), dtype=np.uint64)),
+                "host": pa.array([urlkit.host_of(c) for c in canon],
+                                 type=pa.string()),
+                "depth": pa.array(np.zeros(len(canon), dtype=np.int32)),
+                "score": pa.array(np.zeros(len(canon), dtype=np.float32)),
+                "parent": pa.array([""] * len(canon), type=pa.string()),
+                "push_seq": pa.array(
+                    np.arange(len(canon), dtype=np.int64)),
+            })
+            push_seq = pool_live = len(canon)
+            sdir = os.path.join(pool_root, f"gen={gen:05d}", "seed")
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(sdir, exist_ok=True)
+            pq.write_table(seed_tbl,
+                           os.path.join(sdir, "part-000000000000.parquet"))
+
+        stop = False
+        while pool_live and not stop and pages_crawled < cfg.max_pages:
+            gen_dir = os.path.join(pool_root, f"gen={gen:05d}")
+            # reference quirk (bff_strategy.py:152-171): always pop a full
+            # BATCH_SIZE; over-popped rows are marked visited and fetched
+            # partitioning=None: the gen=/step= path components are pool
+            # bookkeeping, not hive partition columns
+            popped = pool_pop_topk(
+                rd.read_parquet(gen_dir, partitioning=None),
+                popped_keys, cfg.bff_batch_size)
+            if popped is None or popped.num_rows == 0:
+                break
+            popped_keys = np.concatenate([
+                popped_keys,
+                popped.column("push_seq").to_numpy(zero_copy_only=False)
+                .astype(np.int64)])
+            pool_live -= popped.num_rows
+            first = pl.from_arrow(popped).unique(
+                subset=["url"], keep="first", maintain_order=True)
+            dup = seen.check_and_add(
+                first["url_hash"].to_numpy().astype(np.uint64))
+            batch_df = first.filter(pl.Series(~dup))
+            if batch_df.height == 0:
+                k += 1
+                continue
+            frontier = pa.table({
+                "url": batch_df["url"].to_arrow(),
+                "url_hash": pa.array(
+                    batch_df["url_hash"].to_numpy().astype(np.uint64)),
+                "host": batch_df["host"].to_arrow(),
+                "depth": pa.array(
+                    batch_df["depth"].cast(pl.Int32).to_arrow(),
+                    type=pa.int32()),
+                "score": pa.array(
+                    batch_df["score"].cast(pl.Float32).to_arrow(),
+                    type=pa.float32()),
+                "parent": batch_df["parent"].to_arrow(),
+                "seq": pa.array(
+                    np.arange(seq, seq + batch_df.height, dtype=np.int64)),
+            })
+            cand_dir = os.path.join(cand_root, f"superstep={k:05d}")
+            order_dir = os.path.join(order_root, f"superstep={k:05d}")
+            shutil.rmtree(cand_dir, ignore_errors=True)
+            shutil.rmtree(order_dir, ignore_errors=True)
+            docs_dir, compact = self._fetch_parse_write(
+                frontier, k, docs_root, cand_dir=cand_dir,
+                order_dir=order_dir, order_inline=True)
+            order_tbl = self._flatten_wrapped(compact, "order", _ORDER_COLS)
+            if order_tbl is not None:
+                order_tbl = order_tbl.sort_by("seq")
+            order_rows = self._order_rows_list(order_tbl, k)
+            n_prefiltered = sum(
+                int(v) for t in compact
+                for v in t.column("n_filtered").to_pylist())
+            if self.on_superstep is not None:
+                self.on_superstep(k, docs_dir, order_tbl)
+            # streaming cap law: stop BEFORE yielding the cap-hitting row
+            kept_rows = []
+            for r in order_rows:
+                if r["success"]:
+                    pages_crawled += 1
+                    if pages_crawled >= cfg.max_pages:
+                        stop = True
+                        break
+                r["level"] = k
+                kept_rows.append(r)
+            res.add_order_rows(kept_rows)
+            res.urls_fetched += len(kept_rows)
+            seq += len(order_rows)
+
+            n_new = 0
+            have_cands = os.path.isdir(cand_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(cand_dir))
+            kept_seqs = [r["seq"] for r in kept_rows if r["success"]]
+            if not stop and have_cands and kept_seqs:
+                rem_of = None
+                if cfg.max_pages != math.inf:
+                    # remaining capacity decreases per-result WITHIN the
+                    # batch (reference recomputes remaining per
+                    # link_discovery call as results stream)
+                    n_succ = len(kept_seqs)
+                    cum = 0
+                    rem_of = {}
+                    for r in kept_rows:
+                        if r["success"]:
+                            cum += 1
+                            rem_of[r["seq"]] = int(
+                                cfg.max_pages
+                                - (pages_crawled - n_succ + cum))
+                parent_of = dict(zip(
+                    frontier.column("seq").to_pylist(),
+                    frontier.column("url").to_pylist()))
+                cand_ds = rd.read_parquet(
+                    cand_dir,
+                    columns=["url", "url_hash", "host", "source_depth",
+                             "score", "parent_seq", "link_idx"])
+                frag_dir = os.path.join(gen_dir, f"step={k:05d}")
+                shutil.rmtree(frag_dir, ignore_errors=True)
+                n_new = bff_pool_append(
+                    cand_ds, seen, push_seq, kept_seqs, rem_of,
+                    parent_of, frag_dir)
+                push_seq += n_new
+                pool_live += n_new
+            lineage_all.append({
+                "superstep": k, "partition": 0,
+                "frontier_in": batch_df.height,
+                "fetched": sum(1 for r in kept_rows if r["success"]),
+                "skipped_seen": int(dup.sum()),
+                "skipped_filtered": n_prefiltered, "deferred": 0,
+                "discovered": n_new,
+                "fetch_ms_sum": float(sum(r.get("fetch_ms") or 0.0
+                                          for r in kept_rows)),
+                "parse_ms_sum": float(sum(r.get("parse_ms") or 0.0
+                                          for r in kept_rows)),
+            })
+            old_gen_dir = None
+            if (len(popped_keys) > max(cfg.pool_compact_min, pool_live)
+                    and pool_live):
+                new_gen = os.path.join(pool_root, f"gen={gen + 1:05d}")
+                self._pool_compact(gen_dir, new_gen, popped_keys)
+                popped_keys = np.zeros(0, dtype=np.int64)
+                gen += 1
+                old_gen_dir = gen_dir
+            if cfg.checkpoint_dir:
+                self._checkpoint_table(k, seen, {
+                    "pages_crawled": pages_crawled,
+                    "next_seq": seq,
+                    "push_seq": push_seq,
+                    "pool_live": pool_live,
+                    "pool_gen": gen,
+                    "strategy": "best_first",
+                    "frontier_mode": "table",
+                }, extra_tables={"popped": pa.table({
+                    "push_seq": pa.array(popped_keys, type=pa.int64())})})
+            if old_gen_dir is not None:
+                shutil.rmtree(old_gen_dir, ignore_errors=True)
+            k += 1
+
+        res.pages_crawled = pages_crawled
+        res.supersteps = k
+        res.seen_size = seen.size()
+        res.seen_hashes = np.sort(
+            np.concatenate(
+                [np.frombuffer(eb, dtype=np.uint64)
+                 for _, eb in seen.snapshot()]
+                or [np.zeros(0, dtype=np.uint64)]
+            )
+        )
+        res.docs_dir = docs_root
+        res.lineage = lineage_all
+        res.wall_sec = time.perf_counter() - t_start
+        seen.kill()
         return res

@@ -306,3 +306,215 @@ def next_frontier_distributed(cand, seen, next_seq: int,
         return out, {"skipped_seen":
                      n_after_dedup - out.num_rows - n_truncated}
     return out
+
+
+# -- best-first frontier-table machinery -------------------------------------
+#
+# The priority pool lives as append-only parquet fragments; "removal" of
+# popped rows is a driver-held tombstone set of push_seq keys (unique pool
+# row ids), compacted away once dead rows outnumber live ones. Per superstep
+# the pool is scanned ONCE as a distributed map (per-block tombstone filter +
+# local top-k), so the driver only ever sees k rows per block — cheaper than
+# the full sort-shuffle the north-star design budgets per scheduling round.
+# A score-banded fragment layout would prune the scan further; the scan is
+# already O(pool / cluster) wall-time per pop batch and amortizes with the
+# (large, in table mode) bff_batch_size.
+
+
+def pool_pop_topk(pool_ds: rd.Dataset, popped_keys, k: int):
+    """Distributed batch pop: global k smallest pool rows by the reference
+    heap order (score, depth, url, push_seq) — bff_strategy.py:129-152 —
+    excluding tombstoned ``popped_keys`` (int64 push_seq array). Returns a
+    driver pa.Table of <= k rows (the pop batch is O(bff_batch_size) by
+    construction, never O(pool))."""
+    import polars as pl
+
+    popped_ref = ray.put(np.asarray(popped_keys, dtype=np.int64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        dead = ray.get(popped_ref)
+        if len(dead):
+            ps = batch.column("push_seq").to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(~np.isin(ps, dead)))
+        if batch.num_rows > k:
+            batch = (
+                pl.from_arrow(batch)
+                .sort(["score", "depth", "url", "push_seq"])
+                .head(k)
+                .to_arrow()
+                .cast(batch.schema)
+            )
+        return batch
+
+    parts = [
+        b for b in pool_ds.map_batches(
+            local_topk, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return None
+    merged = pl.from_arrow(pa.concat_tables(parts)) \
+        .sort(["score", "depth", "url", "push_seq"]).head(k)
+    return merged.to_arrow().cast(parts[0].schema)
+
+
+def bff_pool_append(cand_ds: rd.Dataset, seen, push_seq0: int,
+                    kept_seqs, rem_of, parent_of: dict,
+                    frag_dir: str) -> int:
+    """Distributed best-first link discovery: gate this superstep's
+    candidate parquet (already depth/passes-gated task-side by the sink)
+    and append survivors to the pool as a new parquet fragment, replicating
+    the driver law (crawl.py:_run_best_first candidate block) exactly:
+
+    1. parent_seq must be a kept successful result (``kept_seqs``, small —
+       bounded by the pop batch);
+    2. visited check is a READ-ONLY contains() against the seen shards
+       (bff marks visited only at pop time);
+    3. per-parent capacity: candidate rank (in link_idx order) must be
+       < ``rem_of[parent_seq]`` (the reference's streaming remaining law;
+       ``rem_of=None`` disables);
+    4. push_seq assigns sequentially from ``push_seq0`` in global
+       (parent_seq, link_idx) order — one distributed sort, then a
+       per-block offset map driven by tiny per-(block, parent) run-length
+       metadata (#parents <= pop batch, so the broadcast maps are O(batch)).
+
+    No candidate row ever transits driver heap. Returns the appended row
+    count (the driver tracks pool size arithmetically)."""
+    import pyarrow.compute as pc
+
+    ks_ref = ray.put(np.asarray(sorted(kept_seqs), dtype=np.int64))
+    shards, n_shards = seen.shards, seen.n_shards
+
+    def gate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ks = ray.get(ks_ref)
+        ps = batch.column("parent_seq").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(np.isin(ps, ks)))
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch.column("url_hash") \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
+        vis = np.zeros(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(shards[s].contains.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, r in zip(idxs, ray.get(futs)):
+            vis[idx] = r
+        return batch.filter(pa.array(~vis))
+
+    sorted_ds = (
+        cand_ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
+        .sort(["parent_seq", "link_idx"])
+        .materialize()
+    )
+
+    def _runs(ps: np.ndarray):
+        change = np.nonzero(np.diff(ps))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ps)]])
+        return starts, ends
+
+    def group_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bps": pa.array([], pa.int64()),
+                             "bli": pa.array([], pa.int64()),
+                             "ps": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ps = batch.column("parent_seq").to_numpy(zero_copy_only=False)
+        starts, ends = _runs(ps)
+        # (bps, bli) = the block's first (parent_seq, link_idx): unique
+        # block id under the sort (link_idx is unique within a parent)
+        return pa.table({
+            "bps": pa.array([int(ps[0])] * len(starts), pa.int64()),
+            "bli": pa.array(
+                [int(batch.column("link_idx")[0].as_py())] * len(starts),
+                pa.int64()),
+            "ps": pa.array(ps[starts].astype(np.int64)),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    meta_parts = [
+        b for b in sorted_ds.map_batches(
+            group_meta, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not meta_parts:
+        return 0
+    mt = pa.concat_tables(meta_parts).to_pandas() \
+        .sort_values(["bps", "bli"], kind="mergesort")
+    start_rank: dict[tuple, int] = {}
+    totals: dict[int, int] = {}
+    for r in mt.itertuples():
+        p = int(r.ps)
+        start_rank[(int(r.bps), int(r.bli), p)] = totals.get(p, 0)
+        totals[p] = totals.get(p, 0) + int(r.n)
+    kept_of = {
+        p: (min(t, max(0, int(rem_of.get(p, 0)))) if rem_of is not None
+            else t)
+        for p, t in totals.items()
+    }
+    base: dict[int, int] = {}
+    acc = push_seq0
+    for p in sorted(totals):
+        base[p] = acc
+        acc += kept_of[p]
+    n_new = acc - push_seq0
+    if n_new == 0:
+        return 0
+    maps_ref = ray.put((start_rank, kept_of, base, dict(parent_of)))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "url": pa.array([], pa.string()),
+            "url_hash": pa.array([], pa.uint64()),
+            "host": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "score": pa.array([], pa.float32()),
+            "parent": pa.array([], pa.string()),
+            "push_seq": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        sr, kept, bases, parents = ray.get(maps_ref)
+        ps = batch.column("parent_seq").to_numpy(zero_copy_only=False)
+        bkey = (int(ps[0]), int(batch.column("link_idx")[0].as_py()))
+        starts, ends = _runs(ps)
+        keep = np.zeros(len(ps), dtype=bool)
+        pseq = np.empty(len(ps), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            p = int(ps[s])
+            r0 = sr[(bkey[0], bkey[1], p)]
+            rr = np.arange(r0, r0 + (e - s), dtype=np.int64)
+            keep[s:e] = rr < kept[p]
+            pseq[s:e] = bases[p] + rr
+        out = batch.filter(pa.array(keep))
+        if out.num_rows == 0:
+            return empty
+        parent = pa.array(
+            [parents.get(int(x), "") for x in
+             out.column("parent_seq").to_numpy(zero_copy_only=False)],
+            pa.string())
+        return pa.table({
+            "url": out.column("url"),
+            "url_hash": out.column("url_hash").cast(pa.uint64()),
+            "host": out.column("host"),
+            "depth": pc.cast(pc.add(out.column("source_depth"), 1),
+                             pa.int32()),
+            "score": out.column("score").cast(pa.float32()),
+            "parent": parent,
+            "push_seq": pa.array(pseq[keep]),
+        })
+
+    sorted_ds.map_batches(
+        emit, batch_format="pyarrow", batch_size=None
+    ).write_parquet(frag_dir)
+    return n_new
