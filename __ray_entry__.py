@@ -26,7 +26,8 @@ from typing import Any
 # ---------------------------------------------------------------------------
 
 
-def _crawl(strategy: str = "bfs", n_hosts: int = 6, max_depth: int = 3):
+def _crawl(strategy: str = "bfs", n_hosts: int = 6, max_depth: int = 3,
+           frontier_mode: str = "driver"):
     import tempfile
 
     from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
@@ -36,7 +37,8 @@ def _crawl(strategy: str = "bfs", n_hosts: int = 6, max_depth: int = 3):
     site = SyntheticWeb(site_cfg)
     out_dir = tempfile.mkdtemp(prefix=f"c4r_{strategy}_")
     cfg = CrawlConfig(strategy=strategy, max_depth=max_depth,
-                      out_dir=out_dir, n_seen_shards=2, fetch_concurrency=2)
+                      out_dir=out_dir, n_seen_shards=2, fetch_concurrency=2,
+                      frontier_mode=frontier_mode)
     eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
     return eng.run(site.seed_urls())
 
@@ -56,11 +58,11 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
-def _crawl_order_query(strategy: str):
+def _crawl_order_query(strategy: str, frontier_mode: str = "driver"):
     def q(sf_dir: str):
         import pandas as pd
 
-        res = _crawl(strategy)
+        res = _crawl(strategy, frontier_mode=frontier_mode)
         df = pd.DataFrame(res.order)
         return df[["url", "depth", "parent", "seq", "success", "status"]]
 
@@ -415,6 +417,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl pipelines (rows-only; oracle equality enforced in pytest)
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),
+        # same crawl through the driver-free frontier-table paths (pool /
+        # frontier as parquet, distributed discovery; byte-equality with
+        # driver mode enforced in tests/test_frontier_table.py)
+        "crawl_bfs_table_order": _crawl_order_query(
+            "bfs", frontier_mode="table"),
+        "crawl_bff_table_order": _crawl_order_query(
+            "best_first", frontier_mode="table"),
         "crawl_dfs_order": lambda sf: _crawl_dfs_order(sf),
         "crawl_bfs_lineage": _crawl_lineage,
         "crawl_adaptive": _crawl_adaptive,

@@ -1,21 +1,64 @@
 #!/usr/bin/env python
 """Freeze golden outputs for deterministic non-SQL-expressible queries.
 
-``simhash_table`` and ``doc_embeddings`` are pure per-row transforms
-(64-bit simhash of text; hashed-n-gram embedding), deterministic for a
-given input — but no DuckDB oracle can express them. This writes their
-sf0.001 outputs to tests/golden/query/ as parquet; pytest gates the live
-pipelines against these snapshots byte-for-byte
-(tests/test_query_goldens.py), upgrading both from rows-only to hard
-equality. Regenerate ONLY after an intentional law change:
+These queries have no DuckDB oracle (minhash/simhash signatures, LSH
+probes, fake-codec decodes, markdown fidelity, crawl-derived stats) but
+are fully deterministic for a given input: seeded hash families, pure
+per-row transforms, or synthetic-site crawls. This writes their sf0.001
+outputs to tests/golden/query/ as parquet; pytest gates the live
+pipelines against these snapshots (tests/test_query_goldens.py),
+upgrading each from rows-only to a hard equality check. Regenerate ONLY
+after an intentional law change:
 
     python tools/gen_query_goldens.py
 """
 
 import hashlib
 import os
+import sys
 
 import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# every golden-gated query; canonical order = stable sort by all scalar
+# columns (list-valued columns ride along and are compared elementwise)
+GOLDEN_QUERIES = [
+    "simhash_table",
+    "doc_embeddings",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "minhash_dedup_survivors",
+    "doc_quality",
+    "bm25_rank",
+    "cosine_near_pairs",
+    "cosine_near_pairs_lsh",
+    "ann_topk_lsh",
+    "media_decode",
+    "media_frame_sample",
+    "doc_semantic_clusters",
+    "crawl_span_kinds",
+    "crawl_fit_markdown",
+    "crawl_markdown_compat",
+    "seed_sitemaps",
+]
+
+
+def canonicalize(res):
+    """Query result -> pandas frame in a deterministic row order (stable
+    sort by every scalar column)."""
+    import pandas as pd
+
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    keys = [c for c in df.columns
+            if df[c].dtype != object
+            or (len(df) and isinstance(df[c].iloc[0], str))]
+    if len(df) and keys:
+        df = df.sort_values(keys, kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def main() -> None:
@@ -24,6 +67,7 @@ def main() -> None:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     import __ray_entry__ as entry
@@ -31,15 +75,8 @@ def main() -> None:
     qs = entry.queries()
     out_dir = "tests/golden/query"
     os.makedirs(out_dir, exist_ok=True)
-    for name in ("simhash_table", "doc_embeddings"):
-        res = qs[name]("/root/testdata/sf0.001")
-        tbl = res.to_pandas() if hasattr(res, "to_pandas") else res
-        import pandas as pd
-        import pyarrow as pa
-
-        if not isinstance(tbl, pd.DataFrame):
-            tbl = tbl.to_pandas() if isinstance(tbl, pa.Table) else tbl
-        tbl = tbl.sort_values("doc_id").reset_index(drop=True)
+    for name in GOLDEN_QUERIES:
+        tbl = canonicalize(qs[name]("/root/testdata/sf0.001"))
         path = os.path.join(out_dir, f"{name}_sf0001.parquet")
         pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
                        path)
