@@ -42,6 +42,12 @@ GOLDEN_QUERIES = [
     "crawl_fit_markdown",
     "crawl_markdown_compat",
     "seed_sitemaps",
+    "doc_llm_blocks",
+    "crawl_adaptive",
+    "crawl_adaptive_embedding",
+    "ann_topk_ivf",
+    "embedding_kmeans",
+    "distinct_users_hll",
 ]
 
 
