@@ -141,11 +141,34 @@ class HttpFetcher:
     network) but kept API-complete; ``file://`` and ``raw:`` handled inline."""
 
     def __init__(self, timeout: float = 30.0, max_workers: int | None = None,
-                 user_agent: str = "crawl4ai-ray/0.1"):
+                 user_agent: str = "crawl4ai-ray/0.1",
+                 ua_seed: int | None = None,
+                 proxies: list | None = None):
+        """``ua_seed``: derive the identity from functions.fetchprofile's
+        UserAgentGenerator (one UA + matching Sec-CH-UA per actor,
+        deterministic per shard). ``proxies``: proxy strings/dicts fed to
+        a per-actor RoundRobinProxyStrategy — each request takes the next
+        proxy in rotation (the reference's dispatcher law)."""
         import os
 
         self.timeout = timeout
         self.user_agent = user_agent
+        self.client_hints = None
+        if ua_seed is not None:
+            from ..functions.fetchprofile import UserAgentGenerator
+
+            gen = UserAgentGenerator(seed=ua_seed)
+            self.user_agent, self.client_hints = \
+                gen.generate_with_client_hints()
+        self.proxy_rotation = None
+        if proxies:
+            from ..functions.fetchprofile import (ProxyConfig,
+                                                  RoundRobinProxyStrategy)
+
+            cfgs = [p if isinstance(p, ProxyConfig)
+                    else ProxyConfig.from_dict(p) if isinstance(p, dict)
+                    else ProxyConfig.from_string(p) for p in proxies]
+            self.proxy_rotation = RoundRobinProxyStrategy(cfgs)
         workers = max_workers or min(32, (os.cpu_count() or 8) * 4)
         self.pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
 
@@ -159,8 +182,18 @@ class HttpFetcher:
                     return {"html": f.read(), "status": 200, "latency_ms": 0}
             import urllib.request
 
-            req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            headers = {"User-Agent": self.user_agent}
+            if self.client_hints:
+                headers["Sec-CH-UA"] = self.client_hints
+            req = urllib.request.Request(url, headers=headers)
+            opener = urllib.request.urlopen
+            if self.proxy_rotation is not None:
+                proxy = self.proxy_rotation.get_next_proxy()
+                if proxy is not None:
+                    handler = urllib.request.ProxyHandler(
+                        {"http": proxy.server, "https": proxy.server})
+                    opener = urllib.request.build_opener(handler).open
+            with opener(req, timeout=self.timeout) as resp:
                 raw = resp.read()
                 charset = resp.headers.get_content_charset() or "utf-8"
                 return {
