@@ -88,6 +88,22 @@ class ProxyConfig:
         d.update(kwargs)
         return ProxyConfig.from_dict(d)
 
+    def dump(self) -> dict:
+        from .configkit import dump_config
+
+        return dump_config(self)
+
+    @staticmethod
+    def load(data: dict) -> "ProxyConfig":
+        from .configkit import load_config
+
+        return load_config(ProxyConfig, data)
+
+
+from .configkit import register_config as _register_config  # noqa: E402
+
+_register_config(ProxyConfig)
+
 
 class RoundRobinProxyStrategy:
     """Round-robin over the proxy pool (proxy_strategy.py:134-158).

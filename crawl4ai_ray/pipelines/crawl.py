@@ -302,6 +302,42 @@ class CrawlConfig:
     # Tombstones are O(pages popped), so the floor only matters for tiny
     # crawls; tests lower it to exercise compaction.
     pool_compact_min: int = 1024
+    # config-by-URL selection (reference async_configs.py:1145-1146,
+    # 1380-1412 + async_dispatcher.py:101-125): when a LIST of configs is
+    # passed to an arun_many-style entry, the first whose matcher accepts
+    # the URL wins. None matches everything.
+    url_matcher: object = None            # str glob | callable | list
+    match_mode: object = None             # configkit.MatchMode (OR default)
+
+    # -- dump/load/clone contract (reference async_configs.py:1546-1668) --
+
+    def dump(self) -> dict:
+        from ..functions import configkit
+
+        return configkit.dump_config(self)
+
+    @staticmethod
+    def load(data: dict) -> "CrawlConfig":
+        from ..functions import configkit
+
+        return configkit.load_config(CrawlConfig, data)
+
+    def clone(self, **kwargs) -> "CrawlConfig":
+        from ..functions import configkit
+
+        return configkit.clone_config(self, **kwargs)
+
+    def is_match(self, url: str) -> bool:
+        from ..functions import configkit
+
+        return configkit.is_match(
+            url, self.url_matcher,
+            self.match_mode or configkit.MatchMode.OR)
+
+
+from ..functions.configkit import register_config as _register_config  # noqa: E402
+
+_register_config(CrawlConfig)
 
 
 @dataclass

@@ -23,7 +23,7 @@ import ast
 import json
 import threading
 import time
-from dataclasses import asdict, fields
+from dataclasses import fields
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -60,7 +60,9 @@ def safe_config_dump(code: str) -> dict:
         if kw.arg is None:
             raise ValueError("**kwargs not allowed")
         kwargs[kw.arg] = ast.literal_eval(kw.value)
-    return asdict(CrawlConfig(**kwargs))
+    # the reference endpoint returns obj.dump() — the {type, params}
+    # serialization format (server.py:209, async_configs.py:44-115)
+    return CrawlConfig(**kwargs).dump()
 
 
 class EngineHTTPServer:

@@ -78,7 +78,10 @@ def test_config_dump_law(server):
     code, body = _post(server, "/config/dump",
                        {"code": "CrawlConfig(max_depth=5, "
                                 "politeness=True)"})
-    assert code == 200 and body["max_depth"] == 5 and body["politeness"]
+    # reference /config/dump returns obj.dump() — the {type, params}
+    # serialization with defaults omitted (server.py:209)
+    assert code == 200 and body["type"] == "CrawlConfig"
+    assert body["params"]["max_depth"] == 5 and body["params"]["politeness"]
     # anything but a single literal-kwargs CrawlConfig call is rejected
     for bad in ("__import__('os')", "CrawlConfig(max_depth=open('/x'))",
                 "CrawlConfig(1)", "CrawlConfig(**{'a': 1})", "2+2"):
@@ -88,6 +91,6 @@ def test_config_dump_law(server):
 
 def test_safe_config_dump_direct():
     d = safe_config_dump("CrawlConfig(max_pages=7)")
-    assert d["max_pages"] == 7
+    assert d["params"]["max_pages"] == 7
     with pytest.raises((ValueError, SyntaxError)):
         safe_config_dump("print('x')")
