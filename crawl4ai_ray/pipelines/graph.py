@@ -1,0 +1,360 @@
+"""Link-graph analytics: distributed PageRank over crawl edges.
+
+The reference scores URL authority with a keyword heuristic
+(deep_crawling/scorers.py — M22 ``AuthorityScorer``); a corpus-scale
+crawler wants the real thing: PageRank over the crawled link graph
+(Page et al., 1999; the Pregel BSP formulation of Malewicz et al.,
+SIGMOD 2010 — the same machinery as ``dedup.propagate_min_labels``).
+
+Distributed shape (nothing driver-resident but scalar counters):
+
+- edge weights ``1/outdeg(src)`` are attached ONCE up front (one
+  groupby + one join), so each iteration ships only (dst, w·rank);
+- one iteration = hash-join ranks into edges on ``src`` → per-batch
+  combine → ``groupby(dst).sum`` → left-outer join back onto the node
+  table (nodes without in-links keep the teleport base). Dangling-node
+  mass (pages with no out-links) is one scalar aggregate per round,
+  redistributed uniformly — the standard PageRank completion;
+- convergence = L1 delta < tol, else ``max_iters`` bound. Each round
+  is two shuffles of (node, float) rows — the operator's inherent
+  exchange; block-count-sized join partitioning via ``_join_parts``.
+
+Float sums commute only approximately: ranks are deterministic to
+~1e-12 regardless of block order, and the query rounds to 8 decimals
+so emitted tables are stable. The pytest oracle
+(tests/test_graph.py) checks against a driver numpy power iteration
+at 1e-9 and pins the top ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup import _join_parts
+
+__all__ = ["pagerank", "crawl_pagerank", "pagerank_numpy"]
+
+
+def _cast_str(*cols):
+    """map_batches fn casting named columns to plain string — join keys
+    must agree in type across sides (docs parquet carries large_string
+    urls; Ray's hash groupby emits string keys). Blocks are bounded far
+    below the 2 GB string-offset limit, so plain string is safe
+    per-block at any corpus scale."""
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.string()))
+        return t
+    return fn
+
+
+def _pr_parts(n_rows: int, *dss) -> int:
+    """Join partition count; collapses to 1 when the smaller side is
+    tiny. Ray 2.49's hash join builds each partition with a schema-less
+    zero-column table when NO row of one side hashes into it, and the
+    arrow join then fails with ``No match ... FieldRef`` — with few
+    distinct keys (toy graphs) an all-empty partition is likely, so
+    small inputs take the single-aggregator path. At corpus scale the
+    key space saturates every partition and ``_join_parts`` applies."""
+    if n_rows < 32768:
+        return 1
+    return _join_parts(*dss)
+
+
+# Below this many edges the driver power iteration wins: each Ray
+# round costs ~2 s of scheduling/shuffle setup regardless of size (the
+# same measured crossover as pipelines/discovery.py's driver/distributed
+# gate — small inputs lose to fixed per-round costs).
+PAGERANK_DRIVER_MAX_EDGES = 2_000_000
+
+
+def pagerank(edges_ds, nodes_ds, *, damping: float = 0.85,
+             max_iters: int = 50, tol: float = 1e-8, form: str = "auto"):
+    """PageRank over (src, dst) edges and a (node,) universe.
+
+    Returns a Dataset (node, rank) with ranks summing to 1. Multi-edges
+    count with multiplicity (a page linking twice votes twice — matches
+    the adjacency-matrix formulation over raw link lists).
+
+    ``form``: "distributed" = Pregel-style Dataset iteration (the
+    corpus-scale path), "driver" = vectorized numpy power iteration
+    after collecting the edge list (exact same update law; wins under
+    ~2M edges where per-round Ray overhead dominates), "auto" picks by
+    edge count. Both forms are oracle-equal (tests/test_graph.py)."""
+    from ray.data.aggregate import Sum
+
+    if isinstance(edges_ds, pa.Table):
+        edges_ds = rd.from_arrow(edges_ds)
+    if isinstance(nodes_ds, pa.Table):
+        nodes_ds = rd.from_arrow(nodes_ds)
+    edges_ds = edges_ds.map_batches(_cast_str("src", "dst"),
+                                    batch_format="pyarrow")
+
+    nodes = (nodes_ds.select_columns(["node"])
+             .map_batches(_cast_str("node"), batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+
+    if form == "auto":
+        n_e = edges_ds.count()
+        form = ("driver" if n_e < PAGERANK_DRIVER_MAX_EDGES
+                else "distributed")
+    if form == "driver":
+        return _pagerank_driver(edges_ds, nodes, n_nodes,
+                                damping=damping, max_iters=max_iters,
+                                tol=tol)
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        # every node dangles: closed form — the uniform distribution
+        return nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "rank": pa.array(
+                                    np.full(t.num_rows, 1.0 / n_nodes))}),
+            batch_format="pyarrow")
+
+    # out-degree → per-edge weight, attached once
+    edges_one = edges_ds.map_batches(
+        lambda t: t.append_column("one",
+                                  pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    outdeg = (edges_one.groupby("src")
+              .aggregate(Sum("one", alias_name="outdeg"))
+              .select_columns(["src", "outdeg"]).materialize())
+
+    n_join = _pr_parts(n_edges, edges_ds, outdeg)
+    edges_w = (
+        edges_ds.join(outdeg, "inner", n_join, on=("src",))
+        .map_batches(
+            lambda t: pa.table({
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "w": pa.array(1.0 / t.column("outdeg").to_numpy()
+                              .astype(np.float64)),
+            }),
+            batch_format="pyarrow")
+        .materialize()
+    )
+
+    # node table carries a static dangling flag (outdeg == 0)
+    ranks = (
+        nodes.join(outdeg.rename_columns({"src": "node"}), "left_outer",
+                   _pr_parts(min(n_nodes, n_edges), nodes, outdeg),
+                   on=("node",))
+        .map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
+                "dangling": pa.array(
+                    [v is None for v in t.column("outdeg").to_pylist()]),
+            }),
+            batch_format="pyarrow")
+        .materialize()
+    )
+
+    base = (1.0 - damping) / n_nodes
+
+    for _ in range(max_iters):
+        dangling_mass = ranks.map_batches(
+            lambda t: pa.table({"dm": pa.array([
+                float(np.sum(t.column("rank").to_numpy()
+                             [t.column("dangling").to_numpy(
+                                 zero_copy_only=False)]))])}),
+            batch_format="pyarrow",
+        ).sum("dm") or 0.0
+
+        n = _pr_parts(min(n_edges, n_nodes), edges_w, ranks)
+        contrib = (
+            edges_w.join(
+                ranks.select_columns(["node", "rank"])
+                .rename_columns({"node": "src"}),
+                "inner", n, on=("src",))
+            .map_batches(
+                lambda t: pa.table({
+                    "dst": t.column("dst"),
+                    "c": pa.array(t.column("w").to_numpy()
+                                  * t.column("rank").to_numpy()),
+                }),
+                batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="in_sum"))
+            .rename_columns({"dst": "node"})
+            .select_columns(["node", "in_sum"])
+        )
+
+        extra = damping * dangling_mass / n_nodes
+
+        def step(t: pa.Table) -> pa.Table:
+            old = t.column("rank").to_numpy()
+            in_sum = np.array(
+                [v if v is not None else 0.0
+                 for v in t.column("in_sum").to_pylist()], np.float64)
+            new = base + damping * in_sum + extra
+            return pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(new),
+                "dangling": t.column("dangling"),
+                "delta": pa.array(np.abs(new - old)),
+            })
+
+        stepped = (
+            ranks.join(contrib, "left_outer", n, on=("node",))
+            .map_batches(step, batch_format="pyarrow")
+            .materialize()
+        )
+        l1 = stepped.sum("delta") or 0.0
+        ranks = stepped.select_columns(["node", "rank", "dangling"]) \
+            .materialize()
+        if l1 < tol:
+            break
+
+    return ranks.select_columns(["node", "rank"])
+
+
+def _pagerank_driver(edges_ds, nodes, n_nodes, *, damping, max_iters,
+                     tol):
+    """Small-graph fast path: same update law, vectorized on the
+    driver. One streaming pass collects (src, dst) integer codes; each
+    iteration is two bincounts — no per-round Ray scheduling."""
+    node_list = [r["node"] for r in nodes.iter_rows()]
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64())}))
+    idx = {u: i for i, u in enumerate(node_list)}
+    srcs, dsts = [], []
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        srcs.append(np.array(
+            [idx[s] for s in b.column("src").to_pylist()], np.int64))
+        dsts.append(np.array(
+            [idx[d] for d in b.column("dst").to_pylist()], np.int64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    out = np.bincount(src, minlength=n_nodes).astype(np.float64)
+    dangling = out == 0
+    w = np.zeros(len(src))
+    if len(src):
+        w = 1.0 / out[src]
+    rank = np.full(n_nodes, 1.0 / n_nodes)
+    base = (1.0 - damping) / n_nodes
+    for _ in range(max_iters):
+        contrib = np.bincount(dst, weights=w * rank[src],
+                              minlength=n_nodes)
+        dm = rank[dangling].sum()
+        new = base + damping * (contrib + dm / n_nodes)
+        delta = np.abs(new - rank).sum()
+        rank = new
+        if delta < tol:
+            break
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_list, pa.string()),
+        "rank": pa.array(rank)}))
+
+
+def pagerank_numpy(edges: list[tuple[str, str]], nodes: list[str],
+                   *, damping: float = 0.85, max_iters: int = 50,
+                   tol: float = 1e-8) -> dict[str, float]:
+    """Driver power iteration — the test oracle (same semantics:
+    multi-edge multiplicity, uniform dangling redistribution)."""
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(max_iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        dm = rank[out == 0].sum()
+        new = base + damping * (contrib + dm / n)
+        if np.abs(new - rank).sum() < tol:
+            rank = new
+            break
+        rank = new
+    return {u: float(rank[i]) for u, i in idx.items()}
+
+
+def edges_from_docs(docs_dir: str):
+    """(url, links) docs parquet → (src, dst) edge Dataset + (node,)
+    universe (crawled pages only; links leaving the crawl set are
+    dropped by the later inner join on dst ∈ nodes... kept simple:
+    universe = crawled urls, edges filtered to it)."""
+    docs = rd.read_parquet(docs_dir, columns=["url", "links"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions import urlkit
+
+        srcs, dsts = [], []
+        for url, links in zip(t.column("url").to_pylist(),
+                              t.column("links").to_pylist()):
+            for ln in links or []:
+                # links is list<struct{href, text, title, internal}>
+                href = ln["href"] if isinstance(ln, dict) else ln
+                # the crawl canonicalizes before fetching, so node urls
+                # are canonical; raw hrefs (tracking params, fragments)
+                # must canonicalize the same way or the dst∈nodes
+                # semi-join below silently drops real edges
+                canon = urlkit.canonicalize(href, url)
+                if canon is None:
+                    continue
+                srcs.append(url)
+                dsts.append(canon)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    edges = docs.map_batches(explode, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("url").cast(pa.string())}),
+        batch_format="pyarrow")
+    # restrict edges to the crawled universe (semi-join on dst)
+    edges = edges.materialize()
+    n = _pr_parts(edges.count(), edges, nodes)
+    edges_in = (edges.join(nodes.rename_columns({"node": "dst"}),
+                           "inner", n, on=("dst",))
+                .select_columns(["src", "dst"]))
+    return edges_in, nodes
+
+
+def crawl_pagerank(sf_dir: str, *, damping: float = 0.85,
+                   form: str = "auto"):
+    """Query entry: BFS-crawl the deterministic synthetic web, then
+    PageRank its link graph. Returns (node, rank, in_rank_top) rounded
+    to 8 decimals, sorted by (-rank, node) — stable across block
+    orders. Rows-only; the numerical oracle is tests/test_graph.py."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_pagerank_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+
+    ranks = pagerank(*edges_from_docs(res.docs_dir), damping=damping,
+                     form=form)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "rank": pa.array(np.round(t.column("rank").to_numpy(), 8)),
+        })
+
+    return (ranks.map_batches(finish, batch_format="pyarrow")
+            .sort(["rank", "node"], descending=[True, False]))
