@@ -151,3 +151,149 @@ def stratified_sample(sf_dir: str, n_per: int = 25):
         .groupby("lang")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def tfidf_topterms(sf_dir: str, k: int = 5):
+    """Per-document TF-IDF top-k terms — the classic corpus
+    summarization / keyword-extraction operator (Sparck Jones 1972).
+
+    Scale shape: tf is per-document (map-side, no shuffle); df shuffles
+    one row per distinct (term, doc); idf attaches via a term-keyed hash
+    join; the per-doc top-k ranks inside ``groupby(doc_id).map_groups``
+    where each group is one document's vocabulary (bounded by doc
+    length, never by corpus size). N (total docs) is one scalar.
+
+    tfidf = tf * ln((1+N)/(1+df)), rounded to 6 dp on BOTH sides (the
+    DuckDB oracle applies the same formula in float64; the products are
+    irrational so 6-dp midpoint rounding-mode hazards don't arise —
+    validated at sf0.001/0.01).
+    """
+    import math
+
+    from .dedup import _join_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import collections
+
+        terms, docs, tfs = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for term, tf in collections.Counter(_tokens(text)).items():
+                terms.append(term)
+                docs.append(doc_id)
+                tfs.append(tf)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+
+    postings = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=4096)
+    df = postings.groupby("term").aggregate(Count(alias_name="df"))
+    joined = postings.join(
+        df, join_type="inner", on=("term",),
+        num_partitions=_join_parts(postings, df),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dfv = batch.column("df").to_numpy().astype(np.float64)
+        # scalar math.log per distinct df value would be cheaper; the
+        # vector np.log is bit-identical to libm log on float64
+        tfidf = np.round(tf * np.log((1.0 + n_docs) / (1.0 + dfv)), 6)
+        return batch.append_column("tfidf", pa.array(tfidf))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "term", "tf", "df", "tfidf", "rnk"]]
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+def ngram_dup_stats(sf_dir: str, n: int = 5):
+    """Cross-document duplicate n-gram statistics — the corpus-level
+    duplication measure of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): for each document, how many of
+    its word 5-gram positions carry a gram that also appears in at
+    least one OTHER document. Complements doc_repetition_stats (Gopher
+    WITHIN-doc repetition) with the BETWEEN-doc axis.
+
+    Integer-exact outputs (counts only) — no float hazards against the
+    DuckDB oracle.
+
+    Scale shape: the explode emits one row per distinct (doc, gram)
+    with its in-doc count (map-side combine); ndocs per gram is a plain
+    groupby count over those rows; a gram-keyed hash join attaches it;
+    the final per-doc aggregate ships 4 ints per (doc, gram). Nothing
+    is driver-resident and no stage holds more than a block.
+    """
+    import collections
+
+    from .dedup import _join_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, grams, cnts = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            w = _tokens(text)
+            c = collections.Counter(
+                " ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+            for g, cnt in c.items():
+                docs.append(doc_id)
+                grams.append(g)
+                cnts.append(cnt)
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "g": pa.array(grams, type=pa.string()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+        })
+
+    percnt = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=4096)
+    nd = percnt.groupby("g").aggregate(Count(alias_name="ndocs"))
+    joined = percnt.join(nd, join_type="inner", on=("g",),
+                         num_partitions=_join_parts(percnt, nd))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        cnt = batch.column("cnt").to_numpy()
+        dup = batch.column("ndocs").to_numpy() >= 2
+        out = {}
+        for i in range(len(doc)):
+            a = out.setdefault(doc[i], [0, 0, 0, 0])
+            a[0] += cnt[i]
+            a[1] += cnt[i] if dup[i] else 0
+            a[2] += 1
+            a[3] += 1 if dup[i] else 0
+        ks = sorted(out)
+        return pa.table({
+            "doc_id": pa.array(ks, type=pa.int64()),
+            "n_grams": pa.array([out[k][0] for k in ks], pa.int64()),
+            "n_dup_grams": pa.array([out[k][1] for k in ks], pa.int64()),
+            "n_distinct_grams": pa.array([out[k][2] for k in ks],
+                                         pa.int64()),
+            "n_dup_distinct": pa.array([out[k][3] for k in ks],
+                                       pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_grams", alias_name="n_grams"),
+                       Sum("n_dup_grams", alias_name="n_dup_grams"),
+                       Sum("n_distinct_grams",
+                           alias_name="n_distinct_grams"),
+                       Sum("n_dup_distinct",
+                           alias_name="n_dup_distinct")))

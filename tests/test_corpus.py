@@ -63,3 +63,49 @@ def test_stratified_sample_exact_n_and_stable():
     # hash order: within a stratum rnk follows h8 lexicographic order
     for _, g in a.groupby("lang"):
         assert list(g.sort_values("rnk")["h8"]) == sorted(g["h8"])
+
+
+def test_tfidf_topterms_laws():
+    df = _pd(corpus.tfidf_topterms(SF, k=5))
+    # at most k rows per doc, rank is 1..n within each doc
+    per = df.groupby("doc_id")
+    assert (per.size() <= 5).all()
+    for _, g in per:
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        # ranks follow (tfidf desc, term asc)
+        key = list(zip(-g["tfidf"], g["term"]))
+        assert key == sorted(key)
+    # a corpus-ubiquitous term (df == N) has tfidf < any rarer term's
+    n_docs = df["doc_id"].nunique()
+    assert (df.loc[df["df"] < n_docs, "tfidf"] > 0).all()
+
+
+def test_ngram_dup_stats_laws():
+    df = _pd(corpus.ngram_dup_stats(SF, n=5)).set_index("doc_id")
+    # dup counts are bounded by totals
+    assert (df["n_dup_grams"] <= df["n_grams"]).all()
+    assert (df["n_dup_distinct"] <= df["n_distinct_grams"]).all()
+    assert (df["n_distinct_grams"] <= df["n_grams"]).all()
+    # the sf0.001 corpus has duplicated docs (exact_dedup finds 23
+    # groups) — their 5-grams must register as cross-doc duplicates
+    assert (df["n_dup_grams"] > 0).any()
+    # law cross-check on one pair: exact-duplicate docs share ALL grams
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        row = con.execute(
+            f"""
+            SELECT list(doc_id) FROM (
+              SELECT doc_id, md5(text) h
+              FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY h HAVING count(*) > 1 LIMIT 1
+            """
+        ).fetchone()
+        pair = row[0] if row else None
+    finally:
+        con.close()
+    if pair:
+        a = df.loc[pair[0]]
+        assert a["n_dup_grams"] == a["n_grams"]
