@@ -445,6 +445,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.functions.llm_extract",
             fromlist=["llm_extract_blocks"],
         ).llm_extract_blocks(sf),
+        # LLMTableExtraction chunk/merge laws (labeled deterministic fake
+        # client; rows-only — chunking/merge laws pytest-gated)
+        "doc_llm_tables": lambda sf: __import__(
+            "crawl4ai_ray.functions.llm_tables",
+            fromlist=["llm_extract_tables"],
+        ).llm_extract_tables(sf),
         # PDF source (processors/pdf port on the stdlib-subset reader;
         # rows-only — PDF parsing is not SQL-expressible, byte-level laws
         # pytest-gated incl. reference-generated cleanup goldens)
@@ -487,6 +493,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["stratified_sample"],
         ).stratified_sample(sf),
+        # per-doc TF-IDF top-k terms (Sparck Jones keyword extraction)
+        "doc_tfidf_topterms": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["tfidf_topterms"],
+        ).tfidf_topterms(sf),
+        # cross-doc duplicate n-gram stats (Lee et al. 2022 measure)
+        "doc_ngram_dup_stats": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
+        ).ngram_dup_stats(sf),
+        # PageRank over the BFS crawl's link graph (rows-only; numeric
+        # oracle = driver power iteration, tests/test_graph.py)
+        "crawl_pagerank": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_pagerank"],
+        ).crawl_pagerank(sf),
     }
 
 
@@ -883,6 +902,70 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 25
+        """,
+        # tf-idf = tf * ln((1+N)/(1+df)) over lower()-split tokens,
+        # rounded to 6 dp on both sides; rank orders by the ROUNDED
+        # value so ties break identically
+        "doc_tfidf_topterms": r"""
+            WITH posting AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+                GROUP BY doc_id, term
+            ),
+            stats AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf,
+                       CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+                           AS df,
+                       round(tf * ln((1.0 + (SELECT n FROM stats))
+                                     / (1.0 + count(*) OVER (
+                                            PARTITION BY term))), 6)
+                           AS tfidf
+                FROM posting
+            )
+            SELECT doc_id, term, tf, df, tfidf,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
+        """,
+        # integer-exact cross-doc duplicate 5-gram counts
+        "doc_ngram_dup_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(w) - 3),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                FROM toks
+            ),
+            percnt AS (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM pos GROUP BY doc_id, g
+            ),
+            nd AS (SELECT g, count(*) AS ndocs FROM percnt GROUP BY g)
+            SELECT p.doc_id,
+                   CAST(sum(p.cnt) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN nd.ndocs >= 2 THEN p.cnt
+                            ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(count(*) FILTER (nd.ndocs >= 2) AS BIGINT)
+                       AS n_dup_distinct
+            FROM percnt p JOIN nd USING (g)
+            GROUP BY p.doc_id
         """,
         "events_lag_gap": r"""
             SELECT event_id, user_id,
