@@ -354,6 +354,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": analysis.events_daily,
         "user_sessions": analysis.user_sessions,
         "events_asof_orders": analysis.events_asof_orders,
+        # keyed range join (1:N interval join), DuckDB-oracle-gated
+        "orders_repeat_window_join": analysis.orders_repeat_window_join,
+        # mergeable t-digest quantiles (rows-only; rank-error law
+        # pytest-gated — sketch estimates are not SQL-reproducible)
+        "events_value_tdigest": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["events_value_tdigest"],
+        ).events_value_tdigest(sf),
         "events_value_bands": analysis.events_value_bands,
         "part_type_counts": analysis.part_type_counts,
         "nation_region_join": analysis.nation_region_join,
@@ -558,6 +566,19 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o.o_orderdate, '%Y-%m-%d') AS asof_order_date
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        # keyed range join: same-customer order pairs with the next
+        # order strictly inside (first_date, first_date + 30 days]
+        "orders_repeat_window_join": """
+            SELECT a.o_custkey,
+                   a.o_orderkey AS first_orderkey,
+                   b.o_orderkey AS next_orderkey,
+                   CAST(date_diff('day', a.o_orderdate, b.o_orderdate)
+                        AS BIGINT) AS gap_days
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate > a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
         """,
         "user_sessions": """
             WITH marked AS (

@@ -1603,3 +1603,73 @@ def _join_ray_parts(*dss) -> int:
     except Exception:
         cap = 8
     return max(2, min(cap, blocks))
+
+
+def orders_repeat_window_join(sf_dir: str, days: int = 30,
+                              n_buckets: int = 64):
+    """Keyed RANGE join (non-equi interval join) — every same-customer
+    order pair ``(first, nxt)`` where the next order lands strictly
+    inside ``(first_date, first_date + days]``: the classic
+    repeat-purchase-within-N-days analysis, and the 1:N interval
+    sibling of ``events_asof_orders`` (which keeps only one match).
+
+    Scale shape: hash-bucket the single input on the customer key (the
+    same splitmix law as the as-of join's bucketed form) and emit each
+    bucket's pairs inside ``groupby(bucket).map_groups`` — per-user
+    orders are sorted once, then each row finds its window slice with
+    two vectorized ``searchsorted`` probes. Per-task memory is
+    orders/n_buckets; the output fan-out is the join's inherent cost.
+    Same-date pairs are excluded (strict lower bound), so the output is
+    orientation-unique without tie-break hazards. Integer day gaps —
+    DuckDB-oracle-gated with no float hazards.
+    """
+    orders_ds = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"])
+    span = np.timedelta64(days, "D").astype("timedelta64[us]")
+    day_us = np.timedelta64(1, "D").astype("timedelta64[us]")
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(_bucket(ck)),
+            "o_custkey": pa.array(ck),
+            "o_orderkey": batch.column("o_orderkey"),
+            "_t": batch.column("o_orderdate")
+                .to_numpy(zero_copy_only=False).astype("datetime64[us]"),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_c, out_a, out_b, out_gap = [], [], [], []
+        for ck, og in g.groupby("o_custkey"):
+            og = og.sort_values(["_t", "o_orderkey"], kind="mergesort")
+            dates = og["_t"].to_numpy(dtype="datetime64[us]")
+            keys = og["o_orderkey"].to_numpy(np.int64)
+            for i in range(len(dates)):
+                # window (dates[i], dates[i] + days]
+                lo = int(np.searchsorted(dates, dates[i], side="right"))
+                hi = int(np.searchsorted(dates, dates[i] + span,
+                                         side="right"))
+                for j in range(lo, hi):
+                    out_c.append(int(ck))
+                    out_a.append(int(keys[i]))
+                    out_b.append(int(keys[j]))
+                    out_gap.append(int((dates[j] - dates[i]) // day_us))
+        return pd.DataFrame({
+            "o_custkey": pd.Series(out_c, dtype="int64"),
+            "first_orderkey": pd.Series(out_a, dtype="int64"),
+            "next_orderkey": pd.Series(out_b, dtype="int64"),
+            "gap_days": pd.Series(out_gap, dtype="int64"),
+        })
+
+    return (orders_ds.map_batches(tag, batch_format="pyarrow",
+                                  batch_size=65536)
+            .groupby("_bucket")
+            .map_groups(pairs, batch_format="pandas"))

@@ -263,3 +263,118 @@ def kmeans_assignments(sf_dir: str, k: int = 8, max_iters: int = 20):
         })
 
     return ds.map_batches(label, batch_format="pyarrow", batch_size=4096)
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (t-digest, Dunning & Ertl 2019)
+# --------------------------------------------------------------------------
+
+def tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                     delta: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Compress (mean, weight) centroids to <= ~2*delta centroids using
+    the k1 scale function's q-limit rule (Dunning & Ertl 2019, "Computing
+    extremely accurate quantiles using t-digests", alg. 1 merge pass).
+    Deterministic: inputs are sorted by (mean, weight); no RNG."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.lexsort((weights, means))
+    means = means[order].astype(np.float64)
+    weights = weights[order].astype(np.float64)
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = means[0], weights[0]
+    w_before = 0.0  # weight fully to the left of the current centroid
+    for i in range(1, len(means)):
+        q0 = w_before / total
+        q2 = (w_before + cur_w + weights[i]) / total
+        # k1 scale: the merged centroid may span at most the q-width
+        # that keeps k(q2)-k(q0) <= 1 — approximated by the standard
+        # 4*delta*q*(1-q) bound on centroid weight
+        q_mid = (q0 + q2) / 2.0
+        cap = 4.0 * total * q_mid * (1.0 - q_mid) / delta
+        if cur_w + weights[i] <= max(cap, 1.0):
+            nw = cur_w + weights[i]
+            cur_m = cur_m + (means[i] - cur_m) * (weights[i] / nw)
+            cur_w = nw
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = means[i], weights[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                     q: float) -> float:
+    """Quantile estimate by linear interpolation between centroid
+    midpoints (the standard t-digest query)."""
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    target = q * total
+    # cumulative weight at each centroid's midpoint
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target)) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def events_value_tdigest(sf_dir: str, delta: int = 200,
+                         quantiles=(0.5, 0.9, 0.99)):
+    """Per-event-type streaming quantiles via mergeable t-digests.
+
+    Scale shape: each batch emits ONE serialized digest row per group
+    (<= ~2*delta float pairs regardless of batch size), so the shuffle
+    volume is O(groups x blocks x delta) — independent of input rows;
+    ``groupby(event_type).map_groups`` merges each group's digests with
+    one deterministic re-compression (partials sorted by mean before
+    merging, so the result depends only on the partial multiset).
+    Rank-error law (<= ~1/delta) is pytest-gated against exact
+    quantiles (tests/test_sketches.py); rows-only for the driver —
+    sketch estimates are not SQL-reproducible.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        types, blobs = [], []
+        for etype, g in df.groupby("event_type"):
+            v = g["value"].to_numpy(dtype=np.float64)
+            m, w = tdigest_compress(v, np.ones(len(v)), delta=delta)
+            types.append(etype)
+            blobs.append(np.concatenate([m, w]).tobytes())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "digest": pa.array(blobs, pa.large_binary()),
+        })
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        ms, ws = [], []
+        for blob in g["digest"]:
+            arr = np.frombuffer(blob, dtype=np.float64)
+            h = len(arr) // 2
+            ms.append(arr[:h])
+            ws.append(arr[h:])
+        m, w = tdigest_compress(np.concatenate(ms), np.concatenate(ws),
+                                delta=delta)
+        row = {"event_type": [g["event_type"].iloc[0]],
+               "n": [np.int64(round(w.sum()))]}
+        for q in quantiles:
+            row[f"p{int(q * 100)}"] = [
+                round(tdigest_quantile(m, w, q), 4)]
+        return pd.DataFrame(row)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("event_type")
+            .map_groups(merge, batch_format="pandas"))

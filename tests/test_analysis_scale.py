@@ -125,3 +125,35 @@ def test_grouped_quantile_extremes_are_min_max():
     hi = analysis.grouped_median_distributed(ds, "k", "v", q=1.0)
     assert lo.column("median")[0].as_py() == 1.0
     assert hi.column("median")[0].as_py() == 9.0
+
+
+def test_orders_repeat_window_join_laws():
+    import duckdb
+
+    from crawl4ai_ray.pipelines.analysis import orders_repeat_window_join
+
+    df = orders_repeat_window_join(SF, days=30).to_pandas()
+    # strict window law: 1 <= gap <= 30, never self-paired
+    assert df["gap_days"].between(1, 30).all()
+    assert (df["first_orderkey"] != df["next_orderkey"]).all()
+    # exact pair-set equality vs a driver pandas oracle
+    con = duckdb.connect()
+    try:
+        od = con.execute(
+            f"SELECT o_custkey, o_orderkey, o_orderdate FROM "
+            f"read_parquet('{SF}/orders.parquet')").df()
+    finally:
+        con.close()
+    want = set()
+    for ck, g in od.groupby("o_custkey"):
+        g = g.sort_values("o_orderdate")
+        d = g["o_orderdate"].to_numpy(dtype="datetime64[D]")
+        k = g["o_orderkey"].to_numpy()
+        for i in range(len(d)):
+            for j in range(len(d)):
+                gap = int((d[j] - d[i]).astype(int))
+                if 1 <= gap <= 30:
+                    want.add((int(ck), int(k[i]), int(k[j]), gap))
+    got = set(zip(df["o_custkey"], df["first_orderkey"],
+                  df["next_orderkey"], df["gap_days"]))
+    assert got == want

@@ -134,3 +134,54 @@ def test_kmeans_assignments_cover_and_match_centroids(kmeans_result):
         assert r["dist"] == pytest.approx(
             round(float(dists[int(r["cluster"])]), 5), abs=1e-5)
         assert dists[int(r["cluster"])] <= dists.min() + 1e-9
+
+
+def test_tdigest_rank_error_and_counts():
+    import duckdb
+
+    from crawl4ai_ray.pipelines.sketches import events_value_tdigest
+
+    td = events_value_tdigest(SF).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    try:
+        ev = con.execute(
+            f"SELECT event_type, value FROM "
+            f"read_parquet('{SF}/events.parquet')").df()
+    finally:
+        con.close()
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        assert td.loc[et, "n"] == len(g)          # weights are exact
+        for q in (0.5, 0.9, 0.99):
+            est = td.loc[et, f"p{int(q * 100)}"]
+            rank = np.searchsorted(v, est) / len(v)
+            # t-digest rank-error law: ~1/delta at the median, tighter
+            # at the tails; 0.01 is a conservative gate for delta=200
+            assert abs(rank - q) < 0.01, (et, q, est, rank)
+
+
+def test_tdigest_merge_is_order_insensitive():
+    from crawl4ai_ray.pipelines.sketches import (
+        tdigest_compress,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(7)
+    v = rng.gamma(2.0, 50.0, size=20000)
+    # digest of the whole vs merge of 8 chunk digests (any order)
+    m0, w0 = tdigest_compress(v, np.ones(len(v)), delta=200)
+    parts = [tdigest_compress(c, np.ones(len(c)), delta=200)
+             for c in np.array_split(v, 8)]
+    for order in (parts, parts[::-1]):
+        ms = np.concatenate([p[0] for p in order])
+        ws = np.concatenate([p[1] for p in order])
+        m1, w1 = tdigest_compress(ms, ws, delta=200)
+        assert w1.sum() == len(v)
+        exact = np.sort(v)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = tdigest_quantile(m1, w1, q)
+            rank = np.searchsorted(exact, est) / len(v)
+            assert abs(rank - q) < 0.015, (q, est, rank)
+            # merged estimate tracks the single-pass digest too
+            assert abs(tdigest_quantile(m0, w0, q) - est) \
+                <= 0.05 * max(1.0, abs(est))
