@@ -48,6 +48,11 @@ GOLDEN_QUERIES = [
     "ann_topk_ivf",
     "embedding_kmeans",
     "distinct_users_hll",
+    "doc_llm_tables",
+    "crawl_pagerank",
+    "seed_cc",
+    "pdf_pages",
+    "link_preview",
 ]
 
 
