@@ -514,6 +514,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": lambda sf: __import__(
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_pagerank"],
         ).crawl_pagerank(sf),
+        # HITS hubs/authorities over the same crawl graph (rows-only;
+        # driver numpy oracle, tests/test_graph.py)
+        "crawl_hits": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_hits"],
+        ).crawl_hits(sf),
     }
 
 

@@ -34,7 +34,8 @@ import ray.data as rd
 
 from .dedup import _join_parts
 
-__all__ = ["pagerank", "crawl_pagerank", "pagerank_numpy"]
+__all__ = ["pagerank", "crawl_pagerank", "pagerank_numpy",
+           "hits", "crawl_hits", "hits_numpy"]
 
 
 def _cast_str(*cols):
@@ -358,3 +359,209 @@ def crawl_pagerank(sf_dir: str, *, damping: float = 0.85,
 
     return (ranks.map_batches(finish, batch_format="pyarrow")
             .sort(["rank", "node"], descending=[True, False]))
+
+
+def hits(edges_ds, nodes_ds, *, max_iters: int = 50, tol: float = 1e-8,
+         form: str = "auto"):
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over (src, dst)
+    edges — the second classic link-analysis scorer next to PageRank
+    (the reference's M22 authority scorer is a static domain dict; this
+    computes authority from the actual crawl graph).
+
+    Update law: a = A^T h then L2-normalize; h = A a then L2-normalize;
+    converge on L1 delta of both vectors. Multi-edges count with
+    multiplicity. Returns (node, hub, authority).
+
+    Forms mirror ``pagerank``: "driver" collects integer-coded edges
+    and runs two bincounts per iteration (wins under
+    PAGERANK_DRIVER_MAX_EDGES); "distributed" runs each half-step as
+    one hash join (scores into edges on the source side of the
+    half-step) + one groupby-sum — the operator's inherent exchange,
+    nothing driver-resident. Both oracle-equal (tests/test_graph.py).
+    """
+    from ray.data.aggregate import Sum
+
+    if isinstance(edges_ds, pa.Table):
+        edges_ds = rd.from_arrow(edges_ds)
+    if isinstance(nodes_ds, pa.Table):
+        nodes_ds = rd.from_arrow(nodes_ds)
+    edges_ds = edges_ds.map_batches(_cast_str("src", "dst"),
+                                    batch_format="pyarrow")
+    nodes = (nodes_ds.select_columns(["node"])
+             .map_batches(_cast_str("node"), batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64())}))
+    n_edges = edges_ds.count()
+    if form == "auto":
+        form = ("driver" if n_edges < PAGERANK_DRIVER_MAX_EDGES
+                else "distributed")
+
+    if form == "driver":
+        node_list = [r["node"] for r in nodes.iter_rows()]
+        idx = {u: i for i, u in enumerate(node_list)}
+        srcs, dsts = [], []
+        for b in edges_ds.iter_batches(batch_format="pyarrow"):
+            srcs.append(np.array(
+                [idx[s] for s in b.column("src").to_pylist()], np.int64))
+            dsts.append(np.array(
+                [idx[d] for d in b.column("dst").to_pylist()], np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        h = np.full(n_nodes, 1.0 / np.sqrt(n_nodes))
+        a = np.full(n_nodes, 1.0 / np.sqrt(n_nodes))
+        for _ in range(max_iters):
+            a_new = np.bincount(dst, weights=h[src], minlength=n_nodes)
+            na = np.linalg.norm(a_new)
+            a_new = a_new / na if na > 0 else a_new
+            h_new = np.bincount(src, weights=a_new[dst],
+                                minlength=n_nodes)
+            nh = np.linalg.norm(h_new)
+            h_new = h_new / nh if nh > 0 else h_new
+            delta = np.abs(a_new - a).sum() + np.abs(h_new - h).sum()
+            a, h = a_new, h_new
+            if delta < tol:
+                break
+        return rd.from_arrow(pa.table({
+            "node": pa.array(node_list, pa.string()),
+            "hub": pa.array(h), "authority": pa.array(a)}))
+
+    # distributed: scores live as a (node, hub, authority) Dataset;
+    # each half-step is join + groupby-sum; norms are scalar aggregates
+    edges_w = edges_ds.materialize()
+    scores = nodes.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hub": pa.array(np.full(t.num_rows,
+                                    1.0 / np.sqrt(n_nodes))),
+            "authority": pa.array(np.full(t.num_rows,
+                                          1.0 / np.sqrt(n_nodes))),
+        }), batch_format="pyarrow").materialize()
+
+    def _half(scores_ds, key_from, key_to, col):
+        """sum scores[col] of key_from-side endpoints onto key_to."""
+        n = _pr_parts(min(n_edges, n_nodes), edges_w, scores_ds)
+        return (
+            edges_w.join(
+                scores_ds.select_columns(["node", col])
+                .rename_columns({"node": key_from}),
+                "inner", n, on=(key_from,))
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t.column(key_to),
+                    "s": t.column(col),
+                }), batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("s", alias_name="s"))
+        )
+
+    def _apply(scores_ds, sums_ds, col, norm):
+        n = _pr_parts(min(n_edges, n_nodes), scores_ds, sums_ds)
+        other = "authority" if col == "hub" else "hub"
+
+        def upd(t: pa.Table) -> pa.Table:
+            s = np.array([v if v is not None else 0.0
+                          for v in t.column("s").to_pylist()], np.float64)
+            old = t.column(col).to_numpy()
+            new = s / norm if norm > 0 else s
+            return pa.table({
+                "node": t.column("node"),
+                col: pa.array(new),
+                other: t.column(other),
+                "delta": pa.array(np.abs(new - old)),
+            })
+
+        return (scores_ds.join(sums_ds, "left_outer", n, on=("node",))
+                .map_batches(upd, batch_format="pyarrow").materialize())
+
+    for _ in range(max_iters):
+        # authority half-step: sum hub over in-edges
+        a_sums = _half(scores, "src", "dst", "hub").materialize()
+        na = float(np.sqrt(a_sums.map_batches(
+            lambda t: pa.table({"q": pa.array(
+                [float(np.sum(np.square(t.column("s").to_numpy())))])}),
+            batch_format="pyarrow").sum("q") or 0.0))
+        stepped = _apply(scores, a_sums, "authority", na)
+        d1 = stepped.sum("delta") or 0.0
+        scores = stepped.select_columns(
+            ["node", "hub", "authority"]).materialize()
+        # hub half-step: sum NEW authority over out-edges
+        h_sums = _half(scores, "dst", "src", "authority").materialize()
+        nh = float(np.sqrt(h_sums.map_batches(
+            lambda t: pa.table({"q": pa.array(
+                [float(np.sum(np.square(t.column("s").to_numpy())))])}),
+            batch_format="pyarrow").sum("q") or 0.0))
+        stepped = _apply(scores, h_sums, "hub", nh)
+        d2 = stepped.sum("delta") or 0.0
+        scores = stepped.select_columns(
+            ["node", "hub", "authority"]).materialize()
+        if d1 + d2 < tol:
+            break
+    return scores
+
+
+def crawl_hits(sf_dir: str, *, form: str = "auto"):
+    """Query entry: HITS over the same crawled link graph as
+    crawl_pagerank. Rows rounded to 8 dp, sorted by (-authority,
+    node)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_hits_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    scores = hits(*edges_from_docs(res.docs_dir), form=form)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "hub": pa.array(np.round(t.column("hub").to_numpy(), 8)),
+            "authority": pa.array(
+                np.round(t.column("authority").to_numpy(), 8)),
+        })
+
+    return (scores.map_batches(finish, batch_format="pyarrow")
+            .sort(["authority", "node"], descending=[True, False]))
+
+
+def hits_numpy(edges: list[tuple[str, str]], nodes: list[str],
+               *, max_iters: int = 50, tol: float = 1e-8):
+    """Per-edge-loop HITS oracle (same update/normalization laws,
+    deliberately unvectorized for test independence)."""
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}, {}
+    import math
+
+    h = [1.0 / math.sqrt(n)] * n
+    a = [1.0 / math.sqrt(n)] * n
+    for _ in range(max_iters):
+        a_new = [0.0] * n
+        for s_, d_ in edges:
+            a_new[idx[d_]] += h[idx[s_]]
+        na = math.sqrt(sum(x * x for x in a_new))
+        if na > 0:
+            a_new = [x / na for x in a_new]
+        h_new = [0.0] * n
+        for s_, d_ in edges:
+            h_new[idx[s_]] += a_new[idx[d_]]
+        nh = math.sqrt(sum(x * x for x in h_new))
+        if nh > 0:
+            h_new = [x / nh for x in h_new]
+        delta = sum(abs(x - y) for x, y in zip(a_new, a)) + \
+            sum(abs(x - y) for x, y in zip(h_new, h))
+        a, h = a_new, h_new
+        if delta < tol:
+            break
+    return ({u: h[i] for u, i in idx.items()},
+            {u: a[i] for u, i in idx.items()})

@@ -97,3 +97,45 @@ def test_crawl_pagerank_query():
     assert set(got) == set(want)
     err = max(abs(got[k] - want[k]) for k in want)
     assert err < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_matches_oracle_both_forms():
+    from crawl4ai_ray.pipelines.graph import hits, hits_numpy
+
+    nodes = list("abcdef")
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("e", "a"), ("e", "d"), ("c", "d"), ("a", "b")]
+    e = pa.table({"src": pa.array([s for s, _ in edges], pa.string()),
+                  "dst": pa.array([d for _, d in edges], pa.string())})
+    n = pa.table({"node": pa.array(nodes, pa.string())})
+    want_h, want_a = hits_numpy(edges, nodes)
+    df = hits(e, n, form="driver").to_pandas().set_index("node")
+    for k in nodes:
+        assert abs(df.loc[k, "hub"] - want_h[k]) < 1e-9, ("driver", k)
+        assert abs(df.loc[k, "authority"] - want_a[k]) < 1e-9, \
+            ("driver", k)
+    # distributed form: identical per-iteration semantics, checked at a
+    # small fixed iteration count (each distributed iteration costs ~6
+    # Ray rounds; convergence-length runs are the driver form's job)
+    want_h6, want_a6 = hits_numpy(edges, nodes, max_iters=6)
+    df = hits(e, n, form="distributed", max_iters=6).to_pandas() \
+        .set_index("node")
+    for k in nodes:
+        assert abs(df.loc[k, "hub"] - want_h6[k]) < 1e-9, ("dist", k)
+        assert abs(df.loc[k, "authority"] - want_a6[k]) < 1e-9, \
+            ("dist", k)
+    # hub mass concentrates on the multi-out-edge pages
+    assert want_h["a"] == max(want_h.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_hits_query():
+    from crawl4ai_ray.pipelines.graph import crawl_hits
+
+    df = crawl_hits("unused").to_pandas()
+    assert len(df) > 20
+    # L2-normalized vectors (rounded to 8 dp)
+    assert abs((df["hub"] ** 2).sum() - 1.0) < 1e-4
+    assert abs((df["authority"] ** 2).sum() - 1.0) < 1e-4
+    assert list(df["authority"]) == sorted(df["authority"], reverse=True)

@@ -50,6 +50,7 @@ GOLDEN_QUERIES = [
     "distinct_users_hll",
     "doc_llm_tables",
     "crawl_pagerank",
+    "crawl_hits",
     "seed_cc",
     "pdf_pages",
     "link_preview",
