@@ -362,6 +362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_value_tdigest"],
         ).events_value_tdigest(sf),
+        # broadcast-Bloom semi-join (small-side filter pruning the big
+        # side before the exact join), DuckDB-oracle-gated
+        "orders_bloom_semijoin": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["orders_bloom_semijoin"],
+        ).orders_bloom_semijoin(sf),
         "events_value_bands": analysis.events_value_bands,
         "part_type_counts": analysis.part_type_counts,
         "nation_region_join": analysis.nation_region_join,
@@ -992,6 +998,11 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dup_distinct
             FROM percnt p JOIN nd USING (g)
             GROUP BY p.doc_id
+        """,
+        "orders_bloom_semijoin": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
         """,
         "events_lag_gap": r"""
             SELECT event_id, user_id,

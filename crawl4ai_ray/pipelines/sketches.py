@@ -378,3 +378,115 @@ def events_value_tdigest(sf_dir: str, delta: int = 200,
                            batch_size=65536)
             .groupby("event_type")
             .map_groups(merge, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter + broadcast bloom semi-join
+# --------------------------------------------------------------------------
+
+def bloom_params(n_expected: int, fp_rate: float = 0.01
+                 ) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a
+    byte), k = (m/n)·ln(2) hash functions (Bloom, CACM 1970)."""
+    import math
+
+    n = max(1, n_expected)
+    m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_indices(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via Kirsch-Mitzenmacher double
+    hashing: idx_i = (h1 + i*h2) mod m — two splitmix64 evaluations
+    regardless of k."""
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(keys.astype(np.uint64)
+                     ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m))
+
+
+def bloom_build(ds, col: str, n_expected: int,
+                fp_rate: float = 0.01) -> tuple[bytes, int, int]:
+    """Build a Bloom filter over an integer key column. Per-batch
+    partial = this batch's bit array (m/8 bytes); partials OR-merge on
+    the driver (m is sized to the SMALL side of a semi-join — at
+    fp=1%, 10 bits/key — so even 10^9 keys is a 1.2 GB broadcast blob,
+    the filter's raison d'être vs shipping the key set)."""
+    m, k = bloom_params(n_expected, fp_rate)
+    mbytes = m // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = np.zeros(mbytes, dtype=np.uint8)
+        idx = _bloom_indices(keys, m, k).ravel()
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (1 << (idx & np.uint64(7))).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          pa.large_binary())})
+
+    acc = np.zeros(mbytes, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+            .iter_batches(batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc.tobytes(), m, k
+
+
+def bloom_probe_mask(keys: np.ndarray, bits: np.ndarray, m: int,
+                     k: int) -> np.ndarray:
+    """Vectorized membership test: True = possibly present (the bloom
+    guarantee: no false negatives)."""
+    idx = _bloom_indices(keys.astype(np.int64), m, k)
+    byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+    bit = (1 << (idx & np.uint64(7))).astype(np.uint8)
+    return ((byte & bit) == bit).all(axis=1)
+
+
+def orders_bloom_semijoin(sf_dir: str, segment: str = "BUILDING",
+                          fp_rate: float = 0.01):
+    """Broadcast-Bloom semi-join — THE standard big-join prune at
+    shuffle scale: build a Bloom filter over the SMALL side's keys
+    (customers in one market segment), ``ray.put`` it once, prune the
+    BIG side (orders) per batch before the exact hash join, so the
+    shuffle carries only bloom-surviving rows (~match fraction +
+    fp_rate of the input instead of all of it).
+
+    The final exact join makes the output independent of bloom false
+    positives — DuckDB-oracle-gated exactly; the prune-rate and
+    no-false-negative laws are pytest-gated (tests/test_sketches.py).
+    """
+    import ray
+
+    from .dedup import _join_parts
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr=f"c_mktsegment == '{segment}'") \
+        .select_columns(["c_custkey"]).materialize()
+    n_keys = cust.count()
+    bits_b, m, k = bloom_build(cust, "c_custkey", n_keys, fp_rate)
+    ref = ray.put(np.frombuffer(bits_b, dtype=np.uint8))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prune(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(bloom_probe_mask(keys, bits, m, k)))
+
+    candidates = orders.map_batches(prune, batch_format="pyarrow",
+                                    batch_size=65536)
+    joined = candidates.join(
+        cust.rename_columns({"c_custkey": "o_custkey"}),
+        join_type="inner", on=("o_custkey",),
+        num_partitions=_join_parts(candidates, cust))
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])

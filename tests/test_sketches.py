@@ -185,3 +185,58 @@ def test_tdigest_merge_is_order_insensitive():
             # merged estimate tracks the single-pass digest too
             assert abs(tdigest_quantile(m0, w0, q) - est) \
                 <= 0.05 * max(1.0, abs(est))
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from crawl4ai_ray.pipelines.sketches import (
+        bloom_build,
+        bloom_params,
+        bloom_probe_mask,
+        _read,
+    )
+
+    cust = _read(SF, "customer", ["c_custkey"]).materialize()
+    n = cust.count()
+    bits_b, m, k = bloom_build(cust, "c_custkey", n, fp_rate=0.01)
+    bits = np.frombuffer(bits_b, dtype=np.uint8)
+    keys = np.array(
+        [r["c_custkey"] for r in cust.iter_rows()], np.int64)
+    # bloom guarantee: every inserted key probes positive
+    assert bloom_probe_mask(keys, bits, m, k).all()
+    # false-positive rate on definitely-absent keys stays near target
+    absent = np.arange(10_000_000, 10_050_000, dtype=np.int64)
+    fp = bloom_probe_mask(absent, bits, m, k).mean()
+    assert fp < 0.03, fp
+    # sizing law sanity
+    m2, k2 = bloom_params(1000, 0.01)
+    assert m2 >= 9500 and 6 <= k2 <= 8
+
+
+def test_bloom_semijoin_prunes_and_matches_exact():
+    import duckdb
+
+    from crawl4ai_ray.pipelines.sketches import orders_bloom_semijoin
+
+    got = orders_bloom_semijoin(SF).to_pandas() \
+        .sort_values(["o_orderkey"]).reset_index(drop=True)
+    con = duckdb.connect()
+    try:
+        want = con.execute(f"""
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            ORDER BY o.o_orderkey
+        """).df()
+    finally:
+        con.close()
+    assert len(got) == len(want)
+    assert (got["o_orderkey"].to_numpy()
+            == want["o_orderkey"].to_numpy()).all()
+    # the bloom prune must actually drop most non-matching rows:
+    # BUILDING is ~23% of customers, so survivors ≪ all orders
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    assert len(got) < 0.5 * n_orders
