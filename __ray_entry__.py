@@ -515,6 +515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
         ).ngram_dup_stats(sf),
+        # Efraimidis-Spirakis weighted sampling (hash-derived uniforms,
+        # n_chars weights), DuckDB-oracle-gated
+        "doc_weighted_sample": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["weighted_sample"],
+        ).weighted_sample(sf),
         # PageRank over the BFS crawl's link graph (rows-only; numeric
         # oracle = driver power iteration, tests/test_graph.py)
         "crawl_pagerank": lambda sf: __import__(
@@ -1003,6 +1008,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # ln(u)/w key with u = md5(doc_id) first 8 hex chars / 2^32 —
+        # integer-exact u on both sides, float64 ln, 10-dp round
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars, skey, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT doc_id, n_chars,
+                       round(ln(CAST(('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT) / 4294967296.0)
+                             / n_chars, 10) AS skey,
+                       row_number() OVER (
+                           ORDER BY round(ln(CAST(('0x' || substr(md5(
+                                     CAST(doc_id AS VARCHAR)), 1, 8))
+                                     AS UBIGINT) / 4294967296.0)
+                                     / n_chars, 10) DESC, doc_id
+                       ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 50
         """,
         "events_lag_gap": r"""
             SELECT event_id, user_id,

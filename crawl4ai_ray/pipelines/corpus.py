@@ -297,3 +297,57 @@ def ngram_dup_stats(sf_dir: str, n: int = 5):
                            alias_name="n_distinct_grams"),
                        Sum("n_dup_distinct",
                            alias_name="n_dup_distinct")))
+
+
+def weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis, IPL 2006): rank every document by
+    ``ln(u)/w`` where ``u`` is a hash-derived uniform and ``w`` the
+    weight (n_chars — the "sample long documents more" corpus law);
+    the global top-k of that key IS a weighted sample, and because u
+    comes from md5(doc_id) instead of an RNG the pick is reproducible
+    across engines — the same determinism trick as stratified_sample.
+
+    Scale shape: the key is per-row (map-side); each batch keeps its
+    local top-k, so the final exchange sorts at most k·n_blocks rows —
+    the top-k-of-union law. DuckDB-oracle-gated (key computed with the
+    same integer-exact u and float64 ln on both sides, rounded to
+    10 dp; doc_id tiebreak)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key_and_prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids], np.float64) / float(2 ** 32)
+        skey = np.round(np.log(u) / w, 10)
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": batch.column("n_chars"),
+            "skey": pa.array(skey),
+        })
+        df = t.to_pandas().sort_values(
+            ["skey", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["skey", "doc_id"],
+                            ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    pruned = ds.map_batches(key_and_prune, batch_format="pyarrow",
+                            batch_size=8192)
+    # single tiny group: at most k rows per block survive the prune
+    return (pruned
+            .map_batches(lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, np.int64))),
+                batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: finish(g.drop(columns=["_g"])),
+                        batch_format="pandas"))

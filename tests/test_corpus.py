@@ -109,3 +109,21 @@ def test_ngram_dup_stats_laws():
     if pair:
         a = df.loc[pair[0]]
         assert a["n_dup_grams"] == a["n_grams"]
+
+
+def test_weighted_sample_bias_law():
+    # ES-sampling with n_chars weights must over-represent long docs:
+    # mean length of the 50 picks exceeds the corpus mean
+    import duckdb
+
+    df = _pd(corpus.weighted_sample(SF, k=50))
+    assert len(df) == 50
+    assert list(df["rnk"]) == list(range(1, 51))
+    con = duckdb.connect()
+    try:
+        mean_all = con.execute(
+            f"SELECT avg(n_chars) FROM "
+            f"read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    finally:
+        con.close()
+    assert df["n_chars"].mean() > mean_all
