@@ -362,6 +362,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_value_tdigest"],
         ).events_value_tdigest(sf),
+        # Misra-Gries mergeable heavy hitters (rows-only; containment +
+        # error-bound laws pytest-gated vs exact counts)
+        "corpus_top_terms_mg": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["corpus_top_terms_mg"],
+        ).corpus_top_terms_mg(sf),
         # broadcast-Bloom semi-join (small-side filter pruning the big
         # side before the exact join), DuckDB-oracle-gated
         "orders_bloom_semijoin": lambda sf: __import__(

@@ -490,3 +490,94 @@ def orders_bloom_semijoin(sf_dir: str, segment: str = "BUILDING",
         num_partitions=_join_parts(candidates, cust))
     return joined.select_columns(
         ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries)
+# --------------------------------------------------------------------------
+
+def mg_summarize(tokens, capacity: int) -> dict[str, int]:
+    """Classic Misra-Gries (1982) frequency summary with at most
+    ``capacity`` counters: every true count is under-estimated by at
+    most n/(capacity+1)."""
+    counters: dict[str, int] = {}
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < capacity:
+            counters[t] = 1
+        else:
+            dead = [k for k in counters if counters[k] == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def mg_merge(summaries, capacity: int) -> dict[str, int]:
+    """Mergeable-summaries law (Agarwal et al., PODS 2012): sum
+    counters term-wise, then subtract the (capacity+1)-th largest
+    value and drop non-positive counters — the merged summary keeps
+    the same n/(capacity+1) error bound over the combined stream."""
+    total: dict[str, int] = {}
+    for s in summaries:
+        for t, c in s.items():
+            total[t] = total.get(t, 0) + c
+    if len(total) > capacity:
+        kth = sorted(total.values(), reverse=True)[capacity]
+        total = {t: c - kth for t, c in total.items() if c - kth > 0}
+    return total
+
+
+def corpus_top_terms_mg(sf_dir: str, k: int = 50,
+                        capacity: int = 4096):
+    """Heavy-hitter terms via mergeable Misra-Gries summaries — the
+    open-vocabulary variant of the exact ``corpus_top_terms`` groupby: each
+    block ships at most ``capacity`` (term, count) rows no matter how
+    large its vocabulary, so the exchange is O(capacity × blocks)
+    instead of O(distinct terms). Under-estimate error ≤
+    n_tokens/(capacity+1); the containment-of-true-top-k law is
+    pytest-gated against the exact counts (tests/test_sketches.py).
+    Returns (term, est_count) for the top-k estimates, est desc, term
+    asc. Rows-only for the driver (sketch estimates, not SQL facts).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = []
+        for text in batch.column("text").to_pylist():
+            toks.extend((text or "").lower().split())
+        s = mg_summarize(toks, capacity)
+        return pa.table({
+            "term": pa.array(list(s.keys()), pa.string()),
+            "c": pa.array(list(s.values()), pa.int64()),
+        })
+
+    import pandas as pd
+
+    def merge_all(g: pd.DataFrame) -> pd.DataFrame:
+        # term-wise sums arrive pre-aggregated; apply the subtract-kth
+        # correction once over the combined counter set
+        total = dict(zip(g["term"], g["c"]))
+        merged = mg_merge([total], capacity)
+        items = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        items = items[:k]
+        return pd.DataFrame({
+            "term": [t for t, _ in items],
+            "est_count": np.array([c for _, c in items], np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("term").aggregate(Sum("c", alias_name="c")))
+    return (sums.map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(lambda g: merge_all(g.drop(columns=["_g"])),
+                    batch_format="pandas"))

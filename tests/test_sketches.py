@@ -240,3 +240,66 @@ def test_bloom_semijoin_prunes_and_matches_exact():
 
     n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
     assert len(got) < 0.5 * n_orders
+
+
+def test_misra_gries_summary_and_merge_laws():
+    from crawl4ai_ray.pipelines.sketches import mg_merge, mg_summarize
+
+    stream = (["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 5
+              + [f"x{i}" for i in range(40)])
+    s = mg_summarize(stream, capacity=8)
+    n = len(stream)
+    import collections
+
+    true = collections.Counter(stream)
+    assert len(s) <= 8
+    for t, c in s.items():
+        assert c <= true[t]                      # never over-estimates
+        assert true[t] - c <= n // (8 + 1) + 1   # MG error bound
+    # merge law: summaries of two halves ≈ summary of the whole
+    h1 = mg_summarize(stream[: n // 2], 8)
+    h2 = mg_summarize(stream[n // 2:], 8)
+    m = mg_merge([h1, h2], 8)
+    assert len(m) <= 8
+    for t, c in m.items():
+        assert c <= true[t]
+        assert true[t] - c <= 2 * (n // 9 + 1)
+    assert max(m, key=lambda t: (m[t], t)) == "a"
+
+
+def test_corpus_top_terms_mg_contains_true_heavy_hitters():
+    import duckdb
+
+    from crawl4ai_ray.pipelines.sketches import corpus_top_terms_mg
+
+    df = corpus_top_terms_mg(SF, k=50, capacity=4096).to_pandas()
+    con = duckdb.connect()
+    try:
+        exact = con.execute(rf"""
+            SELECT term, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS term
+                FROM read_parquet('{SF}/documents.parquet')
+            ) WHERE term <> ''
+            GROUP BY term ORDER BY n DESC, term
+        """).df()
+        n_tokens = int(exact["n"].sum())
+    finally:
+        con.close()
+    # the sf0.001 vocabulary (~31 terms) is below k: the sketch holds
+    # every term and the top-k is just all of them
+    assert len(df) == min(50, len(exact))
+    bound = n_tokens // 4097 + 1
+    est = dict(zip(df["term"], df["est_count"]))
+    true = dict(zip(exact["term"], exact["n"]))
+    # every estimate under-counts by at most the bound
+    for t, c in est.items():
+        assert c <= true[t]
+        assert true[t] - c <= bound, (t, true[t], c)
+    # every true top-k term whose margin over the (k+1)-th exceeds the
+    # bound must be present in the sketch's top-k
+    kk = min(50, len(exact) - 1)
+    kth = int(exact["n"].iloc[kk]) if kk < len(exact) else 0
+    for t, n in zip(exact["term"].head(kk), exact["n"].head(kk)):
+        if n - kth > bound:
+            assert t in est, t
