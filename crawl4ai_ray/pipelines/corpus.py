@@ -341,9 +341,20 @@ def weighted_sample(sf_dir: str, k: int = 50):
         df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df
 
+    def prune_again(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["skey", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     pruned = ds.map_batches(key_and_prune, batch_format="pyarrow",
                             batch_size=8192)
-    # single tiny group: at most k rows per block survive the prune
+    # second-level local top-k: the first prune leaves k rows/block
+    # (k x n_blocks globally — ~60M rows at 10^10 docs); re-batching
+    # k x 8192 rows per task bounds the final single group at
+    # k x blocks/8192 regardless of input size (top-k-of-union law
+    # applies at every level)
+    pruned = pruned.map_batches(prune_again, batch_format="pyarrow",
+                                batch_size=8192 * k)
     return (pruned
             .map_batches(lambda t: t.append_column(
                 "_g", pa.array(np.zeros(t.num_rows, np.int64))),
