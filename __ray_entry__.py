@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_above_type_avg": analysis.parts_above_type_avg,
         "doc_repetition_stats": analysis.doc_repetition_stats,
         "q3_shipping_priority": analysis.q3_shipping_priority,
+        "q5_local_supplier_volume": analysis.q5_local_supplier_volume,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -1033,6 +1034,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM documents
             ) WHERE rnk <= 50
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+            GROUP BY n_name
         """,
         "events_lag_gap": r"""
             SELECT event_id, user_id,

@@ -1673,3 +1673,105 @@ def orders_repeat_window_join(sf_dir: str, days: int = 30,
                                   batch_size=65536)
             .groupby("_bucket")
             .map_groups(pairs, batch_format="pandas"))
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             year: int = 1996):
+    """TPC-H Q5 shape — the six-table join: revenue of lineitems whose
+    customer and supplier sit in the same nation of one region, for one
+    order year.
+
+    Scale decomposition (the canonical dimension/fact split):
+    - region→nation (tiny) resolved on the driver;
+    - customer and supplier are DIMENSION tables (fact/10 in TPC-H):
+      custkey→nationkey and suppkey→nationkey dicts broadcast once with
+      ``ray.put`` — the same caveat as revenue_by_nation_year (broadcast
+      side grows with sf; at equal scales the native join is the
+      fallback);
+    - orders filters map-side (year + customer-in-region semi-join via
+      the broadcast dict), emitting compact (o_orderkey, cust_nation);
+    - lineitem ⋈ filtered-orders on orderkey is the big-big exchange —
+      Ray's native hash join, both sides compact key+payload tables;
+    - the same-nation predicate (c_nationkey == s_nationkey — Q5's
+      defining constraint) applies per joined batch via the supplier
+      dict; per-batch partial sums (combiner) make the final
+      groupby(nation) shuffle k-row-sized.
+    DuckDB-oracle-gated (`q5_local_supplier_volume`).
+    """
+    import ray
+
+    from .dedup import _join_parts
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    region_nats = nat[nat["n_regionkey"] == rkey]
+    nat_names = dict(zip(region_nats["n_nationkey"],
+                         region_nats["n_name"]))
+    nat_keys = set(int(k) for k in nat_names)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    c2n = dict(zip(cust["c_custkey"].astype(int),
+                   cust["c_nationkey"].astype(int)))
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(supp["s_suppkey"].astype(int),
+                   supp["s_nationkey"].astype(int)))
+    cref, sref = ray.put(c2n), ray.put(s2n)
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(batch: pa.Table, cref=cref) -> pa.Table:
+        c2n = ray.get(cref)
+        dates = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_pylist()
+        cnat = np.array([c2n.get(int(k), -1) for k in ck], np.int64)
+        keep = (dates >= lo) & (dates < hi) & (cnat >= 0)
+        return pa.table({
+            "l_orderkey": batch.column("o_orderkey").filter(
+                pa.array(keep)),
+            "cust_nat": pa.array(cnat[keep]),
+        })
+
+    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
+                                   batch_size=16384)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    joined = li.join(ofiltered, join_type="inner", on=("l_orderkey",),
+                     num_partitions=_join_parts(li, ofiltered))
+
+    def partial(batch: pa.Table, sref=sref) -> pa.Table:
+        s2n = ray.get(sref)
+        sk = batch.column("l_suppkey").to_pylist()
+        snat = np.array([s2n.get(int(k), -2) for k in sk], np.int64)
+        cnat = batch.column("cust_nat").to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        dc = batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep]
+        df = pd.DataFrame({"nat": cnat[keep], "_rev": ep * (1.0 - dc)})
+        g = df.groupby("nat", as_index=False)["_rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=16384)
+           .groupby("nat").aggregate(Sum("_rev", alias_name="revenue")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([nat_names[int(k)] for k in
+                                batch.column("nat").to_pylist()],
+                               pa.string()),
+            "revenue": pc.round(batch.column("revenue"), 2),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
