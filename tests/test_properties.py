@@ -68,3 +68,69 @@ def test_overlapping_chunker_terminates_and_starts_right(n, window, overlap):
     chunks = OverlappingWindowChunking(window, overlap).chunk(text)
     joined = set(" ".join(chunks).split())
     assert joined == set(text.split())
+
+
+@settings(max_examples=50, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                     min_size=1, max_size=3000),
+       q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]))
+def test_tdigest_rank_error_bound_property(vals, q):
+    import numpy as np
+
+    from crawl4ai_ray.pipelines.sketches import (
+        tdigest_compress,
+        tdigest_quantile,
+    )
+
+    # integer-valued floats: denormal-magnitude atoms make midpoint
+    # interpolation land on ranks no quantile summary can bound
+    v = np.array(vals, dtype=np.float64)
+    m, w = tdigest_compress(v, np.ones(len(v)), delta=100)
+    assert w.sum() == len(v)
+    est = tdigest_quantile(m, w, q)
+    exact = np.sort(v)
+    lo = np.searchsorted(exact, est, side="left") / len(v)
+    hi = np.searchsorted(exact, est, side="right") / len(v)
+    # the estimate's rank interval must come within ~3/delta of q,
+    # plus a 2/n term for tiny or atom-heavy streams where midpoint
+    # interpolation between duplicate-valued centroids dominates
+    tol = 0.03 + 2.0 / len(v)
+    assert lo - tol <= q <= hi + tol, (q, est, lo, hi)
+
+
+@settings(max_examples=50, deadline=None)
+@given(keys=st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                     min_size=1, max_size=2000, unique=True))
+def test_bloom_never_false_negative_property(keys):
+    import numpy as np
+
+    from crawl4ai_ray.pipelines.sketches import (
+        _bloom_indices,
+        bloom_params,
+        bloom_probe_mask,
+    )
+
+    m, k = bloom_params(len(keys), 0.01)
+    arr = np.array(keys, dtype=np.int64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    idx = _bloom_indices(arr, m, k).ravel()
+    np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                     (1 << (idx & np.uint64(7))).astype(np.uint8))
+    assert bloom_probe_mask(arr, bits, m, k).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(stream=st.lists(st.sampled_from(list("abcdefghij")),
+                       max_size=2000),
+       cap=st.integers(min_value=2, max_value=12))
+def test_misra_gries_bound_property(stream, cap):
+    import collections
+
+    from crawl4ai_ray.pipelines.sketches import mg_summarize
+
+    s = mg_summarize(stream, cap)
+    true = collections.Counter(stream)
+    assert len(s) <= cap
+    for t, c in s.items():
+        assert 0 < c <= true[t]
+        assert true[t] - c <= len(stream) // (cap + 1)
