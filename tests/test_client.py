@@ -1,0 +1,86 @@
+"""Engine HTTP client (client.py) against the serve.py facade —
+reference docker_client.py law parity."""
+
+import pytest
+
+from crawl4ai_ray.client import (
+    ConnectionError,
+    EngineClient,
+    RequestError,
+)
+from crawl4ai_ray.serve import EngineHTTPServer
+from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+
+@pytest.fixture(scope="module")
+def server(ray_session):
+    srv = EngineHTTPServer(site_cfg=SiteConfig(n_hosts=3).__dict__).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    with EngineClient(f"http://127.0.0.1:{server.port}",
+                      verbose=False) as c:
+        yield c
+
+
+def test_health_schema_md_html(client):
+    assert "max_depth" in client.get_schema()["CrawlConfig"]
+    url = "http://h0000.test/cat0/sub0/p0.html"
+    raw = client.md(url, f="raw")
+    assert raw["markdown"]
+    fit = client.md(url, f="fit")
+    assert len(raw["markdown"]) >= len(fit["markdown"])
+    h = client.html(url)
+    assert h["success"] and "<html" in h["html"].lower()
+
+
+def test_crawl_single_result_unwrap_law(client):
+    # reference quirk (docker_client.py:139): one result is unwrapped
+    one = client.crawl(["http://h0000.test/"],
+                       {"max_depth": 0})
+    # url is the CANONICAL form (trailing slash dropped by urlkit)
+    assert isinstance(one, dict) and one["url"] == "http://h0000.test"
+    many = client.crawl(["http://h0000.test/", "http://h0001.test/"],
+                        {"max_depth": 0})
+    assert isinstance(many, list) and len(many) == 2
+
+
+def test_crawl_config_dump_contract(client):
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig
+
+    # objects with the configkit dump() contract travel as params —
+    # but server-rejected fields (out_dir) must not leak in
+    cfg = CrawlConfig(max_depth=0, n_seen_shards=2, fetch_concurrency=2)
+    d = cfg.dump()["params"]
+    behavioural = {k: v for k, v in d.items()
+                   if k in ("max_depth", "n_seen_shards",
+                            "fetch_concurrency")}
+    res = client.crawl(["http://h0000.test/"], behavioural)
+    assert res["success"]
+
+
+def test_error_taxonomy(client):
+    # server-side validation error → RequestError with the detail
+    with pytest.raises(RequestError) as ei:
+        client.crawl(["http://h0000.test/"], {"out_dir": "/etc"})
+    assert "not accepted over HTTP" in str(ei.value)
+    # unreachable server → ConnectionError
+    dead = EngineClient("http://127.0.0.1:1", verbose=False,
+                        timeout=2.0)
+    with pytest.raises(ConnectionError):
+        dead.crawl(["http://x/"])
+
+
+def test_config_dump_endpoint(client):
+    d = client.config_dump("CrawlConfig(max_pages=3)")
+    assert d["type"] == "CrawlConfig" and d["params"]["max_pages"] == 3
+
+
+def test_authenticate_sets_bearer(client):
+    client.authenticate("user@example.com")
+    assert client._token and len(client._token) == 32
+    # requests still succeed with the Authorization header attached
+    assert client.get_schema()
