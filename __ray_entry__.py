@@ -522,6 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
         ).ngram_dup_stats(sf),
+        # sequence packing (distributed prefix scan), oracle-gated
+        "doc_pack_sequences": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
+        ).pack_sequences(sf),
         # Efraimidis-Spirakis weighted sampling (hash-derived uniforms,
         # n_chars weights), DuckDB-oracle-gated
         "doc_weighted_sample": lambda sf: __import__(
@@ -1046,6 +1050,31 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey
               AND r_name = 'ASIA' AND year(o_orderdate) = 1996
             GROUP BY n_name
+        """,
+        # exclusive prefix sum over doc_id order; bins of 2048 tokens;
+        # empty docs collapse to their start bin
+        "doc_pack_sequences": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
+                        AS BIGINT) AS first_bin,
+                   CAST(greatest(
+                        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - 1,
+                        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 2048 AS BIGINT) AS last_bin
+            FROM c
         """,
         "events_lag_gap": r"""
             SELECT event_id, user_id,

@@ -362,3 +362,87 @@ def weighted_sample(sf_dir: str, k: int = 50):
             .groupby("_g")
             .map_groups(lambda g: finish(g.drop(columns=["_g"])),
                         batch_format="pandas"))
+
+
+def pack_sequences(sf_dir: str, capacity: int = 2048):
+    """Sequence packing for training — concatenate documents in doc_id
+    order into fixed-capacity token bins (the standard pre-training
+    batching transform) and emit each document's placement:
+    ``(doc_id, n_tokens, start_offset, first_bin, last_bin)`` where
+    offsets index the global concatenated token stream and
+    ``bin = offset // capacity`` (documents may straddle bins).
+
+    Scale shape — the distributed PREFIX SCAN (two-pass exclusive
+    cumsum, the Blelloch 1990 pattern): pass 1 computes one token-count
+    partial per block (tiny rows to the driver); the driver cumsums the
+    per-block partials into block base offsets (one int per block);
+    pass 2 broadcasts the bases and each block derives its rows' exact
+    global offsets locally. No shuffle at all — the scan's sequential
+    dependency is carried entirely by the block-offset vector. Blocks
+    are indexed by the stable doc_id order (sort key = the block's min
+    doc_id), so the result is independent of read parallelism.
+    Integer-exact; DuckDB-oracle-gated against a window SUM.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    counted = ds.map_batches(counts, batch_format="pyarrow",
+                             batch_size=8192).materialize()
+
+    # pass 1: per-block partials. batch_size=None = one batch per BLOCK
+    # of the materialized dataset, so pass 2 (same dataset, same
+    # batch_size=None) sees exactly the same boundaries and can key its
+    # base lookup by the block's min doc_id. Partials are one tiny row
+    # per block — driver-safe at any input size.
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "bid": pa.array([int(ids.min())], pa.int64()),
+            "tot": pa.array([int(batch.column("n_tokens")
+                                 .to_numpy().sum())], pa.int64()),
+        })
+
+    blocks = sorted(
+        (r["bid"], r["tot"])
+        for r in counted.map_batches(block_partial,
+                                     batch_format="pyarrow",
+                                     batch_size=None).iter_rows())
+    bases = {}
+    run = 0
+    for bid, tot in blocks:
+        bases[bid] = run
+        run += tot
+
+    import ray
+
+    bref = ray.put(bases)
+
+    def place(batch: pa.Table, bref=bref) -> pa.Table:
+        bases = ray.get(bref)
+        df = batch.to_pandas().sort_values("doc_id")
+        base = bases[int(df["doc_id"].min())]
+        start = base + df["n_tokens"].cumsum().shift(fill_value=0)
+        start = start.to_numpy(dtype=np.int64)
+        n = df["n_tokens"].to_numpy(dtype=np.int64)
+        end = start + n
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(n),
+            "start_offset": pa.array(start),
+            "first_bin": pa.array(start // capacity),
+            # empty docs occupy no tokens: their bin interval collapses
+            # to the start bin (max(end-1, start) guard)
+            "last_bin": pa.array(np.maximum(end - 1, start) // capacity),
+        })
+
+    return counted.map_batches(place, batch_format="pyarrow",
+                               batch_size=None)

@@ -127,3 +127,21 @@ def test_weighted_sample_bias_law():
     finally:
         con.close()
     assert df["n_chars"].mean() > mean_all
+
+
+def test_pack_sequences_scan_laws():
+    df = _pd(corpus.pack_sequences(SF, capacity=2048)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    # offsets are an exclusive prefix sum in doc_id order: contiguous,
+    # non-overlapping, starting at 0
+    assert df.loc[0, "start_offset"] == 0
+    ends = df["start_offset"] + df["n_tokens"]
+    assert (df["start_offset"].iloc[1:].to_numpy()
+            == ends.iloc[:-1].to_numpy()).all()
+    # bin laws
+    assert (df["first_bin"] == df["start_offset"] // 2048).all()
+    assert (df["last_bin"] >= df["first_bin"]).all()
+    # capacity respected: a doc never spans more bins than its size
+    # requires (ceil(n/C)+1 upper bound for arbitrary alignment)
+    spans = df["last_bin"] - df["first_bin"] + 1
+    assert (spans <= (df["n_tokens"] // 2048) + 2).all()
