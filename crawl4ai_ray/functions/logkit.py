@@ -244,20 +244,18 @@ class AsyncLoggerBase(ABC):
 class AsyncLogger(AsyncLoggerBase):
     """Console + optional-file logger (reference AsyncLogger laws)."""
 
-    DEFAULT_ICONS = {
-        "INIT": "→", "READY": "✓", "FETCH": "↓", "SCRAPE": "◆",
-        "EXTRACT": "■", "COMPLETE": "●", "ERROR": "×", "DEBUG": "⋯",
-        "INFO": "ℹ", "WARNING": "⚠", "SUCCESS": "✔", "CRITICAL": "‼",
-        "ALERT": "⚡", "NOTICE": "ℹ", "EXCEPTION": "❗", "FATAL": "☠",
-        "DEFAULT": "•",
-    }
+    # tag → glyph table (the reference's DEFAULT_ICONS values)
+    DEFAULT_ICONS = dict(
+        pair.split(":") for pair in (
+            "INIT:→ READY:✓ FETCH:↓ SCRAPE:◆ EXTRACT:■ COMPLETE:● "
+            "ERROR:× DEBUG:⋯ INFO:ℹ WARNING:⚠ SUCCESS:✔ CRITICAL:‼ "
+            "ALERT:⚡ NOTICE:ℹ EXCEPTION:❗ FATAL:☠ DEFAULT:•"
+        ).split())
 
     DEFAULT_COLORS = {
-        LogLevel.DEBUG: LogColor.DEBUG,
-        LogLevel.INFO: LogColor.INFO,
-        LogLevel.SUCCESS: LogColor.SUCCESS,
-        LogLevel.WARNING: LogColor.WARNING,
-        LogLevel.ERROR: LogColor.ERROR,
+        lv: LogColor[lv.name]
+        for lv in (LogLevel.DEBUG, LogLevel.INFO, LogLevel.SUCCESS,
+                   LogLevel.WARNING, LogLevel.ERROR)
     }
 
     def __init__(self, log_file: Optional[str] = None,
@@ -281,17 +279,19 @@ class AsyncLogger(AsyncLoggerBase):
                         exist_ok=True)
 
     def _format_tag(self, tag: str) -> str:
-        return f"[{tag}]".ljust(self.tag_width, ".")
+        # "[TAG]" dot-padded into a fixed-width column
+        return ("[%s]" % tag).ljust(self.tag_width, ".")
 
     def _get_icon(self, tag: str) -> str:
         return self.icons.get(tag, self.icons["INFO"])
 
     def _shorten(self, text, length, placeholder="..."):
-        if len(text) <= length:
-            return text.ljust(length)
-        half = (length - len(placeholder)) // 2
-        shortened = text[:half] + placeholder + text[-half:]
-        return shortened.ljust(length)
+        # middle-truncate, then pad EITHER WAY to the target length
+        # (the reference's column-alignment law: short inputs pad too)
+        if len(text) > length:
+            half = (length - len(placeholder)) // 2
+            text = text[:half] + placeholder + text[-half:]
+        return text.ljust(length)
 
     def _write_to_file(self, message: str):
         if self.log_file:
@@ -315,96 +315,87 @@ class AsyncLogger(AsyncLoggerBase):
              base_color: Optional[LogColor] = None, **kwargs):
         if level.value < self.log_level.value:
             return
-        # escape brackets so user text never collides with markup
-        parsed_message = message.replace("[", "[[").replace("]", "]]")
+
+        def esc(t: str) -> str:
+            # escape brackets so user text never collides with markup
+            return t.replace("[", "[[").replace("]", "]]")
+
+        text = esc(message)
         if params:
-            formatted_message = parsed_message.format(**params)
+            text = text.format(**params)
             for key, value in params.items():
-                value_str = str(value).replace("[", "[[") \
-                    .replace("]", "]]")
+                shown = esc(str(value))
                 if colors and key in colors:
-                    color_str = (f"[{colors[key]}]{value_str}"
-                                 f"[/{colors[key]}]")
-                    formatted_message = formatted_message.replace(
-                        value_str, color_str)
-                    value_str = color_str
+                    wrapped = "[%s]%s[/%s]" % (colors[key], shown,
+                                               colors[key])
+                    # substring replace — inherits the reference FIXME:
+                    # a format-spec'd param whose str() differs from
+                    # its formatted text is left unwrapped
+                    text = text.replace(shown, wrapped)
+                    shown = wrapped
                 if boxes and key in boxes:
-                    formatted_message = formatted_message.replace(
-                        value_str,
-                        create_box_message(value_str, type=str(level)))
-        else:
-            formatted_message = parsed_message
+                    text = text.replace(
+                        shown, create_box_message(shown,
+                                                  type=str(level)))
 
         color = base_color or self.colors[level]
-        log_line = (f"[{color}]{self._format_tag(tag)} "
-                    f"{self._get_icon(tag)} {formatted_message} "
-                    f"[/{color}]")
+        log_line = "[%s]%s %s %s [/%s]" % (
+            color, self._format_tag(tag), self._get_icon(tag), text,
+            color)
         if self.verbose or kwargs.get("force_verbose", False):
             self._print(log_line)
         self._write_to_file(log_line)
 
-    def debug(self, message: str, tag: str = "DEBUG", **kwargs):
-        self._log(LogLevel.DEBUG, message, tag, **kwargs)
+    # level-method table. Reference aliasing QUIRK kept: critical /
+    # exception / fatal / alert all log at ERROR level and notice at
+    # INFO — their dedicated enum members never drive filtering
+    _METHOD_LEVELS = {
+        "debug": LogLevel.DEBUG, "info": LogLevel.INFO,
+        "success": LogLevel.SUCCESS, "warning": LogLevel.WARNING,
+        "error": LogLevel.ERROR, "critical": LogLevel.ERROR,
+        "exception": LogLevel.ERROR, "fatal": LogLevel.ERROR,
+        "alert": LogLevel.ERROR, "notice": LogLevel.INFO,
+    }
 
-    def info(self, message: str, tag: str = "INFO", **kwargs):
-        self._log(LogLevel.INFO, message, tag, **kwargs)
-
-    def success(self, message: str, tag: str = "SUCCESS", **kwargs):
-        self._log(LogLevel.SUCCESS, message, tag, **kwargs)
-
-    def warning(self, message: str, tag: str = "WARNING", **kwargs):
-        self._log(LogLevel.WARNING, message, tag, **kwargs)
-
-    # reference aliasing quirk: these all log at ERROR level (notice at
-    # INFO) — the dedicated enum members are never used for filtering
-    def critical(self, message: str, tag: str = "CRITICAL", **kwargs):
-        self._log(LogLevel.ERROR, message, tag, **kwargs)
-
-    def exception(self, message: str, tag: str = "EXCEPTION", **kwargs):
-        self._log(LogLevel.ERROR, message, tag, **kwargs)
-
-    def fatal(self, message: str, tag: str = "FATAL", **kwargs):
-        self._log(LogLevel.ERROR, message, tag, **kwargs)
-
-    def alert(self, message: str, tag: str = "ALERT", **kwargs):
-        self._log(LogLevel.ERROR, message, tag, **kwargs)
-
-    def notice(self, message: str, tag: str = "NOTICE", **kwargs):
-        self._log(LogLevel.INFO, message, tag, **kwargs)
-
-    def error(self, message: str, tag: str = "ERROR", **kwargs):
-        self._log(LogLevel.ERROR, message, tag, **kwargs)
 
     def url_status(self, url: str, success: bool, timing: float,
                    tag: str = "FETCH", url_length: int = 100):
-        decoded_url = unquote(url)
-        readable_url = self._shorten(decoded_url, url_length)
+        shown = self._shorten(unquote(url), url_length)
+        ok_color = LogColor.SUCCESS if success else LogColor.ERROR
         self._log(
             level=LogLevel.SUCCESS if success else LogLevel.ERROR,
             message="{url} | {status} | ⏱: {timing:.2f}s",
             tag=tag,
-            params={
-                "url": readable_url,
-                "status": "✓" if success else "✗",
-                "timing": timing,
-            },
-            colors={
-                "status": LogColor.SUCCESS if success
-                else LogColor.ERROR,
-                "timing": LogColor.WARNING,
-            },
+            params={"url": shown, "status": "✓" if success else "✗",
+                    "timing": timing},
+            colors={"status": ok_color, "timing": LogColor.WARNING},
         )
 
     def error_status(self, url: str, error: str, tag: str = "ERROR",
                      url_length: int = 50):
-        decoded_url = unquote(url)
-        readable_url = self._shorten(decoded_url, url_length)
-        self._log(
-            level=LogLevel.ERROR,
-            message="{url} | Error: {error}",
-            tag=tag,
-            params={"url": readable_url, "error": error},
-        )
+        shown = self._shorten(unquote(url), url_length)
+        self._log(level=LogLevel.ERROR,
+                  message="{url} | Error: {error}", tag=tag,
+                  params={"url": shown, "error": error})
+
+
+def _install_level_methods(cls):
+    """Generate the per-level convenience methods from the table (the
+    body is identical for all ten — only level and default tag vary)."""
+    for name, lvl in cls._METHOD_LEVELS.items():
+        def method(self, message, tag=name.upper(), *, _lvl=lvl,
+                   **kwargs):
+            self._log(_lvl, message, tag, **kwargs)
+        method.__name__ = name
+        setattr(cls, name, method)
+    # setattr after class creation does not refresh ABC bookkeeping
+    cls.__abstractmethods__ = frozenset(
+        n for n in getattr(cls, "__abstractmethods__", ())
+        if getattr(getattr(cls, n, None), "__isabstractmethod__", False))
+    return cls
+
+
+AsyncLogger = _install_level_methods(AsyncLogger)
 
 
 class AsyncFileLogger(AsyncLoggerBase):
@@ -421,29 +412,33 @@ class AsyncFileLogger(AsyncLoggerBase):
         with open(self.log_file, "a", encoding="utf-8") as f:
             f.write(f"[{timestamp}] [{level}] [{tag}] {message}\n")
 
-    def debug(self, message: str, tag: str = "DEBUG", **kwargs):
-        self._write_to_file("DEBUG", message, tag)
-
-    def info(self, message: str, tag: str = "INFO", **kwargs):
-        self._write_to_file("INFO", message, tag)
-
-    def success(self, message: str, tag: str = "SUCCESS", **kwargs):
-        self._write_to_file("SUCCESS", message, tag)
-
-    def warning(self, message: str, tag: str = "WARNING", **kwargs):
-        self._write_to_file("WARNING", message, tag)
-
-    def error(self, message: str, tag: str = "ERROR", **kwargs):
-        self._write_to_file("ERROR", message, tag)
-
     def url_status(self, url: str, success: bool, timing: float,
                    tag: str = "FETCH", url_length: int = 100):
-        status = "SUCCESS" if success else "FAILED"
-        message = (f"{url[:url_length]}... | Status: {status} | "
-                   f"Time: {timing:.2f}s")
-        self._write_to_file("URL_STATUS", message, tag)
+        # reference quirk kept: '...' is appended unconditionally
+        line = (f"{url[:url_length]}... | "
+                f"Status: {'SUCCESS' if success else 'FAILED'} | "
+                f"Time: {timing:.2f}s")
+        self._write_to_file("URL_STATUS", line, tag)
 
     def error_status(self, url: str, error: str, tag: str = "ERROR",
                      url_length: int = 100):
-        message = f"{url[:url_length]}... | Error: {error}"
-        self._write_to_file("ERROR", message, tag)
+        self._write_to_file("ERROR",
+                            f"{url[:url_length]}... | Error: {error}",
+                            tag)
+
+
+def _install_file_level_methods(cls):
+    for name in ("debug", "info", "success", "warning", "error"):
+        def method(self, message, tag=name.upper(), *, _lv=name.upper(),
+                   **kwargs):
+            self._write_to_file(_lv, message, tag)
+        method.__name__ = name
+        setattr(cls, name, method)
+    # setattr after class creation does not refresh ABC bookkeeping
+    cls.__abstractmethods__ = frozenset(
+        n for n in getattr(cls, "__abstractmethods__", ())
+        if getattr(getattr(cls, n, None), "__isabstractmethod__", False))
+    return cls
+
+
+AsyncFileLogger = _install_file_level_methods(AsyncFileLogger)
