@@ -1647,27 +1647,38 @@ def orders_repeat_window_join(sf_dir: str, days: int = 30,
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_c, out_a, out_b, out_gap = [], [], [], []
+        parts = []
         for ck, og in g.groupby("o_custkey"):
             og = og.sort_values(["_t", "o_orderkey"], kind="mergesort")
             dates = og["_t"].to_numpy(dtype="datetime64[us]")
             keys = og["o_orderkey"].to_numpy(np.int64)
-            for i in range(len(dates)):
-                # window (dates[i], dates[i] + days]
-                lo = int(np.searchsorted(dates, dates[i], side="right"))
-                hi = int(np.searchsorted(dates, dates[i] + span,
-                                         side="right"))
-                for j in range(lo, hi):
-                    out_c.append(int(ck))
-                    out_a.append(int(keys[i]))
-                    out_b.append(int(keys[j]))
-                    out_gap.append(int((dates[j] - dates[i]) // day_us))
-        return pd.DataFrame({
-            "o_custkey": pd.Series(out_c, dtype="int64"),
-            "first_orderkey": pd.Series(out_a, dtype="int64"),
-            "next_orderkey": pd.Series(out_b, dtype="int64"),
-            "gap_days": pd.Series(out_gap, dtype="int64"),
-        })
+            # vectorized window bounds: per row i, matches are the
+            # sorted slice (dates[i], dates[i] + days]
+            lo = np.searchsorted(dates, dates, side="right")
+            hi = np.searchsorted(dates, dates + span, side="right")
+            cnt = hi - lo
+            if not cnt.any():
+                continue
+            # expand [lo_i, hi_i) ranges without a Python inner loop
+            firsts = np.repeat(np.arange(len(dates)), cnt)
+            offsets = np.arange(int(cnt.sum())) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            nxts = np.repeat(lo, cnt) + offsets
+            parts.append(pd.DataFrame({
+                "o_custkey": np.full(len(firsts), int(ck), np.int64),
+                "first_orderkey": keys[firsts],
+                "next_orderkey": keys[nxts],
+                "gap_days": ((dates[nxts] - dates[firsts]) // day_us)
+                .astype(np.int64),
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "first_orderkey": pd.Series([], dtype="int64"),
+                "next_orderkey": pd.Series([], dtype="int64"),
+                "gap_days": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(parts, ignore_index=True)
 
     return (orders_ds.map_batches(tag, batch_format="pyarrow",
                                   batch_size=65536)
