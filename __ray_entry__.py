@@ -343,6 +343,41 @@ def _crawl_span_kinds(sf_dir: str):
         .groupby("kind").aggregate(Count(alias_name="n_spans"))
 
 
+def _crawl_host_stats(sf_dir: str):
+    """Per-host crawl metrics rollup (the A8 monitor's aggregate view
+    as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
+    success rate, depth span and span volume per host, straight off the
+    flagship crawl's documents parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    res = _crawl("bfs")
+    docs = rd.read_parquet(res.docs_dir,
+                           columns=["url", "depth", "success", "spans"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hosts = [u.split("/")[2] for u in
+                 batch.column("url").to_pylist()]
+        n_spans = [len(sp) for sp in batch.column("spans").to_pylist()]
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "depth": batch.column("depth"),
+            "ok": pa.array(batch.column("success").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "n_spans": pa.array(n_spans, pa.int64()),
+        })
+
+    return (docs.map_batches(prep, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(alias_name="pages"),
+                       Sum("ok", alias_name="n_ok"),
+                       Min("depth", alias_name="min_depth"),
+                       Max("depth", alias_name="max_depth"),
+                       Sum("n_spans", alias_name="n_spans")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
@@ -452,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_cc": _seed_cc,
         "crawl_adaptive_embedding": _crawl_adaptive_embedding,
         "crawl_span_kinds": _crawl_span_kinds,
+        "crawl_host_stats": _crawl_host_stats,
         "crawl_fit_markdown": _crawl_fit_markdown,
         "crawl_markdown_compat": _crawl_markdown_compat,
         "link_preview": _link_preview,

@@ -51,6 +51,7 @@ GOLDEN_QUERIES = [
     "doc_llm_tables",
     "crawl_pagerank",
     "crawl_hits",
+    "crawl_host_stats",
     "seed_cc",
     "pdf_pages",
     "link_preview",
