@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Regenerate QUERIES.md — the query→gate inventory for the driver
 contract. Run from the repo root."""
+import os
 import re
+import sys
 
 
 def main():
+    sys.path.insert(0, os.getcwd())
     import __ray_entry__ as m
 
     q = m.queries()
