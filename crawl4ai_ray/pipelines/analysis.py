@@ -23,6 +23,48 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+# Default driver/broadcast row cap shared by every dimension-lookup gate
+# in this module: a side at or below this count is ray.put once and
+# probed in-task; above it the pipeline switches to a native
+# ``Dataset.join`` so the driver never materializes an SF-scaled table.
+BROADCAST_LIMIT = 2_000_000
+
+
+def _sorted_probe_arrays(keys, vals):
+    """Sort a (key, value) dimension lookup into parallel numpy arrays
+    for vectorized ``np.searchsorted`` probing — the broadcast-side
+    shape: ship ONCE with ``ray.put``, probe whole columns per batch.
+    Replaces per-row ``dict.get`` loops (10-50x slower) in the
+    broadcast-probe UDFs."""
+    keys = np.asarray(keys, dtype=np.int64)
+    vals = np.asarray(vals)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
+def _round2_snap(vals) -> np.ndarray:
+    """2-dp round for SMALL final tables (<= a few thousand rows):
+    format round-trip so any two sums that agree to 2 dp become
+    bitwise-identical doubles regardless of summation order — makes the
+    broadcast and join forms of the gated pipelines byte-equal
+    (``pc.round`` keeps ulp noise from its scaled arithmetic)."""
+    return np.array([float(f"{float(v):.2f}") for v in vals], np.float64)
+
+
+def _probe_sorted(skeys, svals, query, default):
+    """Vectorized lookup of ``query`` keys in the sorted key array:
+    matched value where present, ``default`` where absent.
+    O(|query| log |skeys|) with zero per-row Python."""
+    query = np.asarray(query, dtype=np.int64)
+    if len(skeys) == 0:
+        return np.full(len(query), default,
+                       dtype=svals.dtype if len(svals) else np.int64)
+    pos = np.searchsorted(skeys, query)
+    pos = np.minimum(pos, len(skeys) - 1)
+    hit = skeys[pos] == query
+    return np.where(hit, svals[pos], default)
+
+
 # ---------------------------------------------------------------------------
 # documents: token stats / quality / language / fingerprints / chunking
 # ---------------------------------------------------------------------------
@@ -424,35 +466,41 @@ def events_asof_orders(sf_dir: str, form: str = "auto",
             else "bucketed"
 
     if form == "broadcast":
-        orders = orders_ds.to_pandas().sort_values(
-            ["o_custkey", "o_orderdate"])
-        index = {
-            int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
-            for k, g in orders.groupby("o_custkey")
-        }
-        ref = ray.put(index)
+        # Composite-key index: orders sorted by (custkey, order day) and
+        # folded into custkey*2^20 + day — order dates are midnight, so
+        # "date <= ts" is exactly "day(date) <= floor-day(ts)". One global
+        # searchsorted then answers every event in the batch with zero
+        # per-row Python (days < 2^20 through year ~4840; custkey < 2^43).
+        orders = orders_ds.to_pandas()
+        ck = orders["o_custkey"].to_numpy(np.int64)
+        od = orders["o_orderdate"].to_numpy(dtype="datetime64[us]") \
+            .astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((od, ck))
+        ck, od = ck[order], od[order]
+        comp = ck * np.int64(1 << 20) + od
+        ref = ray.put((comp, ck, od))
 
         def asof(batch: pa.Table, ref=ref) -> pa.Table:
             import ray as _ray
 
-            idx = _ray.get(ref)
-            uids = batch.column("user_id").to_pylist()
-            ts = batch.column("ts").to_numpy(zero_copy_only=False) \
-                .astype("datetime64[us]")
-            out_dates = []
-            for u, t in zip(uids, ts):
-                dates = idx.get(int(u))
-                if dates is None or len(dates) == 0:
-                    out_dates.append(None)
-                    continue
-                pos = int(np.searchsorted(dates, t, side="right")) - 1
-                out_dates.append(str(dates[pos])[:10] if pos >= 0 else None)
+            comp, ck, od = _ray.get(ref)
+            uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tday = batch.column("ts").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype("datetime64[D]") \
+                .astype(np.int64)
+            q = uid * np.int64(1 << 20) + tday
+            pos = np.searchsorted(comp, q, side="right") - 1
+            posc = np.maximum(pos, 0)
+            valid = (pos >= 0) & (ck[posc] == uid)
+            dstr = np.datetime_as_string(
+                od[posc].astype("datetime64[D]"), unit="D").astype(object)
+            dstr[~valid] = None
             return pa.table(
                 {
                     "event_id": batch.column("event_id"),
                     "user_id": batch.column("user_id"),
-                    "asof_order_date": pa.array(out_dates,
-                                                type=pa.string()),
+                    "asof_order_date": pa.array(dstr, type=pa.string()),
                 }
             )
 
@@ -841,7 +889,8 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01",
 def grouped_median_distributed(ds, key_col: str, val_col: str,
                                bins: int = 4096,
                                collect_cap: int = 262_144,
-                               q: float = 0.5) -> pa.Table:
+                               q: float = 0.5,
+                               max_keys: int = 10_000) -> pa.Table:
     """Exact per-group quantile (default: median) without ever holding a
     group in one task.
 
@@ -883,6 +932,20 @@ def grouped_median_distributed(ds, key_col: str, val_col: str,
             Max(val_col, alias_name="_hi"),
         ).take_all()
     }
+    # Fail loud on misuse: the selection state is one window per
+    # distinct key ON THE DRIVER, and every histogram pass compares the
+    # whole key column against each key (O(n_keys x rows)). Built and
+    # documented for LOW-cardinality keys; at high cardinality it would
+    # melt quietly — plain groupby(key).map_groups is already safe
+    # there and is the right operator.
+    if len(stats) > max_keys:
+        raise ValueError(
+            f"grouped_median_distributed: {len(stats)} distinct keys "
+            f"exceeds max_keys={max_keys}. This operator holds one "
+            "selection window per key on the driver and scans "
+            "O(n_keys) per batch; for high-cardinality keys use "
+            "groupby(key).map_groups with a per-group quantile instead."
+        )
     # per-key selection state: window [lo, hi] (inclusive), candidate
     # upper bound, and the two 0-indexed median ranks r1 <= r2. The
     # below-window count is NOT accumulated across passes — every
@@ -1120,47 +1183,110 @@ def pdf_pages(sf_dir: str):
     return pages.map_batches(summarize, batch_format="pyarrow")
 
 
-def revenue_by_nation_year(sf_dir: str):
-    """Two-key rollup: order revenue by (nation, order year). Small sides
-    (customer→nation) broadcast; per-batch partial aggregation before the
-    two-key groupby shuffle (combiner pattern)."""
+def _nation_year_leaf(sf_dir: str, form: str = "auto",
+                      broadcast_limit: int = BROADCAST_LIMIT):
+    """Shared leaf of revenue_by_nation_year / revenue_rollup: the
+    aggregated (n_name, order_year, _rev, _n) Dataset, sums unrounded.
+
+    Customer is a DIMENSION table that scales linearly with SF, so the
+    lookup is GATED (VERDICT r3 #1): at or below ``broadcast_limit``
+    rows it ships once as sorted searchsorted arrays (vectorized probe,
+    no per-row dicts); above it the pipeline switches to a native
+    ``Dataset.join`` on custkey — the driver never materializes the
+    table. Nation is constant 25 rows and rides in closures. Both forms
+    pre-aggregate per batch (combiner) so the two-key groupby shuffle
+    carries (nationkey, year) partials only; byte-equal
+    (tests/test_analysis_scale.py)."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"],
-                   cust["c_nationkey"].map(
-                       dict(zip(nation["n_nationkey"], nation["n_name"])))))
-    ref = ray.put(c2n)
-
+    names = {int(k): str(v) for k, v in
+             zip(nation["n_nationkey"], nation["n_name"])}
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if form == "auto":
+        form = "broadcast" if cust_ds.count() <= broadcast_limit \
+            else "join"
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderdate", "o_totalprice"])
 
-    def partial(batch: pa.Table, ref=ref) -> pa.Table:
-        lookup = ray.get(ref)
-        df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(lookup)
-        df["order_year"] = pd.to_datetime(df["o_orderdate"]).dt.year \
-            .astype("int64")
-        g = df.groupby(["n_name", "order_year"], as_index=False) \
-            .agg(_rev=("o_totalprice", "sum"), _n=("o_totalprice", "size"))
+    def _partial(ck: np.ndarray, nk: np.ndarray, batch: pa.Table) \
+            -> pa.Table:
+        yr = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"_nk": nk, "order_year": yr, "_tp": tp})
+        g = df.groupby(["_nk", "order_year"], as_index=False) \
+            .agg(_rev=("_tp", "sum"), _n=("_tp", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = orders.map_batches(partial, batch_format="pyarrow",
-                             batch_size=16384)
-    agg = out.groupby(["n_name", "order_year"]).aggregate(
-        Sum("_rev", alias_name="revenue"),
-        Sum("_n", alias_name="n_orders"),
+    if form == "broadcast":
+        cust = cust_ds.to_pandas()
+        ref = ray.put(_sorted_probe_arrays(
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = _probe_sorted(sk, sv, ck, -1)
+            return _partial(ck, nk, batch)
+
+        partials = orders.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=16384)
+    else:
+        joined = orders.join(
+            cust_ds, join_type="inner", on=("o_custkey",),
+            right_on=("c_custkey",),
+            num_partitions=_join_ray_parts(orders, cust_ds))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = batch.column("c_nationkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _partial(ck, nk, batch)
+
+        partials = joined.map_batches(jpartial, batch_format="pyarrow",
+                                      batch_size=16384)
+
+    agg = partials.groupby(["_nk", "order_year"]).aggregate(
+        Sum("_rev", alias_name="_rev"),
+        Sum("_n", alias_name="_n"),
     )
 
-    def fin(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("revenue"), "revenue",
-            pc.round(batch.column("revenue"), 2),
-        )
+    def name_keys(batch: pa.Table, names=names) -> pa.Table:
+        # tiny: at most nations x years rows reach this stage
+        nk = batch.column("_nk").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in nk], pa.string()),
+            "order_year": batch.column("order_year"),
+            "_rev": batch.column("_rev"),
+            "_n": batch.column("_n"),
+        })
 
-    return agg.map_batches(fin, batch_format="pyarrow")
+    return agg.map_batches(name_keys, batch_format="pyarrow")
+
+
+def revenue_by_nation_year(sf_dir: str, form: str = "auto",
+                           broadcast_limit: int = BROADCAST_LIMIT):
+    """Two-key rollup: order revenue by (nation, order year). Dimension
+    lookup gated broadcast-or-join — see ``_nation_year_leaf``."""
+    leaf = _nation_year_leaf(sf_dir, form=form,
+                             broadcast_limit=broadcast_limit)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "order_year": batch.column("order_year"),
+            "revenue": pa.array(_round2_snap(
+                batch.column("_rev").to_numpy(zero_copy_only=False))),
+            "n_orders": batch.column("_n"),
+        })
+
+    return leaf.map_batches(fin, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1376,49 +1502,25 @@ def events_lag_gap(sf_dir: str):
     return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
 
 
-def revenue_rollup(sf_dir: str):
+def revenue_rollup(sf_dir: str, form: str = "auto",
+                   broadcast_limit: int = BROADCAST_LIMIT):
     """ROLLUP(nation, year): leaf revenue per (nation, year) PLUS per-nation
     subtotals PLUS the grand total, sentinel 'ALL' marking rolled-up keys.
 
-    Scale shape: the only big-data pass is the leaf aggregation (the same
-    broadcast-map + combiner + two-key groupby as revenue_by_nation_year);
-    the subtotal levels re-aggregate the LEAF table (nations x years rows
-    — hundreds), so rollup costs one extra tiny shuffle, not a second
-    scan. Sums stay unrounded until the final union so subtotal = sum of
-    leaves bit-for-bit like the SQL."""
-    import ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"],
-                   cust["c_nationkey"].map(
-                       dict(zip(nation["n_nationkey"], nation["n_name"])))))
-    ref = ray.put(c2n)
-
-    orders = _read(sf_dir, "orders",
-                   ["o_custkey", "o_orderdate", "o_totalprice"])
-
-    def partial(batch: pa.Table, ref=ref) -> pa.Table:
-        lookup = ray.get(ref)
-        df = batch.to_pandas()
-        df["nation"] = df["o_custkey"].map(lookup)
-        df["order_year"] = pd.to_datetime(df["o_orderdate"]).dt.year \
-            .astype("int64").astype(str)
-        g = df.groupby(["nation", "order_year"], as_index=False) \
-            .agg(_rev=("o_totalprice", "sum"), _n=("o_totalprice", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    leaf = (
-        orders.map_batches(partial, batch_format="pyarrow",
-                           batch_size=16384)
-        .groupby(["nation", "order_year"])
-        .aggregate(Sum("_rev", alias_name="_rev"),
-                   Sum("_n", alias_name="_n"))
-    )
+    Scale shape: the only big-data pass is the shared leaf aggregation
+    (``_nation_year_leaf`` — gated broadcast-or-join dimension lookup +
+    combiner + two-key groupby); the subtotal levels re-aggregate the
+    LEAF table (nations x years rows — hundreds), so rollup costs one
+    extra tiny pandas pass, not a second scan. Sums stay unrounded until
+    the final union so subtotal = sum of leaves bit-for-bit like the
+    SQL."""
     # leaf is nations x years — tiny; derive the two rolled-up levels
     # driver-side (the SQL's ROLLUP does exactly this re-aggregation)
-    df = leaf.to_pandas()
+    df = _nation_year_leaf(sf_dir, form=form,
+                           broadcast_limit=broadcast_limit).to_pandas() \
+        .rename(columns={"n_name": "nation"})
+    df["order_year"] = df["order_year"].astype("int64").astype(str)
+    df = df[["nation", "order_year", "_rev", "_n"]]
     by_nation = df.groupby("nation", as_index=False) \
         .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
     by_nation["order_year"] = "ALL"
@@ -1428,7 +1530,7 @@ def revenue_rollup(sf_dir: str):
     })
     out = pd.concat([df, by_nation[df.columns], total[df.columns]],
                     ignore_index=True)
-    out["revenue"] = out["_rev"].round(2)
+    out["revenue"] = _round2_snap(out["_rev"].to_numpy())
     out["n_orders"] = out["_n"].astype("int64")
     return pa.Table.from_pandas(
         out[["nation", "order_year", "revenue", "n_orders"]],
@@ -1506,13 +1608,19 @@ def doc_repetition_stats(sf_dir: str):
 
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
-                         cutoff: str = "1998-01-01", k: int = 10):
+                         cutoff: str = "1998-01-01", k: int = 10,
+                         form: str = "auto",
+                         broadcast_limit: int = BROADCAST_LIMIT):
     """TPC-H Q3 shape — the big-big hash join: lineitem revenue joined to
     orders on orderkey via Ray Data's native hash join.
 
     Scale decomposition:
-    - customer (small side) filtered to the segment, reduced to a custkey
-      set, broadcast via ``ray.put`` into the orders filter (no shuffle);
+    - customer filtered to the segment and reduced to a custkey set —
+      GATED on ``broadcast_limit``: small → ``ray.put`` sorted-array
+      semi-filter inside the orders map (no shuffle); SF-scaled →
+      native ``left_semi`` ``Dataset.join`` (customer is fact/10 in
+      TPC-H — at 100 TB the key set is billions of rows and must not
+      visit the driver);
     - lineitem (biggest table) is filtered at the batch, pre-aggregated
       per batch (combiner), then groupby(l_orderkey).sum — the first
       shuffle carries (orderkey, partial_rev) only;
@@ -1525,9 +1633,11 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = cust.filter(expr=f"c_mktsegment == '{segment}'") \
-        .select_columns(["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
-    kref = ray.put(np.sort(keys))
+    ckeys = cust.filter(expr=f"c_mktsegment == '{segment}'") \
+        .select_columns(["c_custkey"])
+    if form == "auto":
+        form = "broadcast" if ckeys.count() <= broadcast_limit \
+            else "semijoin"
 
     cut = np.datetime64(cutoff)
 
@@ -1535,16 +1645,37 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_orderpriority"])
 
-    def ofilt(batch: pa.Table, kref=kref) -> pa.Table:
-        ks = ray.get(kref)
-        dates = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
-        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        keep = (dates < cut) & np.isin(ck, ks)
-        t = batch.filter(pa.array(keep))
-        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    if form == "broadcast":
+        keys = ckeys.to_pandas()["c_custkey"].to_numpy()
+        kref = ray.put(np.sort(keys))
 
-    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
-                                   batch_size=16384)
+        def ofilt(batch: pa.Table, kref=kref) -> pa.Table:
+            ks = ray.get(kref)
+            dates = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            keep = (dates < cut) & np.isin(ck, ks)
+            t = batch.filter(pa.array(keep))
+            return t.select(["o_orderkey", "o_orderdate",
+                             "o_orderpriority"])
+
+        ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
+                                       batch_size=16384)
+    else:
+        # scale path: date-prune map-side, then a native left_semi hash
+        # join against the segment key set — both sides stream.
+        def datefilt(batch: pa.Table) -> pa.Table:
+            dates = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(dates < cut))
+
+        ofiltered = orders.map_batches(
+            datefilt, batch_format="pyarrow", batch_size=16384,
+        ).join(
+            ckeys, join_type="left_semi", on=("o_custkey",),
+            right_on=("c_custkey",),
+            num_partitions=_join_ray_parts(orders, ckeys),
+        ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
@@ -1687,26 +1818,30 @@ def orders_repeat_window_join(sf_dir: str, days: int = 30,
 
 
 def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
-                             year: int = 1996):
+                             year: int = 1996, form: str = "auto",
+                             broadcast_limit: int = BROADCAST_LIMIT):
     """TPC-H Q5 shape — the six-table join: revenue of lineitems whose
     customer and supplier sit in the same nation of one region, for one
     order year.
 
     Scale decomposition (the canonical dimension/fact split):
-    - region→nation (tiny) resolved on the driver;
+    - region→nation (tiny, constant 25/5 rows) resolved on the driver;
     - customer and supplier are DIMENSION tables (fact/10 in TPC-H):
-      custkey→nationkey and suppkey→nationkey dicts broadcast once with
-      ``ray.put`` — the same caveat as revenue_by_nation_year (broadcast
-      side grows with sf; at equal scales the native join is the
-      fallback);
-    - orders filters map-side (year + customer-in-region semi-join via
-      the broadcast dict), emitting compact (o_orderkey, cust_nation);
+      GATED on ``broadcast_limit`` (combined row count). Small →
+      custkey→nationkey / suppkey→nationkey ship once as sorted
+      searchsorted arrays (``ray.put``), probed vectorized per batch;
+      SF-scaled → native ``Dataset.join`` on each key so the driver
+      never materializes either table. Both forms byte-equal
+      (tests/test_analysis_scale.py);
+    - orders filters map-side (year; plus customer-in-region semi-join
+      via the broadcast arrays in the small form), emitting compact
+      (o_orderkey, cust_nat);
     - lineitem ⋈ filtered-orders on orderkey is the big-big exchange —
       Ray's native hash join, both sides compact key+payload tables;
     - the same-nation predicate (c_nationkey == s_nationkey — Q5's
-      defining constraint) applies per joined batch via the supplier
-      dict; per-batch partial sums (combiner) make the final
-      groupby(nation) shuffle k-row-sized.
+      defining constraint) applies per joined batch; per-batch partial
+      sums (combiner) make the final groupby(nation) shuffle
+      k-row-sized.
     DuckDB-oracle-gated (`q5_local_supplier_volume`).
     """
     import ray
@@ -1720,50 +1855,81 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     region_nats = nat[nat["n_regionkey"] == rkey]
     nat_names = dict(zip(region_nats["n_nationkey"],
                          region_nats["n_name"]))
-    nat_keys = set(int(k) for k in nat_names)
+    nat_arr = np.array(sorted(int(k) for k in nat_names), np.int64)
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nat_keys)]
-    c2n = dict(zip(cust["c_custkey"].astype(int),
-                   cust["c_nationkey"].astype(int)))
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    s2n = dict(zip(supp["s_suppkey"].astype(int),
-                   supp["s_nationkey"].astype(int)))
-    cref, sref = ray.put(c2n), ray.put(s2n)
+    def cfilt(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.filter(pa.array(np.isin(nk, nat_arr)))
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cfilt, batch_format="pyarrow", batch_size=65536)
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if form == "auto":
+        form = "broadcast" \
+            if cust_ds.count() + supp_ds.count() <= broadcast_limit \
+            else "join"
 
     lo = np.datetime64(f"{year}-01-01")
     hi = np.datetime64(f"{year + 1}-01-01")
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def ofilt(batch: pa.Table, cref=cref) -> pa.Table:
-        c2n = ray.get(cref)
-        dates = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
-        ck = batch.column("o_custkey").to_pylist()
-        cnat = np.array([c2n.get(int(k), -1) for k in ck], np.int64)
-        keep = (dates >= lo) & (dates < hi) & (cnat >= 0)
-        return pa.table({
-            "l_orderkey": batch.column("o_orderkey").filter(
-                pa.array(keep)),
-            "cust_nat": pa.array(cnat[keep]),
-        })
-
-    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
-                                   batch_size=16384)
-
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
                 "l_discount"])
+
+    if form == "broadcast":
+        cust = cust_ds.to_pandas()
+        supp = supp_ds.to_pandas()
+        cref = ray.put(_sorted_probe_arrays(
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64)))
+        sref = ray.put(_sorted_probe_arrays(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64)))
+
+        def ofilt(batch: pa.Table, cref=cref) -> pa.Table:
+            sk, sv = ray.get(cref)
+            dates = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cnat = _probe_sorted(sk, sv, ck, -1)
+            keep = (dates >= lo) & (dates < hi) & (cnat >= 0)
+            return pa.table({
+                "l_orderkey": batch.column("o_orderkey").filter(
+                    pa.array(keep)),
+                "cust_nat": pa.array(cnat[keep]),
+            })
+
+        ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
+                                       batch_size=16384)
+    else:
+        def datefilt(batch: pa.Table) -> pa.Table:
+            dates = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array((dates >= lo) & (dates < hi)))
+            return t.select(["o_orderkey", "o_custkey"])
+
+        ojoin = orders.map_batches(
+            datefilt, batch_format="pyarrow", batch_size=16384,
+        ).join(cust_ds, join_type="inner", on=("o_custkey",),
+               right_on=("c_custkey",),
+               num_partitions=_join_parts(orders, cust_ds))
+
+        def oemit(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": batch.column("o_orderkey"),
+                "cust_nat": batch.column("c_nationkey").cast(pa.int64()),
+            })
+
+        ofiltered = ojoin.map_batches(oemit, batch_format="pyarrow")
+
     joined = li.join(ofiltered, join_type="inner", on=("l_orderkey",),
                      num_partitions=_join_parts(li, ofiltered))
 
-    def partial(batch: pa.Table, sref=sref) -> pa.Table:
-        s2n = ray.get(sref)
-        sk = batch.column("l_suppkey").to_pylist()
-        snat = np.array([s2n.get(int(k), -2) for k in sk], np.int64)
-        cnat = batch.column("cust_nat").to_numpy(zero_copy_only=False)
+    def _nation_partial(cnat: np.ndarray, snat: np.ndarray,
+                        batch: pa.Table) -> pa.Table:
         keep = snat == cnat
         ep = batch.column("l_extendedprice").to_numpy(
             zero_copy_only=False)[keep]
@@ -1773,16 +1939,43 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         g = df.groupby("nat", as_index=False)["_rev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (joined.map_batches(partial, batch_format="pyarrow",
-                              batch_size=16384)
-           .groupby("nat").aggregate(Sum("_rev", alias_name="revenue")))
+    if form == "broadcast":
+        def partial(batch: pa.Table, sref=sref) -> pa.Table:
+            sk, sv = ray.get(sref)
+            suk = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            snat = _probe_sorted(sk, sv, suk, -2)
+            cnat = batch.column("cust_nat") \
+                .to_numpy(zero_copy_only=False)
+            return _nation_partial(cnat, snat, batch)
+
+        agg_in = joined.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=16384)
+    else:
+        sjoined = joined.join(supp_ds, join_type="inner",
+                              on=("l_suppkey",), right_on=("s_suppkey",),
+                              num_partitions=_join_parts(joined, supp_ds))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            snat = batch.column("s_nationkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cnat = batch.column("cust_nat") \
+                .to_numpy(zero_copy_only=False)
+            return _nation_partial(cnat, snat, batch)
+
+        agg_in = sjoined.map_batches(jpartial, batch_format="pyarrow",
+                                     batch_size=16384)
+
+    agg = agg_in.groupby("nat").aggregate(Sum("_rev",
+                                              alias_name="revenue"))
 
     def fin(batch: pa.Table) -> pa.Table:
         return pa.table({
             "n_name": pa.array([nat_names[int(k)] for k in
                                 batch.column("nat").to_pylist()],
                                pa.string()),
-            "revenue": pc.round(batch.column("revenue"), 2),
+            "revenue": pa.array(_round2_snap(
+                batch.column("revenue").to_numpy(zero_copy_only=False))),
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")

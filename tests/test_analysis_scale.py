@@ -157,3 +157,49 @@ def test_orders_repeat_window_join_laws():
     got = set(zip(df["o_custkey"], df["first_orderkey"],
                   df["next_orderkey"], df["gap_days"]))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4: gated dimension broadcasts — forced native-join fallbacks must be
+# byte-equal to the broadcast form (VERDICT r3 #1), and the median guard
+# fails loud on high-cardinality keys (VERDICT r3 #7).
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_by_nation_year_join_fallback():
+    a = _norm(analysis.revenue_by_nation_year(SF).to_pandas())
+    b = _norm(analysis.revenue_by_nation_year(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_revenue_rollup_join_fallback():
+    a = _norm(analysis.revenue_rollup(SF).to_pandas())
+    b = _norm(analysis.revenue_rollup(SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q3_semijoin_fallback():
+    a = _norm(analysis.q3_shipping_priority(SF).to_pandas())
+    b = _norm(analysis.q3_shipping_priority(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q5_join_fallback():
+    a = _norm(analysis.q5_local_supplier_volume(SF).to_pandas())
+    b = _norm(analysis.q5_local_supplier_volume(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_grouped_median_max_keys_guard():
+    t = pa.table({"k": [str(i) for i in range(64)],
+                  "v": [float(i) for i in range(64)]})
+    ds = rd.from_arrow([t.slice(i * 16, 16) for i in range(4)])
+    with pytest.raises(ValueError, match="max_keys"):
+        analysis.grouped_median_distributed(ds, "k", "v", max_keys=10)
