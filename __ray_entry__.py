@@ -381,7 +381,7 @@ def _crawl_host_stats(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
-    return {
+    q = {
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -578,6 +578,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_hits"],
         ).crawl_hits(sf),
     }
+    # Stable ordering: every DuckDB-oracled query FIRST, then the
+    # golden/pytest-gated remainder. The driver's correctness sweep
+    # samples a prefix of this dict, so a prefix of any length maximizes
+    # hard (rows+schema+hash) gate coverage.
+    sql = set(oracle_sql())
+    ordered = {k: v for k, v in q.items() if k in sql}
+    ordered.update((k, v) for k, v in q.items() if k not in sql)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
