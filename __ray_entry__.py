@@ -508,6 +508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.functions.llm_tables",
             fromlist=["llm_extract_tables"],
         ).llm_extract_tables(sf),
+        # S7 browser-render contract: DOM-snapshot fixture renderer
+        # through the actor-pool RenderStage (rows-only; contract +
+        # drop-in crawl pytest-gated, output golden-gated)
+        "crawl_rendered": lambda sf: __import__(
+            "crawl4ai_ray.stages.render", fromlist=["crawl_rendered"],
+        ).crawl_rendered(sf),
         # PDF source (processors/pdf port on the stdlib-subset reader;
         # rows-only — PDF parsing is not SQL-expressible, byte-level laws
         # pytest-gated incl. reference-generated cleanup goldens)

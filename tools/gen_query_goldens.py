@@ -55,6 +55,7 @@ GOLDEN_QUERIES = [
     "seed_cc",
     "pdf_pages",
     "link_preview",
+    "crawl_rendered",
 ]
 
 
