@@ -69,8 +69,14 @@ class EngineHTTPServer:
     """Loopback HTTP facade over the engine."""
 
     def __init__(self, *, site_cfg: dict | None = None, host="127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, job_ttl_seconds: float = 3600.0):
         self.site_cfg = site_cfg
+        # in-process job store — the Redis-hash analog of the reference's
+        # job layer (deploy/docker/job.py + api.py:563-608): task_id →
+        # {status, created_at, url, result, error}
+        self._jobs: dict[str, dict] = {}
+        self._jobs_lock = threading.Lock()
+        self.job_ttl_seconds = job_ttl_seconds
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -91,6 +97,10 @@ class EngineHTTPServer:
                                      "timestamp": time.time()})
                 elif self.path == "/schema":
                     self._json(200, outer.schema())
+                elif self.path.startswith("/crawl/job/"):
+                    task_id = self.path[len("/crawl/job/"):]
+                    code, obj = outer.job_status(task_id)
+                    self._json(code, obj)
                 else:
                     self._json(404, {"detail": "not found"})
 
@@ -108,6 +118,22 @@ class EngineHTTPServer:
                         self._json(200, outer.html(req))
                     elif self.path == "/crawl":
                         self._json(200, outer.crawl(req))
+                    elif self.path == "/crawl/stream":
+                        outer.crawl_stream(req, self)
+                    elif self.path == "/crawl/job":
+                        self._json(200, outer.crawl_job(req))
+                    elif self.path == "/screenshot":
+                        self._json(200, outer.screenshot(req))
+                    elif self.path == "/pdf":
+                        self._json(200, outer.pdf(req))
+                    elif self.path == "/execute_js":
+                        self._json(200, outer.execute_js(req))
+                    elif self.path == "/mcp":
+                        resp = outer.mcp().handle(req)
+                        if resp is None:   # JSON-RPC notification
+                            self._json(202, {})
+                        else:
+                            self._json(200, resp)
                     elif self.path == "/config/dump":
                         self._json(200, safe_config_dump(req["code"]))
                     else:
@@ -158,10 +184,11 @@ class EngineHTTPServer:
         return {"url": url, "success": page["status"] == 200,
                 "html": preprocess_html_for_schema(page["html"])}
 
-    def crawl(self, req: dict) -> dict:
+    def _crawl_cfg(self, req: dict):
+        """Shared /crawl request validation → (CrawlConfig, urls)."""
         import tempfile
 
-        from .pipelines.crawl import CrawlConfig, CrawlEngine
+        from .pipelines.crawl import CrawlConfig
 
         urls = req["urls"]
         if not isinstance(urls, list) or not (1 <= len(urls) <= 100):
@@ -192,7 +219,12 @@ class EngineHTTPServer:
         ccfg["out_dir"] = srv_root
         if ccfg.get("cache_mode", "bypass") != "bypass":
             ccfg["cache_dir"] = srv_root + "/cache"
-        cfg = CrawlConfig(**ccfg)
+        return CrawlConfig(**ccfg), urls
+
+    def crawl(self, req: dict) -> dict:
+        from .pipelines.crawl import CrawlEngine
+
+        cfg, urls = self._crawl_cfg(req)
         eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": self.site_cfg})
         res = eng.run(urls)
         return {
@@ -206,6 +238,188 @@ class EngineHTTPServer:
             ],
             "docs_dir": res.docs_dir,
         }
+
+    def crawl_stream(self, req: dict, handler) -> None:
+        """POST /crawl/stream — NDJSON streaming (reference
+        server.py:449-471 + api.py:385-417): one JSON line per crawled
+        page AS SUPERSTEPS COMMIT (the engine's ``on_superstep`` hook is
+        the stream grain — the BSP analog of the reference's
+        ``stream=True`` generator), a ``{"status": "completed"}``
+        terminator, and mid-stream failures emitted as
+        ``{"error": ...}`` lines rather than dropped connections.
+        Validation errors raise BEFORE headers are sent, so they still
+        map to the normal 422/500 JSON responses."""
+        import resource
+
+        from .pipelines.crawl import CrawlEngine
+
+        cfg, urls = self._crawl_cfg(req)
+
+        handler.send_response(200)
+        handler.send_header("Content-Type", "application/x-ndjson")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.send_header("X-Stream-Status", "active")
+        handler.send_header("Connection", "close")
+        handler.end_headers()
+
+        def emit(obj: dict) -> None:
+            handler.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
+            handler.wfile.flush()
+
+        def hook(k: int, docs_dir: str, order_tbl) -> None:
+            if order_tbl is None or order_tbl.num_rows == 0:
+                return
+            mem_mb = round(resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+            for r in order_tbl.to_pylist():
+                emit({
+                    "url": r.get("url"), "status": r.get("status"),
+                    "success": r.get("success"),
+                    "depth": r.get("depth"), "superstep": k,
+                    "server_memory_mb": mem_mb,
+                })
+
+        try:
+            eng = CrawlEngine(cfg,
+                              fetcher_kwargs={"site_cfg": self.site_cfg},
+                              on_superstep=hook)
+            eng.run(urls)
+            emit({"status": "completed"})
+        except Exception as exc:  # noqa: BLE001 — headers already sent:
+            # the error must reach the client as a stream line
+            emit({"error": str(exc)})
+
+    def crawl_job(self, req: dict) -> dict:
+        """POST /crawl/job — fire-and-forget enqueue (reference
+        api.py:563-608): validate now (bad requests 422 at enqueue, not
+        at poll), store a processing task, run the crawl in a background
+        thread, let GET /crawl/job/{task_id} polling fetch the result."""
+        import datetime
+        import uuid
+
+        self._crawl_cfg(req)  # validation only; the runner rebuilds
+        task_id = f"crawl_{uuid.uuid4().hex[:8]}"
+        created = datetime.datetime.now().isoformat()
+        with self._jobs_lock:
+            self._jobs[task_id] = {
+                "status": "processing", "created_at": created,
+                "url": json.dumps(req["urls"]), "result": "", "error": "",
+            }
+
+        def _runner() -> None:
+            try:
+                result = self.crawl(req)
+                update = {"status": "completed",
+                          "result": json.dumps(result)}
+            except Exception as exc:  # noqa: BLE001 — failures must land
+                # in the task record, not kill the worker thread
+                update = {"status": "failed", "error": str(exc)}
+            with self._jobs_lock:
+                if task_id in self._jobs:
+                    self._jobs[task_id].update(update)
+
+        threading.Thread(target=_runner, daemon=True).start()
+        return {"task_id": task_id}
+
+    def job_status(self, task_id: str) -> tuple[int, dict]:
+        """GET /crawl/job/{task_id} — the task-status law
+        (api.py:294-383): 404 for unknown ids; response carries
+        task_id/status/created_at/url + _links; ``result`` only when
+        completed, ``error`` only when failed; terminal tasks past the
+        TTL are deleted on read (should_cleanup_task,
+        deploy/docker/utils.py:63-66)."""
+        import datetime
+
+        with self._jobs_lock:
+            task = dict(self._jobs.get(task_id) or {})
+        if not task:
+            return 404, {"detail": "Task not found"}
+        response = {
+            "task_id": task_id,
+            "status": task["status"],
+            "created_at": task["created_at"],
+            "url": task["url"],
+            "_links": {
+                "self": {"href": f"/crawl/job/{task_id}"},
+                "refresh": {"href": f"/crawl/job/{task_id}"},
+            },
+        }
+        if task["status"] == "completed":
+            response["result"] = json.loads(task["result"])
+        elif task["status"] == "failed":
+            response["error"] = task["error"]
+        if task["status"] in ("completed", "failed"):
+            created = datetime.datetime.fromisoformat(task["created_at"])
+            age = (datetime.datetime.now() - created).total_seconds()
+            if age > self.job_ttl_seconds:
+                with self._jobs_lock:
+                    self._jobs.pop(task_id, None)
+        return 200, response
+
+    # -- render-backed endpoints (S7 contract through the serve facade) ------
+
+    def _render(self, url: str, **cfg_kwargs) -> "object":
+        """One render through the pluggable S7 contract. The fixture
+        renderer serves in-container; a Playwright pool swaps in by
+        replacing the renderer class — the endpoint bodies don't change."""
+        from .stages.render import FixtureRenderer, RenderConfig
+
+        r = getattr(self, "_renderer", None)
+        if r is None:
+            r = FixtureRenderer(self.site_cfg)
+            r.start()
+            self._renderer = r
+        return r.render(url, RenderConfig(**cfg_kwargs))
+
+    def screenshot(self, req: dict) -> dict:
+        """POST /screenshot (reference server.py:281-303). Divergence by
+        design: the reference writes to a client-supplied output_path;
+        this server never writes client paths (the r3 path-whitelist law)
+        — the PNG always returns base64."""
+        res = self._render(req["url"], screenshot=True,
+                           screenshot_wait_for=req.get(
+                               "screenshot_wait_for"))
+        if not res.screenshot:
+            raise ValueError("screenshot capture failed")
+        return {"success": True, "screenshot": res.screenshot}
+
+    def pdf(self, req: dict) -> dict:
+        """POST /pdf (reference server.py:308-331); base64-only, same
+        path law as /screenshot."""
+        import base64 as _b64
+
+        res = self._render(req["url"], pdf=True)
+        if not res.pdf_data:
+            raise ValueError("pdf capture failed")
+        return {"success": True,
+                "pdf": _b64.b64encode(res.pdf_data).decode()}
+
+    def execute_js(self, req: dict) -> dict:
+        """POST /execute_js (reference server.py:334-427): run the
+        snippet list on the page, return the crawl-result view (url,
+        html, js_execution_result, success)."""
+        scripts = req.get("scripts") or req.get("js_code")
+        if not scripts:
+            raise ValueError("scripts (list of JS snippets) required")
+        res = self._render(req["url"], js_code=scripts)
+        return {
+            "url": req["url"],
+            "html": res.html,
+            "success": res.status_code == 200,
+            "status_code": res.status_code,
+            "js_execution_result": res.js_execution_result,
+        }
+
+    def mcp(self):
+        """Lazily-built MCP bridge over this server (deploy/docker/
+        mcp_bridge.py analog); POST /mcp speaks JSON-RPC 2.0."""
+        b = getattr(self, "_mcp", None)
+        if b is None:
+            from .mcp_bridge import MCPBridge
+
+            b = MCPBridge(self)
+            self._mcp = b
+        return b
 
     def schema(self) -> dict:
         from .pipelines.crawl import CrawlConfig

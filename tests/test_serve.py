@@ -18,9 +18,12 @@ def server(ray_session):
 
 
 def _get(srv, path):
-    with urllib.request.urlopen(
-            f"http://127.0.0.1:{srv.port}{path}") as r:
-        return r.status, json.loads(r.read())
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
 
 
 def _post(srv, path, obj):
@@ -94,3 +97,105 @@ def test_safe_config_dump_direct():
     assert d["params"]["max_pages"] == 7
     with pytest.raises((ValueError, SyntaxError)):
         safe_config_dump("print('x')")
+
+
+# ---------------------------------------------------------------------------
+# round-4: /crawl/stream NDJSON + job queue (reference server.py:449-471,
+# api.py:385-417,563-608, job.py)
+# ---------------------------------------------------------------------------
+
+
+def _post_stream_lines(srv, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        ctype = r.headers.get("Content-Type")
+        xs = r.headers.get("X-Stream-Status")
+        lines = [json.loads(ln) for ln in r.read().decode().splitlines()
+                 if ln.strip()]
+    return ctype, xs, lines
+
+
+def test_crawl_stream_ndjson(server):
+    ctype, xs, lines = _post_stream_lines(
+        server, "/crawl/stream",
+        {"urls": ["http://h0000.test/"],
+         "crawler_config": {"max_depth": 1}})
+    assert ctype == "application/x-ndjson"
+    assert xs == "active"
+    # completion marker law: last line is {"status": "completed"}
+    assert lines[-1] == {"status": "completed"}
+    pages = lines[:-1]
+    assert len(pages) >= 1
+    for p in pages:
+        assert {"url", "status", "success", "depth", "superstep",
+                "server_memory_mb"} <= set(p)
+    # supersteps stream in order (BSP grain)
+    steps = [p["superstep"] for p in pages]
+    assert steps == sorted(steps)
+
+
+def test_crawl_stream_validation_is_http_error(server):
+    code, body = _post(server, "/crawl/stream", {"urls": []})
+    assert code == 422
+
+
+def test_crawl_job_lifecycle(server):
+    import time as _t
+
+    code, body = _post(server, "/crawl/job",
+                       {"urls": ["http://h0001.test/"],
+                        "crawler_config": {"max_depth": 1}})
+    assert code == 200
+    task_id = body["task_id"]
+    assert task_id.startswith("crawl_")
+    deadline = _t.time() + 120
+    status = None
+    while _t.time() < deadline:
+        code, st = _get(server, f"/crawl/job/{task_id}")
+        assert code == 200
+        assert st["task_id"] == task_id
+        assert st["url"] == json.dumps(["http://h0001.test/"])
+        assert "_links" in st
+        status = st["status"]
+        if status in ("completed", "failed"):
+            break
+        _t.sleep(0.3)
+    assert status == "completed"
+    assert st["result"]["success"] is True
+    assert st["result"]["pages_crawled"] >= 1
+
+
+def test_crawl_job_unknown_404(server):
+    code, body = _get(server, "/crawl/job/crawl_deadbeef")
+    assert code == 404
+
+
+def test_crawl_job_bad_request_422_at_enqueue(server):
+    code, body = _post(server, "/crawl/job", {"urls": "nope"})
+    assert code == 422
+
+
+def test_crawl_job_ttl_cleanup(server):
+    # terminal tasks past the TTL are deleted on read (utils.py:63-66)
+    old_ttl = server.job_ttl_seconds
+    server.job_ttl_seconds = 0.0
+    try:
+        code, body = _post(server, "/crawl/job",
+                           {"urls": ["http://h0000.test/"],
+                            "crawler_config": {"max_depth": 0}})
+        task_id = body["task_id"]
+        import time as _t
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            code, st = _get(server, f"/crawl/job/{task_id}")
+            if code == 404 or st["status"] in ("completed", "failed"):
+                break
+            _t.sleep(0.3)
+        # the terminal read deleted it; the next read must 404
+        code, _ = _get(server, f"/crawl/job/{task_id}")
+        assert code == 404
+    finally:
+        server.job_ttl_seconds = old_ttl
