@@ -286,7 +286,15 @@ class CrawlConfig:
     # a seq-keyed Dataset.join — the driver holds ONLY per-superstep
     # counters. 'driver' (default) keeps the measured-faster small-scale
     # path; 'table' is the 10^8-row/level path (bench: BENCH_FRONTIER).
-    frontier_mode: str = "driver"         # 'driver' | 'table'
+    frontier_mode: str = "driver"         # 'driver' | 'table' | 'auto'
+    # 'auto' resolution threshold: expected crawl size (max_pages when
+    # finite, else unbounded) at or above which 'auto' picks the
+    # frontier-table path. Default = the measured crossover band: the
+    # driver path won 2.3x at ~180k-page levels while table mode was the
+    # fastest configuration at 433k-page levels (BASELINE.md r3); table
+    # cost is per-LEVEL, so an unbounded crawl (the 100-TB shape) always
+    # resolves to 'table' — a small crawl states its bound via max_pages.
+    frontier_auto_min_pages: int = 1_000_000
     # M24 link preview (stages/linkpreview.py): when set (LinkPreviewConfig
     # kwargs dict), the parse stage computes per-link head_data +
     # total_score and candidate scores BECOME the preview totals — a
@@ -842,13 +850,34 @@ class CrawlEngine:
 
     # -- public entry -------------------------------------------------------
 
+    def _resolved_frontier_mode(self) -> str:
+        """'auto' resolution (the same size-gate law as distributed
+        discovery's 2M threshold and PageRank's 2M-edge crossover):
+        expected crawl size = max_pages when finite, else unbounded.
+        Below ``frontier_auto_min_pages`` the driver path is measured
+        faster (its per-page cost beats table mode's fixed per-level
+        cost); at or above it — including every unbounded crawl — the
+        parquet frontier keeps levels off the driver. Byte-equal either
+        way (tests/test_frontier_table.py)."""
+        mode = self.cfg.frontier_mode
+        if mode != "auto":
+            return mode
+        if self.cfg.politeness:
+            # table mode does not compose with politeness; auto must not
+            # resolve into the explicit-mode error path
+            return "driver"
+        expected = self.cfg.max_pages
+        return "table" if expected >= self.cfg.frontier_auto_min_pages \
+            else "driver"
+
     def run(self, seed_urls: list[str], *, resume: bool = False) -> CrawlRunResult:
+        fmode = self._resolved_frontier_mode()
         if self.cfg.strategy == "bfs":
-            if self.cfg.frontier_mode == "table":
+            if fmode == "table":
                 return self._run_bfs_table(seed_urls, resume=resume)
             return self._run_bfs(seed_urls, resume=resume)
         if self.cfg.strategy == "best_first":
-            if self.cfg.frontier_mode == "table":
+            if fmode == "table":
                 return self._run_best_first_table(seed_urls, resume=resume)
             return self._run_best_first(seed_urls, resume=resume)
         if self.cfg.strategy == "dfs":

@@ -221,3 +221,42 @@ def test_bff_table_rewind_past_compaction_raises(ray_session, tmp_path):
 def test_bff_table_politeness_raises(ray_session, tmp_path):
     with pytest.raises(ValueError, match="politeness"):
         _run_bff("table", tmp_path / "x", politeness=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4: frontier_mode='auto' — the size-gated switch resolves by
+# expected crawl size and is byte-equal on BOTH sides of the boundary
+# ---------------------------------------------------------------------------
+
+
+def test_auto_mode_switch_boundary_byte_equal(ray_session, tmp_path):
+    drv = _run("driver", tmp_path / "d")
+    # just below the gate: auto resolves to driver
+    lo = _run("auto", tmp_path / "lo", max_pages=200,
+              frontier_auto_min_pages=201)
+    # at/above the gate: auto resolves to table
+    hi = _run("auto", tmp_path / "hi", max_pages=200,
+              frontier_auto_min_pages=200)
+    ref = _run("driver", tmp_path / "dmp", max_pages=200)
+    _assert_equal(lo, ref)
+    _assert_equal(hi, ref)
+    # the hi run actually took the table path (parquet frontier on disk)
+    assert os.path.isdir(tmp_path / "hi" / "frontier")
+    assert not os.path.isdir(tmp_path / "lo" / "frontier")
+
+
+def test_auto_mode_unbounded_resolves_table(ray_session, tmp_path):
+    # unbounded crawls (the 100-TB shape) must not hold levels on the
+    # driver: auto with max_pages=inf picks the parquet frontier
+    res = _run("auto", tmp_path / "unb")
+    assert os.path.isdir(tmp_path / "unb" / "frontier")
+    drv = _run("driver", tmp_path / "unbd")
+    _assert_equal(res, drv)
+
+
+def test_auto_mode_politeness_resolves_driver(ray_session, tmp_path):
+    # auto must not resolve into table mode's politeness error path
+    res = _run("auto", tmp_path / "pol", politeness=True,
+               check_robots=False)
+    assert res.pages_crawled > 0
+    assert not os.path.isdir(tmp_path / "pol" / "frontier")
