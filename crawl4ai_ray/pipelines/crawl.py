@@ -415,6 +415,36 @@ _CAND_STRUCT = pa.struct(
 )
 
 
+_CAND_MEMO: dict[str, tuple] = {}
+
+
+def _cand_ident(raw: str, base: str) -> tuple:
+    """(canon, url_hash, host, is_valid) for one candidate href.
+
+    The parser emits absolute hrefs, whose identity is independent of the
+    page — and nav links repeat on every page of a host, so this memo
+    turns the per-link canonicalize/blake2b/host string work (the
+    measured memory-bandwidth term of the parse stage at sustained
+    32-way) into one dict hit per repeated link per worker. Relative
+    hrefs (never produced by the parser, kept for direct callers) bypass
+    the memo. Capped; user filter/scorer hooks stay outside."""
+    absolute = raw.startswith(("http://", "https://"))
+    if absolute:
+        ent = _CAND_MEMO.get(raw)
+        if ent is not None:
+            return ent
+    canon = urlkit.canonicalize(raw, base)
+    ent = (
+        canon,
+        urlkit.hash64(canon) if canon is not None else 0,
+        urlkit.host_of(canon) if canon is not None else "",
+        urlkit.is_valid_crawl_url(raw),
+    )
+    if absolute and len(_CAND_MEMO) < 200_000:
+        _CAND_MEMO[raw] = ent
+    return ent
+
+
 def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                  keep_html: bool, include_external: bool = False,
                  filter_fn=None, scorer_fn=None,
@@ -472,10 +502,9 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                 )
             for idx, link in enumerate(ordered):
                 raw = link["href"]
-                canon = urlkit.canonicalize(raw, url)
+                canon, uhash, host, ok_url = _cand_ident(raw, url)
                 if canon is None:
                     continue
-                ok_url = urlkit.is_valid_crawl_url(raw)
                 if ok_url and filter_fn is not None and not filter_fn(raw):
                     ok_url = False
                 if totals is not None:
@@ -487,8 +516,8 @@ def _parse_stage(batch: pa.Table, *, image_score_threshold: int,
                 cands.append(
                     {
                         "url": canon,
-                        "url_hash": urlkit.hash64(canon),
-                        "host": urlkit.host_of(canon),
+                        "url_hash": uhash,
+                        "host": host,
                         "link_idx": idx,
                         "passes": ok_url,
                         "score": score,

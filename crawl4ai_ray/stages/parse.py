@@ -54,6 +54,15 @@ _WS_RE = re.compile(r"[ \t\r\n\f]+")
 _GENERIC_IMG = re.compile(r"(icon|logo|button|spacer|pixel|tracking)", re.I)
 
 
+def _origin_of(url: str) -> str | None:
+    """scheme://netloc prefix by string slicing (no urlparse)."""
+    i = url.find("://")
+    if i < 0:
+        return None
+    j = url.find("/", i + 3)
+    return url if j < 0 else url[:j]
+
+
 class _Table:
     __slots__ = ("rows", "cur_row", "in_th", "has_thead", "has_tbody", "th_count",
                  "caption", "has_summary", "presentation", "nested", "data_attrs",
@@ -108,6 +117,28 @@ class SpanHTMLParser(HTMLParser):
         self._cite_order: list[str] = []
         self._cite_index: dict[str, int] = {}
         self._seen_hrefs: set[str] = set()
+        self._origin = _origin_of(page_url)
+
+    # -- hot-path overrides ---------------------------------------------------
+
+    def updatepos(self, i, j):
+        """Line/offset bookkeeping disabled: the stdlib implementation
+        counts newlines over every advanced byte (str.count per goahead
+        step — a full extra pass of memory traffic per document) purely
+        for error positions, which this extractor never reads."""
+        return j
+
+    def _resolve(self, href: str) -> str:
+        """urljoin with string fast paths for the two dominant shapes —
+        absolute and root-relative hrefs — which need no parsing at all;
+        everything else falls back to urljoin. Byte-identical results
+        (golden-gated spans/markdown)."""
+        if href.startswith(("http://", "https://")):
+            return href
+        if self._origin is not None and href.startswith("/") \
+                and not href.startswith("//"):
+            return self._origin + href
+        return urljoin(self.base_url, href)
 
     # -- span helpers -------------------------------------------------------
 
@@ -165,6 +196,7 @@ class SpanHTMLParser(HTMLParser):
                 self.metadata[name] = content
         elif tag == "base" and a.get("href"):
             self.base_url = urljoin(self.page_url, a["href"])
+            self._origin = _origin_of(self.base_url)
         elif self._in_head:
             return
         elif tag == "a":
@@ -179,14 +211,14 @@ class SpanHTMLParser(HTMLParser):
             src = a.get("src") or ""
             if src:
                 self._emit(tag, a.get("title") or a.get("alt") or "",
-                           urljoin(self.base_url, src))
+                           self._resolve(src))
             else:
                 # defer to <source> child
                 self._pending_media = tag
         elif tag == "source" and getattr(self, "_pending_media", None):
             src = a.get("src") or ""
             if src:
-                self._emit(self._pending_media, "", urljoin(self.base_url, src))
+                self._emit(self._pending_media, "", self._resolve(src))
                 self._pending_media = None
         elif tag == "table":
             if self._tables:
@@ -353,7 +385,7 @@ class SpanHTMLParser(HTMLParser):
             score -= 2
         if score >= self.image_score_threshold:
             self._emit("image", alt or a.get("title") or "",
-                       urljoin(self.base_url, src))
+                       self._resolve(src))
 
     def _close_link(self):
         href, title = self._a_href, self._a_title
@@ -361,7 +393,7 @@ class SpanHTMLParser(HTMLParser):
         self._a_href = None
         self._a_text = []
         if href and not href.startswith(("javascript:", "mailto:", "#")):
-            resolved = urljoin(self.base_url, href)
+            resolved = self._resolve(href)
             if resolved not in self._seen_hrefs:  # per-page dedupe (ref :299-303)
                 self._seen_hrefs.add(resolved)
                 self.links.append(
