@@ -431,6 +431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": analysis.doc_repetition_stats,
         "q3_shipping_priority": analysis.q3_shipping_priority,
         "q5_local_supplier_volume": analysis.q5_local_supplier_volume,
+        # r4: TPC-H Q10 shape (join partials, dims attached post-top-k)
+        # and the frame-window moving average
+        "q10_returned_items": analysis.q10_returned_items,
+        "events_user_moving_avg": analysis.events_user_moving_avg,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -1100,6 +1104,30 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey
               AND r_name = 'ASIA' AND year(o_orderdate) = 1996
             GROUP BY n_name
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name, revenue FROM (
+                SELECT o_custkey AS c_custkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS revenue
+                FROM orders, lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND o_orderdate >= DATE '1996-01-01'
+                  AND o_orderdate < DATE '1996-04-01'
+                  AND l_returnflag = 'R'
+                GROUP BY o_custkey
+                ORDER BY revenue DESC, c_custkey
+                LIMIT 20
+            ) JOIN customer USING (c_custkey)
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "events_user_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                       AS mavg
+            FROM events
         """,
         # exclusive prefix sum over doc_id order; bins of 2048 tokens;
         # empty docs collapse to their start bin

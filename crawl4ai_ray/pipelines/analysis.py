@@ -51,6 +51,15 @@ def _round2_snap(vals) -> np.ndarray:
     return np.array([float(f"{float(v):.2f}") for v in vals], np.float64)
 
 
+def _round2_duck(vals: np.ndarray) -> np.ndarray:
+    """DuckDB ROUND(x, 2): half AWAY FROM ZERO on the double (std::round
+    of x*100), unlike banker's rounding — the r3 quirk note. Needed when
+    the quantity routinely lands on .xx5 midpoints (averages of
+    2-decimal values); sum-shaped queries use ``_round2_snap``."""
+    v = np.asarray(vals, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) / 100.0
+
+
 def _probe_sorted(skeys, svals, query, default):
     """Vectorized lookup of ``query`` keys in the sorted key array:
     matched value where present, ``default`` where absent.
@@ -1979,3 +1988,140 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
+                       months: int = 3, k: int = 20):
+    """TPC-H Q10 shape — returned-item revenue per customer: lineitem
+    (returnflag 'R') ⋈ date-windowed orders, grouped by customer,
+    customer/nation names attached, top-k by revenue.
+
+    Scale decomposition:
+    - lineitem filters map-side to 'R' rows and pre-aggregates revenue
+      per (batch, orderkey) — the combiner — so the join input carries
+      compact (orderkey, partial_rev) rows, NO global lineitem groupby;
+    - orders filters to the date window map-side, emitting
+      (o_orderkey, o_custkey);
+    - one big-big hash join on orderkey (partial_rev rows match their
+      order row; revenue re-sums in the customer groupby, so joining
+      partials instead of totals saves a whole shuffle);
+    - groupby(custkey).sum with per-batch combiner;
+    - top-k sorts the aggregated (custkey, revenue) table and takes k
+      rows to the driver;
+    - dimension attach happens AFTER top-k: the k-row side joins
+      customer via a native hash join (never a driver broadcast of the
+      SF-scaled customer table — no gate needed because the probe side
+      is k rows by construction); nation (constant 25 rows) rides in
+      the closure.
+    DuckDB-oracle-gated (`q10_returned_items`).
+    """
+    from .dedup import _join_parts
+
+    lo = np.datetime64(date_from)
+    hi = (np.datetime64(date_from, "M") + months).astype("datetime64[D]")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        dates = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((dates >= lo) & (dates < hi)))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")})
+
+    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow",
+                                   batch_size=16384)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("l_returnflag"), "R")
+        t = batch.filter(keep)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"l_orderkey": ok, "_rev": ep * (1.0 - dc)})
+        g = df.groupby("l_orderkey", as_index=False)["_rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(lpartial, batch_format="pyarrow",
+                         batch_size=32768)
+    joined = rev.join(ofiltered, join_type="inner", on=("l_orderkey",),
+                      num_partitions=_join_parts(rev, ofiltered))
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "_rev": batch.column("_rev").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("c_custkey", as_index=False)["_rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(cpartial, batch_format="pyarrow",
+                              batch_size=32768)
+           .groupby("c_custkey").aggregate(Sum("_rev", alias_name="_rev")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "revenue": pa.array(_round2_snap(
+                batch.column("_rev").to_numpy(zero_copy_only=False))),
+        })
+
+    topk = (agg.map_batches(rnd, batch_format="pyarrow")
+            .sort(["revenue", "c_custkey"], descending=[True, False])
+            .limit(k))
+
+    # dimension attach on the k-row side: hash join against customer
+    # (streams; the k rows broadcast inside the join), nation in-closure
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = {int(a): str(b) for a, b in
+             zip(nation["n_nationkey"], nation["n_name"])}
+    out = topk.join(cust, join_type="inner", on=("c_custkey",),
+                    num_partitions=_join_parts(topk, cust))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()   # k rows
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+            "n_name": pa.array([names[int(x)] for x in nk], pa.string()),
+            "revenue": batch.column("revenue"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+
+
+def events_user_moving_avg(sf_dir: str, window: int = 3):
+    """Windowed moving average — AVG(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): the
+    frame-based window-function shape (LAG/LEAD cousins already covered
+    by events_lag_gap).
+
+    Scale shape: one groupby(user_id).map_groups — per-user event counts
+    are bounded (the sessionization assumption this table already relies
+    on), each group sorts once and computes the frame sum vectorized
+    (oldest-first shifted adds, matching the oracle's in-frame summation
+    order). DuckDB-oracle-gated."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def mavg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        p1 = np.concatenate(([0.0], v[:-1]))
+        p2 = np.concatenate(([0.0, 0.0], v[:-2]))
+        s = p2 + p1 + v                       # oldest-first, like the SQL
+        n = np.minimum(np.arange(len(v)) + 1, window).astype(np.float64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "mavg": _round2_duck(s / n),
+        })
+
+    return ds.groupby("user_id").map_groups(mavg, batch_format="pandas")
