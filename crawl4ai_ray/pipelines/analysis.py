@@ -1562,8 +1562,8 @@ def parts_above_type_avg(sf_dir: str):
 
     def above(batch: pa.Table, ref=ref) -> pa.Table:
         lookup = ray.get(ref)
-        types = batch.column("p_type").to_pylist()
-        thr = np.array([lookup[t] for t in types], dtype=np.float64)
+        thr = pd.Series(batch.column("p_type").to_pandas()) \
+            .map(lookup).to_numpy(np.float64)
         price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
         keep = price > thr
         out = batch.filter(pa.array(keep))
