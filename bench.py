@@ -58,9 +58,9 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     # driver) or "table" (frontier as parquet between supersteps, fully
     # driver-free data path; order stays parquet so driver RSS is flat)
     frontier_mode = os.environ.get("BENCH_FRONTIER", "driver")
-    if frontier_mode not in ("driver", "table"):
+    if frontier_mode not in ("driver", "table", "auto"):
         raise SystemExit(
-            f"BENCH_FRONTIER={frontier_mode!r}: expected driver|table")
+            f"BENCH_FRONTIER={frontier_mode!r}: expected driver|table|auto")
     cfg = CrawlConfig(
         strategy="bfs",
         max_depth=3,
