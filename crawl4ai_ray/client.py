@@ -142,6 +142,77 @@ class EngineClient:
         # reference quirk: a single result is unwrapped
         return results[0] if len(results) == 1 else results
 
+    def crawl_stream(self, urls: List[str],
+                     crawler_config: Optional[dict] = None):
+        """POST /crawl/stream — generator of per-page dicts as supersteps
+        commit (NDJSON lines; the reference client's ``stream=True``
+        surface). Terminates on the ``{"status": "completed"}`` marker;
+        an ``{"error": ...}`` line raises RequestError."""
+        self._check_server()
+        payload = {"urls": urls, "crawler_config": crawler_config or {}}
+        req = urllib.request.Request(
+            self.base_url + "/crawl/stream",
+            data=json.dumps(payload).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            resp = urllib.request.urlopen(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            raise RequestError(
+                f"Server error {e.code}: {e.read().decode(errors='replace')}"
+            ) from None
+        except urllib.error.URLError as e:
+            raise ConnectionError(f"Failed to connect: {e.reason}") \
+                from None
+        with resp:
+            for raw in resp:
+                line = raw.decode("utf-8").strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("status") == "completed":
+                    self.logger.success("Stream completed", tag="CRAWL")
+                    return
+                if "error" in obj and "url" not in obj:
+                    raise RequestError(f"Stream failed: {obj['error']}")
+                yield obj
+
+    def submit_crawl_job(self, urls: List[str],
+                         crawler_config: Optional[dict] = None) -> str:
+        """POST /crawl/job → task_id (fire-and-forget enqueue)."""
+        data = self._request("POST", "/crawl/job", {
+            "urls": urls, "crawler_config": crawler_config or {}})
+        return data["task_id"]
+
+    def get_job(self, task_id: str) -> dict:
+        """GET /crawl/job/{task_id} — one status poll."""
+        return self._request("GET", f"/crawl/job/{task_id}")
+
+    def wait_for_job(self, task_id: str, poll_s: float = 0.3,
+                     timeout: float = 120.0) -> dict:
+        """Poll until the task is terminal; returns the final status
+        response (``result`` on completed, raises on failed/timeout)."""
+        import time as _time
+
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            st = self.get_job(task_id)
+            if st["status"] == "completed":
+                return st
+            if st["status"] == "failed":
+                raise RequestError(f"Job failed: {st.get('error')}")
+            _time.sleep(poll_s)
+        raise ConnectionError(f"Job {task_id} timed out after {timeout}s")
+
+    def screenshot(self, url: str) -> dict:
+        return self._request("POST", "/screenshot", {"url": url})
+
+    def pdf(self, url: str) -> dict:
+        return self._request("POST", "/pdf", {"url": url})
+
+    def execute_js(self, url: str, scripts: List[str]) -> dict:
+        return self._request("POST", "/execute_js",
+                             {"url": url, "scripts": scripts})
+
     def md(self, url: str, f: str = "raw",
            q: Optional[str] = None) -> dict:
         body = {"url": url, "f": f}

@@ -84,3 +84,39 @@ def test_authenticate_sets_bearer(client):
     assert client._token and len(client._token) == 32
     # requests still succeed with the Authorization header attached
     assert client.get_schema()
+
+
+# ---------------------------------------------------------------------------
+# round-4: streaming + job surfaces
+# ---------------------------------------------------------------------------
+
+
+def test_client_crawl_stream(server):
+    with EngineClient(base_url=f"http://127.0.0.1:{server.port}",
+                      verbose=False, timeout=120) as c:
+        pages = list(c.crawl_stream(["http://h0000.test/"],
+                                    {"max_depth": 1}))
+    assert len(pages) >= 1
+    assert all("url" in p and "superstep" in p for p in pages)
+
+
+def test_client_job_roundtrip(server):
+    with EngineClient(base_url=f"http://127.0.0.1:{server.port}",
+                      verbose=False, timeout=120) as c:
+        tid = c.submit_crawl_job(["http://h0000.test/"], {"max_depth": 0})
+        st = c.wait_for_job(tid)
+    assert st["status"] == "completed"
+    assert st["result"]["pages_crawled"] >= 1
+
+
+def test_client_render_endpoints(server):
+    import base64
+    with EngineClient(base_url=f"http://127.0.0.1:{server.port}",
+                      verbose=False, timeout=60) as c:
+        shot = c.screenshot("http://h0000.test/")
+        assert base64.b64decode(
+            shot["screenshot"])[:8] == b"\x89PNG\r\n\x1a\n"
+        pdf = c.pdf("http://h0000.test/")
+        assert base64.b64decode(pdf["pdf"]).startswith(b"%PDF-")
+        js = c.execute_js("http://h0000.test/", ["1 + 1"])
+        assert js["js_execution_result"]["success"] is True
