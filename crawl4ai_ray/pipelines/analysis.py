@@ -359,22 +359,19 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def top_customer_revenue(sf_dir: str, k: int = 20):
-    """Join orders⋈customer (broadcast small side) + groupby + top-k sort.
+    """Revenue per customer, top-k — per-batch combiner →
+    groupby(custkey).sum → top-k sort → dimension attach.
 
-    The customer table is the small side → broadcast via ray.put and mapped
-    per batch instead of a shuffle join (SURVEY §2.4 lookup pattern)."""
-    import ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]) \
-        .to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    Scale shape: the aggregate/shuffle carries only the int key (no
+    name strings), and the customer NAME attaches AFTER top-k via a
+    k-row hash join against the customer Dataset — the SF-scaled
+    customer table is never driver-resident (the q10 pattern; this
+    closed the last ungated customer broadcast in the module)."""
+    from .dedup import _join_parts
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def prep(batch: pa.Table, ref=ref) -> pa.Table:
-        import ray as _ray
-
-        names = _ray.get(ref)
+    def prep(batch: pa.Table) -> pa.Table:
         # combiner: pre-aggregate per custkey inside the batch before the
         # global shuffle (one partial row per key per batch)
         part = (
@@ -387,19 +384,16 @@ def top_customer_revenue(sf_dir: str, k: int = 20):
             .group_by("c_custkey")
             .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
         )
-        keys = part.column("c_custkey").to_pylist()
         return pa.table(
             {
                 "c_custkey": part.column("c_custkey"),
-                "c_name": pa.array([names.get(k, "") for k in keys],
-                                   type=pa.string()),
                 "_rev": part.column("o_totalprice_sum"),
                 "_cnt": part.column("o_totalprice_count"),
             }
         )
 
     out = orders.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    agg = out.groupby(["c_custkey", "c_name"]).aggregate(
+    agg = out.groupby("c_custkey").aggregate(
         Sum("_rev", alias_name="revenue"),
         Sum("_cnt", alias_name="n_orders"),
     )
@@ -411,8 +405,17 @@ def top_customer_revenue(sf_dir: str, k: int = 20):
             pc.round(batch.column("revenue"), 2),
         )
 
-    return agg.map_batches(rnd, batch_format="pyarrow") \
+    topk = agg.map_batches(rnd, batch_format="pyarrow") \
         .sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = topk.join(cust, join_type="inner", on=("c_custkey",),
+                       num_partitions=_join_parts(topk, cust))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_custkey", "c_name", "revenue", "n_orders"])
+
+    return joined.map_batches(order_cols, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False])
 
 
 def events_daily(sf_dir: str):
@@ -698,43 +701,84 @@ def supplier_balance_by_nation(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
-def revenue_by_part_type(sf_dir: str):
-    """lineitem⋈part (broadcast part key→type) + groupby — second join
-    shape over the biggest fact table."""
+def revenue_by_part_type(sf_dir: str, form: str = "auto",
+                         broadcast_limit: int = BROADCAST_LIMIT):
+    """lineitem⋈part + groupby(p_type) — second join shape over the
+    biggest fact table.
+
+    Part is a DIMENSION table (sf x 200k rows), so the lookup is GATED:
+    at or below ``broadcast_limit`` the partkey→type-code mapping ships
+    once as sorted searchsorted arrays (the type VOCABULARY is a bounded
+    ~150 strings and rides in closures — only int codes broadcast);
+    above it lineitem joins part natively. Both forms pre-aggregate per
+    (batch, type) — the combiner — so the final groupby shuffle carries
+    at most n_types rows per batch instead of the whole lineitem."""
     import ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    ref = ray.put(dict(zip(part["p_partkey"], part["p_type"])))
+    from .dedup import _join_parts
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    if form == "auto":
+        form = "broadcast" if part_ds.count() <= broadcast_limit \
+            else "join"
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def join(batch: pa.Table, ref=ref) -> pa.Table:
-        import ray as _ray
+    def _partial(types, rev: np.ndarray) -> pa.Table:
+        df = pd.DataFrame({"p_type": types, "_rev": rev})
+        g = df.groupby("p_type", as_index=False) \
+            .agg(_rev=("_rev", "sum"), _n=("_rev", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        types = _ray.get(ref)
-        keys = batch.column("l_partkey").to_pylist()
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        return pa.table(
-            {
-                "p_type": pa.array([types.get(k, "") for k in keys],
-                                   type=pa.string()),
-                "revenue": rev,
-            }
-        )
+    if form == "broadcast":
+        part = part_ds.to_pandas()
+        codes, vocab = pd.factorize(part["p_type"])
+        vocab = np.asarray(vocab, dtype=object)
+        ref = ray.put(_sorted_probe_arrays(
+            part["p_partkey"].to_numpy(np.int64),
+            codes.astype(np.int32)))
 
-    agg = li.map_batches(join, batch_format="pyarrow", batch_size=65536) \
-        .groupby("p_type").aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Count(alias_name="n_items"),
-        )
+        def join(batch: pa.Table, ref=ref, vocab=vocab) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            keys = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            code = _probe_sorted(sk, sv, keys, -1)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            types = np.where(code >= 0,
+                             vocab[np.maximum(code, 0)], "")
+            return _partial(types, ep * (1.0 - dc))
+
+        partials = li.map_batches(join, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        joined = li.join(part_ds, join_type="inner", on=("l_partkey",),
+                         right_on=("p_partkey",),
+                         num_partitions=_join_parts(li, part_ds))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return _partial(batch.column("p_type").to_pandas(),
+                            ep * (1.0 - dc))
+
+        partials = joined.map_batches(jpartial, batch_format="pyarrow",
+                                      batch_size=65536)
+
+    agg = partials.groupby("p_type").aggregate(
+        Sum("_rev", alias_name="revenue"),
+        Sum("_n", alias_name="n_items"),
+    )
 
     def rnd(batch: pa.Table) -> pa.Table:
         return batch.set_column(
             batch.column_names.index("revenue"), "revenue",
-            pc.round(batch.column("revenue"), 2),
+            pa.array(_round2_snap(
+                batch.column("revenue").to_numpy(zero_copy_only=False))),
         )
 
     return agg.map_batches(rnd, batch_format="pyarrow")

@@ -203,3 +203,11 @@ def test_grouped_median_max_keys_guard():
     ds = rd.from_arrow([t.slice(i * 16, 16) for i in range(4)])
     with pytest.raises(ValueError, match="max_keys"):
         analysis.grouped_median_distributed(ds, "k", "v", max_keys=10)
+
+
+def test_revenue_by_part_type_join_fallback():
+    a = _norm(analysis.revenue_by_part_type(SF).to_pandas())
+    b = _norm(analysis.revenue_by_part_type(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
