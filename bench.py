@@ -161,8 +161,21 @@ def run_bench() -> dict:
     return result
 
 
+def _wait_quiet() -> None:
+    """BENCH_LOADGATE=1: block each leg until 3 consecutive 5-s windows
+    of >=85% machine idle (the BASELINE.md ladder methodology — ambient
+    contention on this VM inflates same-code legs up to ~2.2x)."""
+    if os.environ.get("BENCH_LOADGATE") != "1":
+        return
+    gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "loadgate.py")
+    subprocess.run([sys.executable, gate], check=False,
+                   stdout=subprocess.DEVNULL)
+
+
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
+        _wait_quiet()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="crawl")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
