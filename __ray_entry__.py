@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": lambda sf: similarity.ivf_topk(
             sf, nlist=8, n_probe=4),
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
+        # embedding-cosine near-dup survivors (greedy smaller-id-wins law)
+        "embedding_dedup_survivors": lambda sf:
+            similarity.embedding_dedup_survivors(sf),
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
         "cosine_near_pairs_lsh": lambda sf: similarity.cosine_near_pairs_lsh(
@@ -841,6 +844,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "embedding_dedup_survivors": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.4
+            )
         """,
         # BM25 (Robertson/Sparck Jones idf, k1=1.2 b=0.75) over
         # lower().split() tokens — the same law as pipelines/analysis.py

@@ -250,13 +250,44 @@ def cosine_near_pairs(sf_dir: str, *, threshold: float = 0.4,
             }
         )
 
-    return (
+    out = (
         ds.map_batches(replicate, batch_format="pyarrow",
                        batch_size=chunk_rows)
         .groupby("pkey")
         .map_groups(pairs_in_group, batch_format="pyarrow")
-        .limit(max_rows)
     )
+    return out if max_rows is None else out.limit(max_rows)
+
+
+def embedding_dedup_survivors(sf_dir: str, *, threshold: float = 0.4,
+                              chunk_rows: int = 2048):
+    """Embedding-cosine near-dup SURVIVORS — the greedy smaller-id-wins
+    retention law: a vector is dropped iff some LOWER-id vector sits at
+    or above the cosine threshold. Deterministic and SQL-checkable
+    (unlike transitive-component retention, which
+    ``minhash_dedup_survivors`` covers with a pytest byte-equality gate).
+
+    Scale shape: pairs come from the blocked self-join (bounded per-task
+    memory, no full-matrix broadcast); the dominated set is the distinct
+    ``vec_b`` side of the pair table (``vec_a < vec_b`` by construction),
+    reduced by a groupby; survivors = embedding ids LEFT ANTI JOIN
+    dominated — a native hash join, never a driver-resident id set.
+    DuckDB-oracle-gated (`embedding_dedup_survivors`)."""
+    from ray.data.aggregate import Count
+
+    from .dedup import _join_parts
+
+    pairs = cosine_near_pairs(sf_dir, threshold=threshold,
+                              chunk_rows=chunk_rows, max_rows=None)
+    dominated = (
+        pairs.select_columns(["vec_b"])
+        .groupby("vec_b")
+        .aggregate(Count(alias_name="_n"))
+    )
+    ids = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id"])
+    return ids.join(dominated, join_type="left_anti", on=("vec_id",),
+                    right_on=("vec_b",),
+                    num_partitions=_join_parts(ids, dominated))
 
 
 def cosine_near_pairs_broadcast(sf_dir: str, *, threshold: float = 0.4,
