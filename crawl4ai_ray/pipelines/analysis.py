@@ -1027,29 +1027,42 @@ def grouped_median_distributed(ds, key_col: str, val_col: str,
             import ray as _ray
 
             win = _ray.get(ref)
-            keys = batch.column(key_col).to_pylist()
+            # vectorized over the whole batch: map keys to window indices
+            # once (pd.Series.map, C loop), then one flat bincount over
+            # group*bins — O(rows + G*bins), no per-key column scans
+            keys_list = list(win)
+            kidx = {k: i for i, k in enumerate(keys_list)}
+            los = np.array([win[k][0] for k in keys_list], np.float64)
+            his = np.array([win[k][1] for k in keys_list], np.float64)
+            g = pd.Series(batch.column(key_col).to_pandas()) \
+                .map(kidx).to_numpy(np.float64)
+            present = ~np.isnan(g)
+            gi = g[present].astype(np.int64)
             vals = batch.column(val_col).to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            karr = np.asarray(keys, dtype=object)
+                .astype(np.float64)[present]
+            lo_r, hi_r = los[gi], his[gi]
+            G = len(keys_list)
             out_k, out_b, out_c = [], [], []
-            for k, (lo, hi) in win.items():
-                v = vals[karr == k]
-                n_below = int(np.count_nonzero(v < lo))
-                if n_below:
-                    out_k.append(k)
-                    out_b.append(-1)  # bin -1 = below-window count
-                    out_c.append(n_below)
-                v = v[(v >= lo) & (v <= hi)]
-                if len(v) == 0:
-                    continue
-                width = (hi - lo) / bins
-                idx = np.clip(((v - lo) / width).astype(np.int64),
-                              0, bins - 1) if width > 0 else \
-                    np.zeros(len(v), dtype=np.int64)
-                bc = np.bincount(idx, minlength=bins)
+            below = np.bincount(gi[vals < lo_r], minlength=G)
+            for gidx in np.nonzero(below)[0]:
+                out_k.append(keys_list[gidx])
+                out_b.append(-1)  # bin -1 = below-window count
+                out_c.append(int(below[gidx]))
+            inw = (vals >= lo_r) & (vals <= hi_r)
+            if inw.any():
+                gi_in, v_in = gi[inw], vals[inw]
+                width = (his - los) / bins
+                w_r = width[gi_in]
+                safe = np.where(w_r > 0, w_r, 1.0)
+                idx = np.where(
+                    w_r > 0,
+                    np.clip(((v_in - los[gi_in]) / safe).astype(np.int64),
+                            0, bins - 1),
+                    0)
+                bc = np.bincount(gi_in * bins + idx, minlength=G * bins)
                 nz = np.nonzero(bc)[0]
-                out_k.extend([k] * len(nz))
-                out_b.extend(nz.tolist())
+                out_k.extend(keys_list[int(f)] for f in nz // bins)
+                out_b.extend((nz % bins).tolist())
                 out_c.extend(bc[nz].tolist())
             return pa.table({
                 "_k": pa.array(out_k),
