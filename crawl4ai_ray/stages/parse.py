@@ -51,6 +51,10 @@ _BLOCK_BREAK = {
 _HEADING = {"h1": "#", "h2": "##", "h3": "###", "h4": "####", "h5": "#####", "h6": "######"}
 
 _WS_RE = re.compile(r"[ \t\r\n\f]+")
+# cheap pre-test: data needs collapsing only if it holds a non-space
+# whitespace char or a double space — a single regex SEARCH (early exit)
+# instead of the sub machinery for the common already-collapsed chunk
+_WS_NEED = re.compile(r"[\t\r\n\f]|  ").search
 _GENERIC_IMG = re.compile(r"(icon|logo|button|spacer|pixel|tracking)", re.I)
 
 
@@ -352,7 +356,7 @@ class SpanHTMLParser(HTMLParser):
         if self._pre_depth:
             self._append_md(data)
             return
-        text = _WS_RE.sub(" ", data)
+        text = data if _WS_NEED(data) is None else _WS_RE.sub(" ", data)
         if text and text != " ":
             self._append_md(text)
         elif text == " " and (self._md or self._a_text or
