@@ -726,9 +726,14 @@ class CrawlEngine:
         n = n_frontier if n_frontier is not None else frontier.num_rows
         ncpu = int(ray.cluster_resources().get("CPU",
                                                cfg.fetch_concurrency))
-        n_blocks = max(1, min((n + cfg.fetch_batch_size - 1)
-                              // cfg.fetch_batch_size,
-                              4 * max(ncpu, cfg.fetch_concurrency)))
+        cap = 4 * max(ncpu, cfg.fetch_concurrency)
+        want = (n + cfg.fetch_batch_size - 1) // cfg.fetch_batch_size
+        # small levels still spread across every CPU (blocks of >=64 rows)
+        # — ceil(n/batch_size) alone would run a 1000-row seed level in 2
+        # tasks and serialize the whole superstep on a 32-CPU node
+        floor_blocks = min(max(ncpu, cfg.fetch_concurrency),
+                           (n + 63) // 64)
+        n_blocks = max(1, min(max(want, floor_blocks), cap))
         if isinstance(frontier, rd.Dataset):
             ds = frontier
             n_slices = n_blocks
