@@ -65,12 +65,50 @@ def safe_config_dump(code: str) -> dict:
     return CrawlConfig(**kwargs).dump()
 
 
+class _FakeQAClient:
+    """DETERMINISTIC STUB QA answerer — no model, no network (the A5
+    environment gap; same policy as functions/llm_extract.FakeLLMClient).
+    Picks the context sentence with the highest query-term overlap."""
+
+    def complete(self, prompt: str):
+        import re as _re
+
+        from .functions.llm_extract import LLMResponse, TokenUsage
+
+        m = _re.search(r"Content:\n(.*)\n\n\s*Question: (.*)\n",
+                       prompt, _re.S)
+        content, q = (m.group(1), m.group(2)) if m else (prompt, "")
+        terms = {w.lower() for w in q.split() if len(w) > 2}
+        best, best_score = "", -1.0
+        for s in _re.split(r"(?<=[.!?])\s+|\n+", content):
+            s = s.strip()
+            if not s:
+                continue
+            words = {w.lower().strip(".,!?") for w in s.split()}
+            score = len(terms & words) / (1.0 + 0.01 * len(words))
+            if score > best_score:
+                best, best_score = s, score
+        n_in = len(prompt.split())
+        n_out = len(best.split())
+        return LLMResponse(best, TokenUsage(n_out, n_in, n_in + n_out))
+
+
 class EngineHTTPServer:
     """Loopback HTTP facade over the engine."""
 
     def __init__(self, *, site_cfg: dict | None = None, host="127.0.0.1",
-                 port: int = 0, job_ttl_seconds: float = 3600.0):
+                 port: int = 0, job_ttl_seconds: float = 3600.0,
+                 jwt_enabled: bool = False, secret_key: str | None = None,
+                 llm_client=None):
+        import os
+
         self.site_cfg = site_cfg
+        # auth (reference deploy/docker/auth.py): HS256 JWT, enabled by
+        # config flag; SECRET_KEY env default "mysecret" (auth.py:14)
+        self.jwt_enabled = jwt_enabled
+        self.secret_key = secret_key or os.environ.get("SECRET_KEY",
+                                                       "mysecret")
+        self.llm_client = llm_client
         # in-process job store — the Redis-hash analog of the reference's
         # job layer (deploy/docker/job.py + api.py:563-608): task_id →
         # {status, created_at, url, result, error}
@@ -91,16 +129,47 @@ class EngineHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authorized(self) -> bool:
+                """The reference token-dependency quirk (auth.py:31-43,
+                HTTPBearer(auto_error=False)): with JWT enabled, a
+                MISSING Authorization header passes (payload None) —
+                only a PRESENT-but-invalid/expired token 401s."""
+                if not outer.jwt_enabled:
+                    return True
+                hdr = self.headers.get("Authorization", "")
+                if not hdr.startswith("Bearer "):
+                    return True
+                from .functions.authkit import AuthError, verify_token
+
+                try:
+                    verify_token(hdr[len("Bearer "):], outer.secret_key)
+                    return True
+                except AuthError:
+                    self._json(401,
+                               {"detail": "Invalid or expired token"})
+                    return False
+
             def do_GET(self):
                 if self.path == "/health":
                     self._json(200, {"status": "ok",
                                      "timestamp": time.time()})
                 elif self.path == "/schema":
                     self._json(200, outer.schema())
+                elif not self._authorized():
+                    pass
                 elif self.path.startswith("/crawl/job/"):
                     task_id = self.path[len("/crawl/job/"):]
                     code, obj = outer.job_status(task_id)
                     self._json(code, obj)
+                elif self.path.startswith("/llm/"):
+                    try:
+                        self._json(200, outer.llm_qa(
+                            self.path[len("/llm/"):]))
+                    except (KeyError, ValueError) as exc:
+                        self._json(400, {"detail": str(exc)})
+                    except Exception as exc:  # noqa: BLE001
+                        self._json(500,
+                                   {"detail": f"internal error: {exc}"})
                 else:
                     self._json(404, {"detail": "not found"})
 
@@ -110,6 +179,12 @@ class EngineHTTPServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                 except json.JSONDecodeError:
                     self._json(400, {"detail": "invalid json"})
+                    return
+                if self.path == "/token":
+                    code, obj = outer.token(req)
+                    self._json(code, obj)
+                    return
+                if not self._authorized():
                     return
                 try:
                     if self.path == "/md":
@@ -409,6 +484,59 @@ class EngineHTTPServer:
             "status_code": res.status_code,
             "js_execution_result": res.js_execution_result,
         }
+
+    def token(self, req: dict) -> tuple[int, dict]:
+        """POST /token (reference server.py:216-221): email-domain check
+        then an HS256 access token with the ``sub`` claim."""
+        from .functions.authkit import (create_access_token,
+                                        verify_email_domain)
+
+        email = str(req.get("email") or "")
+        if not verify_email_domain(email):
+            return 400, {"detail": "Invalid email domain"}
+        return 200, {
+            "email": email,
+            "access_token": create_access_token({"sub": email},
+                                                self.secret_key),
+            "token_type": "bearer",
+        }
+
+    def llm_qa(self, path_and_query: str) -> dict:
+        """GET /llm/{url}?q=... (reference server.py:395-407 +
+        api.py:61-108): crawl the url, take fit-markdown (raw fallback),
+        build the exact QA prompt, answer via the pluggable LLM client
+        (deterministic labeled stub in this environment — the same A5
+        policy as functions/llm_extract)."""
+        from urllib.parse import parse_qs, unquote, urlsplit
+
+        parts = urlsplit(path_and_query)
+        q = (parse_qs(parts.query).get("q") or [""])[0]
+        if not q:
+            raise ValueError("Query parameter 'q' is required")
+        url = unquote(parts.path)
+        if not url.startswith(("http://", "https://")) \
+                and not url.startswith(("raw:", "raw://")):
+            url = "https://" + url
+        # reference quirk: strip a trailing '?q=' remnant from the url
+        last_q = url.rfind("?q=")
+        if last_q != -1:
+            url = url[:last_q]
+
+        page = self._fetch(url.replace("https://", "http://", 1)
+                           if url.startswith("https://") else url)
+        if page["status"] != 200:
+            raise RuntimeError(f"fetch failed with {page['status']}")
+        content = _md_for(page["html"], url, "fit", None) \
+            or _md_for(page["html"], url, "raw", None)
+        prompt = f"""Use the following content as context to answer the question.
+    Content:
+    {content}
+
+    Question: {q}
+
+    Answer:"""
+        client = self.llm_client or _FakeQAClient()
+        return {"answer": client.complete(prompt).content}
 
     def mcp(self):
         """Lazily-built MCP bridge over this server (deploy/docker/

@@ -199,3 +199,79 @@ def test_crawl_job_ttl_cleanup(server):
         assert code == 404
     finally:
         server.job_ttl_seconds = old_ttl
+
+
+# ---------------------------------------------------------------------------
+# round-4: /token auth + /llm QA (reference auth.py, server.py:216-221,
+# 395-407, api.py:61-108)
+# ---------------------------------------------------------------------------
+
+
+def test_token_endpoint(server):
+    code, body = _post(server, "/token", {"email": "a@example.com"})
+    assert code == 200
+    assert body["token_type"] == "bearer"
+    assert body["access_token"].count(".") == 2
+    code, body = _post(server, "/token", {"email": "not-an-email"})
+    assert code == 400
+
+
+def test_jwt_gate_quirk(ray_session):
+    from crawl4ai_ray.functions.authkit import create_access_token
+    from crawl4ai_ray.serve import EngineHTTPServer
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+    srv = EngineHTTPServer(site_cfg=SiteConfig(n_hosts=1).__dict__,
+                           jwt_enabled=True, secret_key="s3").start()
+    try:
+        url = "http://h0000.test/"
+        # reference HTTPBearer(auto_error=False) quirk: MISSING header
+        # passes; present-but-invalid 401s; valid passes
+        code, _ = _post(srv, "/md", {"url": url, "f": "raw"})
+        assert code == 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/md",
+            data=json.dumps({"url": url, "f": "raw"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer bogus.token.sig"},
+            method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("invalid token must 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        tok = create_access_token({"sub": "a@example.com"}, "s3")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/md",
+            data=json.dumps({"url": url, "f": "raw"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {tok}"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # expired token 401s (do_time_check law)
+        old = create_access_token({"sub": "x@y.com"}, "s3",
+                                  expires_minutes=-1)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/md",
+            data=json.dumps({"url": url, "f": "raw"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {old}"}, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expired token must 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
+
+
+def test_llm_qa_endpoint(server):
+    import urllib.parse
+    url = urllib.parse.quote("http://h0000.test/cat0/sub0/p0.html",
+                             safe="")
+    q = urllib.parse.quote("product data stream")
+    code, body = _get(server, f"/llm/{url}?q={q}")
+    assert code == 200
+    assert isinstance(body["answer"], str) and body["answer"]
+    code, body = _get(server, f"/llm/{url}")
+    assert code == 400
