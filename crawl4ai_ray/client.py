@@ -106,13 +106,18 @@ class EngineClient:
     # -- reference API surface -------------------------------------------
 
     def authenticate(self, email: str) -> None:
-        """Header parity with the reference's /token flow; serve.py has
-        no auth endpoint, so the token is derived locally."""
+        """The reference's /token flow: POST the email, store the bearer
+        token for subsequent requests. Falls back to a locally derived
+        header against servers without the auth layer."""
         self.logger.info(f"Authenticating with email: {email}",
                          tag="AUTH")
-        import hashlib
+        try:
+            data = self._request("POST", "/token", {"email": email})
+            self._token = data["access_token"]
+        except Crawl4aiClientError:
+            import hashlib
 
-        self._token = hashlib.sha256(email.encode()).hexdigest()[:32]
+            self._token = hashlib.sha256(email.encode()).hexdigest()[:32]
         self.logger.success("Authentication successful", tag="AUTH")
 
     def crawl(self, urls: List[str],

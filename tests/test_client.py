@@ -120,3 +120,12 @@ def test_client_render_endpoints(server):
         assert base64.b64decode(pdf["pdf"]).startswith(b"%PDF-")
         js = c.execute_js("http://h0000.test/", ["1 + 1"])
         assert js["js_execution_result"]["success"] is True
+
+
+def test_client_authenticate_via_token_endpoint(server):
+    with EngineClient(base_url=f"http://127.0.0.1:{server.port}",
+                      verbose=False, timeout=30) as c:
+        c.authenticate("user@example.com")
+        assert c._token.count(".") == 2  # real JWT from /token
+        # authenticated request round-trips
+        assert c.md("http://h0000.test/", f="raw")["success"] is True
