@@ -81,7 +81,8 @@ def test_config_dump_endpoint(client):
 
 def test_authenticate_sets_bearer(client):
     client.authenticate("user@example.com")
-    assert client._token and len(client._token) == 32
+    # server has /token → a real three-segment JWT is stored
+    assert client._token and client._token.count(".") == 2
     # requests still succeed with the Authorization header attached
     assert client.get_schema()
 
