@@ -591,12 +591,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_hits"],
         ).crawl_hits(sf),
     }
-    # Stable ordering: every DuckDB-oracled query FIRST, then the
+    # Stable ordering: every DuckDB-oracled query FIRST — with the ones
+    # the r3 driver sweep never sampled front-loaded — then the
     # golden/pytest-gated remainder. The driver's correctness sweep
     # samples a prefix of this dict, so a prefix of any length maximizes
-    # hard (rows+schema+hash) gate coverage.
+    # hard (rows+schema+hash) gate coverage of as-yet-unchecked queries.
     sql = set(oracle_sql())
-    ordered = {k: v for k, v in q.items() if k in sql}
+    r3_checked = {
+        "q1_pricing_summary", "top_customer_revenue", "events_daily",
+        "user_sessions", "events_asof_orders", "orders_repeat_window_join",
+        "orders_bloom_semijoin", "events_value_bands", "part_type_counts",
+        "nation_region_join", "supplier_balance_by_nation",
+        "orders_filter_sort", "revenue_by_part_type",
+        "orders_priority_counts", "events_type_span",
+        "customer_running_revenue", "customers_without_orders",
+        "order_value_median_by_priority", "revenue_by_nation_year",
+        "big_spenders_union", "events_lag_gap", "revenue_rollup",
+        "parts_above_type_avg", "doc_repetition_stats",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "doc_token_stats", "doc_chunk_counts", "doc_chunks_exploded",
+        "event_numbers", "exact_dedup", "exact_dedup_survivors",
+        "ann_topk", "cosine_near_pairs", "bm25_rank",
+    }
+    ordered = {k: v for k, v in q.items()
+               if k in sql and k not in r3_checked}
+    ordered.update((k, v) for k, v in q.items()
+                   if k in sql and k in r3_checked)
     ordered.update((k, v) for k, v in q.items() if k not in sql)
     return ordered
 
