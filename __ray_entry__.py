@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the frame-window moving average
         "q10_returned_items": analysis.q10_returned_items,
         "events_user_moving_avg": analysis.events_user_moving_avg,
+        # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
+        "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
         "doc_token_stats": analysis.doc_token_stats,
         "doc_chunk_counts": analysis.doc_chunk_counts,
@@ -1152,6 +1154,14 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 20
             ) JOIN customer USING (c_custkey)
             JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "orders_row_number": """
+            SELECT o_orderkey, o_orderpriority,
+                   ROW_NUMBER() OVER w AS rn,
+                   NTILE(4) OVER w AS tile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "events_user_moving_avg": """
             SELECT event_id, user_id,

@@ -2182,3 +2182,115 @@ def events_user_moving_avg(sf_dir: str, window: int = 3):
         })
 
     return ds.groupby("user_id").map_groups(mavg, batch_format="pandas")
+
+
+def orders_row_number(sf_dir: str, ntiles: int = 4):
+    """Distributed ROW_NUMBER + NTILE over partitions — the exact
+    numbering window shape, WITHOUT single-task partitions (a 5-value
+    partition key is the map_groups worst case: each "group" would be
+    n/5 of the table in one task).
+
+    Scale shape (sort + block-offset prefix scan, the pack_sequences
+    pattern): one global sort by (partition, value DESC, key) — the
+    operator's inherent exchange — then pass 1 reduces each BLOCK to its
+    per-partition row counts (tiny rows to the driver; blocks keyed by
+    their first row's unique orderkey and ordered by their first row's
+    sort triple), the driver cumsums per-partition block bases, and
+    pass 2 broadcasts the bases so every block derives exact global row
+    numbers locally. NTILE uses the law: the first n%k tiles carry
+    floor(n/k)+1 rows. Integer-exact, no second shuffle;
+    DuckDB-oracle-gated (`orders_row_number`)."""
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sorted_ds = ds.sort(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        descending=[False, True, False]).materialize()
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "first_key": pa.array([], pa.int64()),
+                "first_pr": pa.array([], pa.string()),
+                "first_price": pa.array([], pa.float64()),
+                "pr": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        pr = batch.column("o_orderpriority").to_pylist()
+        # contiguous runs in sorted order → per-partition counts
+        vals, counts = np.unique(np.asarray(pr, dtype=object),
+                                 return_counts=True)
+        k = batch.column("o_orderkey")[0].as_py()
+        p0 = pr[0]
+        price0 = batch.column("o_totalprice")[0].as_py()
+        m = len(vals)
+        return pa.table({
+            "first_key": pa.array([int(k)] * m, pa.int64()),
+            "first_pr": pa.array([p0] * m, pa.string()),
+            "first_price": pa.array([float(price0)] * m, pa.float64()),
+            "pr": pa.array([str(v) for v in vals], pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    parts = list(sorted_ds.map_batches(block_partial,
+                                       batch_format="pyarrow",
+                                       batch_size=None).iter_rows())
+    # order blocks by their first row's sort triple (asc, DESC, asc)
+    block_order = sorted(
+        {(r["first_pr"], -r["first_price"], r["first_key"]): r["first_key"]
+         for r in parts}.items())
+    by_block: dict[int, dict] = {}
+    for r in parts:
+        by_block.setdefault(int(r["first_key"]), {})[r["pr"]] = int(r["n"])
+    bases: dict[int, dict] = {}
+    running: dict[str, int] = {}
+    for _, fk in block_order:
+        bases[fk] = dict(running)
+        for p, n in by_block[fk].items():
+            running[p] = running.get(p, 0) + n
+    totals = dict(running)
+    bref = ray.put((bases, totals))
+
+    def assign(batch: pa.Table, bref=bref, k=ntiles) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_orderpriority": pa.array([], pa.string()),
+                             "rn": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        bases, totals = _ray.get(bref)
+        base = bases[int(batch.column("o_orderkey")[0].as_py())]
+        pr = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                        dtype=object)
+        # contiguous priority runs: index-within-run via run starts
+        change = np.flatnonzero(np.concatenate(([True], pr[1:] != pr[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([0], (pr[1:] != pr[:-1]).astype(np.int64))))
+        idx_in_run = np.arange(len(pr)) - change[run_id]
+        run_base = np.array([base.get(pr[i], 0) for i in change],
+                            np.int64)
+        # a partition may span multiple runs only across blocks, never
+        # within one sorted block — but the same priority can't restart
+        # inside a block, so each run's base is exact
+        rn = run_base[run_id] + idx_in_run + 1
+        n_part = np.array([totals[p] for p in pr], np.int64)
+        size_small = n_part // k
+        n_big = n_part % k
+        big_span = n_big * (size_small + 1)
+        in_big = rn <= big_span
+        tile = np.where(
+            in_big,
+            (rn - 1) // np.maximum(size_small + 1, 1) + 1,
+            n_big + (rn - 1 - big_span) // np.maximum(size_small, 1) + 1,
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "rn": pa.array(rn),
+            "tile": pa.array(tile),
+        })
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)
