@@ -134,3 +134,47 @@ def test_misra_gries_bound_property(stream, cap):
     for t, c in s.items():
         assert 0 < c <= true[t]
         assert true[t] - c <= len(stream) // (cap + 1)
+
+
+# ---------------------------------------------------------------------------
+# r4: authkit JWT laws (HS256 round-trip, tamper/expiry rejection)
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(min_size=1, max_size=40),
+       st.text(alphabet="abcdefghij@._-", min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_authkit_roundtrip_and_tamper(secret, sub):
+    from crawl4ai_ray.functions.authkit import (AuthError,
+                                                create_access_token,
+                                                verify_token)
+
+    tok = create_access_token({"sub": sub}, secret)
+    assert verify_token(tok, secret)["sub"] == sub
+    # a different secret must fail
+    try:
+        verify_token(tok, secret + "x")
+        raise AssertionError("wrong secret must fail")
+    except AuthError:
+        pass
+    # flipping a payload char must fail (either signature or decode)
+    h, b, s_ = tok.split(".")
+    bad = h + "." + ("A" if b[0] != "A" else "B") + b[1:] + "." + s_
+    try:
+        verify_token(bad, secret)
+        raise AssertionError("tampered token must fail")
+    except AuthError:
+        pass
+
+
+def test_authkit_expiry():
+    from crawl4ai_ray.functions.authkit import (AuthError,
+                                                create_access_token,
+                                                verify_token)
+
+    tok = create_access_token({"sub": "x"}, "k", expires_minutes=-1)
+    try:
+        verify_token(tok, "k")
+        raise AssertionError("expired must fail")
+    except AuthError:
+        pass
