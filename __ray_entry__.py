@@ -479,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stubbed codec, real Ray plumbing; stages/multimodal.py)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frames,
+        # actor-pool image resize (stub math, real binary-column plumbing)
+        "media_resize": lambda sf: __import__(
+            "crawl4ai_ray.stages.multimodal", fromlist=["resize_pipeline"],
+        ).resize_pipeline(sf),
         # crawl pipelines (rows-only; oracle equality enforced in pytest)
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),

@@ -247,3 +247,50 @@ def frame_sample_pipeline(sf_dir: str, *, n: int | None = None,
                           fn_constructor_kwargs={"stride": stride},
                           batch_format="pyarrow", batch_size=64,
                           concurrency=2)
+
+
+def resize_pipeline(sf_dir: str, *, n: int | None = None,
+                    target_width: int = 224, target_height: int = 224):
+    """The `media_resize` query: decode → resize (actor pool) → verify by
+    re-decoding — per-image (media_id, width, height, payload_crc32).
+    Deterministic (golden-gated); the resize math is the FakeCodec stub,
+    the Ray plumbing (actor signature, binary column rewrite, batch
+    sizing for image payloads) is real."""
+    import zlib
+
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    if n is None:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_table(n)
+    per = max(1, (n + 31) // 32)
+    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
+    ds = rd.from_arrow(slices)
+    resized = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"target_width": target_width,
+                               "target_height": target_height},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids, ws, hs, crcs = [], [], [], []
+        for mid, kind, blob in zip(batch.column("media_id").to_pylist(),
+                                   batch.column("kind").to_pylist(),
+                                   batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            d = FakeCodec.decode(blob)
+            ids.append(mid)
+            ws.append(d["width"])
+            hs.append(d["height"])
+            crcs.append(zlib.crc32(blob))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "payload_crc": pa.array(crcs, pa.int64()),
+        })
+
+    return resized.map_batches(summarize, batch_format="pyarrow")

@@ -56,6 +56,7 @@ GOLDEN_QUERIES = [
     "pdf_pages",
     "link_preview",
     "crawl_rendered",
+    "media_resize",
 ]
 
 
