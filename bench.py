@@ -161,16 +161,41 @@ def run_bench() -> dict:
     return result
 
 
+def _burn_until(deadline: float) -> int:
+    x = 0
+    while time.perf_counter() < deadline:
+        for i in range(200_000):
+            x += i * i
+    return x
+
+
+def _warm_cpus(seconds: float = 12.0) -> None:
+    """Cold-start counter-measure (measured r4): the FIRST heavy leg
+    after an idle window reads up to ~1.8x slow (160.6 s vs 88.2 s on an
+    immediate same-config repeat — a host-side effect; the idle gate
+    itself guarantees cold vCPUs). Burn all CPUs briefly so timed legs
+    start warm. BENCH_WARMUP=0 disables."""
+    if os.environ.get("BENCH_WARMUP", "1") == "0":
+        return
+    import multiprocessing as mp
+
+    deadline = time.perf_counter() + seconds
+    with mp.Pool(NUM_CPUS) as p:
+        p.map(_burn_until, [deadline] * NUM_CPUS)
+
+
 def _wait_quiet() -> None:
     """BENCH_LOADGATE=1: block each leg until 3 consecutive 5-s windows
     of >=85% machine idle (the BASELINE.md ladder methodology — ambient
-    contention on this VM inflates same-code legs up to ~2.2x)."""
+    contention on this VM inflates same-code legs up to ~2.2x), then
+    warm the CPUs (see _warm_cpus)."""
     if os.environ.get("BENCH_LOADGATE") != "1":
         return
     gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "loadgate.py")
     subprocess.run([sys.executable, gate], check=False,
                    stdout=subprocess.DEVNULL)
+    _warm_cpus()
 
 
 def run_scaling() -> None:
