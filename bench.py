@@ -128,7 +128,10 @@ def run_bench() -> dict:
 
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
-    # warm the page cache + Ray Data machinery with one untimed pass
+    # warm the host CPUs (the measured post-idle cold-start penalty hits
+    # the FIRST heavy leg ~1.8x) and Ray Data machinery with one untimed
+    # pass each
+    _warm_cpus()
     analysis.part_type_counts(SF_DIR).to_pandas()
 
     timings: dict = {}
