@@ -136,3 +136,15 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert {"url", "depth", "seq", "spans"} <= set(df.columns)
+
+
+def test_registry_consistency():
+    """Every oracle key has a queries() entry; the registry is SQL-first
+    (any driver sample prefix maximizes hard-gate coverage); no dupes."""
+    qs = list(entry_mod.queries())
+    sql = set(entry_mod.oracle_sql())
+    assert sql <= set(qs)
+    assert len(qs) == len(set(qs))
+    first_nonsql = next(i for i, k in enumerate(qs) if k not in sql)
+    assert all(k in sql for k in qs[:first_nonsql])
+    assert not any(k in sql for k in qs[first_nonsql:])
