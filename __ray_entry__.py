@@ -581,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
         ).pack_sequences(sf),
+        # deterministic training-shard assignment (seeded hash shuffle +
+        # exact in-shard positions via the row-number prefix scan)
+        "doc_shuffle_shards": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
+        ).shuffle_shards(sf),
         # Efraimidis-Spirakis weighted sampling (hash-derived uniforms,
         # n_chars weights), DuckDB-oracle-gated
         "doc_weighted_sample": lambda sf: __import__(
@@ -1158,6 +1163,18 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 20
             ) JOIN customer USING (c_custkey)
             JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "doc_shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || ':7'), 1, 8)) AS UBIGINT) AS hv
+                FROM documents
+            )
+            SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard_id,
+                   ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) - 1 AS pos
+            FROM h
         """,
         "orders_row_number": """
             SELECT o_orderkey, o_orderpriority,

@@ -2184,61 +2184,55 @@ def events_user_moving_avg(sf_dir: str, window: int = 3):
     return ds.groupby("user_id").map_groups(mavg, batch_format="pandas")
 
 
-def orders_row_number(sf_dir: str, ntiles: int = 4):
-    """Distributed ROW_NUMBER + NTILE over partitions — the exact
-    numbering window shape, WITHOUT single-task partitions (a 5-value
-    partition key is the map_groups worst case: each "group" would be
-    n/5 of the table in one task).
-
-    Scale shape (sort + block-offset prefix scan, the pack_sequences
-    pattern): one global sort by (partition, value DESC, key) — the
-    operator's inherent exchange — then pass 1 reduces each BLOCK to its
-    per-partition row counts (tiny rows to the driver; blocks keyed by
-    their first row's unique orderkey and ordered by their first row's
-    sort triple), the driver cumsums per-partition block bases, and
-    pass 2 broadcasts the bases so every block derives exact global row
-    numbers locally. NTILE uses the law: the first n%k tiles carry
-    floor(n/k)+1 rows. Integer-exact, no second shuffle;
-    DuckDB-oracle-gated (`orders_row_number`)."""
-    import ray
-
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    sorted_ds = ds.sort(
-        ["o_orderpriority", "o_totalprice", "o_orderkey"],
-        descending=[False, True, False]).materialize()
+def _pnum_prepare(ds, sort_cols: list, descending: list,
+                  part_col: str, unique_col: str):
+    """Distributed partitioned-ROW_NUMBER machinery (shared by
+    orders_row_number and corpus.shuffle_shards): one global sort, then
+    pass 1 reduces each BLOCK to per-partition row counts (blocks keyed
+    by their first row's unique column, ordered by their first row's
+    sort tuple), and the driver cumsums per-partition block bases.
+    Returns (sorted materialized Dataset, bases {first_unique: {part:
+    base}}, totals {part: n}). ``descending=True`` is supported for
+    NUMERIC sort columns only (driver ordering negates them).
+    ``part_col`` must be ``sort_cols[0]``."""
+    assert part_col == sort_cols[0]
+    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
 
     def block_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({
-                "first_key": pa.array([], pa.int64()),
-                "first_pr": pa.array([], pa.string()),
-                "first_price": pa.array([], pa.float64()),
-                "pr": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-            })
-        pr = batch.column("o_orderpriority").to_pylist()
-        # contiguous runs in sorted order → per-partition counts
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "firsts": pa.array([], pa.string()),
+                             "pr": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        import json as _json
+
+        pr = batch.column(part_col).to_pylist()
         vals, counts = np.unique(np.asarray(pr, dtype=object),
                                  return_counts=True)
-        k = batch.column("o_orderkey")[0].as_py()
-        p0 = pr[0]
-        price0 = batch.column("o_totalprice")[0].as_py()
+        firsts = _json.dumps([batch.column(c)[0].as_py()
+                              for c in sort_cols])
+        k = int(batch.column(unique_col)[0].as_py())
         m = len(vals)
         return pa.table({
-            "first_key": pa.array([int(k)] * m, pa.int64()),
-            "first_pr": pa.array([p0] * m, pa.string()),
-            "first_price": pa.array([float(price0)] * m, pa.float64()),
+            "first_key": pa.array([k] * m, pa.int64()),
+            "firsts": pa.array([firsts] * m, pa.string()),
             "pr": pa.array([str(v) for v in vals], pa.string()),
             "n": pa.array(counts.astype(np.int64)),
         })
 
+    import json as _json
+
     parts = list(sorted_ds.map_batches(block_partial,
                                        batch_format="pyarrow",
                                        batch_size=None).iter_rows())
-    # order blocks by their first row's sort triple (asc, DESC, asc)
+
+    def _order_key(firsts_json: str):
+        vals = _json.loads(firsts_json)
+        return tuple(-v if d else v
+                     for v, d in zip(vals, descending))
+
     block_order = sorted(
-        {(r["first_pr"], -r["first_price"], r["first_key"]): r["first_key"]
+        {(_order_key(r["firsts"]), r["first_key"]): r["first_key"]
          for r in parts}.items())
     by_block: dict[int, dict] = {}
     for r in parts:
@@ -2249,7 +2243,46 @@ def orders_row_number(sf_dir: str, ntiles: int = 4):
         bases[fk] = dict(running)
         for p, n in by_block[fk].items():
             running[p] = running.get(p, 0) + n
-    totals = dict(running)
+    return sorted_ds, bases, dict(running)
+
+
+def _pnum_rn(batch: pa.Table, part_col: str, unique_col: str,
+             bases: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Pass-2 kernel: exact 1-based global row numbers for one sorted
+    block + the block's partition labels (object array). Partitions are
+    contiguous runs inside a sorted block, so each run start looks up its
+    block base once and positions within the run are an arange."""
+    base = bases[int(batch.column(unique_col)[0].as_py())]
+    pr = np.asarray([str(v) for v in batch.column(part_col).to_pylist()],
+                    dtype=object)
+    change = np.flatnonzero(np.concatenate(([True], pr[1:] != pr[:-1])))
+    run_id = np.cumsum(np.concatenate(
+        ([0], (pr[1:] != pr[:-1]).astype(np.int64))))
+    idx_in_run = np.arange(len(pr)) - change[run_id]
+    run_base = np.array([base.get(pr[i], 0) for i in change], np.int64)
+    return run_base[run_id] + idx_in_run + 1, pr
+
+
+def orders_row_number(sf_dir: str, ntiles: int = 4):
+    """Distributed ROW_NUMBER + NTILE over partitions — the exact
+    numbering window shape, WITHOUT single-task partitions (a 5-value
+    partition key is the map_groups worst case: each "group" would be
+    n/5 of the table in one task).
+
+    Scale shape (sort + block-offset prefix scan, the pack_sequences
+    pattern — machinery in ``_pnum_prepare``/``_pnum_rn``): one global
+    sort by (partition, value DESC, key) — the operator's inherent
+    exchange — then two passes assign exact global row numbers with one
+    tiny partial row per (block, partition) on the driver. NTILE uses
+    the law: the first n%k tiles carry floor(n/k)+1 rows. Integer-exact,
+    no second shuffle; DuckDB-oracle-gated (`orders_row_number`)."""
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sorted_ds, bases, totals = _pnum_prepare(
+        ds, ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        [False, True, False], "o_orderpriority", "o_orderkey")
     bref = ray.put((bases, totals))
 
     def assign(batch: pa.Table, bref=bref, k=ntiles) -> pa.Table:
@@ -2261,20 +2294,7 @@ def orders_row_number(sf_dir: str, ntiles: int = 4):
                              "rn": pa.array([], pa.int64()),
                              "tile": pa.array([], pa.int64())})
         bases, totals = _ray.get(bref)
-        base = bases[int(batch.column("o_orderkey")[0].as_py())]
-        pr = np.asarray(batch.column("o_orderpriority").to_pylist(),
-                        dtype=object)
-        # contiguous priority runs: index-within-run via run starts
-        change = np.flatnonzero(np.concatenate(([True], pr[1:] != pr[:-1])))
-        run_id = np.cumsum(np.concatenate(
-            ([0], (pr[1:] != pr[:-1]).astype(np.int64))))
-        idx_in_run = np.arange(len(pr)) - change[run_id]
-        run_base = np.array([base.get(pr[i], 0) for i in change],
-                            np.int64)
-        # a partition may span multiple runs only across blocks, never
-        # within one sorted block — but the same priority can't restart
-        # inside a block, so each run's base is exact
-        rn = run_base[run_id] + idx_in_run + 1
+        rn, pr = _pnum_rn(batch, "o_orderpriority", "o_orderkey", bases)
         n_part = np.array([totals[p] for p in pr], np.int64)
         size_small = n_part // k
         n_big = n_part % k

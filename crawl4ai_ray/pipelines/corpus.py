@@ -446,3 +446,61 @@ def pack_sequences(sf_dir: str, capacity: int = 2048):
 
     return counted.map_batches(place, batch_format="pyarrow",
                                batch_size=None)
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 8, seed: int = 7):
+    """Deterministic training-shard export assignment — the
+    write-training-shards transform: a seed-rotatable global hash
+    shuffle (shard = md5-uniform(doc_id:seed) % n_shards, balanced in
+    expectation) with exact in-shard positions in hash order, so every
+    engine/run lays out byte-identical shards without a random_shuffle
+    whose result depends on block structure.
+
+    Scale shape: the hash assignment is a stateless map; positions come
+    from the shared partitioned-ROW_NUMBER machinery
+    (analysis._pnum_prepare/_pnum_rn — sort + block-offset prefix scan),
+    so no shard is ever a single task and nothing but one tiny row per
+    (block, shard) visits the driver. DuckDB-oracle-gated
+    (`doc_shuffle_shards`; same md5-hex law as weighted_sample)."""
+    import hashlib
+
+    import ray
+
+    from .analysis import _pnum_prepare, _pnum_rn
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hv = np.array(
+            [int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+             for i in ids], np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "hv": pa.array(hv),
+            "shard_id": pa.array(hv % n_shards),
+        })
+
+    hashed = ds.map_batches(assign_shard, batch_format="pyarrow",
+                            batch_size=8192)
+    sorted_ds, bases, _totals = _pnum_prepare(
+        hashed, ["shard_id", "hv", "doc_id"], [False, False, False],
+        "shard_id", "doc_id")
+    bref = ray.put(bases)
+
+    def emit(batch: pa.Table, bref=bref) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shard_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        rn, _pr = _pnum_rn(batch, "shard_id", "doc_id", _ray.get(bref))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shard_id": batch.column("shard_id"),
+            "pos": pa.array(rn - 1),
+        })
+
+    return sorted_ds.map_batches(emit, batch_format="pyarrow",
+                                 batch_size=None)
