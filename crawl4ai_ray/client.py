@@ -19,10 +19,9 @@ Laws kept from the reference client:
 
 Differences, stated: the transport is stdlib ``urllib`` and the API is
 synchronous (the facade is a threaded stdlib server; httpx and an
-asyncio loop would add nothing here); ``/token`` auth and
-``/crawl/stream`` are not implemented by ``serve.py`` (browser-stack
-endpoints are out of scope), so ``authenticate`` stores a bearer token
-for header parity but no endpoint consumes it.
+asyncio loop would add nothing here). ``authenticate`` goes through
+``POST /token`` when the server implements it and falls back to a
+derived header only for servers without the auth layer.
 """
 
 from __future__ import annotations
@@ -108,13 +107,24 @@ class EngineClient:
     def authenticate(self, email: str) -> None:
         """The reference's /token flow: POST the email, store the bearer
         token for subsequent requests. Falls back to a locally derived
-        header against servers without the auth layer."""
+        header ONLY against servers without the auth layer (404 or
+        transport failure); a real 4xx from an implemented /token (e.g.
+        400 invalid email) re-raises — storing a bogus bearer would 401
+        every later request on a jwt-enabled server."""
         self.logger.info(f"Authenticating with email: {email}",
                          tag="AUTH")
         try:
             data = self._request("POST", "/token", {"email": email})
             self._token = data["access_token"]
-        except Crawl4aiClientError:
+        except RequestError as e:
+            if "Server error 404" not in str(e):
+                self.logger.error(f"Authentication failed: {e}",
+                                  tag="AUTH")
+                raise
+            import hashlib
+
+            self._token = hashlib.sha256(email.encode()).hexdigest()[:32]
+        except ConnectionError:
             import hashlib
 
             self._token = hashlib.sha256(email.encode()).hexdigest()[:32]
@@ -158,7 +168,9 @@ class EngineClient:
         req = urllib.request.Request(
             self.base_url + "/crawl/stream",
             data=json.dumps(payload).encode(), method="POST",
-            headers={"Content-Type": "application/json"})
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {self._token}"}
+                        if self._token else {})})
         try:
             resp = urllib.request.urlopen(req, timeout=self.timeout)
         except urllib.error.HTTPError as e:

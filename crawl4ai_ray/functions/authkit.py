@@ -58,23 +58,28 @@ def create_access_token(data: dict, secret: str,
 
 
 def verify_token(token: str, secret: str) -> dict:
-    """Signature + expiry check → payload. Raises AuthError otherwise."""
+    """Signature + expiry check → payload. Raises AuthError otherwise.
+
+    Every failure mode on attacker-supplied input maps to AuthError:
+    a non-ASCII signature segment would make ``hmac.compare_digest``
+    raise TypeError, and a signed-but-garbage ``exp`` claim would make
+    ``int()`` raise — both must surface as 401, not a dropped
+    connection."""
     try:
         header, body, sig = token.split(".")
-    except ValueError:
-        raise AuthError("malformed token") from None
-    expect = _sign(f"{header}.{body}".encode(), secret)
-    if not hmac.compare_digest(sig, expect):
-        raise AuthError("bad signature")
-    try:
+        expect = _sign(f"{header}.{body}".encode(), secret)
+        if not hmac.compare_digest(sig, expect):
+            raise AuthError("bad signature")
         alg = json.loads(_unb64url(header)).get("alg")
         payload = json.loads(_unb64url(body))
+        if alg != "HS256":
+            raise AuthError("unsupported alg")
+        if int(payload.get("exp", 0)) < time.time():
+            raise AuthError("expired token")
+    except AuthError:
+        raise
     except Exception:
         raise AuthError("malformed token") from None
-    if alg != "HS256":
-        raise AuthError("unsupported alg")
-    if int(payload.get("exp", 0)) < time.time():
-        raise AuthError("expired token")
     return payload
 
 

@@ -98,16 +98,30 @@ class EngineHTTPServer:
 
     def __init__(self, *, site_cfg: dict | None = None, host="127.0.0.1",
                  port: int = 0, job_ttl_seconds: float = 3600.0,
-                 jwt_enabled: bool = False, secret_key: str | None = None,
-                 llm_client=None):
+                 jwt_enabled: bool = False, jwt_required: bool = False,
+                 secret_key: str | None = None, llm_client=None):
         import os
+        import tempfile
 
         self.site_cfg = site_cfg
         # auth (reference deploy/docker/auth.py): HS256 JWT, enabled by
-        # config flag; SECRET_KEY env default "mysecret" (auth.py:14)
-        self.jwt_enabled = jwt_enabled
+        # config flag; SECRET_KEY env default "mysecret" (auth.py:14).
+        # jwt_enabled alone reproduces the reference quirk
+        # (HTTPBearer(auto_error=False): a MISSING header passes);
+        # jwt_required=True is the opt-in strict mode that 401s missing
+        # or non-Bearer headers — use it for non-loopback binds, where
+        # the quirk means the JWT layer provides zero access control.
+        self.jwt_enabled = jwt_enabled or jwt_required
+        self.jwt_required = jwt_required
         self.secret_key = secret_key or os.environ.get("SECRET_KEY",
                                                        "mysecret")
+        # all per-request crawl output lives under ONE server-owned root
+        # (removed in stop()); synchronous /crawl dirs are pruned oldest-
+        # first past _keep_dirs, job dirs are removed with their task
+        # record at TTL cleanup — a long-lived server stays bounded.
+        self._tmp_root = tempfile.mkdtemp(prefix="c4r_srv_")
+        self._req_dirs: list[str] = []
+        self._keep_dirs = 32
         self.llm_client = llm_client
         # in-process job store — the Redis-hash analog of the reference's
         # job layer (deploy/docker/job.py + api.py:563-608): task_id →
@@ -138,6 +152,10 @@ class EngineHTTPServer:
                     return True
                 hdr = self.headers.get("Authorization", "")
                 if not hdr.startswith("Bearer "):
+                    if outer.jwt_required:   # strict opt-in: no header
+                        self._json(401, {"detail":
+                                         "Authorization required"})
+                        return False
                     return True
                 from .functions.authkit import AuthError, verify_token
 
@@ -259,8 +277,10 @@ class EngineHTTPServer:
         return {"url": url, "success": page["status"] == 200,
                 "html": preprocess_html_for_schema(page["html"])}
 
-    def _crawl_cfg(self, req: dict):
-        """Shared /crawl request validation → (CrawlConfig, urls)."""
+    def _crawl_cfg(self, req: dict, *, validate_only: bool = False):
+        """Shared /crawl request validation → (CrawlConfig, urls).
+        ``validate_only`` skips output-dir allocation (the /crawl/job
+        enqueue path validates twice; only the runner needs a dir)."""
         import tempfile
 
         from .pipelines.crawl import CrawlConfig
@@ -290,11 +310,26 @@ class EngineHTTPServer:
         ccfg.setdefault("max_depth", 1)
         ccfg.setdefault("n_seen_shards", 2)
         ccfg.setdefault("fetch_concurrency", 2)
-        srv_root = tempfile.mkdtemp(prefix="c4r_srv_")
-        ccfg["out_dir"] = srv_root
-        if ccfg.get("cache_mode", "bypass") != "bypass":
-            ccfg["cache_dir"] = srv_root + "/cache"
+        if validate_only:
+            ccfg["out_dir"] = self._tmp_root   # never written
+        else:
+            req_dir = tempfile.mkdtemp(prefix="req_", dir=self._tmp_root)
+            ccfg["out_dir"] = req_dir
+            self._track_dir(req_dir)
+            if ccfg.get("cache_mode", "bypass") != "bypass":
+                ccfg["cache_dir"] = req_dir + "/cache"
         return CrawlConfig(**ccfg), urls
+
+    def _track_dir(self, path: str) -> None:
+        """Bounded request-dir ledger: prune oldest past _keep_dirs."""
+        import shutil
+
+        with self._jobs_lock:
+            self._req_dirs.append(path)
+            stale = self._req_dirs[:-self._keep_dirs]
+            self._req_dirs = self._req_dirs[-self._keep_dirs:]
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
 
     def crawl(self, req: dict) -> dict:
         from .pipelines.crawl import CrawlEngine
@@ -372,7 +407,7 @@ class EngineHTTPServer:
         import datetime
         import uuid
 
-        self._crawl_cfg(req)  # validation only; the runner rebuilds
+        self._crawl_cfg(req, validate_only=True)  # runner allocates
         task_id = f"crawl_{uuid.uuid4().hex[:8]}"
         created = datetime.datetime.now().isoformat()
         with self._jobs_lock:
@@ -567,7 +602,10 @@ class EngineHTTPServer:
         return self
 
     def stop(self) -> None:
+        import shutil
+
         self._srv.shutdown()
         self._srv.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        shutil.rmtree(self._tmp_root, ignore_errors=True)

@@ -130,3 +130,25 @@ def test_client_authenticate_via_token_endpoint(server):
         assert c._token.count(".") == 2  # real JWT from /token
         # authenticated request round-trips
         assert c.md("http://h0000.test/", f="raw")["success"] is True
+
+
+def test_authenticate_invalid_email_reraises(server):
+    """ADVICE r4: a 400 from an implemented /token must re-raise, not
+    store a bogus locally-derived bearer that 401s everything later."""
+    with EngineClient(f"http://127.0.0.1:{server.port}",
+                      verbose=False) as c:
+        with pytest.raises(RequestError):
+            c.authenticate("not-an-email")
+        assert c._token is None
+
+
+def test_crawl_stream_sends_bearer(server):
+    """crawl_stream must attach the same Authorization header as
+    every other endpoint once authenticated."""
+    with EngineClient(f"http://127.0.0.1:{server.port}",
+                      verbose=False) as c:
+        c.authenticate("user@example.com")
+        assert c._token and c._token.count(".") == 2
+        pages = list(c.crawl_stream(["http://h0000.test/"],
+                                    {"max_depth": 0}))
+        assert pages and pages[0]["url"] == "http://h0000.test"

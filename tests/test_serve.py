@@ -275,3 +275,107 @@ def test_llm_qa_endpoint(server):
     assert isinstance(body["answer"], str) and body["answer"]
     code, body = _get(server, f"/llm/{url}")
     assert code == 400
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE hardening: strict JWT, AuthError totality, tempdir bounds
+# ---------------------------------------------------------------------------
+
+
+def test_jwt_required_strict_mode(ray_session):
+    from crawl4ai_ray.functions.authkit import create_access_token
+    from crawl4ai_ray.serve import EngineHTTPServer
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+    srv = EngineHTTPServer(site_cfg=SiteConfig(n_hosts=1).__dict__,
+                           jwt_required=True, secret_key="s3").start()
+    try:
+        url = "http://h0000.test/"
+        # strict mode: MISSING header 401s (unlike the reference quirk)
+        code, body = _post(srv, "/md", {"url": url, "f": "raw"})
+        assert code == 401
+        # non-Bearer scheme 401s too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/md",
+            data=json.dumps({"url": url, "f": "raw"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Basic dXNlcjpwdw=="},
+            method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("non-Bearer must 401 in strict mode")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # a valid token still passes
+        tok = create_access_token({"sub": "a@example.com"}, "s3")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/md",
+            data=json.dumps({"url": url, "f": "raw"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {tok}"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # /health stays open (liveness probes need no token)
+        code, _ = _get(srv, "/health")
+        assert code == 200
+    finally:
+        srv.stop()
+
+
+def test_verify_token_hostile_inputs_are_autherror(ray_session):
+    """AuthError totality: non-ASCII signature segments and signed
+    tokens with a garbage exp claim must 401, not crash the handler."""
+    import base64
+
+    from crawl4ai_ray.functions.authkit import (AuthError,
+                                                create_access_token,
+                                                verify_token)
+
+    for tok in ["a.b.ésig",                       # non-ASCII sig
+                "abé.b.c",                        # non-ASCII header
+                "a.b"]:                                # too few segments
+        with pytest.raises(AuthError):
+            verify_token(tok, "s3")
+    # validly signed token with non-numeric exp → AuthError, not ValueError
+    good = create_access_token({"sub": "x"}, "s3")
+    h, b, _ = good.split(".")
+    body = json.loads(base64.urlsafe_b64decode(b + "=" * (-len(b) % 4)))
+    body["exp"] = "soon"
+    b2 = base64.urlsafe_b64encode(
+        json.dumps(body, separators=(",", ":"),
+                   sort_keys=True).encode()).rstrip(b"=").decode()
+    import hashlib
+    import hmac as _hmac
+    sig = base64.urlsafe_b64encode(_hmac.new(
+        b"s3", f"{h}.{b2}".encode(),
+        hashlib.sha256).digest()).rstrip(b"=").decode()
+    with pytest.raises(AuthError):
+        verify_token(f"{h}.{b2}.{sig}", "s3")
+
+
+def test_server_tempdirs_bounded_and_cleaned(ray_session):
+    import os
+
+    from crawl4ai_ray.serve import EngineHTTPServer
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig
+
+    srv = EngineHTTPServer(site_cfg=SiteConfig(n_hosts=1).__dict__).start()
+    try:
+        root = srv._tmp_root
+        srv._keep_dirs = 2
+        for _ in range(4):
+            code, body = _post(srv, "/crawl",
+                               {"urls": ["http://h0000.test/"],
+                                "crawler_config": {"max_depth": 0}})
+            assert code == 200 and body["success"]
+        subdirs = [d for d in os.listdir(root) if d.startswith("req_")]
+        assert len(subdirs) <= 2          # oldest pruned
+        # /crawl/job enqueue validation allocates NO directory
+        before = set(os.listdir(root))
+        code, body = _post(srv, "/crawl/job",
+                           {"urls": ["bad"] * 200})   # fails validation
+        assert code == 422
+        assert set(os.listdir(root)) == before
+    finally:
+        srv.stop()
+    assert not os.path.exists(root)       # stop() removes the root
