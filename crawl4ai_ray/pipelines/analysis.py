@@ -664,20 +664,21 @@ def nation_region_join(sf_dir: str):
     import ray
 
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    ref = ray.put(_sorted_probe_arrays(region["r_regionkey"].to_numpy(),
+                                       region["r_name"].to_numpy()))
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
 
     def join(batch: pa.Table, ref=ref) -> pa.Table:
         import ray as _ray
 
-        names = _ray.get(ref)
-        keys = batch.column("n_regionkey").to_pylist()
+        skeys, svals = _ray.get(ref)
+        names = _probe_sorted(skeys, svals,
+                              batch.column("n_regionkey").to_numpy(), "")
         return pa.table(
             {
                 "n_nationkey": batch.column("n_nationkey"),
                 "n_name": batch.column("n_name"),
-                "r_name": pa.array([names.get(k, "") for k in keys],
-                                   type=pa.string()),
+                "r_name": pa.array(names, type=pa.string()),
             }
         )
 
