@@ -233,6 +233,245 @@ class FixtureRenderer(Renderer):
         )
 
 
+try:  # real browser path — activates iff the package is installed
+    from playwright.sync_api import sync_playwright  # noqa: F401
+
+    PLAYWRIGHT_AVAILABLE = True
+except ImportError:  # pragma: no cover - sandbox has no playwright
+    PLAYWRIGHT_AVAILABLE = False
+
+
+def default_renderer_cls():
+    """The model_loader activation pattern for S7: a real browser when
+    ``playwright`` imports, the DOM-snapshot fixture otherwise. Engine
+    call sites that don't pin a renderer use this."""
+    return PlaywrightRenderer if PLAYWRIGHT_AVAILABLE else FixtureRenderer
+
+
+class PlaywrightRenderer(Renderer):
+    """Real-browser renderer satisfying the S7 ``Renderer`` contract via
+    Playwright's sync API (one browser per Ray actor — the actor IS the
+    event loop, so the async plumbing of the reference adds nothing).
+
+    Behavioral port of the reference's Playwright strategy
+    (async_crawler_strategy.py:45-2134), laws kept:
+
+    - smart_wait dispatch (async_crawler_strategy.py:231-293) through the
+      shared ``classify_wait_for``: ``js:`` → wait_for_function, ``css:``
+      → wait_for_selector (Timeout → TimeoutError, other errors →
+      ValueError), auto → selector first with a ``() => {...}`` JS-wrap
+      fallback on non-timeout errors;
+    - per-script js result law (async_crawler_strategy.py:1863-1875):
+      each script appends its evaluate() result or ``{"success": True}``
+      when it returns nothing, failures append ``{"success": False,
+      "error": ...}``, the envelope is ``{"success": True, "results":
+      [...]}``;
+    - session reuse (async_crawler_strategy.py:418-427,1050-1053):
+      ``cfg.session_id`` pins a page that survives across render() calls
+      (``js_only=True`` skips navigation and operates on it);
+      ``kill_session`` closes it;
+    - screenshot → base64 str, pdf → bytes, mhtml via the CDP
+      ``Page.captureSnapshot`` call (chromium), console/network capture
+      behind their flags — the AsyncCrawlResponse field contract.
+
+    Construction succeeds only when ``playwright`` is importable; the
+    class raises ImportError otherwise so a misconfigured pool fails at
+    actor __init__, not mid-crawl.
+    """
+
+    def __init__(self, browser_type: str = "chromium",
+                 headless: bool = True, user_agent: str | None = None,
+                 viewport: tuple[int, int] = (1280, 720),
+                 java_script_enabled: bool = True,
+                 launch_args: list[str] | None = None):
+        if not PLAYWRIGHT_AVAILABLE:
+            raise ImportError(
+                "PlaywrightRenderer requires the 'playwright' package "
+                "(pip install playwright && playwright install "
+                f"{browser_type})")
+        self.browser_type = browser_type
+        self.headless = headless
+        self.user_agent = user_agent
+        self.viewport = viewport
+        self.java_script_enabled = java_script_enabled
+        self.launch_args = launch_args or []
+        self._pw = None
+        self._browser = None
+        self._ctx = None
+        self._sessions: dict[str, Any] = {}
+
+    def start(self) -> None:
+        from playwright.sync_api import sync_playwright
+
+        self._pw = sync_playwright().start()
+        self._browser = getattr(self._pw, self.browser_type).launch(
+            headless=self.headless, args=self.launch_args)
+        ctx_kwargs: dict[str, Any] = {
+            "viewport": {"width": self.viewport[0],
+                         "height": self.viewport[1]},
+            "java_script_enabled": self.java_script_enabled,
+        }
+        if self.user_agent:
+            ctx_kwargs["user_agent"] = self.user_agent
+        self._ctx = self._browser.new_context(**ctx_kwargs)
+
+    def close(self) -> None:
+        for sid in list(self._sessions):
+            self.kill_session(sid)
+        for obj, meth in ((self._ctx, "close"), (self._browser, "close"),
+                          (self._pw, "stop")):
+            try:
+                if obj is not None:
+                    getattr(obj, meth)()
+            except Exception:
+                pass
+        self._pw = self._browser = self._ctx = None
+
+    def kill_session(self, session_id: str) -> None:
+        page = self._sessions.pop(session_id, None)
+        if page is not None:
+            try:
+                page.close()
+            except Exception:
+                pass
+
+    # -- law implementations ---------------------------------------------
+
+    def _smart_wait(self, page, wait_for: str, timeout: float) -> None:
+        kind, expr = classify_wait_for(wait_for)
+        if kind == "js":
+            page.wait_for_function(expr, timeout=timeout)
+            return
+        if kind == "css":
+            try:
+                page.wait_for_selector(expr, timeout=timeout)
+            except Exception as e:
+                if "Timeout" in str(e):
+                    raise TimeoutError(
+                        f"Timeout after {timeout}ms waiting for "
+                        f"selector '{expr}'") from None
+                raise ValueError(
+                    f"Invalid CSS selector: '{expr}'") from None
+            return
+        # auto: CSS first, JS-wrap fallback on non-timeout errors
+        try:
+            page.wait_for_selector(expr, timeout=timeout)
+        except Exception as e:
+            if "Timeout" in str(e):
+                raise TimeoutError(
+                    f"Timeout after {timeout}ms waiting for "
+                    f"selector '{expr}'") from None
+            try:
+                page.wait_for_function(f"() => {{{expr}}}",
+                                       timeout=timeout)
+            except Exception:
+                raise ValueError(
+                    f"Invalid wait_for parameter: '{expr}'. It should "
+                    "be either a valid CSS selector, a JavaScript "
+                    "function, or explicitly prefixed with 'js:' or "
+                    "'css:'.") from None
+
+    def _execute_js(self, page, js_code) -> dict:
+        scripts = [js_code] if isinstance(js_code, str) else list(js_code)
+        results = []
+        for script in scripts:
+            try:
+                result = page.evaluate(script)
+                try:
+                    page.wait_for_load_state("domcontentloaded",
+                                             timeout=5000)
+                except Exception:
+                    pass  # reference logs and continues (":1843")
+                results.append(result if result else {"success": True})
+            except Exception as e:
+                results.append({"success": False, "error": str(e)})
+        return {"success": True, "results": results}
+
+    def render(self, url: str, cfg: RenderConfig) -> RenderResult:
+        if self._ctx is None:
+            raise RuntimeError("Renderer.render before start() — the "
+                               "actor must launch the browser in __init__")
+        sid = cfg.session_id
+        page = self._sessions.get(sid) if sid else None
+        owns_page = page is None
+        if page is None:
+            page = self._ctx.new_page()
+            if sid:
+                self._sessions[sid] = page
+                owns_page = False
+
+        console: list[dict] | None = \
+            [] if cfg.capture_console_messages else None
+        network: list[dict] | None = \
+            [] if cfg.capture_network_requests else None
+        if console is not None:
+            page.on("console", lambda m: console.append(
+                {"type": m.type, "text": m.text}))
+        if network is not None:
+            page.on("request", lambda r: network.append(
+                {"url": r.url, "method": r.method,
+                 "resource_type": r.resource_type}))
+
+        try:
+            status, headers = 200, {}
+            if not cfg.js_only:
+                resp = page.goto(url, timeout=cfg.page_timeout,
+                                 wait_until="domcontentloaded")
+                if resp is not None:
+                    status, headers = resp.status, dict(resp.headers)
+
+            js_result = None
+            if cfg.js_code is not None:
+                js_result = self._execute_js(page, cfg.js_code)
+            if cfg.wait_for:
+                self._smart_wait(page, cfg.wait_for,
+                                 cfg.wait_for_timeout)
+
+            shot = None
+            if cfg.screenshot:
+                if cfg.screenshot_wait_for:
+                    time.sleep(cfg.screenshot_wait_for)
+                shot = base64.b64encode(
+                    page.screenshot(full_page=True)).decode()
+            pdf = None
+            if cfg.pdf:
+                try:
+                    pdf = page.pdf()   # chromium-only in playwright
+                except Exception:
+                    pdf = None
+            mhtml = None
+            if cfg.capture_mhtml:
+                try:
+                    cdp = self._ctx.new_cdp_session(page)
+                    mhtml = cdp.send("Page.captureSnapshot",
+                                     {"format": "mhtml"})["data"]
+                    cdp.detach()
+                except Exception:
+                    mhtml = None
+
+            final_url = page.url
+            return RenderResult(
+                html=page.content(),
+                response_headers=headers,
+                js_execution_result=js_result,
+                status_code=status,
+                screenshot=shot,
+                pdf_data=pdf,
+                mhtml_data=mhtml,
+                redirected_url=(final_url
+                                if final_url and final_url != url
+                                else None),
+                network_requests=network,
+                console_messages=console,
+            )
+        finally:
+            if owns_page:
+                try:
+                    page.close()
+                except Exception:
+                    pass
+
+
 class RenderStage:
     """Actor-pool render stage: ``map_batches(RenderStage,
     fn_constructor_kwargs=..., concurrency=(1, N), num_cpus=c)``.

@@ -166,3 +166,118 @@ def test_crawl_rendered_query_deterministic():
     ok = a[a["status"] == 200]
     assert (ok["screenshot_bytes"] > 0).all()
     assert (ok["n_js_results"] == 2).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5: real-browser adapter (PlaywrightRenderer) behind the contract
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from crawl4ai_ray.stages.render import (  # noqa: E402
+    PLAYWRIGHT_AVAILABLE,
+    PlaywrightRenderer,
+    default_renderer_cls,
+)
+
+_needs_pw = pytest.mark.skipif(not PLAYWRIGHT_AVAILABLE,
+                               reason="playwright not installed")
+
+
+def test_default_renderer_selection_law():
+    # model_loader activation pattern: real browser iff importable
+    expected = PlaywrightRenderer if PLAYWRIGHT_AVAILABLE \
+        else FixtureRenderer
+    assert default_renderer_cls() is expected
+
+
+def test_playwright_renderer_import_guard():
+    if PLAYWRIGHT_AVAILABLE:
+        pytest.skip("playwright installed — guard not reachable")
+    with pytest.raises(ImportError):
+        PlaywrightRenderer()
+
+
+def test_playwright_renderer_satisfies_contract_statically():
+    # the adapter must be a Renderer with the exact plug-point surface
+    # the engine calls — verified without a browser
+    assert issubclass(PlaywrightRenderer, Renderer)
+    import inspect
+
+    render_params = list(inspect.signature(
+        PlaywrightRenderer.render).parameters)
+    assert render_params == ["self", "url", "cfg"]
+    for meth in ("start", "close", "kill_session"):
+        assert callable(getattr(PlaywrightRenderer, meth))
+
+
+def _contract_suite(renderer):
+    """Behavioral contract both renderers must satisfy — runs against
+    FixtureRenderer always and PlaywrightRenderer when installed."""
+    renderer.start()
+    try:
+        cfg = RenderConfig(js_code=["1 + 1"],
+                           wait_for="css:body",
+                           screenshot=True,
+                           capture_console_messages=True)
+        res = renderer.render("http://h0000.test/", cfg)
+        assert isinstance(res, RenderResult)
+        assert res.html and isinstance(res.html, str)
+        assert isinstance(res.status_code, int)
+        assert res.js_execution_result["success"] is True
+        assert len(res.js_execution_result["results"]) == 1
+        if res.screenshot is not None:
+            base64.b64decode(res.screenshot)   # valid base64
+    finally:
+        renderer.close()
+
+
+def test_contract_fixture_renderer():
+    _contract_suite(FixtureRenderer({"n_hosts": 1}))
+
+
+@_needs_pw
+def test_contract_playwright_renderer():
+    # no synthetic-web DNS for a real browser: serve one page locally
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"<html><body><h1>pw</h1></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    r = PlaywrightRenderer()
+    r.start()
+    try:
+        cfg = RenderConfig(js_code=["1 + 1"], wait_for="css:h1",
+                           screenshot=True,
+                           capture_console_messages=True)
+        res = r.render(f"http://127.0.0.1:{srv.server_address[1]}/", cfg)
+        assert res.status_code == 200
+        assert "pw" in res.html
+        assert res.js_execution_result["results"][0] == 2
+        assert base64.b64decode(res.screenshot)[:8] == \
+            b"\x89PNG\r\n\x1a\n"
+        # session reuse: a pinned page survives across render() calls
+        cfg2 = RenderConfig(session_id="s1",
+                            js_code=["window.__x = 41; 0"])
+        r.render(f"http://127.0.0.1:{srv.server_address[1]}/", cfg2)
+        cfg3 = RenderConfig(session_id="s1", js_only=True,
+                            js_code=["window.__x + 1"])
+        res3 = r.render(f"http://127.0.0.1:{srv.server_address[1]}/",
+                        cfg3)
+        assert res3.js_execution_result["results"][0] == 42
+        r.kill_session("s1")
+    finally:
+        r.close()
+        srv.shutdown()
