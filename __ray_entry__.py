@@ -435,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the frame-window moving average
         "q10_returned_items": analysis.q10_returned_items,
         "events_user_moving_avg": analysis.events_user_moving_avg,
+        # RANGE-frame window (INTERVAL 7 DAY PRECEDING), oracle-gated
+        "events_range_window": analysis.events_range_window,
+        # FIRST_VALUE/LAST_VALUE over the full partition, oracle-gated
+        "events_first_last": analysis.events_first_last,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -577,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
         ).ngram_dup_stats(sf),
+        # ExactSubstr dedup (Lee et al. 2022 §4.1): per-doc merged cut
+        # spans of corpus-duplicated 8-token windows, DuckDB-oracle-gated
+        "doc_substr_dedup": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["substr_dedup"],
+        ).substr_dedup(sf),
         # sequence packing (distributed prefix scan), oracle-gated
         "doc_pack_sequences": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
@@ -1112,6 +1121,48 @@ def oracle_sql() -> dict[str, str]:
             FROM percnt p JOIN nd USING (g)
             GROUP BY p.doc_id
         """,
+        # ExactSubstr cut spans: corpus-frequency >= 2 token 8-windows,
+        # merged per doc via gaps-and-islands (1-based SQL positions
+        # converted to the engine's 0-based token indices)
+        "doc_substr_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS pos, w
+                FROM toks
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[pos:pos+7], ' ') AS gram
+                FROM win
+            ),
+            cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+            dup AS (
+                SELECT doc_id, pos FROM g JOIN cnt USING (gram)
+                WHERE c >= 2
+            ),
+            brk AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 8
+                            THEN 0 ELSE 1 END AS b
+                FROM dup
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(b) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS grp
+                FROM brk
+            )
+            SELECT doc_id,
+                   CAST(min(pos) - 1 AS BIGINT) AS cut_start,
+                   CAST(max(pos) + 8 - 1 AS BIGINT) AS cut_end,
+                   CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+            FROM isl GROUP BY doc_id, grp
+        """,
         "orders_bloom_semijoin": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1191,6 +1242,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
                        AS mavg
             FROM events
+        """,
+        # RANGE frame is value-based: equal-ts peers share one frame
+        "events_range_window": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS rcnt,
+                   ROUND(SUM(value) OVER w, 2) AS rsum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # frame pinned to the full partition (the default-frame
+        # LAST_VALUE trap is sidestepped in both engines)
+        "events_first_last": """
+            SELECT event_id, user_id,
+                   first_value(value) OVER w AS first_val,
+                   last_value(value) OVER w AS last_val,
+                   ROUND(value - first_value(value) OVER w, 2) AS drift
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
         """,
         # exclusive prefix sum over doc_id order; bins of 2048 tokens;
         # empty docs collapse to their start bin

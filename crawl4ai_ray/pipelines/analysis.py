@@ -2185,6 +2185,61 @@ def events_user_moving_avg(sf_dir: str, window: int = 3):
     return ds.groupby("user_id").map_groups(mavg, batch_format="pandas")
 
 
+def events_range_window(sf_dir: str, days: int = 7):
+    """RANGE-frame window — SUM(value) / COUNT(*) OVER (PARTITION BY
+    user_id ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND
+    CURRENT ROW): the value-based frame shape (events_user_moving_avg
+    covers ROWS frames). The frame is defined on the ORDER key's VALUE,
+    so peers (equal ts) all share one frame — computed with two
+    searchsorted passes over the sorted group, no per-row loop.
+
+    Scale shape: one bounded groupby(user_id).map_groups like every
+    window query here; prefix sums + vectorized frame bounds. DuckDB-
+    oracle-gated (sums of 2-dp values round exactly at 2 dp)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    span_ns = np.int64(days) * 86_400_000_000_000
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        lo = np.searchsorted(t, t - span_ns, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        prefix = np.concatenate(([0.0], np.cumsum(v)))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "rcnt": (hi - lo).astype(np.int64),
+            "rsum": _round2_duck(prefix[hi] - prefix[lo]),
+        })
+
+    return ds.groupby("user_id").map_groups(frame, batch_format="pandas")
+
+
+def events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition — per user
+    ordered by (ts, event_id) with an UNBOUNDED PRECEDING..UNBOUNDED
+    FOLLOWING frame (the default-frame LAST_VALUE trap is sidestepped by
+    pinning the frame explicitly in both engines). ``drift`` = value -
+    first_value, the session-drift shape.
+
+    Same bounded-group map_groups scale shape as events_lag_gap."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "first_val": np.full(len(v), v[0]),
+            "last_val": np.full(len(v), v[-1]),
+            "drift": _round2_duck(v - v[0]),
+        })
+
+    return ds.groupby("user_id").map_groups(fl, batch_format="pandas")
+
+
 def _pnum_prepare(ds, sort_cols: list, descending: list,
                   part_col: str, unique_col: str):
     """Distributed partitioned-ROW_NUMBER machinery (shared by

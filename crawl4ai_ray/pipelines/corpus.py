@@ -299,6 +299,95 @@ def ngram_dup_stats(sf_dir: str, n: int = 5):
                            alias_name="n_dup_distinct")))
 
 
+def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
+                 key: str = "string"):
+    """ExactSubstr deduplication (Lee et al. 2022 §4.1): find the exact
+    token substrings of ``length`` tokens that occur at least
+    ``min_count`` times in the WHOLE corpus (including repeats inside
+    one document, per the paper), and emit per-document CUT SPANS — the
+    maximal merged [cut_start, cut_end) token intervals covered by
+    duplicated windows, i.e. the ranges the paper's pipeline would
+    remove before training. Complements ngram_dup_stats (counts only)
+    with the actionable span output.
+
+    Output: one row per (doc, span): doc_id, cut_start, cut_end
+    (0-based token indices, end exclusive), n_tokens = span width.
+
+    Distributed shape: the explode emits one row per window position
+    (doc_id, pos, window-key); corpus frequency is a plain groupby-count
+    over the window key; an inner join against the ``>= min_count``
+    keys keeps only duplicated positions (typically a small fraction);
+    interval merging is a bounded ``map_groups`` per document (group
+    size <= the doc's token count). Nothing is driver-resident.
+
+    ``key="string"`` shuffles the L-token window text itself — exact,
+    and the DuckDB-oracle form. ``key="hash"`` shuffles an 8-byte
+    hash of the window instead — the 100 TB path (the shuffle carries
+    ~8 bytes/window instead of ~6L; collision probability is bounded by
+    n²/2⁶⁴ ≈ 5e-8 at a billion windows; the paper's exact alternative
+    is a distributed suffix array, which buys nothing at this window
+    length). Both paths produce identical spans on any collision-free
+    corpus and are tested equal.
+    """
+    from ..functions.urlkit import hash64
+    from .dedup import _join_parts
+
+    if key not in ("string", "hash"):
+        raise ValueError(f"key must be 'string' or 'hash', got {key!r}")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, poss, keys = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            w = _tokens(text)
+            for i in range(len(w) - length + 1):
+                docs.append(doc_id)
+                poss.append(i)
+                keys.append(" ".join(w[i:i + length]))
+        if key == "hash":
+            karr = pa.array([hash64(g) for g in keys], type=pa.uint64())
+        else:
+            karr = pa.array(keys, type=pa.string())
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "pos": pa.array(poss, type=pa.int64()),
+            "g": karr,
+        })
+
+    pos_tbl = ds.map_batches(explode, batch_format="pyarrow",
+                             batch_size=4096)
+    cnt = pos_tbl.groupby("g").aggregate(Count(alias_name="c"))
+
+    def keep_dup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("c"), min_count))
+
+    dup_keys = cnt.map_batches(keep_dup, batch_format="pyarrow")
+    joined = pos_tbl.join(dup_keys, join_type="inner", on=("g",),
+                          num_partitions=_join_parts(pos_tbl, dup_keys))
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy())
+        brk = np.where(np.diff(p) > length)[0]
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(p) - 1]))
+        cut_start = p[starts]
+        cut_end = p[ends] + length
+        return pd.DataFrame({
+            "doc_id": np.full(len(starts), int(g["doc_id"].iloc[0]),
+                              dtype=np.int64),
+            "cut_start": cut_start.astype(np.int64),
+            "cut_end": cut_end.astype(np.int64),
+            "n_tokens": (cut_end - cut_start).astype(np.int64),
+        })
+
+    return joined.groupby("doc_id").map_groups(merge_spans,
+                                               batch_format="pandas")
+
+
 def weighted_sample(sf_dir: str, k: int = 50):
     """Deterministic weighted sampling without replacement
     (Efraimidis & Spirakis, IPL 2006): rank every document by

@@ -145,3 +145,64 @@ def test_pack_sequences_scan_laws():
     # requires (ceil(n/C)+1 upper bound for arbitrary alignment)
     spans = df["last_bin"] - df["first_bin"] + 1
     assert (spans <= (df["n_tokens"] // 2048) + 2).all()
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_substr_dedup_spans_merge_and_within_doc_repeats(tmp_path):
+    """ExactSubstr laws on crafted docs: (a) a shared run longer than L
+    merges into ONE maximal span; (b) a substring repeated twice INSIDE
+    one doc counts toward corpus frequency (Lee et al. count total
+    occurrences, not distinct docs); (c) unique text emits nothing."""
+    shared = " ".join(f"s{i}" for i in range(12))       # 12-token run
+    texts = [
+        f"{shared} unique tail one two three four five six",
+        f"lead in words here {shared} trailing bits",
+        # within-doc repeat of an 8-token run, absent elsewhere
+        " ".join(f"r{i}" for i in range(8)) + " gap "
+        + " ".join(f"r{i}" for i in range(8)),
+        "totally unique text with no duplicated windows at all ok",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    df = _pd(corpus.substr_dedup(sf, length=8)).sort_values(
+        ["doc_id", "cut_start"]).reset_index(drop=True)
+    # doc 0: shared run at tokens [0, 12) -> one merged span
+    d0 = df[df.doc_id == 0]
+    assert len(d0) == 1
+    assert (int(d0.cut_start.iloc[0]), int(d0.cut_end.iloc[0])) == (0, 12)
+    # doc 1: shared run starts at token 4
+    d1 = df[df.doc_id == 1]
+    assert len(d1) == 1
+    assert (int(d1.cut_start.iloc[0]), int(d1.cut_end.iloc[0])) == (4, 16)
+    # doc 2: both within-doc occurrences cut as SEPARATE spans — the
+    # duplicated windows are at pos 0 and 9 (9 - 0 > L), and the "gap"
+    # token between them survives
+    d2 = df[df.doc_id == 2].reset_index(drop=True)
+    assert len(d2) == 2
+    assert [(int(r.cut_start), int(r.cut_end))
+            for r in d2.itertuples()] == [(0, 8), (9, 17)]
+    # doc 3: nothing
+    assert (df.doc_id == 3).sum() == 0
+    assert (df.n_tokens == df.cut_end - df.cut_start).all()
+
+
+def test_substr_dedup_hash_key_path_equal():
+    """The 8-byte-key scale path produces the same spans as the exact
+    string-keyed form on the test corpus."""
+    a = _pd(corpus.substr_dedup(SF, length=8)).sort_values(
+        ["doc_id", "cut_start"]).reset_index(drop=True)
+    b = _pd(corpus.substr_dedup(SF, length=8, key="hash")).sort_values(
+        ["doc_id", "cut_start"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.n_tokens >= 8).all()
