@@ -590,6 +590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
         ).pack_sequences(sf),
+        # same packing scan counting BPE-style pre-tokens (pluggable
+        # tokenizer contract, functions/tokenizers.py), oracle-gated
+        "doc_bpe_pack_sequences": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
+        ).pack_sequences(sf, tokenizer="bpeish"),
         # deterministic training-shard assignment (seeded hash shuffle +
         # exact in-shard positions via the row-number prefix scan)
         "doc_shuffle_shards": lambda sf: __import__(
@@ -1273,6 +1278,31 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(list_filter(
                            string_split_regex(trim(lower(text)), '\s+'),
                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
+                        AS BIGINT) AS first_bin,
+                   CAST(greatest(
+                        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - 1,
+                        sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 2048 AS BIGINT) AS last_bin
+            FROM c
+        """,
+        # packing scan counting RE2-compatible BPE-style pre-tokens
+        # (the same pattern compiled by functions/tokenizers.py)
+        "doc_bpe_pack_sequences": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '''(?:ll|ve|re|[sdmt])| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+'))
+                            AS BIGINT) AS n_tokens
                 FROM documents
             )
             SELECT doc_id, n_tokens,

@@ -453,7 +453,8 @@ def weighted_sample(sf_dir: str, k: int = 50):
                         batch_format="pandas"))
 
 
-def pack_sequences(sf_dir: str, capacity: int = 2048):
+def pack_sequences(sf_dir: str, capacity: int = 2048,
+                   tokenizer: str = "whitespace"):
     """Sequence packing for training — concatenate documents in doc_id
     order into fixed-capacity token bins (the standard pre-training
     batching transform) and emit each document's placement:
@@ -471,11 +472,21 @@ def pack_sequences(sf_dir: str, capacity: int = 2048):
     are indexed by the stable doc_id order (sort key = the block's min
     doc_id), so the result is independent of read parallelism.
     Integer-exact; DuckDB-oracle-gated against a window SUM.
+
+    ``tokenizer`` selects the counting contract ('whitespace' default,
+    'bpeish' for the RE2-compatible BPE-style pre-tokenizer — also
+    SQL-oracle-checkable — or a HuggingFace model name when
+    transformers is installed). The tokenizer loads once per worker
+    process (functions/tokenizers.load_tokenizer is process-cached),
+    never per batch.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def counts(batch: pa.Table) -> pa.Table:
-        toks = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+    def counts(batch: pa.Table, spec=tokenizer) -> pa.Table:
+        from ..functions.tokenizers import load_tokenizer
+
+        tok = load_tokenizer(spec)
+        toks = [tok.count(t) for t in batch.column("text").to_pylist()]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(toks, pa.int64()),
