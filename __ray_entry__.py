@@ -26,6 +26,42 @@ from typing import Any
 # ---------------------------------------------------------------------------
 
 
+def _oracle_dump(name: str, table) -> str:
+    """Self-dump gate plumbing for queries whose INPUT is engine-derived
+    (crawl output, seeder fixtures) rather than the sf tables: the query
+    writes its raw pre-aggregation rows to a fixed parquet path, and its
+    oracle_sql() re-derives the aggregate from that dump with
+    ``read_parquet`` — hard-gating the distributed aggregation machinery
+    (rows + schema + value hash) instead of a rows-only check. The dump
+    happens inside the query callable, which both the driver and
+    tests/test_entry_oracle.py always run BEFORE the oracle SQL."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join("/tmp/c4r_oracle", name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "raw.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def _oracle_copy(name: str, src_dir: str) -> str:
+    """Same gate plumbing as _oracle_dump for inputs that ALREADY live
+    as parquet on disk (the crawl's documents dir): copy the files to
+    the fixed oracle path — no re-execution, byte-identical input for
+    the SQL side."""
+    import os
+    import shutil
+
+    root = os.path.join("/tmp/c4r_oracle", name)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(src_dir, root)
+    return root
+
+
 def _crawl(strategy: str = "bfs", n_hosts: int = 6, max_depth: int = 3,
            frontier_mode: str = "driver"):
     import tempfile
@@ -114,14 +150,28 @@ def _crawl_adaptive(sf_dir: str):
 
 
 def _seed_sitemaps(sf_dir: str):
-    """Sitemap seeder over the synthetic web (S2 operator)."""
-    from crawl4ai_ray.sources.seeder import seed_from_sitemaps
+    """Sitemap seeder over the synthetic web (S2 operator). SQL-oracled
+    via the self-dump gate: the raw pre-dedup (domain, url) rows are
+    dumped to the fixed oracle path and DuckDB re-derives the
+    one-row-per-url dedup (min-domain groupby)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.sources.seeder import SitemapSeeder, _dedupe_urls
     from crawl4ai_ray.sources.synthetic_web import SiteConfig
 
     cfg = SiteConfig(n_hosts=6)
-    return seed_from_sitemaps(
-        [cfg.host(k) for k in range(cfg.n_hosts)], cfg.__dict__
-    )
+    ds = rd.from_items([{"domain": cfg.host(k)}
+                        for k in range(cfg.n_hosts)])
+    raw = ds.map_batches(
+        SitemapSeeder,
+        fn_constructor_kwargs={"site_cfg": cfg.__dict__, "pattern": "*"},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).materialize()
+    _oracle_dump("seed_sitemaps",
+                 pa.Table.from_pandas(raw.to_pandas(),
+                                      preserve_index=False))
+    return _dedupe_urls(raw)
 
 
 def _crawl_adaptive_embedding(sf_dir: str):
@@ -324,11 +374,14 @@ def _media_frames(sf_dir: str):
 
 def _crawl_span_kinds(sf_dir: str):
     """Span-kind histogram of the flagship crawl output (exercises the
-    interleaved-span payload end to end)."""
+    interleaved-span payload end to end). SQL-oracled via the self-dump
+    gate: the crawl's documents parquet is copied to the fixed oracle
+    path and DuckDB re-derives the histogram with unnest + groupby."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
     res = _crawl("bfs")
+    _oracle_copy("crawl_span_kinds", res.docs_dir)
     docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
 
     def explode(batch):
@@ -354,6 +407,7 @@ def _crawl_host_stats(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     res = _crawl("bfs")
+    _oracle_copy("crawl_host_stats", res.docs_dir)
     docs = rd.read_parquet(res.docs_dir,
                            columns=["url", "depth", "success", "spans"])
 
@@ -369,13 +423,23 @@ def _crawl_host_stats(sf_dir: str):
             "n_spans": pa.array(n_spans, pa.int64()),
         })
 
-    return (docs.map_batches(prep, batch_format="pyarrow")
-            .groupby("host")
-            .aggregate(Count(alias_name="pages"),
-                       Sum("ok", alias_name="n_ok"),
-                       Min("depth", alias_name="min_depth"),
-                       Max("depth", alias_name="max_depth"),
-                       Sum("n_spans", alias_name="n_spans")))
+    agg = (docs.map_batches(prep, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Count(alias_name="pages"),
+                      Sum("ok", alias_name="n_ok"),
+                      Min("depth", alias_name="min_depth"),
+                      Max("depth", alias_name="max_depth"),
+                      Sum("n_spans", alias_name="n_spans")))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # int64 across the board so the DuckDB oracle types line up
+        for col in ("min_depth", "max_depth"):
+            i = batch.column_names.index(col)
+            batch = batch.set_column(i, col,
+                                     batch.column(col).cast(pa.int64()))
+        return batch
+
+    return agg.map_batches(widen, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1411,5 +1475,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_type AS t, AVG(p_retailprice) AS avg_price
                   FROM part GROUP BY p_type) ON p_type = t
             WHERE p_retailprice > avg_price
+        """,
+        # --- self-dump gates: the query callable dumps its raw
+        # engine-derived input rows to /tmp/c4r_oracle/<name> (see
+        # _oracle_dump/_oracle_copy) and the SQL re-derives the final
+        # aggregate from that dump, hard-gating the distributed
+        # aggregation machinery. The harness always runs the query
+        # before the oracle (tests/test_entry_oracle.py does the same).
+        "seed_sitemaps": """
+            SELECT min(domain) AS domain, url
+            FROM read_parquet('/tmp/c4r_oracle/seed_sitemaps/raw.parquet')
+            GROUP BY url
+        """,
+        "crawl_span_kinds": """
+            SELECT s.kind AS kind, count(*) AS n_spans
+            FROM (SELECT unnest(spans) AS s FROM read_parquet(
+                  '/tmp/c4r_oracle/crawl_span_kinds/**/*.parquet'))
+            GROUP BY s.kind
+        """,
+        "crawl_host_stats": """
+            SELECT split_part(url, '/', 3) AS host,
+                   count(*) AS pages,
+                   CAST(sum(CASE WHEN success THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(min(depth) AS BIGINT) AS min_depth,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(sum(len(spans)) AS BIGINT) AS n_spans
+            FROM read_parquet(
+                 '/tmp/c4r_oracle/crawl_host_stats/**/*.parquet')
+            GROUP BY 1
         """,
     }
