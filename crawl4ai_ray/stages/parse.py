@@ -28,7 +28,9 @@ per-document string work; everything around it (column assembly) is Arrow.
 from __future__ import annotations
 
 import json
+import os
 import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
@@ -489,9 +491,213 @@ class SpanHTMLParser(HTMLParser):
         }
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer
+# ---------------------------------------------------------------------------
+# The stdlib HTMLParser spends ~60% of parse wall-time in its incremental
+# goahead/parse_starttag machinery (profiled: goahead + parse_starttag +
+# parse_endtag + their regexes = 0.32s of a 0.52s corpus pass) — overhead a
+# single-shot document parse doesn't need. `_fast_feed` drives the SAME
+# handler methods on SpanHTMLParser from a lean scan loop:
+#   - a one-regex "simple tag" path for the dominant shape
+#     (<name a="v" b>), one regex match + one attr finditer per tag
+#   - a tolerant path that mirrors stdlib parse_starttag semantics
+#     (attrfind_tolerant char classes, '=+' values, stray-'/' skipping,
+#     '/>' detection AFTER attr consumption — so '<img src=a.png/>'
+#     stays a plain starttag with value 'a.png/', like stdlib)
+#   - script/style CDATA content found via a case-insensitive '</tag'
+#     search (stdlib set_cdata_mode law)
+#   - comments / doctype / PIs skipped at stdlib event granularity
+# Anything outside the mirrored subset raises _FastBail and parse_html
+# re-parses the WHOLE document on a fresh stdlib-driven parser, so the
+# fast path can never change output — only speed. Differential equality
+# against the stdlib path is test-gated (tests/test_parse.py).
+
+_FAST_ENABLED = os.environ.get("C4R_PARSE_FAST", "1") != "0"
+
+
+class _FastBail(Exception):
+    """Document uses a construct outside the fast subset — reparse."""
+
+
+# simple path: quoted values without & (no unescape) / bare attrs
+_SIMPLE_TAG_RE = re.compile(
+    r'([a-zA-Z][a-zA-Z0-9-]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:="[^"&]*")?)*)'
+    r'\s*(/?)>')
+_SIMPLE_ATTR_RE = re.compile(
+    r'\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:="([^"&]*)")?')
+_SIMPLE_END_RE = re.compile(r'([a-zA-Z][a-zA-Z0-9-]*)\s*>')
+
+# tolerant path: stdlib html.parser tagfind_tolerant / attrfind_tolerant
+# char classes, applied to s[lt+1 : gt+1] (the '>' is kept in the slice so
+# the /(?!>) stray-slash lookahead sees it, exactly like stdlib).
+_TAGFIND_RE = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+_ATTRFIND_RE = re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)'
+    r'(\s*=+\s*(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?'
+    r'(?:\s|/(?!>))*')
+_ENDTAG_INNER_RE = re.compile(r'\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*')
+_CDATA_CLOSE = {
+    "script": re.compile(r'</\s*script', re.I),
+    "style": re.compile(r'</\s*style', re.I),
+}
+_CDATA_END_RE = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+
+
+def _fast_tolerant_tag(p: SpanHTMLParser, s: str, lt: int) -> int:
+    """Start tag outside the simple shape: mirror stdlib parse_starttag.
+    Returns the scan position after '>'."""
+    # locate '>' skipping quoted attribute values
+    k, n = lt + 1, len(s)
+    gt = -1
+    while k < n:
+        c = s[k]
+        if c == ">":
+            gt = k
+            break
+        if c == '"' or c == "'":
+            k = s.find(c, k + 1)
+            if k < 0:
+                raise _FastBail
+        k += 1
+    if gt < 0:
+        raise _FastBail
+    tseg = s[lt + 1:gt + 1]          # keep '>' for the /(?!>) lookahead
+    m = _TAGFIND_RE.match(tseg)
+    name = m.group(1).lower()
+    k = m.end()
+    attrs = []
+    limit = len(tseg)
+    while k < limit:
+        am = _ATTRFIND_RE.match(tseg, k)
+        if not am:
+            break
+        aname, aval = am.group(1), am.group(3)
+        if aval is not None:
+            if aval[:1] in ('"', "'"):
+                aval = aval[1:-1]
+            if "&" in aval:
+                aval = _unescape(aval)
+        attrs.append((aname.lower(), aval))
+        k = am.end()
+    end = tseg[k:].strip()
+    if end == ">":
+        p.handle_starttag(name, attrs)
+        if name in ("script", "style"):
+            return _fast_cdata(p, s, gt + 1, name)
+    elif end == "/>":
+        p.handle_startendtag(name, attrs)
+    else:
+        raise _FastBail
+    return gt + 1
+
+
+def _fast_cdata(p: SpanHTMLParser, s: str, i: int, name: str) -> int:
+    """Raw content of an open <script>/<style> up to its end tag (stdlib
+    CDATA mode: no entity conversion, no tag parsing inside)."""
+    m = _CDATA_CLOSE[name].search(s, i)
+    if m is None:
+        raise _FastBail
+    em = _CDATA_END_RE.match(s, m.start())
+    if em is None or em.group(1).lower() != name:
+        raise _FastBail        # '</scripty>' stays data in stdlib — rare
+    if m.start() > i:
+        p.handle_data(s[i:m.start()])
+    p.handle_endtag(name)
+    return em.end()
+
+
+def _fast_feed(p: SpanHTMLParser, s: str) -> None:
+    """Single-shot event loop over a whole document (see block comment)."""
+    find = s.find
+    handle_data = p.handle_data
+    n = len(s)
+    i = 0
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            d = s[i:]
+            handle_data(_unescape(d) if "&" in d else d)
+            break
+        if lt > i:
+            d = s[i:lt]
+            handle_data(_unescape(d) if "&" in d else d)
+        nxt = s[lt + 1:lt + 2]
+        if nxt == "/":
+            m = _SIMPLE_END_RE.match(s, lt + 2)
+            if m is not None:
+                p.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            gt = find(">", lt + 2)
+            if gt < 0:
+                raise _FastBail
+            em = _ENDTAG_INNER_RE.fullmatch(s, lt + 2, gt)
+            if em is None:
+                raise _FastBail    # '</a b>'-style tolerant endtags: rare
+            p.handle_endtag(em.group(1).lower())
+            i = gt + 1
+        elif nxt.isascii() and nxt.isalpha():
+            m = _SIMPLE_TAG_RE.match(s, lt + 1)
+            if m is not None:
+                name = m.group(1).lower()
+                aseg = m.group(2)
+                attrs = ([(am.group(1).lower(), am.group(2))
+                          for am in _SIMPLE_ATTR_RE.finditer(aseg)]
+                         if aseg else [])
+                if m.group(3):
+                    p.handle_startendtag(name, attrs)
+                    i = m.end()
+                else:
+                    p.handle_starttag(name, attrs)
+                    i = m.end()
+                    if name in ("script", "style"):
+                        i = _fast_cdata(p, s, i, name)
+                continue
+            i = _fast_tolerant_tag(p, s, lt)
+        elif nxt == "!":
+            if s.startswith("<!--", lt):
+                e = find("-->", lt + 4)
+                if e < 0:
+                    raise _FastBail
+                i = e + 3
+            elif s.startswith("<![", lt):
+                raise _FastBail    # marked sections can hold bare '>'
+            else:
+                gt = find(">", lt + 2)     # doctype / declaration: no event
+                if gt < 0:
+                    raise _FastBail
+                i = gt + 1
+        elif nxt == "?":
+            gt = find(">", lt + 2)         # processing instruction: no event
+            if gt < 0:
+                raise _FastBail
+            i = gt + 1
+        else:
+            # bogus '<' is literal data in stdlib ('x < y' → 'x ', '<', ' y')
+            handle_data("<")
+            i = lt + 1
+
+
 def parse_html(html: str, page_url: str, *, citations: bool = False,
-               image_score_threshold: int = 3) -> dict:
-    """Parse one document. Deterministic; errors yield an empty doc."""
+               image_score_threshold: int = 3,
+               fast: bool | None = None) -> dict:
+    """Parse one document. Deterministic; errors yield an empty doc.
+
+    ``fast`` pins the tokenizer for differential tests; default tries the
+    fast loop and re-parses via stdlib on any bail (fresh parser, so a
+    partial fast pass never leaks into the output)."""
+    if fast is None:
+        fast = _FAST_ENABLED
+    if fast:
+        p = SpanHTMLParser(page_url, citations=citations,
+                           image_score_threshold=image_score_threshold)
+        try:
+            _fast_feed(p, html or "")
+            return p.finish()
+        except Exception:
+            pass
     p = SpanHTMLParser(page_url, citations=citations,
                        image_score_threshold=image_score_threshold)
     try:

@@ -224,3 +224,81 @@ def test_unclosed_anchor_autocloses():
     hrefs = [l["href"] for l in r["links"]]
     assert "http://a.com/x" in hrefs and "http://a.com/y" in hrefs
     assert "first" in r["markdown"] and "second" in r["markdown"]
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer differential gate: the single-shot event loop in
+# stages/parse.py (_fast_feed) must be byte-equal to the stdlib-driven
+# parser on every document it accepts, and must actually accept the
+# synthetic corpus (a silent bail would regress parse throughput 1.5x).
+# ---------------------------------------------------------------------------
+
+_QUIRKS = [
+    '<a href=x disabled>t</a>', '<a href="a&amp;b">x</a>', 'a &lt; b',
+    '<br/>', '<A HREF="X">u</A>', 'x < y', '<img src=a.png />',
+    '<img src=a.png/>', '<script>if (a<b) {}</script>after', '< notag>',
+    '<a href = "q" >z</a>', '<em/>t', '<a b="1"b2="2">j</a>',
+    "<p class='q'>k", '<a =>v</a>', '<!DOCTYPE html><p>hi</p>',
+    '<!-- c --><p>d</p>', '<?xml version="1.0"?><p>e</p>',
+    '<a href=x/ >y</a>', '<a href=x/>y</a>', '<a href=x//>y', '<br / >',
+    '<input value=5/3>', '<a b=/>x', '</a >', '</a b>', '</ a>',
+    '<a href="x>z"">q</a>', '<hr/ >', '<p>a<p>b', '<td>x</td>',
+    '<STYLE>p{}</STYLE>ok', '<script>x</SCRIPT>y',
+    '<title>A &amp; B</title>', '<p>tail', '<p>&', '<p>&amp',
+    '<p>a&#65;b', '<p><', 'x<', '<>', '<p data-x data-y="1">z</p>',
+    '<video><source src="v.mp4"></video>',
+    '<base href="/sub/"><a href="rel">r</a>', '<a href="#f">f</a>',
+    '<ul><li>a<li>b</ul>', '<pre>a\n  b</pre>', '<code>c</code>',
+    '<table summary="s"><tr><th>h</th></tr>'
+    '<tr><td colspan="2">c</td></tr></table>',
+]
+
+
+def _synth_corpus(limit=120):
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig
+    from crawl4ai_ray.stages.fetch import SyntheticFetcher
+
+    f = SyntheticFetcher(SiteConfig(n_hosts=4))
+    pages, seen = [], set()
+    frontier = [f"http://h{k:04d}.test/" for k in range(4)]
+    seen.update(frontier)
+    while frontier and len(pages) < limit:
+        u = frontier.pop(0)
+        pg = f.fetch_one(u)
+        if pg["status"] != 200:
+            continue
+        pages.append((pg["html"], u))
+        for link in parse_html(pg["html"], u)["links"]:
+            if link["internal"] and link["href"] not in seen:
+                seen.add(link["href"])
+                frontier.append(link["href"])
+    return pages
+
+
+def test_fast_tokenizer_differential():
+    docs = _synth_corpus()
+    docs += [(q, "http://h0000.test/quirk") for q in _QUIRKS]
+    docs += [("<html><head><title>T</title></head><body>%s</body></html>" % q,
+              "http://h0000.test/quirk2") for q in _QUIRKS]
+    for cite in (False, True):
+        for h, u in docs:
+            a = parse_html(h, u, fast=True, citations=cite)
+            b = parse_html(h, u, fast=False, citations=cite)
+            assert json.dumps(a, sort_keys=True) == \
+                json.dumps(b, sort_keys=True), (u, h[:120], cite)
+
+
+def test_fast_tokenizer_accepts_synthetic_corpus():
+    from crawl4ai_ray.stages.parse import SpanHTMLParser, _fast_feed
+
+    for h, u in _synth_corpus(limit=60):
+        _fast_feed(SpanHTMLParser(u), h)  # must not raise (no bail)
+
+
+def test_fast_tokenizer_bails_to_stdlib_not_empty():
+    # a marked section forces a bail; output must equal the stdlib result
+    h = "<p>a</p><![CDATA[x > y]]><p>b</p>"
+    assert json.dumps(parse_html(h, "http://a.com/", fast=True),
+                      sort_keys=True) == \
+        json.dumps(parse_html(h, "http://a.com/", fast=False),
+                   sort_keys=True)
