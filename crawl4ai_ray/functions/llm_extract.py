@@ -148,6 +148,116 @@ class FakeLLMClient:
         return LLMResponse(payload, TokenUsage(n_out, n_in, n_in + n_out))
 
 
+class LLMRateLimitError(Exception):
+    """HTTP 429 after the retry budget (reference utils.py:1802-1809:
+    exhausted retries yield one error block for the chunk — here via the
+    strategy's outer error-block catch)."""
+
+
+class HttpLLMClient:
+    """Env-gated REAL completion client — an OpenAI-compatible
+    ``/chat/completions`` caller on stdlib urllib with the reference's
+    retry law (utils.py:1741-1821, ``perform_completion_with_backoff``):
+
+    - ``max_attempts=3``, exponential delays ``base_delay * 2**attempt``
+      (2 s, 4 s) — retrying ONLY on HTTP 429 rate limits;
+    - any other failure raises immediately (the reference re-raises
+      non-RateLimit exceptions), which the strategy's outer catch turns
+      into one ``{"error": True, "tags": ["error"]}`` block for the
+      chunk — the same end state the reference reaches when its canned
+      rate-limit list crashes the usage accessor;
+    - ``temperature=0.01`` and ``response_format={"type":"json_object"}``
+      when ``json_response`` (utils.py:1776-1778).
+
+    Activation mirrors ``model_loader``'s HF adapter: build via
+    ``HttpLLMClient.from_env()`` which returns a client iff
+    ``LLM_API_BASE`` is set (``LLM_API_KEY`` / ``LLM_MODEL`` optional),
+    else None so callers fall back to the deterministic fake. The
+    ``transport`` hook injects a fake HTTP layer for the recorded-response
+    law tests; the default transport is real urllib."""
+
+    def __init__(self, base_url: str, *, model: str = "gpt-4o-mini",
+                 api_key: str | None = None, temperature: float = 0.01,
+                 json_response: bool = False, max_attempts: int = 3,
+                 base_delay: float = 2.0, timeout: float = 60.0,
+                 transport=None, sleep=None):
+        self.url = base_url.rstrip("/") + "/chat/completions"
+        self.model = model
+        self.api_key = api_key
+        self.temperature = temperature
+        self.json_response = json_response
+        self.max_attempts = max_attempts
+        self.base_delay = base_delay
+        self.timeout = timeout
+        self._transport = transport or self._urllib_transport
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self._sleep = sleep
+
+    @classmethod
+    def from_env(cls, **kwargs):
+        import os
+
+        base = os.environ.get("LLM_API_BASE")
+        if not base:
+            return None
+        return cls(base, model=os.environ.get("LLM_MODEL", "gpt-4o-mini"),
+                   api_key=os.environ.get("LLM_API_KEY"), **kwargs)
+
+    def _urllib_transport(self, url: str, headers: dict,
+                          body: bytes) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers,
+                                     method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def complete(self, prompt: str) -> LLMResponse:
+        body = {"model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": self.temperature}
+        if self.json_response:
+            body["response_format"] = {"type": "json_object"}
+        payload = json.dumps(body).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        for attempt in range(self.max_attempts):
+            status, raw = self._transport(self.url, headers, payload)
+            if status == 429:
+                if attempt < self.max_attempts - 1:
+                    self._sleep(self.base_delay * (2 ** attempt))
+                    continue
+                raise LLMRateLimitError(
+                    "Rate limit error. Please try again later.")
+            if status != 200:
+                raise RuntimeError(
+                    f"LLM API error {status}: {raw[:200]!r}")
+            data = json.loads(raw)
+            usage = data.get("usage") or {}
+            return LLMResponse(
+                data["choices"][0]["message"]["content"],
+                TokenUsage(int(usage.get("completion_tokens", 0)),
+                           int(usage.get("prompt_tokens", 0)),
+                           int(usage.get("total_tokens", 0))),
+            )
+        raise LLMRateLimitError(
+            "Rate limit error. Please try again later.")
+
+
+def default_llm_client():
+    """The strategy's client resolution: real HTTP client iff
+    ``LLM_API_BASE`` is set, else the labeled deterministic fake."""
+    return HttpLLMClient.from_env() or FakeLLMClient()
+
+
 class LLMExtractionStrategy:
     """See module docstring; mirrors the reference control flow."""
 
@@ -158,7 +268,7 @@ class LLMExtractionStrategy:
                  word_token_rate: float = WORD_TOKEN_RATE,
                  apply_chunking: bool = True,
                  force_json_response: bool = False):
-        self.client = client or FakeLLMClient()
+        self.client = client or default_llm_client()
         self.instruction = instruction
         self.schema = schema
         self.extract_type = "schema" if schema else extraction_type

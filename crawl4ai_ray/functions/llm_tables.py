@@ -207,7 +207,14 @@ class LLMTableExtraction:
                  chunk_token_threshold: int = 3000,
                  min_rows_per_chunk: int = 10,
                  max_parallel_chunks: int = 5):
-        self.client = client or FakeTableLLMClient()
+        if client is None:
+            # same env-gated resolution as LLMExtractionStrategy: a real
+            # HTTP client iff LLM_API_BASE is set, else the labeled fake
+            from .llm_extract import HttpLLMClient
+
+            client = HttpLLMClient.from_env(json_response=True) \
+                or FakeTableLLMClient()
+        self.client = client
         self.css_selector = css_selector
         self.max_tries = max(1, max_tries)              # :726
         self.enable_chunking = enable_chunking

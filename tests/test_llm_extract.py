@@ -137,3 +137,134 @@ def test_distributed_stage(ray_session):
     b = df2.sort_values(["doc_key", "block_index", "content"]) \
         .reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# HttpLLMClient — the env-gated REAL completion client. Laws ported from
+# the reference's perform_completion_with_backoff (utils.py:1741-1821):
+# retry only on 429 with delays base*2^attempt, raise anything else
+# immediately, OpenAI-compatible request/response shapes.
+# ---------------------------------------------------------------------------
+
+def _openai_body(content, p=7, c=11):
+    return json.dumps({
+        "choices": [{"message": {"role": "assistant", "content": content}}],
+        "usage": {"prompt_tokens": p, "completion_tokens": c,
+                  "total_tokens": p + c},
+    }).encode()
+
+
+class _ScriptedTransport:
+    def __init__(self, script):
+        self.script = list(script)   # [(status, bytes), ...]
+        self.requests = []
+
+    def __call__(self, url, headers, body):
+        self.requests.append((url, dict(headers), json.loads(body)))
+        return self.script.pop(0)
+
+
+def _client(script, **kw):
+    from crawl4ai_ray.functions.llm_extract import HttpLLMClient
+
+    sleeps = []
+    t = _ScriptedTransport(script)
+    c = HttpLLMClient("http://llm.test/v1", api_key="sk-x",
+                      transport=t, sleep=sleeps.append, **kw)
+    return c, t, sleeps
+
+
+def test_http_client_success_parses_openai_shape():
+    c, t, sleeps = _client([(200, _openai_body("<blocks>[]</blocks>"))])
+    r = c.complete("hi")
+    assert r.content == "<blocks>[]</blocks>"
+    assert (r.usage.prompt_tokens, r.usage.completion_tokens,
+            r.usage.total_tokens) == (7, 11, 18)
+    assert sleeps == []
+    url, headers, body = t.requests[0]
+    assert url == "http://llm.test/v1/chat/completions"
+    assert headers["Authorization"] == "Bearer sk-x"
+    assert body["messages"] == [{"role": "user", "content": "hi"}]
+    assert body["temperature"] == 0.01           # utils.py:1776
+    assert "response_format" not in body
+
+
+def test_http_client_json_response_flag():
+    c, t, _ = _client([(200, _openai_body("{}"))], json_response=True)
+    c.complete("q")
+    assert t.requests[0][2]["response_format"] == {"type": "json_object"}
+
+
+def test_http_client_retries_429_with_exponential_delays():
+    c, t, sleeps = _client([(429, b""), (429, b""),
+                            (200, _openai_body("ok"))])
+    assert c.complete("p").content == "ok"
+    assert sleeps == [2.0, 4.0]                  # base_delay * 2**attempt
+    assert len(t.requests) == 3
+
+
+def test_http_client_rate_limit_exhaustion_is_one_error_block():
+    from crawl4ai_ray.functions.llm_extract import (LLMExtractionStrategy,
+                                                    LLMRateLimitError)
+
+    c, _, sleeps = _client([(429, b"")] * 3)
+    with pytest.raises(LLMRateLimitError):
+        c.complete("p")
+    assert sleeps == [2.0, 4.0]
+    # end to end: the strategy turns exhaustion into the single
+    # error-tagged block the reference's flow lands on
+    c2, _, _ = _client([(429, b"")] * 3)
+    blocks = LLMExtractionStrategy(client=c2).run("u", ["some text"])
+    assert len(blocks) == 1 and blocks[0]["error"] is True
+    assert blocks[0]["tags"] == ["error"]
+    assert "Rate limit" in blocks[0]["content"]
+
+
+def test_http_client_non_429_raises_immediately():
+    c, t, sleeps = _client([(500, b"boom")])
+    with pytest.raises(RuntimeError):
+        c.complete("p")
+    assert sleeps == [] and len(t.requests) == 1
+
+
+def test_http_client_urllib_transport_against_local_server():
+    import http.server
+    import threading
+
+    from crawl4ai_ray.functions.llm_extract import HttpLLMClient
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            assert body["messages"][0]["content"] == "live"
+            out = _openai_body("live-answer")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = HttpLLMClient(f"http://127.0.0.1:{srv.server_port}/v1")
+        assert c.complete("live").content == "live-answer"
+    finally:
+        srv.shutdown()
+
+
+def test_from_env_activation(monkeypatch):
+    from crawl4ai_ray.functions.llm_extract import (FakeLLMClient,
+                                                    HttpLLMClient,
+                                                    default_llm_client)
+
+    monkeypatch.delenv("LLM_API_BASE", raising=False)
+    assert HttpLLMClient.from_env() is None
+    assert isinstance(default_llm_client(), FakeLLMClient)
+    monkeypatch.setenv("LLM_API_BASE", "http://llm.test/v1")
+    monkeypatch.setenv("LLM_MODEL", "m-test")
+    c = default_llm_client()
+    assert isinstance(c, HttpLLMClient) and c.model == "m-test"
