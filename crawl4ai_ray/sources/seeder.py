@@ -62,6 +62,70 @@ def parse_sitemap(xml: str) -> tuple[list[str], list[str]]:
     return [], locs
 
 
+# ---------------------------------------------------------------------------
+# live-endpoint opt-in (SEEDER_LIVE=1)
+# ---------------------------------------------------------------------------
+
+
+def _seeder_live_default() -> bool:
+    import os
+
+    return os.environ.get("SEEDER_LIVE") == "1"
+
+
+class _RateGate:
+    """Per-actor hits-per-second gate for live endpoints (the reference
+    caps request concurrency via an asyncio.Semaphore sized hits_per_sec,
+    async_url_seeder.py:314-320,403-407; a synchronous actor's equivalent
+    is a min-interval between its own requests). Clock/sleep injectable
+    so tests don't wall-sleep."""
+
+    def __init__(self, hits_per_sec: float | None, *, clock=None,
+                 sleep_fn=None):
+        import time as _time
+
+        self.interval = 1.0 / hits_per_sec if hits_per_sec else 0.0
+        self.clock = clock or _time.monotonic
+        self.sleep = sleep_fn or _time.sleep
+        self._last = None
+
+    def wait(self):
+        if not self.interval:
+            return
+        now = self.clock()
+        if self._last is not None:
+            remaining = self._last + self.interval - now
+            if remaining > 0:
+                self.sleep(remaining)
+                now = self._last + self.interval
+        self._last = now
+
+
+def live_http_get(url: str, timeout: float = 15.0) -> tuple[int, bytes]:
+    """stdlib GET for the live seeder paths: follows redirects (urllib
+    default, reference follow_redirects=True), returns (status, body);
+    HTTP errors return their status instead of raising so callers can
+    apply the reference's per-status laws. ``.gz`` sitemap bodies are
+    gunzipped (async_url_seeder.py:850)."""
+    import gzip
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": "crawl4ai-ray"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+    if url.split("?")[0].endswith(".gz"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    return status, body
+
+
 class SitemapSeeder:
     """Actor-pool stage: domain rows in → discovered URL rows out.
 
@@ -70,18 +134,39 @@ class SitemapSeeder:
     ``max_depth`` to survive sitemap loops."""
 
     def __init__(self, site_cfg: dict | None = None, *, pattern: str = "*",
-                 max_depth: int = 4, max_urls_per_domain: int = 100_000):
-        from ..sources.synthetic_web import SiteConfig
-        from ..stages.fetch import SyntheticFetcher
+                 max_depth: int = 4, max_urls_per_domain: int = 100_000,
+                 live: bool | None = None, hits_per_sec: float | None = None,
+                 http_get=None):
+        # live opt-in (SEEDER_LIVE=1 or live=True): fetch robots/sitemaps
+        # over real HTTP instead of the synthetic web. The fixture path
+        # stays the CI default; rows from it are unchanged by this branch.
+        self.live = (_seeder_live_default() if live is None else live) \
+            and site_cfg is None
+        if self.live:
+            self.fetcher = None
+            self._http_get = http_get or live_http_get
+            self._gate = _RateGate(hits_per_sec)
+        else:
+            from ..sources.synthetic_web import SiteConfig
+            from ..stages.fetch import SyntheticFetcher
 
-        self.fetcher = SyntheticFetcher(
-            SiteConfig(**site_cfg) if site_cfg else None
-        )
+            self.fetcher = SyntheticFetcher(
+                SiteConfig(**site_cfg) if site_cfg else None
+            )
         self.pattern = pattern
         self.max_depth = max_depth
         self.max_urls = max_urls_per_domain
 
     def _fetch(self, url: str) -> str:
+        if self.live:
+            self._gate.wait()
+            try:
+                status, body = self._http_get(url)
+            except Exception:
+                return ""      # network errors skip the sitemap (ref :836-846)
+            if not 200 <= status < 300:
+                return ""
+            return body.decode("utf-8", errors="replace")
         page = self.fetcher.fetch_one(url)
         return page["html"] if page["status"] == 200 else ""
 
@@ -201,7 +286,8 @@ class CommonCrawlSeeder:
     def __init__(self, index_dir: str, cache_dir: str,
                  index_id: str = "CC-MAIN-2024-51", *, pattern: str = "*",
                  force: bool = False, fail_503: dict | None = None,
-                 sleep_fn=None):
+                 sleep_fn=None, live: bool | None = None,
+                 hits_per_sec: float | None = None, http_get=None):
         import time as _time
 
         self.index_dir = index_dir
@@ -212,6 +298,12 @@ class CommonCrawlSeeder:
         self.fail_503 = dict(fail_503 or {})
         self.sleep = sleep_fn or _time.sleep
         self.slept: list[float] = []   # observable retry trace
+        # live opt-in (SEEDER_LIVE=1 or live=True): query the real
+        # index.commoncrawl.org instead of the JSONL fixture directory.
+        # The same seed_domain retry ladder / cache layer wraps both.
+        self.live = _seeder_live_default() if live is None else live
+        self._http_get = http_get or live_http_get
+        self._gate = _RateGate(hits_per_sec)
 
     # -- reference normalization (async_url_seeder.py:713-720) --------------
 
@@ -230,6 +322,34 @@ class CommonCrawlSeeder:
         return os.path.join(self.cache_dir,
                             f"{self.index_id}_{safe}_{digest}.jsonl")
 
+    def _index_query_url(self, raw: str) -> str:
+        """The reference's CC index request (async_url_seeder.py:731-732):
+        glob keeps an explicit path, else appends '/*'."""
+        from urllib.parse import quote
+
+        glob = f"*.{raw}*" if "/" in raw else f"*.{raw}/*"
+        return (f"https://index.commoncrawl.org/{self.index_id}-index"
+                f"?url={quote(glob, safe='*')}&output=json")
+
+    def _fetch_index_live(self, raw: str) -> list[str]:
+        """One request to the real index; 503 raises CcIndexUnavailable so
+        seed_domain applies the (1, 3, 7) ladder (reference :736-747);
+        any other non-2xx raises (reference raise_for_status law)."""
+        import json
+
+        self._gate.wait()
+        status, body = self._http_get(self._index_query_url(raw))
+        if status == 503:
+            raise CcIndexUnavailable(raw)
+        if not 200 <= status < 300:
+            raise RuntimeError(f"CC index HTTP {status} for {raw}")
+        urls = []
+        for line in body.decode("utf-8", errors="replace").splitlines():
+            line = line.strip()
+            if line:
+                urls.append(json.loads(line)["url"])
+        return urls
+
     def _fetch_index(self, raw: str) -> list[str]:
         """One 'request' to the (fixture) index; raises CcIndexUnavailable
         while the domain's simulated-503 budget lasts."""
@@ -239,6 +359,8 @@ class CommonCrawlSeeder:
         if self.fail_503.get(raw, 0) > 0:
             self.fail_503[raw] -= 1
             raise CcIndexUnavailable(raw)
+        if self.live:
+            return self._fetch_index_live(raw)
         path = os.path.join(self.index_dir, self.index_id,
                             f"{re.sub('[/?#]+', '_', raw)}.jsonl")
         if not os.path.exists(path):

@@ -1,6 +1,7 @@
 """Seeder (sitemap recursion, nonsense filter) + head-peek filter tests."""
 
 import pyarrow as pa
+import pytest
 
 from crawl4ai_ray.sources.seeder import (
     SitemapSeeder,
@@ -172,3 +173,107 @@ def test_seed_cc_pipeline(ray_session, tmp_path):
     assert rows == sorted(
         [f"http://a.test/cat1/p{i}" for i in range(5)]
         + ["http://b.test/cat2/x"])
+
+
+# ---------------------------------------------------------------------------
+# live-endpoint opt-in (SEEDER_LIVE=1) — scripted-transport law tests;
+# the fixture path stays the CI default and its rows are unchanged.
+# ---------------------------------------------------------------------------
+
+def test_cc_live_query_url_glob_law(tmp_path):
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder
+
+    s = CommonCrawlSeeder(str(tmp_path), str(tmp_path), live=True)
+    # bare domain appends /* ; explicit path keeps it; quote(safe='*')
+    # escapes the slash (reference async_url_seeder.py:731-732)
+    assert s._index_query_url("a.test") == (
+        "https://index.commoncrawl.org/CC-MAIN-2024-51-index"
+        "?url=*.a.test%2F*&output=json")
+    assert "*.a.test%2Fdocs*" in s._index_query_url("a.test/docs")
+
+
+def test_cc_live_retry_ladder_and_cache(tmp_path):
+    import json
+
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder
+
+    body = "\n".join(json.dumps({"url": u}) for u in
+                     ["http://a.test/x", "http://a.test/style.css",
+                      "http://a.test/y"]).encode()
+    script = [(503, b""), (503, b""), (200, body)]
+    calls = []
+
+    def fake_get(url):
+        calls.append(url)
+        return script.pop(0)
+
+    s = CommonCrawlSeeder(str(tmp_path / "ix"), str(tmp_path / "cache"),
+                          live=True, http_get=fake_get,
+                          sleep_fn=lambda d: None)
+    urls = s.seed_domain("https://a.test")
+    assert s.slept == [1.0, 3.0]              # reference ladder prefix
+    assert urls == ["http://a.test/x", "http://a.test/y"]  # nonsense dropped
+    assert len(calls) == 3 and all("index.commoncrawl.org" in c
+                                   for c in calls)
+    # second call reads the cache, no new requests
+    assert s.seed_domain("https://a.test") == urls
+    assert len(calls) == 3
+
+
+def test_cc_live_non_503_raises(tmp_path):
+    import pytest as _pytest
+
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder
+
+    s = CommonCrawlSeeder(str(tmp_path), str(tmp_path / "c"), live=True,
+                          http_get=lambda u: (404, b""),
+                          sleep_fn=lambda d: None)
+    with _pytest.raises(RuntimeError):
+        s.seed_domain("a.test")
+
+
+def test_sitemap_live_path_scripted():
+    from crawl4ai_ray.sources.seeder import SitemapSeeder
+
+    site = {
+        "http://a.test/robots.txt": (200, b"Sitemap: http://a.test/sm1.xml"),
+        "http://a.test/sm1.xml": (200,
+            b"<sitemapindex><loc>http://a.test/sm2.xml</loc></sitemapindex>"),
+        "http://a.test/sm2.xml": (200,
+            b"<urlset><loc>http://a.test/p1</loc>"
+            b"<loc>http://a.test/p2</loc></urlset>"),
+        "http://a.test/sitemap.xml": (404, b""),
+    }
+    s = SitemapSeeder(live=True, http_get=lambda u: site.get(u, (404, b"")))
+    assert s.seed_domain("a.test") == ["http://a.test/p1",
+                                       "http://a.test/p2"]
+
+
+def test_live_rate_gate_law():
+    from crawl4ai_ray.sources.seeder import _RateGate
+
+    now = [100.0]
+    slept = []
+
+    def sleep(d):
+        slept.append(round(d, 6))
+        now[0] += d
+
+    g = _RateGate(2.0, clock=lambda: now[0], sleep_fn=sleep)
+    g.wait()                      # first request: no wait
+    g.wait()                      # 0.5s interval enforced
+    now[0] += 0.2
+    g.wait()
+    assert slept == [0.5, 0.3]
+    assert _RateGate(None).interval == 0.0
+
+
+@pytest.mark.skipif("SEEDER_LIVE" not in __import__("os").environ,
+                    reason="live network integration (SEEDER_LIVE=1)")
+def test_cc_live_integration(tmp_path):
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder
+
+    s = CommonCrawlSeeder(str(tmp_path / "ix"), str(tmp_path / "cache"),
+                          live=True, hits_per_sec=1.0)
+    urls = s.seed_domain("example.com")
+    assert isinstance(urls, list)
