@@ -226,11 +226,28 @@ def _seed_cc(sf_dir: str):
                                f"{host}.jsonl"), "w") as fp:
             for u in urls:
                 fp.write(json.dumps({"url": u}) + "\n")
-    return seed_from_cc(
-        [cfg.host(k) for k in range(cfg.n_hosts)],
-        os.path.join(root, "index"), os.path.join(root, "cache"),
-        index_id=index_id, pattern="*/cat*",
-    )
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.sources.seeder import CommonCrawlSeeder, _dedupe_urls
+
+    ds = rd.from_items([{"domain": cfg.host(k)}
+                        for k in range(cfg.n_hosts)])
+    raw = ds.map_batches(
+        CommonCrawlSeeder,
+        fn_constructor_kwargs={
+            "index_dir": os.path.join(root, "index"),
+            "cache_dir": os.path.join(root, "cache"),
+            "index_id": index_id, "pattern": "*/cat*",
+        },
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).materialize()
+    # self-dump gate: raw pre-dedup (domain, url) rows; DuckDB re-derives
+    # the min-domain groupby dedup (same gate shape as seed_sitemaps)
+    _oracle_dump("seed_cc",
+                 pa.Table.from_pandas(raw.to_pandas(),
+                                      preserve_index=False))
+    return _dedupe_urls(raw)
 
 
 def _link_preview(sf_dir: str):
@@ -370,6 +387,23 @@ def _media_frames(sf_dir: str):
     from crawl4ai_ray.stages.multimodal import frame_sample_pipeline
 
     return frame_sample_pipeline(sf_dir)
+
+
+def _simhash_near_pairs(sf_dir: str):
+    """Distributed SimHash near-dup pairs (pipelines/dedup.py), SQL-oracled
+    via the self-dump gate: the deterministic (doc_id, simhash) signature
+    table is dumped and DuckDB re-derives ALL Hamming<=3 pairs by brute
+    force — exactly the distributed result, because Manku-style 16-bit
+    band bucketing is lossless at that radius (pigeonhole over 4 bands)."""
+    import pyarrow as pa
+
+    from crawl4ai_ray.pipelines import dedup
+
+    sims = dedup.simhash_table(sf_dir).materialize()
+    _oracle_dump("simhash_near_pairs",
+                 pa.Table.from_pandas(sims.to_pandas(),
+                                      preserve_index=False))
+    return dedup.simhash_near_pairs(sf_dir)
 
 
 def _crawl_span_kinds(sf_dir: str):
@@ -538,7 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_survivors": lambda sf:
             dedup.minhash_dedup_survivors(sf),
         "simhash_table": dedup.simhash_table,
-        "simhash_near_pairs": lambda sf: dedup.simhash_near_pairs(sf),
+        "simhash_near_pairs": _simhash_near_pairs,
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
         "bm25_rank": lambda sf: analysis.bm25_rank(sf),
@@ -1492,6 +1526,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s FROM read_parquet(
                   '/tmp/c4r_oracle/crawl_span_kinds/**/*.parquet'))
             GROUP BY s.kind
+        """,
+        "seed_cc": """
+            SELECT min(domain) AS domain, url
+            FROM read_parquet('/tmp/c4r_oracle/seed_cc/raw.parquet')
+            GROUP BY url
+        """,
+        "simhash_near_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash))
+                        AS INTEGER) AS hamming
+            FROM read_parquet(
+                 '/tmp/c4r_oracle/simhash_near_pairs/raw.parquet') a
+            JOIN read_parquet(
+                 '/tmp/c4r_oracle/simhash_near_pairs/raw.parquet') b
+              ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "crawl_host_stats": """
             SELECT split_part(url, '/', 3) AS host,
