@@ -212,19 +212,23 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # BENCH_SCALING_CPUS="8,32" picks the two parallelism levels (e.g.
+    # "8,16" measures the region below the 32-way string-churn ceiling)
+    lo, hi = (int(x) for x in
+              os.environ.get("BENCH_SCALING_CPUS", "8,32").split(","))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "urls_per_sec_8": r_lo["throughput"].get("urls_per_sec"),
-        "urls_per_sec_32": r_hi["throughput"].get("urls_per_sec"),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"urls_per_sec_{lo}": r_lo["throughput"].get("urls_per_sec"),
+        f"urls_per_sec_{hi}": r_hi["throughput"].get("urls_per_sec"),
+        "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        f"queries_{lo}": r_lo["queries"],
+        f"queries_{hi}": r_hi["queries"],
     }))
 
 

@@ -123,6 +123,68 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_browser(args) -> int:
+    """Builtin-browser ops surface (reference cli.py:640-927
+    status/start/stop/restart; the process is a real Playwright browser
+    when the package exists, else a labeled placeholder)."""
+    from .state.browser_manager import BuiltinBrowserManager
+
+    mgr = BuiltinBrowserManager(home=args.home)
+    if args.action == "status":
+        print(json.dumps(mgr.status()))
+        return 0
+    if args.action == "start":
+        if mgr.status()["running"]:
+            print(json.dumps({"error": "already running",
+                              "cdp_url": mgr.status()["cdp_url"]}))
+            return 1           # reference: start refuses, use restart
+        cdp = mgr.launch(args.browser_type or "chromium",
+                         args.port or 9222, not args.no_headless)
+        print(json.dumps({"cdp_url": cdp}))
+        return 0 if cdp else 1
+    if args.action == "stop":
+        ok = mgr.kill()
+        print(json.dumps({"stopped": ok}))
+        return 0 if ok else 1
+    if args.action == "restart":
+        cdp = mgr.restart(args.browser_type, args.port,
+                          False if args.no_headless else None)
+        print(json.dumps({"cdp_url": cdp}))
+        return 0 if cdp else 1
+    return 2
+
+
+def cmd_cdp(args) -> int:
+    """Standalone CDP browser, not registered as builtin (reference
+    cli.py:929-1003)."""
+    from .state.browser_manager import BuiltinBrowserManager
+
+    mgr = BuiltinBrowserManager(home=args.home)
+    cdp, pid = mgr.launch_cdp(args.user_data_dir, args.port,
+                              args.browser_type, args.headless)
+    print(json.dumps({"cdp_url": cdp, "pid": pid}))
+    return 0
+
+
+def cmd_profiles(args) -> int:
+    """Profile store (reference browser_profiler profile manager, the
+    interactive TUI reduced to flags)."""
+    from .state.browser_manager import ProfileManager
+
+    pm = ProfileManager(home=args.home)
+    if args.action == "list":
+        print(json.dumps(pm.list()))
+        return 0
+    if args.action == "create":
+        print(json.dumps({"path": pm.create(args.name)}))
+        return 0
+    if args.action == "delete":
+        ok = pm.delete(args.name)
+        print(json.dumps({"deleted": ok}))
+        return 0 if ok else 1
+    return 2
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="crawl4ai_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -164,6 +226,33 @@ def main(argv=None) -> int:
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--synthetic-hosts", type=int, default=0)
     v.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("browser", help="builtin-browser lifecycle ops")
+    b.add_argument("action",
+                   choices=["status", "start", "stop", "restart"])
+    # defaults resolve inside cmd_browser: start falls back to
+    # chromium/9222, restart inherits the previous browser's values
+    b.add_argument("--browser-type", choices=["chromium", "firefox"],
+                   default=None)
+    b.add_argument("--port", type=int, default=None)
+    b.add_argument("--no-headless", action="store_true")
+    b.add_argument("--home", default=None)
+    b.set_defaults(fn=cmd_browser)
+
+    d = sub.add_parser("cdp", help="standalone CDP browser (unregistered)")
+    d.add_argument("--user-data-dir", default=None)
+    d.add_argument("--port", type=int, default=9222)
+    d.add_argument("--browser-type", choices=["chromium", "firefox"],
+                   default="chromium")
+    d.add_argument("--headless", action="store_true")
+    d.add_argument("--home", default=None)
+    d.set_defaults(fn=cmd_cdp)
+
+    pr = sub.add_parser("profiles", help="browser profile store")
+    pr.add_argument("action", choices=["list", "create", "delete"])
+    pr.add_argument("name", nargs="?", default=None)
+    pr.add_argument("--home", default=None)
+    pr.set_defaults(fn=cmd_profiles)
 
     args = p.parse_args(argv)
     return args.fn(args)
