@@ -323,11 +323,14 @@ def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
     ``key="string"`` shuffles the L-token window text itself — exact,
     and the DuckDB-oracle form. ``key="hash"`` shuffles an 8-byte
     hash of the window instead — the 100 TB path (the shuffle carries
-    ~8 bytes/window instead of ~6L; collision probability is bounded by
-    n²/2⁶⁴ ≈ 5e-8 at a billion windows; the paper's exact alternative
-    is a distributed suffix array, which buys nothing at this window
-    length). Both paths produce identical spans on any collision-free
-    corpus and are tested equal.
+    ~8 bytes/window instead of ~6L; the hash is masked to 63 bits so
+    the key column stays int64 through Ray's groupby, whose output
+    blocks re-infer Python ints and overflow on uint64-range values;
+    collision probability is bounded by n²/2⁶³ ≈ 1e-7 at a billion
+    windows; the paper's exact alternative is a distributed suffix
+    array, which buys nothing at this window length). Both paths
+    produce identical spans on any collision-free corpus and are
+    tested equal.
     """
     from ..functions.urlkit import hash64
     from .dedup import _join_parts
@@ -346,7 +349,8 @@ def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
                 poss.append(i)
                 keys.append(" ".join(w[i:i + length]))
         if key == "hash":
-            karr = pa.array([hash64(g) for g in keys], type=pa.uint64())
+            karr = pa.array([hash64(g) & 0x7FFF_FFFF_FFFF_FFFF
+                             for g in keys], type=pa.int64())
         else:
             karr = pa.array(keys, type=pa.string())
         return pa.table({
