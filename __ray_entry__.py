@@ -533,6 +533,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4: TPC-H Q10 shape (join partials, dims attached post-top-k)
         # and the frame-window moving average
         "q10_returned_items": analysis.q10_returned_items,
+        # r5: the remaining classic TPC-H shapes, adapted to the schema
+        # (scan-filter-sum, EXISTS-as-groupby-max semi-join, gated
+        # dimension CASE-share, groupby-HAVING top-k, disjunctive bands)
+        "q6_forecast_revenue": analysis.q6_forecast_revenue,
+        "q4_order_priority": analysis.q4_order_priority,
+        "q14_promo_revenue": analysis.q14_promo_revenue,
+        "q18_large_volume_customers": analysis.q18_large_volume_customers,
+        "q19_brand_bands_revenue": analysis.q19_brand_bands_revenue,
         "events_user_moving_avg": analysis.events_user_moving_avg,
         # RANGE-frame window (INTERVAL 7 DAY PRECEDING), oracle-gated
         "events_range_window": analysis.events_range_window,
@@ -716,11 +724,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).crawl_hits(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
-    # the r3 driver sweep never sampled front-loaded — then the
+    # no driver sweep has sampled yet front-loaded — then the
     # golden/pytest-gated remainder. The driver's correctness sweep
     # samples a prefix of this dict, so a prefix of any length maximizes
     # hard (rows+schema+hash) gate coverage of as-yet-unchecked queries.
     sql = set(oracle_sql())
+    # every row green in CORRECTNESS_r04.json (the r4 sweep's 50-prefix)
+    r4_checked = {
+        "q10_returned_items", "events_user_moving_avg",
+        "orders_row_number", "embedding_dedup_survivors",
+        "top_orders_per_customer", "doc_hash_sample",
+        "orders_year_matrix", "order_value_p95_by_priority",
+        "events_hopping_window", "corpus_top_terms",
+        "distinct_users_by_type", "doc_decontaminate", "corpus_postings",
+        "doc_stratified_sample", "doc_tfidf_topterms",
+        "doc_ngram_dup_stats", "doc_pack_sequences", "doc_shuffle_shards",
+        "doc_weighted_sample", "q1_pricing_summary",
+        "top_customer_revenue", "events_daily", "user_sessions",
+        "events_asof_orders", "orders_repeat_window_join",
+        "orders_bloom_semijoin", "events_value_bands",
+        "part_type_counts", "nation_region_join",
+        "supplier_balance_by_nation", "orders_filter_sort",
+        "revenue_by_part_type", "orders_priority_counts",
+        "events_type_span", "customer_running_revenue",
+        "customers_without_orders", "order_value_median_by_priority",
+        "revenue_by_nation_year", "big_spenders_union", "events_lag_gap",
+        "revenue_rollup", "parts_above_type_avg", "doc_repetition_stats",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "doc_token_stats", "doc_chunk_counts", "doc_chunks_exploded",
+        "event_numbers", "exact_dedup",
+    }
     r3_checked = {
         "q1_pricing_summary", "top_customer_revenue", "events_daily",
         "user_sessions", "events_asof_orders", "orders_repeat_window_join",
@@ -737,10 +770,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_numbers", "exact_dedup", "exact_dedup_survivors",
         "ann_topk", "cosine_near_pairs", "bm25_rank",
     }
+    checked = r3_checked | r4_checked
     ordered = {k: v for k, v in q.items()
-               if k in sql and k not in r3_checked}
+               if k in sql and k not in checked}
     ordered.update((k, v) for k, v in q.items()
-                   if k in sql and k in r3_checked)
+                   if k in sql and k in checked)
     ordered.update((k, v) for k, v in q.items() if k not in sql)
     return ordered
 
@@ -1302,6 +1336,57 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey
               AND r_name = 'ASIA' AND year(o_orderdate) = 1996
             GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-04-01'
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 200) big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q19_brand_bands_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                     AND l_quantity BETWEEN 20 AND 40)
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name, revenue FROM (

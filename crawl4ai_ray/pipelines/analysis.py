@@ -2370,3 +2370,353 @@ def orders_row_number(sf_dir: str, ntiles: int = 4):
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# r5: remaining classic relational shapes (TPC-H Q4/Q6/Q14/Q18/Q19 adapted
+# to this schema — no l_commitdate/l_shipmode/p_container columns exist, so
+# the predicates use the available columns; every oracle is exact DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        disc_lo: float = 0.04, disc_hi: float = 0.06,
+                        max_qty: float = 24.0):
+    """TPC-H Q6 shape — pure scan→filter→global-sum, the cheapest wide
+    query there is: per-batch vectorized predicate + ONE partial row per
+    batch, so the "shuffle" is blocks×1 rows into a single Sum."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        keep = ((ship >= lo) & (ship < hi) & (dc >= disc_lo)
+                & (dc <= disc_hi) & (qty < max_qty))
+        return pa.table({"_rev": pa.array(
+            [float((ep[keep] * dc[keep]).sum())], pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .aggregate(Sum("_rev", alias_name="revenue"))
+    return pa.table({"revenue": pa.array(
+        _round2_snap([total["revenue"] or 0.0]), pa.float64())})
+
+
+def q4_order_priority(sf_dir: str, date_from: str = "1996-01-01",
+                      date_to: str = "1996-07-01", late_days: int = 90):
+    """TPC-H Q4 shape (adapted: the reference schema has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than
+    ``late_days`` after the order date): orders in a window having at
+    least one late line, counted per priority.
+
+    Scale shape: the correlated EXISTS(l_shipdate > o_orderdate + N) is
+    rewritten as max(l_shipdate) > o_orderdate + N, so the semi-join
+    becomes a combiner-fed groupby-max over lineitem (one partial row
+    per key per batch) followed by an orderkey-partitioned hash join
+    against the date-pruned orders — both sides stream, nothing
+    broadcasts (orders is fact-scaled)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        df = pd.DataFrame({"l_orderkey": ok, "_maxship": ship})
+        g = df.groupby("l_orderkey", as_index=False)["_maxship"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    maxship = li.map_batches(lpartial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby("l_orderkey").aggregate(Max("_maxship",
+                                             alias_name="_maxship"))
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi)))
+
+    owin = orders.map_batches(ofilt, batch_format="pyarrow",
+                              batch_size=65536)
+    joined = owin.join(maxship, join_type="inner", on=("o_orderkey",),
+                       right_on=("l_orderkey",),
+                       num_partitions=_join_ray_parts(owin, maxship))
+    late_us = np.timedelta64(late_days, "D").astype("timedelta64[us]") \
+        .astype(np.int64)
+
+    def late(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "_n": pa.array([], pa.int64())})
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        m = batch.column("_maxship").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(m > d + late_us))
+        # combiner: ≤5 priority rows per batch into the final groupby
+        df = pd.DataFrame(
+            {"o_orderpriority": t.column("o_orderpriority").to_pandas()})
+        g = df.groupby("o_orderpriority", as_index=False).size() \
+            .rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(late, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("_n", alias_name="order_count")) \
+        .sort("o_orderpriority")
+
+
+def q14_promo_revenue(sf_dir: str, promo_type: str = "PROMO",
+                      date_from: str = "1996-03-01",
+                      date_to: str = "1996-04-01", form: str = "auto",
+                      broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q14 shape — promo revenue share for one month: a CASE
+    aggregation over lineitem⋈part reduced to a single ratio row.
+
+    Part is a dimension table, so the lookup is GATED on
+    ``broadcast_limit``: small → a partkey→is-promo int8 flag ships once
+    as sorted searchsorted arrays; SF-scaled → native Dataset.join. Both
+    forms emit ONE (promo, total) partial row per batch."""
+    import ray
+
+    from .dedup import _join_parts
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    if form == "auto":
+        form = "broadcast" if part_ds.count() <= broadcast_limit \
+            else "join"
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+
+    def _partial(is_promo: np.ndarray, rev: np.ndarray) -> pa.Table:
+        return pa.table({
+            "_promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "_total": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    if form == "broadcast":
+        part = part_ds.to_pandas()
+        ref = ray.put(_sorted_probe_arrays(
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == promo_type).to_numpy().astype(np.int8)))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            ship = batch.column("l_shipdate") \
+                .to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+            ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flag = _probe_sorted(sk, sv, keys, 0).astype(bool)
+            return _partial(flag, ep * (1.0 - dc))
+
+        partials = li.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        def datefilt(batch: pa.Table) -> pa.Table:
+            ship = batch.column("l_shipdate") \
+                .to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((ship >= lo) & (ship < hi)))
+
+        joined = li.map_batches(datefilt, batch_format="pyarrow",
+                                batch_size=65536) \
+            .join(part_ds, join_type="inner", on=("l_partkey",),
+                  right_on=("p_partkey",),
+                  num_partitions=_join_parts(li, part_ds))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            flag = pc.equal(batch.column("p_type"),
+                            pa.scalar(promo_type)) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            return _partial(flag, ep * (1.0 - dc))
+
+        partials = joined.map_batches(jpartial, batch_format="pyarrow",
+                                      batch_size=65536)
+
+    tot = partials.aggregate(Sum("_promo", alias_name="promo"),
+                             Sum("_total", alias_name="total"))
+    total = tot["total"] or 0.0
+    share = 100.0 * (tot["promo"] or 0.0) / total if total else 0.0
+    # DuckDB ROUND(x, 4): half away from zero (the _round2_duck law at
+    # 4 dp — ratios can land on midpoints)
+    share = float(np.copysign(np.floor(abs(share) * 1e4 + 0.5),
+                              share) / 1e4)
+    return pa.table({"promo_share": pa.array([share], pa.float64())})
+
+
+def q18_large_volume_customers(sf_dir: str, min_qty: float = 200.0,
+                               k: int = 100):
+    """TPC-H Q18 shape — large-volume orders: groupby-HAVING over the
+    fact table, joined back to orders + customer, top-k by price.
+
+    Scale shape: lineitem quantity sums go through the per-batch
+    combiner → groupby(orderkey) → map-side HAVING filter (the groupby
+    output is already compact); the surviving keys hash-join orders
+    (big-big, orderkey-partitioned); the customer NAME attaches AFTER
+    top-k via a k-row join (the q10/top_customer_revenue pattern)."""
+    from .dedup import _join_parts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"l_orderkey": ok, "_qty": qty})
+        g = df.groupby("l_orderkey", as_index=False)["_qty"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = li.map_batches(lpartial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("l_orderkey").aggregate(Sum("_qty", alias_name="sum_qty"))
+    big = sums.filter(expr=f"sum_qty > {min_qty}")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    joined = orders.join(big, join_type="inner", on=("o_orderkey",),
+                         right_on=("l_orderkey",),
+                         num_partitions=_join_ray_parts(orders, big))
+    topk = joined.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(k)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        # align the join key name with the k-row customer join
+        return batch.select(["o_custkey", "o_orderkey", "o_orderdate",
+                             "o_totalprice", "sum_qty"]) \
+            .rename_columns(["c_custkey", "o_orderkey", "o_orderdate",
+                             "o_totalprice", "sum_qty"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = topk.map_batches(rekey, batch_format="pyarrow") \
+        .join(cust, join_type="inner", on=("c_custkey",),
+              num_partitions=_join_parts(topk, cust))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_name", "c_custkey", "o_orderkey",
+                             "o_orderdate", "o_totalprice", "sum_qty"])
+
+    return named.map_batches(order_cols, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+
+
+def q19_brand_bands_revenue(sf_dir: str, form: str = "auto",
+                            broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q19 shape (adapted: no p_container/l_shipmode columns) —
+    revenue under a DISJUNCTION of brand × size × quantity bands, the
+    multi-predicate join-filter every relational engine special-cases.
+
+    Part is gated on ``broadcast_limit``: small → one packed int16 per
+    partkey (band-code × 1024 + p_size) ships as sorted searchsorted
+    arrays; SF-scaled → native Dataset.join with the same vectorized
+    predicate on the joined columns. One partial row per batch."""
+    import ray
+
+    from .dedup import _join_parts
+
+    # (brand, max_size, qty_lo, qty_hi); size is BETWEEN 1 AND max_size
+    bands = [("Brand#12", 15, 1.0, 20.0),
+             ("Brand#23", 25, 10.0, 30.0),
+             ("Brand#3", 35, 20.0, 40.0)]
+    max_size = np.array([b[1] for b in bands], np.int64)
+    qty_lo = np.array([b[2] for b in bands], np.float64)
+    qty_hi = np.array([b[3] for b in bands], np.float64)
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    if form == "auto":
+        form = "broadcast" if part_ds.count() <= broadcast_limit \
+            else "join"
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def _keep(code: np.ndarray, size: np.ndarray,
+              qty: np.ndarray) -> np.ndarray:
+        hit = code >= 0
+        c = np.maximum(code, 0)
+        return (hit & (size >= 1) & (size <= max_size[c])
+                & (qty >= qty_lo[c]) & (qty <= qty_hi[c]))
+
+    def _partial(keep: np.ndarray, ep: np.ndarray,
+                 dc: np.ndarray) -> pa.Table:
+        rev = float((ep[keep] * (1.0 - dc[keep])).sum())
+        return pa.table({
+            "_rev": pa.array([rev], pa.float64()),
+            "_n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    if form == "broadcast":
+        part = part_ds.to_pandas()
+        brand_code = np.full(len(part), -1, np.int64)
+        for i, (brand, *_rest) in enumerate(bands):
+            brand_code[part["p_brand"].to_numpy() == brand] = i
+        packed = np.where(
+            brand_code >= 0,
+            brand_code * 1024 + part["p_size"].to_numpy(np.int64), -1)
+        ref = ray.put(_sorted_probe_arrays(
+            part["p_partkey"].to_numpy(np.int64), packed))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            keys = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            packed = _probe_sorted(sk, sv, keys, -1)
+            code = np.where(packed >= 0, packed // 1024, -1)
+            size = np.where(packed >= 0, packed % 1024, 0)
+            qty = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return _partial(_keep(code, size, qty), ep, dc)
+
+        partials = li.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        joined = li.join(part_ds, join_type="inner", on=("l_partkey",),
+                         right_on=("p_partkey",),
+                         num_partitions=_join_parts(li, part_ds))
+        brand_names = np.array([b[0] for b in bands], dtype=object)
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            brands = batch.column("p_brand").to_pandas().to_numpy()
+            code = np.full(len(brands), -1, np.int64)
+            for i, name in enumerate(brand_names):
+                code[brands == name] = i
+            size = batch.column("p_size").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            qty = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return _partial(_keep(code, size, qty), ep, dc)
+
+        partials = joined.map_batches(jpartial, batch_format="pyarrow",
+                                      batch_size=65536)
+
+    tot = partials.aggregate(Sum("_rev", alias_name="revenue"),
+                             Sum("_n", alias_name="n_lines"))
+    return pa.table({
+        "revenue": pa.array(_round2_snap([tot["revenue"] or 0.0]),
+                            pa.float64()),
+        "n_lines": pa.array([int(tot["n_lines"] or 0)], pa.int64()),
+    })

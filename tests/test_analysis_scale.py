@@ -211,3 +211,18 @@ def test_revenue_by_part_type_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_q14_join_fallback():
+    a = analysis.q14_promo_revenue(SF).to_pandas()
+    b = analysis.q14_promo_revenue(SF, broadcast_limit=0).to_pandas()
+    assert len(a) == 1
+    assert a.equals(b)
+
+
+def test_q19_join_fallback():
+    a = analysis.q19_brand_bands_revenue(SF).to_pandas()
+    b = analysis.q19_brand_bands_revenue(
+        SF, broadcast_limit=0).to_pandas()
+    assert len(a) == 1 and int(a["n_lines"][0]) > 0
+    assert a.equals(b)
