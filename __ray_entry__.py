@@ -407,6 +407,20 @@ def _simhash_near_pairs(sf_dir: str):
     return dedup.simhash_near_pairs(sf_dir)
 
 
+def _ngram_jaccard_verify(sf_dir: str):
+    """n-gram Jaccard near-dup verification with integer overlap counts,
+    SQL-oracled via the candidate-dump gate: the query dumps the LSH
+    candidate PAIRS (the only non-SQL-expressible step) and DuckDB
+    RECOMPUTES the distinct-bigram intersection/union from the raw
+    documents text — an independent re-derivation of the verify math,
+    not a self-equality check."""
+    from crawl4ai_ray.pipelines import dedup
+
+    return dedup.ngram_overlap_pairs(
+        sf_dir, k=2,
+        dump_cand=lambda t: _oracle_dump("ngram_jaccard_verify", t))
+
+
 def _crawl_span_kinds(sf_dir: str):
     """Span-kind histogram of the flagship crawl output (exercises the
     interleaved-span payload end to end). SQL-oracled via the self-dump
@@ -578,6 +592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over LSH candidates — the n-gram-Jaccard dedup operator
         "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
             sf, k=2, threshold=0.5),
+        # integer-count variant over dumped LSH candidates — DuckDB
+        # recomputes the bigram overlap from raw text (hard gate)
+        "ngram_jaccard_verify": _ngram_jaccard_verify,
         "minhash_dedup_survivors": lambda sf:
             dedup.minhash_dedup_survivors(sf),
         "simhash_table": dedup.simhash_table,
@@ -1628,6 +1645,49 @@ def oracle_sql() -> dict[str, str]:
                  '/tmp/c4r_oracle/simhash_near_pairs/raw.parquet') b
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # candidate-dump gate (stronger than self-dump): only the LSH
+        # candidate PAIRS come from the engine; the bigram sets, the
+        # intersection/union counts and the threshold are re-derived by
+        # DuckDB from the raw documents text.
+        "ngram_jaccard_verify": """
+            WITH cand AS (
+                SELECT doc_a, doc_b FROM read_parquet(
+                    '/tmp/c4r_oracle/ngram_jaccard_verify/raw.parquet')
+            ),
+            toks AS (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY ord) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS ord
+                    FROM documents
+                ) WHERE w <> ''
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS g
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            ov AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN grams ga ON ga.doc_id = c.doc_a
+                JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT o.doc_a, o.doc_b, o.inter,
+                   sa.n + sb.n - o.inter AS uni
+            FROM ov o
+            JOIN sizes sa ON sa.doc_id = o.doc_a
+            JOIN sizes sb ON sb.doc_id = o.doc_b
+            WHERE 2 * o.inter >= sa.n + sb.n - o.inter
         """,
         "crawl_host_stats": """
             SELECT split_part(url, '/', 3) AS host,

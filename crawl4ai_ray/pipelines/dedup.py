@@ -366,6 +366,71 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+def ngram_overlap_pairs(sf_dir: str, *, num_perm: int = 64,
+                        bands: int = 16, k: int = 2,
+                        max_bucket: int = 4096, dump_cand=None):
+    """n-gram Jaccard verification with INTEGER overlap counts: LSH
+    candidate pairs whose distinct k-gram sets satisfy 2·|A∩B| ≥ |A∪B|
+    (exact Jaccard ≥ 0.5 without any float round), emitted as
+    (doc_a, doc_b, inter, uni).
+
+    Same distributed shape as ``minhash_lsh_pairs`` (shingle pass →
+    band-bucket groupby candidates → two hash joins against the shingle
+    table), but the output is hash-exact integers, so the candidate set
+    can be dumped (``dump_cand`` callback receives the Arrow pairs
+    table) and an independent SQL engine can RECOMPUTE the bigram
+    overlap from the raw documents text — a stronger gate than a
+    self-equality dump."""
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    sh = ds.map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow", batch_size=4096,
+    ).materialize()
+    band_rows = sh.map_batches(
+        lambda b: _band_rows_from_shingles(b, num_perm, bands),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket) \
+        .materialize()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "uni": pa.array([], pa.int64())})
+    if dump_cand is not None:
+        dump_cand(pa.Table.from_pandas(
+            cand.to_pandas().sort_values(["doc_a", "doc_b"]),
+            preserve_index=False))
+    if cand.count() == 0:
+        return empty
+    n = _join_parts(cand, sh)
+    j = cand.join(sh.rename_columns({"doc_id": "doc_a",
+                                     "shingles": "sh_a"}),
+                  "inner", n, on=("doc_a",))
+    j = j.join(sh.rename_columns({"doc_id": "doc_b",
+                                  "shingles": "sh_b"}),
+               "inner", n, on=("doc_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {"doc_a": [], "doc_b": [], "inter": [], "uni": []}
+        for a, b, sa, sb in zip(batch.column("doc_a").to_pylist(),
+                                batch.column("doc_b").to_pylist(),
+                                batch.column("sh_a").to_pylist(),
+                                batch.column("sh_b").to_pylist()):
+            ua = np.frombuffer(sa, dtype=np.uint64)
+            ub = np.frombuffer(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(ua, ub, assume_unique=True))
+            uni = len(ua) + len(ub) - inter
+            if 2 * inter >= uni and uni > 0:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["inter"].append(inter)
+                out["uni"].append(uni)
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs_driver(sf_dir: str, *, num_perm: int = 64,
                              bands: int = 16, k: int = 3,
                              threshold: float = 0.7):
