@@ -555,6 +555,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": analysis.q14_promo_revenue,
         "q18_large_volume_customers": analysis.q18_large_volume_customers,
         "q19_brand_bands_revenue": analysis.q19_brand_bands_revenue,
+        # RANK/DENSE_RANK/PERCENT_RANK in histogram-rank form (bounded
+        # tie-heavy value domain ⇒ no global sort), oracle-gated
+        "lineitem_rank_stats": analysis.lineitem_rank_stats,
+        # CUBE(nation, year) — all four grouping sets from one leaf pass
+        "revenue_cube": analysis.revenue_cube,
         "events_user_moving_avg": analysis.events_user_moving_avg,
         # RANGE-frame window (INTERVAL 7 DAY PRECEDING), oracle-gated
         "events_range_window": analysis.events_range_window,
@@ -1405,6 +1410,15 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                      AND l_quantity BETWEEN 20 AND 40)
         """,
+        "lineitem_rank_stats": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity DESC)
+        """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name, revenue FROM (
                 SELECT o_custkey AS c_custkey,
@@ -1550,6 +1564,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', 'ALL', ROUND(SUM(rev), 2),
                    CAST(SUM(n_orders) AS BIGINT) FROM leaf
+        """,
+        "revenue_cube": r"""
+            WITH leaf AS (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) AS VARCHAR) AS order_year,
+                       SUM(o_totalprice) AS rev,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT nation, order_year,
+                   ROUND(rev, 2) AS revenue, n_orders FROM leaf
+            UNION ALL
+            SELECT nation, 'ALL', ROUND(SUM(rev), 2),
+                   CAST(SUM(n_orders) AS BIGINT)
+            FROM leaf GROUP BY nation
+            UNION ALL
+            SELECT 'ALL', order_year, ROUND(SUM(rev), 2),
+                   CAST(SUM(n_orders) AS BIGINT)
+            FROM leaf GROUP BY order_year
+            UNION ALL
+            SELECT 'ALL', 'ALL', ROUND(SUM(rev), 2),
+                   CAST(SUM(n_orders) AS BIGINT)
+            FROM leaf
         """,
         "q3_shipping_priority": r"""
             SELECT l_orderkey,

@@ -2720,3 +2720,128 @@ def q19_brand_bands_revenue(sf_dir: str, form: str = "auto",
                             pa.float64()),
         "n_lines": pa.array([int(tot["n_lines"] or 0)], pa.int64()),
     })
+
+
+def lineitem_rank_stats(sf_dir: str, max_domain: int = 100_000):
+    """RANK / DENSE_RANK / PERCENT_RANK per l_returnflag ordered by
+    l_quantity DESC — the remaining ranking-window shapes.
+
+    Scale shape (histogram-rank, the grouped_median pattern): for a
+    tie-heavy BOUNDED value domain the (partition, value) histogram IS
+    the entire window state, so there is no global sort at all — a
+    combiner-fed groupby builds the histogram, the driver turns its
+    ≤``max_domain`` rows into rank maps (guarded loud, like
+    grouped_median's max_keys), the maps broadcast via ``ray.put`` once,
+    and a stateless map assigns per-row values with one searchsorted
+    probe. PERCENT_RANK is (rank-1)/(n_part-1) on exact ints — the same
+    two ints DuckDB divides, so the doubles are bit-identical with no
+    rounding step."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": batch.column("l_returnflag").to_pandas(),
+            "q": batch.column("l_quantity")
+                 .to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["f", "q"], as_index=False).size() \
+            .rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cdf = li.map_batches(hist, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby(["f", "q"]).aggregate(Sum("_n", alias_name="_n")) \
+        .to_pandas()
+    if len(cdf) > max_domain:
+        raise ValueError(
+            f"lineitem_rank_stats: (partition, value) domain "
+            f"{len(cdf)} exceeds max_domain={max_domain} — the "
+            f"histogram-rank form needs a bounded value domain; use the "
+            f"sort + prefix-scan form (orders_row_number) instead")
+
+    vocab = sorted(cdf["f"].unique().tolist())
+    keys, rnk_v, drnk_v, prnk_v = [], [], [], []
+    for code, flag in enumerate(vocab):
+        part = cdf[cdf["f"] == flag].sort_values("q", ascending=False)
+        cnts = part["_n"].to_numpy(np.int64)
+        n_part = int(cnts.sum())
+        # rank of each distinct value = 1 + rows strictly above it
+        above = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        rnk = above + 1
+        drnk = np.arange(1, len(cnts) + 1, dtype=np.int64)
+        den = max(n_part - 1, 1)
+        prnk = (rnk - 1).astype(np.float64) / float(den)
+        qint = part["q"].to_numpy(np.float64).astype(np.int64)
+        keys.append(code * (1 << 20) + qint)
+        rnk_v.append(rnk)
+        drnk_v.append(drnk)
+        prnk_v.append(prnk)
+    skeys = np.concatenate(keys)
+    order = np.argsort(skeys)
+    ref = ray.put((skeys[order],
+                   np.concatenate(rnk_v)[order],
+                   np.concatenate(drnk_v)[order],
+                   np.concatenate(prnk_v)[order]))
+    vocab_arr = np.array(vocab, dtype=object)
+
+    def assign(batch: pa.Table, ref=ref, vocab=vocab_arr) -> pa.Table:
+        import ray as _ray
+
+        sk, rnk, drnk, prnk = _ray.get(ref)
+        flags = batch.column("l_returnflag").to_pandas().to_numpy()
+        code = np.zeros(len(flags), np.int64)
+        for i, name in enumerate(vocab):
+            code[flags == name] = i
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        key = code * (1 << 20) + qty.astype(np.int64)
+        idx = np.searchsorted(sk, key)  # every key exists by construction
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_quantity": batch.column("l_quantity"),
+            "rnk": pa.array(rnk[idx]),
+            "drnk": pa.array(drnk[idx]),
+            "prnk": pa.array(prnk[idx]),
+        })
+
+    return li.map_batches(assign, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def revenue_cube(sf_dir: str, form: str = "auto",
+                 broadcast_limit: int = BROADCAST_LIMIT):
+    """CUBE(nation, year): the ROLLUP levels (``revenue_rollup``) PLUS
+    per-year subtotals — all four grouping sets from ONE leaf pass.
+
+    Scale shape identical to revenue_rollup: the only big-data pass is
+    the shared gated leaf aggregation; all three subtotal levels
+    re-aggregate the nations×years leaf rows driver-side, exactly like
+    SQL's CUBE re-aggregation. Sums stay unrounded until the final
+    union so every subtotal equals the sum of its leaves bit-for-bit."""
+    df = _nation_year_leaf(sf_dir, form=form,
+                           broadcast_limit=broadcast_limit).to_pandas() \
+        .rename(columns={"n_name": "nation"})
+    df["order_year"] = df["order_year"].astype("int64").astype(str)
+    df = df[["nation", "order_year", "_rev", "_n"]]
+    by_nation = df.groupby("nation", as_index=False) \
+        .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
+    by_nation["order_year"] = "ALL"
+    by_year = df.groupby("order_year", as_index=False) \
+        .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
+    by_year["nation"] = "ALL"
+    total = pd.DataFrame({
+        "nation": ["ALL"], "order_year": ["ALL"],
+        "_rev": [df["_rev"].sum()], "_n": [df["_n"].sum()],
+    })
+    out = pd.concat([df, by_nation[df.columns], by_year[df.columns],
+                     total[df.columns]], ignore_index=True)
+    out["revenue"] = _round2_snap(out["_rev"].to_numpy())
+    out["n_orders"] = out["_n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["nation", "order_year", "revenue", "n_orders"]],
+        preserve_index=False)
