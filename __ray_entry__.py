@@ -555,6 +555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": analysis.q14_promo_revenue,
         "q18_large_volume_customers": analysis.q18_large_volume_customers,
         "q19_brand_bands_revenue": analysis.q19_brand_bands_revenue,
+        # r5 session 2: the last four classic shapes the schema supports
+        # (two-nation volume, left-join count distribution, max-revenue
+        # supplier with ties, correlated per-part avg threshold)
+        "q7_nation_volume": analysis.q7_nation_volume,
+        "q13_customer_distribution": analysis.q13_customer_distribution,
+        "q15_top_supplier": analysis.q15_top_supplier,
+        "q17_small_quantity_revenue": analysis.q17_small_quantity_revenue,
         # RANK/DENSE_RANK/PERCENT_RANK in histogram-rank form (bounded
         # tie-heavy value domain ⇒ no global sort), oracle-gated
         "lineitem_rank_stats": analysis.lineitem_rank_stats,
@@ -1409,6 +1416,66 @@ def oracle_sql() -> dict[str, str]:
                      AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                      AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation,
+                         n2.n_name AS cust_nation,
+                         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                             AS l_year,
+                         l_extendedprice * (1 - l_discount) AS volume
+                  FROM supplier, lineitem, orders, customer,
+                       nation n1, nation n2
+                  WHERE s_suppkey = l_suppkey
+                    AND o_orderkey = l_orderkey
+                    AND c_custkey = o_custkey
+                    AND s_nationkey = n1.n_nationkey
+                    AND c_nationkey = n2.n_nationkey
+                    AND ((n1.n_name = 'NATION_18'
+                            AND n2.n_name = 'NATION_19')
+                      OR (n1.n_name = 'NATION_19'
+                            AND n2.n_name = 'NATION_18'))
+                    AND l_shipdate >= DATE '1995-01-01'
+                    AND l_shipdate < DATE '1997-01-01')
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum(l_extendedprice * (1 - l_discount))
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   round(total_revenue, 2) AS total_revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND total_revenue = (SELECT max(total_revenue)
+                                   FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand = 'Brand#1' AND p_size <= 20
+              AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
         """,
         "lineitem_rank_stats": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

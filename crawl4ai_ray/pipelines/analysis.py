@@ -2845,3 +2845,397 @@ def revenue_cube(sf_dir: str, form: str = "auto",
     return pa.Table.from_pandas(
         out[["nation", "order_year", "revenue", "n_orders"]],
         preserve_index=False)
+
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_18",
+                     nation_b: str = "NATION_19",
+                     date_from: str = "1995-01-01",
+                     date_to: str = "1997-01-01", form: str = "auto",
+                     broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q7 shape — volume shipped between two nations (both
+    directions), grouped by (supp_nation, cust_nation, ship year).
+
+    Scale decomposition (the q5 split, different predicate): nation is
+    resolved to two int keys on the driver (constant 25 rows); customer
+    and supplier are PRE-FILTERED to those two nations map-side and
+    then GATED on ``broadcast_limit`` — small → custkey/suppkey →
+    nationkey sorted searchsorted arrays ship once; SF-scaled → native
+    ``Dataset.join`` on each key. lineitem ⋈ filtered-orders on
+    orderkey is the one big-big exchange; the cross-nation predicate
+    (supp_nat != cust_nat after both sides are in {a, b}) applies per
+    joined batch, and a per-batch combiner keyed by (supp, cust, year)
+    leaves ≤ 2×years rows per batch for the final groupby."""
+    import ray
+
+    from .dedup import _join_parts
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    keys = {}
+    for name in (nation_a, nation_b):
+        hit = nat.loc[nat["n_name"] == name, "n_nationkey"]
+        if hit.empty:
+            raise ValueError(f"q7_nation_volume: unknown nation {name!r}")
+        keys[name] = int(hit.iloc[0])
+    names = {v: k for k, v in keys.items()}
+    pair = np.array(sorted(names), np.int64)
+
+    def _natfilt(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            nk = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return batch.filter(pa.array(np.isin(nk, pair)))
+        return fn
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(_natfilt("c_nationkey"), batch_format="pyarrow",
+                     batch_size=65536)
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(_natfilt("s_nationkey"), batch_format="pyarrow",
+                     batch_size=65536)
+    if form == "auto":
+        form = "broadcast" \
+            if cust_ds.count() + supp_ds.count() <= broadcast_limit \
+            else "join"
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def _li_emit(batch: pa.Table, snat: np.ndarray) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi) & (snat >= 0)
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[keep]
+        dc = batch.column("l_discount") \
+            .to_numpy(zero_copy_only=False)[keep]
+        yr = ship[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(keep)),
+            "supp_nat": pa.array(snat[keep]),
+            "l_year": pa.array(yr),
+            "_vol": pa.array(ep * (1.0 - dc)),
+        })
+
+    if form == "broadcast":
+        cust = cust_ds.to_pandas()
+        supp = supp_ds.to_pandas()
+        cref = ray.put(_sorted_probe_arrays(
+            cust["c_custkey"].to_numpy(np.int64),
+            cust["c_nationkey"].to_numpy(np.int64)))
+        sref = ray.put(_sorted_probe_arrays(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64)))
+
+        def oemit(batch: pa.Table, cref=cref) -> pa.Table:
+            sk, sv = ray.get(cref)
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cnat = _probe_sorted(sk, sv, ck, -1)
+            keep = cnat >= 0
+            return pa.table({
+                "l_orderkey": batch.column("o_orderkey").filter(
+                    pa.array(keep)),
+                "cust_nat": pa.array(cnat[keep]),
+            })
+
+        ofiltered = orders.map_batches(oemit, batch_format="pyarrow",
+                                       batch_size=65536)
+
+        def lemit(batch: pa.Table, sref=sref) -> pa.Table:
+            sk, sv = ray.get(sref)
+            suk = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _li_emit(batch, _probe_sorted(sk, sv, suk, -1))
+
+        lfiltered = li.map_batches(lemit, batch_format="pyarrow",
+                                   batch_size=65536)
+    else:
+        ojoin = orders.join(cust_ds, join_type="inner",
+                            on=("o_custkey",), right_on=("c_custkey",),
+                            num_partitions=_join_parts(orders, cust_ds))
+
+        def oemit2(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": batch.column("o_orderkey"),
+                "cust_nat": batch.column("c_nationkey").cast(pa.int64()),
+            })
+
+        ofiltered = ojoin.map_batches(oemit2, batch_format="pyarrow")
+        ljoin = li.join(supp_ds, join_type="inner", on=("l_suppkey",),
+                        right_on=("s_suppkey",),
+                        num_partitions=_join_parts(li, supp_ds))
+
+        def lemit2(batch: pa.Table) -> pa.Table:
+            snat = batch.column("s_nationkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _li_emit(batch, snat)
+
+        lfiltered = ljoin.map_batches(lemit2, batch_format="pyarrow",
+                                      batch_size=65536)
+
+    joined = lfiltered.join(
+        ofiltered, join_type="inner", on=("l_orderkey",),
+        num_partitions=_join_parts(lfiltered, ofiltered))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"supp_nat": pa.array([], pa.int64()),
+                             "cust_nat": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "_vol": pa.array([], pa.float64())})
+        snat = batch.column("supp_nat").to_numpy(zero_copy_only=False)
+        cnat = batch.column("cust_nat").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(snat != cnat))
+        df = pd.DataFrame({
+            "supp_nat": t.column("supp_nat")
+                .to_numpy(zero_copy_only=False),
+            "cust_nat": t.column("cust_nat")
+                .to_numpy(zero_copy_only=False),
+            "l_year": t.column("l_year").to_numpy(zero_copy_only=False),
+            "_vol": t.column("_vol").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["supp_nat", "cust_nat", "l_year"],
+                       as_index=False)["_vol"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby(["supp_nat", "cust_nat", "l_year"]) \
+        .aggregate(Sum("_vol", alias_name="_vol")).to_pandas()
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["cust_nat"].map(names)
+    out["revenue"] = _round2_snap(out["_vol"].to_numpy())
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"])
+    return pa.Table.from_pandas(
+        out[["supp_nation", "cust_nation", "l_year", "revenue"]],
+        preserve_index=False)
+
+
+def q13_customer_distribution(sf_dir: str,
+                              exclude_priority: str = "1-URGENT"):
+    """TPC-H Q13 shape (adapted: the schema has no o_comment, so the
+    NOT LIKE comment filter becomes an order-priority exclusion) —
+    distribution of customers by order count, INCLUDING the
+    zero-order customers the left join exists for.
+
+    Scale shape: per-custkey counts go combiner → groupby(custkey) →
+    customer LEFT OUTER join counts (big-big, custkey-partitioned;
+    nulls are the zero-order customers); the c_count histogram is a
+    per-batch combiner (≤ distinct-count rows per batch) into a tiny
+    final groupby."""
+    from .dedup import _join_parts
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def opartial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(pc.equal(
+            batch.column("o_orderpriority"),
+            pa.scalar(exclude_priority))))
+        df = pd.DataFrame({
+            "o_custkey": t.column("o_custkey")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby("o_custkey", as_index=False).size() \
+            .rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = orders.map_batches(opartial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("o_custkey").aggregate(Sum("_n", alias_name="_n"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer",
+                       on=("c_custkey",), right_on=("o_custkey",),
+                       num_partitions=_join_parts(cust, counts))
+
+    def hpartial(batch: pa.Table) -> pa.Table:
+        n = batch.column("_n").to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64), nan=0.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"c_count": n})
+        g = df.groupby("c_count", as_index=False).size() \
+            .rename(columns={"size": "_d"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(hpartial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("c_count").aggregate(Sum("_d", alias_name="custdist")) \
+        .sort(["custdist", "c_count"], descending=[True, True])
+
+
+def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01"):
+    """TPC-H Q15 shape — the supplier(s) with maximum revenue over one
+    quarter, ties preserved (the view + scalar-subquery-max pattern).
+
+    Scale shape: per-supplier revenue is a combiner-fed
+    groupby(suppkey) (dimension-sized output, SF×10k rows); the max is
+    ONE ``aggregate(Max)`` over that compact table; the equality filter
+    keeps the ≤ handful of winners and the supplier NAME attaches via a
+    k-row join — lineitem itself is scanned exactly once."""
+    from .dedup import _join_parts
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_suppkey": t.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+            "_rev": ep * (1.0 - dc)})
+        g = df.groupby("l_suppkey", as_index=False)["_rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(lpartial, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("_rev", alias_name="total_revenue"))
+    mx = rev.aggregate(Max("total_revenue", alias_name="mx"))["mx"]
+    top = rev.filter(expr=f"total_revenue >= {float(mx)!r}")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = top.join(supp, join_type="inner", on=("l_suppkey",),
+                     right_on=("s_suppkey",),
+                     num_partitions=_join_parts(top, supp)).to_pandas()
+    named["s_suppkey"] = named["l_suppkey"]
+    named["total_revenue"] = _round2_snap(
+        named["total_revenue"].to_numpy())
+    named = named.sort_values("s_suppkey")
+    return pa.Table.from_pandas(
+        named[["s_suppkey", "s_name", "total_revenue"]],
+        preserve_index=False)
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#1",
+                               max_size: int = 20, frac: float = 0.5,
+                               years: float = 7.0, form: str = "auto",
+                               broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q17 shape (adapted: no p_container, so the part slice is
+    brand + size band; the classic 0.2 factor is 0.5 here so the toy
+    SF keeps rows) — revenue lost to small-quantity orders: lineitems
+    below ``frac``×(per-part average quantity), annualized.
+
+    Scale shape: the part slice (brand+size) is ~1/25 of part and
+    GATED on ``broadcast_limit`` — small → eligible partkeys ship once
+    and prune lineitem map-side; SF-scaled → an inner join against the
+    sliced part table does the semi-join. The per-part avg is a
+    combiner-fed groupby over the PRUNED lineitem (sum+count partials),
+    and the correlated threshold comes back as a second gated lookup —
+    broadcast probe when small, partkey-partitioned join otherwise.
+    One (sum) partial row per batch ends the pipeline."""
+    import ray
+
+    from .dedup import _join_parts
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("p_brand"),
+                                pa.scalar(brand)),
+                       pc.less_equal(batch.column("p_size"),
+                                     pa.scalar(max_size)))
+        return batch.filter(keep).select(["p_partkey"])
+
+    eligible = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                   batch_size=65536)
+    if form == "auto":
+        form = "broadcast" if eligible.count() <= broadcast_limit \
+            else "join"
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if form == "broadcast":
+        keys = np.sort(eligible.to_pandas()["p_partkey"]
+                       .to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def prune(batch: pa.Table, kref=kref) -> pa.Table:
+            ks = ray.get(kref)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(ks, pk)
+            idx[idx >= len(ks)] = 0
+            keep = len(ks) > 0 and ks[idx] == pk
+            if isinstance(keep, bool):  # empty eligible set
+                keep = np.zeros(len(pk), bool)
+            return batch.filter(pa.array(keep))
+
+        pruned = li.map_batches(prune, batch_format="pyarrow",
+                                batch_size=65536)
+    else:
+        pruned = li.join(eligible, join_type="inner",
+                         on=("l_partkey",), right_on=("p_partkey",),
+                         num_partitions=_join_parts(li, eligible)) \
+            .select_columns(["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+
+    def apartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey")
+                .to_numpy(zero_copy_only=False),
+            "_s": batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby("l_partkey", as_index=False) \
+            .agg(_s=("_s", "sum"), _c=("_s", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = pruned.map_batches(apartial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .groupby("l_partkey").aggregate(Sum("_s", alias_name="_s"),
+                                        Sum("_c", alias_name="_c"))
+
+    def spartial(qty: np.ndarray, ep: np.ndarray,
+                 thresh: np.ndarray) -> pa.Table:
+        keep = qty < thresh
+        return pa.table({"_rev": pa.array(
+            [float(ep[keep].sum())], pa.float64())})
+
+    if form == "broadcast":
+        st = stats.to_pandas()
+        tref = ray.put(_sorted_probe_arrays(
+            st["l_partkey"].to_numpy(np.int64),
+            frac * st["_s"].to_numpy(np.float64)
+            / st["_c"].to_numpy(np.float64)))
+
+        def probe(batch: pa.Table, tref=tref) -> pa.Table:
+            sk, sv = ray.get(tref)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            thresh = _probe_sorted(sk, sv, pk, -1.0)
+            qty = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            return spartial(qty, ep, thresh)
+
+        partials = pruned.map_batches(probe, batch_format="pyarrow",
+                                      batch_size=65536)
+    else:
+        back = pruned.join(stats, join_type="inner",
+                           on=("l_partkey",),
+                           num_partitions=_join_parts(pruned, stats))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            s = batch.column("_s").to_numpy(zero_copy_only=False)
+            c = batch.column("_c").to_numpy(zero_copy_only=False)
+            qty = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            return spartial(qty, ep, frac * s / c)
+
+        partials = back.map_batches(jpartial, batch_format="pyarrow",
+                                    batch_size=65536)
+
+    tot = partials.aggregate(Sum("_rev", alias_name="rev"))["rev"] or 0.0
+    return pa.table({"avg_yearly": pa.array(
+        _round2_snap([tot / years]), pa.float64())})

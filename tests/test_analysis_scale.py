@@ -226,3 +226,18 @@ def test_q19_join_fallback():
         SF, broadcast_limit=0).to_pandas()
     assert len(a) == 1 and int(a["n_lines"][0]) > 0
     assert a.equals(b)
+
+
+def test_q7_join_fallback():
+    a = _norm(analysis.q7_nation_volume(SF).to_pandas())
+    b = _norm(analysis.q7_nation_volume(SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q17_join_fallback():
+    a = analysis.q17_small_quantity_revenue(SF).to_pandas()
+    b = analysis.q17_small_quantity_revenue(
+        SF, broadcast_limit=0).to_pandas()
+    assert len(a) == 1 and float(a["avg_yearly"][0]) > 0
+    assert a.equals(b)
