@@ -590,6 +590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible); full-probe==brute-force + recall pytest-gated
         "ann_topk_ivf": lambda sf: similarity.ivf_topk(
             sf, nlist=8, n_probe=4),
+        # PQ (product-quantization) ANN: codebooks trained on a bounded
+        # sample, m uint8 codes per vector on disk (the 100 TB memory-
+        # compression path), ADC lookup-table scan. Rows-only (iterative
+        # quantizer); recall + ADC-error pytest gates + golden parquet
+        "ann_topk_pq": lambda sf: similarity.pq_topk(sf),
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
         # embedding-cosine near-dup survivors (greedy smaller-id-wins law)
         "embedding_dedup_survivors": lambda sf:

@@ -514,3 +514,205 @@ def ivf_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
                            batch_size=4096)
               .sort(["cos", "vec_id"], descending=[True, False])
               .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split d dims into m subspaces, k-means each to
+# 2^nbits centroids, store one byte-ish code per subspace. A 100 TB
+# float32 corpus compresses ~(4d)/m bytes per vector → the codes table
+# fits where the vectors never could, and the scan is a table lookup
+# (ADC), not a matmul. Reference parity: the reference has no ANN at
+# all — this extends the similarity family the training-data brief
+# requires (brute → LSH → IVF → PQ).
+
+
+def _pq_train_codebooks(sample: np.ndarray, m: int, k: int,
+                        iters: int, seed: int) -> np.ndarray:
+    """Per-subspace Lloyd's on a BOUNDED driver-side sample (the FAISS
+    convention: codebooks train on ~10^4 vectors regardless of corpus
+    size — the distributed passes are encode and scan, never train).
+    Returns (m, k, d/m) float64, deterministic for a fixed seed."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), np.float64)
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        cent = x[rng.choice(n, size=min(k, n), replace=False)]
+        if len(cent) < k:  # degenerate tiny sample: pad by repetition
+            cent = np.concatenate([cent] * (k // len(cent) + 1))[:k]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                pts = x[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 codes, fully vectorized: per subspace the
+    assignment is argmin ||x - c||² = argmin (||c||² - 2 x·c)."""
+    n = len(mat)
+    m, k, sub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        cb = books[j]
+        d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_build(sf_dir: str, index_dir: str, *, m: int = 8, nbits: int = 6,
+             train_sample: int = 4096, iters: int = 8,
+             seed: int = 23) -> np.ndarray:
+    """Build a PQ code index: train codebooks on a bounded sample, then
+    ONE distributed encode pass writes (vec_id, code_0..code_{m-1})
+    parquet — uint8 columns, so the index is m bytes/vector on disk and
+    column-prunable. Returns the (m, 2^nbits, d/m) codebooks.
+
+    Scale shape: train is driver-side on ``train_sample`` rows (bounded,
+    seeded); encode is stateless ``map_batches`` with the codebooks
+    shipped once via ``ray.put``; the scan never touches the raw
+    vectors again."""
+    import pyarrow.parquet as pq_
+
+    head = pq_.ParquetFile(_emb_path(sf_dir))
+    rows = []
+    need = train_sample
+    for rb in head.iter_batches(batch_size=4096, columns=["embedding"]):
+        rows.append(pa.Table.from_batches([rb]))
+        need -= rb.num_rows
+        if need <= 0:
+            break
+    sample_tbl = pa.concat_tables(rows).slice(0, train_sample)
+    from .sketches import _stack_embeddings
+
+    sample = _normalize(_stack_embeddings(sample_tbl))
+    books = _pq_train_codebooks(sample, m, 1 << nbits, iters, seed)
+    bref = ray.put(books)
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        mat = _normalize(_stack_embeddings(batch))
+        codes = _pq_encode_codes(mat, b)
+        cols = {"vec_id": batch.column("vec_id")}
+        for j in range(m):
+            cols[f"code_{j}"] = pa.array(codes[:, j], pa.uint8())
+        return pa.table(cols)
+
+    import os
+
+    # codes live under codes/ so sidecars (codebooks.npy, the success
+    # marker) never collide with the parquet scan
+    ds.map_batches(encode, batch_format="pyarrow", batch_size=4096) \
+        .write_parquet(os.path.join(index_dir, "codes"))
+    return books
+
+
+def pq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
+            m: int = 8, nbits: int = 6, index_dir: str | None = None,
+            rerank: int = 0):
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC): the query builds an (m, 2^nbits) dot-product lookup table
+    against the codebooks; every stored vector scores as m table
+    lookups summed — no vector data is read at query time, only the
+    m-byte codes.
+
+    ``rerank > 0`` adds the standard two-stage refinement: the ADC scan
+    shortlists ``rerank`` candidates (cheap, codes only), then ONE
+    id-pruned read of the raw vectors exact-scores just that shortlist
+    — recall ≈ brute force at a scan cost of codes + rerank rows. Plain
+    ADC (rerank=0) ranks coarse structure well but cannot separate
+    near-ties closer than its quantization error.
+
+    Output shape matches ``brute_force_topk`` ((vec_id, cos) rounded to
+    5 dp, cos-desc then vec_id-asc) so recall is directly measurable;
+    approximate ⇒ golden/pytest-gated, no SQL oracle."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"c4r_pq_{tag}_m{m}_b{nbits}")
+    marker = os.path.join(index_dir, "_SUCCESS_c4r")
+    if os.path.exists(marker):
+        books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    else:
+        books = pq_build(sf_dir, index_dir, m=m, nbits=nbits)
+        np.save(os.path.join(index_dir, "codebooks.npy"), books)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    q = _normalize(_query_vector(sf_dir, query_vec_id)[None, :])[0]
+    sub = books.shape[2]
+    # LUT[j, c] = q_j · books[j, c]  ⇒  cos ≈ Σ_j LUT[j, code_j]
+    lut = np.einsum("jkc,jc->jk",
+                    books, q.reshape(m, sub))  # (m, 2^nbits)
+    lref = ray.put(lut)
+
+    code_cols = [f"code_{j}" for j in range(m)]
+    ds = rd.read_parquet(os.path.join(index_dir, "codes"),
+                         columns=["vec_id"] + code_cols)
+    shortlist = max(k, rerank)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(lref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        score = np.zeros(len(ids), np.float64)
+        for j, col in enumerate(code_cols):
+            codes = batch.column(col).to_numpy(zero_copy_only=False)
+            score += tbl[j][codes]
+        keep = ids != query_vec_id
+        ids, score = ids[keep], score[keep]
+        r = np.round(score, 5)
+        if len(ids) > shortlist:
+            order = np.lexsort((ids, -r))[:shortlist]
+            ids, r = ids[order], r[order]
+        return pa.table({"vec_id": pa.array(ids),
+                         "cos": pa.array(r, pa.float64())})
+
+    adc = (ds.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=65536)
+             .sort(["cos", "vec_id"], descending=[True, False])
+             .limit(shortlist))
+    if not rerank:
+        return adc
+
+    # exact refinement: the shortlist is k-scale (driver-safe); the raw
+    # vectors come back through ONE predicate-pruned read, never a full
+    # corpus scan
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    cand = adc.to_pandas()["vec_id"].to_numpy(np.int64)
+    qref = ray.put(q)
+    raw = rd.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filter=_pads.field("vec_id").isin(_pc.cast(
+            pa.array(cand), pa.int64())))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        from .sketches import _stack_embeddings
+        qv = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        cos = _normalize(_stack_embeddings(batch)) @ qv
+        return pa.table({"vec_id": pa.array(ids),
+                         "cos": pa.array(np.round(cos, 5),
+                                         pa.float64())})
+
+    return (raw.map_batches(exact, batch_format="pyarrow",
+                            batch_size=65536)
+               .sort(["cos", "vec_id"], descending=[True, False])
+               .limit(k))

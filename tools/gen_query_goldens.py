@@ -46,6 +46,7 @@ GOLDEN_QUERIES = [
     "crawl_adaptive",
     "crawl_adaptive_embedding",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "embedding_kmeans",
     "distinct_users_hll",
     "doc_llm_tables",
@@ -90,7 +91,11 @@ def main() -> None:
     qs = entry.queries()
     out_dir = "tests/golden/query"
     os.makedirs(out_dir, exist_ok=True)
-    for name in GOLDEN_QUERIES:
+    names = sys.argv[1:] or GOLDEN_QUERIES
+    unknown = [n for n in names if n not in GOLDEN_QUERIES]
+    if unknown:
+        raise SystemExit(f"not in GOLDEN_QUERIES: {unknown}")
+    for name in names:
         tbl = canonicalize(qs[name]("/root/testdata/sf0.001"))
         path = os.path.join(out_dir, f"{name}_sf0001.parquet")
         pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
