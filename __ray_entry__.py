@@ -562,6 +562,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": analysis.q13_customer_distribution,
         "q15_top_supplier": analysis.q15_top_supplier,
         "q17_small_quantity_revenue": analysis.q17_small_quantity_revenue,
+        # r5 session 2 cont.: market share, cost-proxy profit, late-line
+        # class counts, inactivity anti-join — with these the engine
+        # covers 17 of the 22 classic shapes (Q2/Q11/Q16/Q20/Q21 need
+        # partsupp/commitdate columns the synthetic schema lacks)
+        "q8_market_share": analysis.q8_market_share,
+        "q9_product_profit": analysis.q9_product_profit,
+        "q12_late_lines_by_flag": analysis.q12_late_lines_by_flag,
+        "q22_inactive_rich_customers":
+            analysis.q22_inactive_rich_customers,
         # RANK/DENSE_RANK/PERCENT_RANK in histogram-rank form (bounded
         # tie-heavy value domain ⇒ no global sort), oracle-gated
         "lineitem_rank_stats": analysis.lineitem_rank_stats,
@@ -1445,6 +1454,72 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate < DATE '1997-01-01')
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                     THEN volume ELSE 0 END)
+                                 / sum(volume), 4) AS mkt_share
+            FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                             AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n2.n_name AS supp_nation
+                  FROM part, supplier, lineitem, orders, customer,
+                       nation n1, nation n2, region
+                  WHERE p_partkey = l_partkey
+                    AND s_suppkey = l_suppkey
+                    AND l_orderkey = o_orderkey
+                    AND o_custkey = c_custkey
+                    AND c_nationkey = n1.n_nationkey
+                    AND n1.n_regionkey = r_regionkey
+                    AND r_name = 'ASIA'
+                    AND s_nationkey = n2.n_nationkey
+                    AND o_orderdate >= DATE '1995-01-01'
+                    AND o_orderdate < DATE '1997-01-01'
+                    AND p_type = 'PROMO')
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                             AS o_year,
+                         l_extendedprice * (1 - l_discount)
+                             - p_retailprice * 0.06 * l_quantity
+                             AS amount
+                  FROM part, supplier, lineitem, orders, nation
+                  WHERE s_suppkey = l_suppkey
+                    AND p_partkey = l_partkey
+                    AND l_orderkey = o_orderkey
+                    AND s_nationkey = n_nationkey
+                    AND p_name LIKE '%red%')
+            GROUP BY nation, o_year ORDER BY nation, o_year
+        """,
+        "q12_late_lines_by_flag": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN
+                                ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN
+                                ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_returnflag IN ('A', 'R')
+              AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q22_inactive_rich_customers": """
+            SELECT n_name, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY n_name ORDER BY n_name
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist

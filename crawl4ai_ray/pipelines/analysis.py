@@ -3239,3 +3239,487 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#1",
     tot = partials.aggregate(Sum("_rev", alias_name="rev"))["rev"] or 0.0
     return pa.table({"avg_yearly": pa.array(
         _round2_snap([tot / years]), pa.float64())})
+
+
+def q8_market_share(sf_dir: str, supp_nation: str = "NATION_3",
+                    region: str = "ASIA", part_type: str = "PROMO",
+                    date_from: str = "1995-01-01",
+                    date_to: str = "1997-01-01", form: str = "auto",
+                    broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q8 shape (adapted: p_type IS the part slice — the schema
+    has no p_mfgr) — one nation's market share of a part type sold to
+    one region's customers, per order year.
+
+    Scale decomposition: region→nations on the driver (constant rows);
+    part-slice keys, custkey→in-region and suppkey→is-target-nation are
+    all dimension lookups GATED together on ``broadcast_limit`` (small
+    → sorted searchsorted arrays shipped once; SF-scaled → native
+    joins). lineitem ⋈ date-filtered orders on orderkey is the one
+    big-big exchange; per-batch partials emit ≤years rows of
+    (o_year, target_vol, total_vol), so the share division runs on a
+    years-sized table."""
+    import ray
+
+    from .dedup import _join_parts
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    region_keys = np.sort(nat.loc[nat["n_regionkey"] == rkey,
+                                  "n_nationkey"].to_numpy(np.int64))
+    target = nat.loc[nat["n_name"] == supp_nation, "n_nationkey"]
+    if target.empty:
+        raise ValueError(f"q8: unknown nation {supp_nation!r}")
+    target_key = int(target.iloc[0])
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("p_type"),
+                                     pa.scalar(part_type))) \
+            .select(["p_partkey"])
+
+    eligible = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    def cfilt(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.filter(pa.array(np.isin(nk, region_keys))) \
+            .select(["c_custkey"])
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cfilt, batch_format="pyarrow", batch_size=65536)
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if form == "auto":
+        small = (eligible.count() + cust_ds.count()
+                 + supp_ds.count()) <= broadcast_limit
+        form = "broadcast" if small else "join"
+
+    lo, hi = np.datetime64(date_from), np.datetime64(date_to)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def _li_rows(batch: pa.Table, in_slice: np.ndarray,
+                 snat: np.ndarray) -> pa.Table:
+        keep = in_slice & (snat >= 0)
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[keep]
+        dc = batch.column("l_discount") \
+            .to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(keep)),
+            "_target": pa.array(snat[keep] == target_key),
+            "_vol": pa.array(ep * (1.0 - dc)),
+        })
+
+    if form == "broadcast":
+        ekeys = np.sort(eligible.to_pandas()["p_partkey"]
+                        .to_numpy(np.int64))
+        eref = ray.put(ekeys)
+        cust = cust_ds.to_pandas()
+        ckeys = np.sort(cust["c_custkey"].to_numpy(np.int64))
+        cref = ray.put(ckeys)
+        supp = supp_ds.to_pandas()
+        sref = ray.put(_sorted_probe_arrays(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64)))
+
+        def _member(sorted_keys: np.ndarray,
+                    keys: np.ndarray) -> np.ndarray:
+            if not len(sorted_keys):
+                return np.zeros(len(keys), bool)
+            idx = np.searchsorted(sorted_keys, keys)
+            idx[idx >= len(sorted_keys)] = 0
+            return sorted_keys[idx] == keys
+
+        def oemit(batch: pa.Table, cref=cref) -> pa.Table:
+            cs = ray.get(cref)
+            d = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (d >= lo) & (d < hi) & _member(cs, ck)
+            yr = d[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "l_orderkey": batch.column("o_orderkey").filter(
+                    pa.array(keep)),
+                "o_year": pa.array(yr),
+            })
+
+        ofiltered = orders.map_batches(oemit, batch_format="pyarrow",
+                                       batch_size=65536)
+
+        def lemit(batch: pa.Table, eref=eref, sref=sref) -> pa.Table:
+            es = ray.get(eref)
+            sk, sv = ray.get(sref)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            suk = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _li_rows(batch, _member(es, pk),
+                            _probe_sorted(sk, sv, suk, -1))
+
+        lfiltered = li.map_batches(lemit, batch_format="pyarrow",
+                                   batch_size=65536)
+    else:
+        def datefilt(batch: pa.Table) -> pa.Table:
+            d = batch.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array((d >= lo) & (d < hi)))
+            yr = t.column("o_orderdate") \
+                .to_numpy(zero_copy_only=False) \
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pa.array(yr),
+            })
+
+        ojoin = orders.map_batches(datefilt, batch_format="pyarrow",
+                                   batch_size=65536) \
+            .join(cust_ds, join_type="left_semi", on=("o_custkey",),
+                  right_on=("c_custkey",),
+                  num_partitions=_join_parts(orders, cust_ds))
+
+        def oemit2(batch: pa.Table) -> pa.Table:
+            return batch.select(["o_orderkey", "o_year"]) \
+                .rename_columns(["l_orderkey", "o_year"])
+
+        ofiltered = ojoin.map_batches(oemit2, batch_format="pyarrow")
+        lj = li.join(eligible, join_type="left_semi",
+                     on=("l_partkey",), right_on=("p_partkey",),
+                     num_partitions=_join_parts(li, eligible)) \
+            .join(supp_ds, join_type="inner", on=("l_suppkey",),
+                  right_on=("s_suppkey",),
+                  num_partitions=_join_parts(li, supp_ds))
+
+        def lemit2(batch: pa.Table) -> pa.Table:
+            snat = batch.column("s_nationkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _li_rows(batch, np.ones(len(snat), bool), snat)
+
+        lfiltered = lj.map_batches(lemit2, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    joined = lfiltered.join(
+        ofiltered, join_type="inner", on=("l_orderkey",),
+        num_partitions=_join_parts(lfiltered, ofiltered))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "_t": pa.array([], pa.float64()),
+                             "_v": pa.array([], pa.float64())})
+        df = pd.DataFrame({
+            "o_year": batch.column("o_year")
+                .to_numpy(zero_copy_only=False),
+            "_t": np.where(
+                batch.column("_target").to_numpy(zero_copy_only=False),
+                batch.column("_vol").to_numpy(zero_copy_only=False),
+                0.0),
+            "_v": batch.column("_vol").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_year", as_index=False).agg(
+            _t=("_t", "sum"), _v=("_v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby("o_year").aggregate(Sum("_t", alias_name="_t"),
+                                     Sum("_v", alias_name="_v")) \
+        .to_pandas().sort_values("o_year")
+    share = out["_t"].to_numpy() / out["_v"].to_numpy()
+    # DuckDB ROUND(x, 4) is half away from zero
+    share = np.copysign(np.floor(np.abs(share) * 1e4 + 0.5), share) / 1e4
+    return pa.table({
+        "o_year": pa.array(out["o_year"].to_numpy(np.int64)),
+        "mkt_share": pa.array(share, pa.float64()),
+    })
+
+
+def q9_product_profit(sf_dir: str, name_like: str = "red",
+                      cost_rate: float = 0.06, form: str = "auto",
+                      broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q9 shape (adapted: no partsupp, so supply cost is proxied
+    as ``cost_rate`` × p_retailprice) — profit per supplier nation per
+    order year over parts whose name matches a substring.
+
+    Scale shape: the part slice carries (partkey → retailprice) and the
+    supplier lookup (suppkey → nationkey); both GATED on
+    ``broadcast_limit`` with native-join fallbacks. lineitem emits
+    (orderkey, nation, amount) compactly, joins the orders year table
+    on orderkey (big-big), and (nation, year) partials reduce the final
+    groupby to nations×years rows. Names attach driver-side (constant
+    25 rows)."""
+    import ray
+
+    from .dedup import _join_parts
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    part_ds = _read(sf_dir, "part",
+                    ["p_partkey", "p_name", "p_retailprice"])
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("p_name"), name_like)
+        return batch.filter(keep).select(["p_partkey", "p_retailprice"])
+
+    sliced = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                 batch_size=65536)
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if form == "auto":
+        form = "broadcast" \
+            if sliced.count() + supp_ds.count() <= broadcast_limit \
+            else "join"
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def _amount(batch: pa.Table, keep: np.ndarray, price: np.ndarray,
+                snat: np.ndarray) -> pa.Table:
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[keep]
+        dc = batch.column("l_discount") \
+            .to_numpy(zero_copy_only=False)[keep]
+        qty = batch.column("l_quantity") \
+            .to_numpy(zero_copy_only=False)[keep]
+        amt = ep * (1.0 - dc) - price[keep] * cost_rate * qty
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(keep)),
+            "nat": pa.array(snat[keep]),
+            "_amt": pa.array(amt),
+        })
+
+    if form == "broadcast":
+        sl = sliced.to_pandas()
+        pref = ray.put(_sorted_probe_arrays(
+            sl["p_partkey"].to_numpy(np.int64),
+            sl["p_retailprice"].to_numpy(np.float64)))
+        supp = supp_ds.to_pandas()
+        sref = ray.put(_sorted_probe_arrays(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64)))
+
+        def lemit(batch: pa.Table, pref=pref, sref=sref) -> pa.Table:
+            pk_s, pv = ray.get(pref)
+            sk, sv = ray.get(sref)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            suk = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            price = _probe_sorted(pk_s, pv, pk, np.nan)
+            snat = _probe_sorted(sk, sv, suk, -1)
+            keep = ~np.isnan(price) & (snat >= 0)
+            return _amount(batch, keep, price, snat)
+
+        lrows = li.map_batches(lemit, batch_format="pyarrow",
+                               batch_size=65536)
+    else:
+        lj = li.join(sliced, join_type="inner", on=("l_partkey",),
+                     right_on=("p_partkey",),
+                     num_partitions=_join_parts(li, sliced)) \
+            .join(supp_ds, join_type="inner", on=("l_suppkey",),
+                  right_on=("s_suppkey",),
+                  num_partitions=_join_parts(li, supp_ds))
+
+        def lemit2(batch: pa.Table) -> pa.Table:
+            price = batch.column("p_retailprice") \
+                .to_numpy(zero_copy_only=False)
+            snat = batch.column("s_nationkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _amount(batch, np.ones(len(snat), bool), price, snat)
+
+        lrows = lj.map_batches(lemit2, batch_format="pyarrow",
+                               batch_size=65536)
+
+    def oemit(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"l_orderkey": batch.column("o_orderkey"),
+                         "o_year": pa.array(yr)})
+
+    years = orders.map_batches(oemit, batch_format="pyarrow",
+                               batch_size=65536)
+    joined = lrows.join(years, join_type="inner", on=("l_orderkey",),
+                        num_partitions=_join_parts(lrows, years))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"nat": pa.array([], pa.int64()),
+                             "o_year": pa.array([], pa.int64()),
+                             "_amt": pa.array([], pa.float64())})
+        df = pd.DataFrame({
+            "nat": batch.column("nat").to_numpy(zero_copy_only=False),
+            "o_year": batch.column("o_year")
+                .to_numpy(zero_copy_only=False),
+            "_amt": batch.column("_amt").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["nat", "o_year"], as_index=False)["_amt"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby(["nat", "o_year"]) \
+        .aggregate(Sum("_amt", alias_name="_amt")).to_pandas()
+    out["nation"] = out["nat"].map(names)
+    out["sum_profit"] = _round2_snap(out["_amt"].to_numpy())
+    out = out.sort_values(["nation", "o_year"])
+    out["o_year"] = out["o_year"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["nation", "o_year", "sum_profit"]], preserve_index=False)
+
+
+def q12_late_lines_by_flag(sf_dir: str, flags=("A", "R"),
+                           late_days: int = 60, year: int = 1996):
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate — the class
+    column is l_returnflag and "late" = shipped ≥ ``late_days`` after
+    the order date) — per class, how many late lines belong to
+    high-priority orders vs the rest.
+
+    Scale shape: lineitem pre-filters map-side (flag + ship-year) and
+    emits compact (orderkey, flag, shipdate-int); the one exchange is
+    the orderkey hash join against orders; per-batch partials emit ≤2
+    rows of (flag, high, low) counts."""
+    from .dedup import _join_parts
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+    flag_arr = np.array(list(flags), dtype=object)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def lfilt(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        fl = batch.column("l_returnflag").to_pandas().to_numpy()
+        keep = (ship >= lo) & (ship < hi) & np.isin(fl, flag_arr)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(keep)),
+            "l_returnflag": batch.column("l_returnflag").filter(
+                pa.array(keep)),
+            "_ship": pa.array(ship[keep].astype("datetime64[us]")
+                              .view("int64")),
+        })
+
+    lrows = li.map_batches(lfilt, batch_format="pyarrow",
+                           batch_size=65536)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = lrows.join(orders, join_type="inner", on=("l_orderkey",),
+                        right_on=("o_orderkey",),
+                        num_partitions=_join_parts(lrows, orders))
+    late_us = np.timedelta64(late_days, "D").astype("timedelta64[us]") \
+        .astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "_hi": pa.array([], pa.int64()),
+                "_lo": pa.array([], pa.int64())})
+        od = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        ship = batch.column("_ship").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ship >= od + late_us))
+        pr = t.column("o_orderpriority").to_pandas().to_numpy()
+        high = np.isin(pr, np.array(["1-URGENT", "2-HIGH"],
+                                    dtype=object))
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas(),
+            "_hi": high.astype(np.int64),
+            "_lo": (~high).astype(np.int64)})
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            _hi=("_hi", "sum"), _lo=("_lo", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("_hi", alias_name="high_line_count"),
+                   Sum("_lo", alias_name="low_line_count")) \
+        .sort("l_returnflag")
+
+
+def q22_inactive_rich_customers(sf_dir: str,
+                                cutoff: str = "1999-01-01"):
+    """TPC-H Q22 shape (adapted: no c_phone, so the grouping key is the
+    customer's nation, and "no orders" — empty at every test SF —
+    becomes "no orders since ``cutoff``") — count and total balance of
+    above-average-balance customers with no recent orders, per nation.
+
+    Scale shape: the global positive-balance average is ONE
+    combiner-fed aggregate (a scalar); recent order custkeys reduce
+    through a combiner groupby; the anti-join is Ray's native
+    ``left_anti`` on custkey (big-big, hash-partitioned); nation names
+    attach driver-side to the ≤25-row result."""
+    from .dedup import _join_parts
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bpartial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        return pa.table({"_s": pa.array([float(pos.sum())]),
+                         "_c": pa.array([int(len(pos))])})
+
+    tot = cust.map_batches(bpartial, batch_format="pyarrow",
+                           batch_size=65536) \
+        .aggregate(Sum("_s", alias_name="s"), Sum("_c", alias_name="c"))
+    avg_bal = (tot["s"] or 0.0) / max(tot["c"] or 0, 1)
+
+    cutoff_np = np.datetime64(cutoff)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def rpartial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(d >= cutoff_np))
+        df = pd.DataFrame({"o_custkey": t.column("o_custkey")
+                           .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    recent = orders.map_batches(rpartial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+
+    rich = cust.filter(expr=f"c_acctbal > {float(avg_bal)!r}")
+    inactive = rich.join(recent, join_type="left_anti",
+                         on=("c_custkey",), right_on=("o_custkey",),
+                         num_partitions=_join_parts(rich, recent))
+
+    def npartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nat": batch.column("c_nationkey")
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+            "_b": batch.column("c_acctbal")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby("nat", as_index=False).agg(
+            _n=("_b", "size"), _b=("_b", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = inactive.map_batches(npartial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .groupby("nat").aggregate(Sum("_n", alias_name="numcust"),
+                                  Sum("_b", alias_name="_b")) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    out["n_name"] = out["nat"].map(names)
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = _round2_snap(out["_b"].to_numpy())
+    out = out.sort_values("n_name")
+    return pa.Table.from_pandas(
+        out[["n_name", "numcust", "totacctbal"]], preserve_index=False)

@@ -241,3 +241,18 @@ def test_q17_join_fallback():
         SF, broadcast_limit=0).to_pandas()
     assert len(a) == 1 and float(a["avg_yearly"][0]) > 0
     assert a.equals(b)
+
+
+def test_q8_join_fallback():
+    a = analysis.q8_market_share(SF).to_pandas()
+    b = analysis.q8_market_share(SF, broadcast_limit=0).to_pandas()
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q9_join_fallback():
+    a = _norm(analysis.q9_product_profit(SF).to_pandas())
+    b = _norm(analysis.q9_product_profit(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
