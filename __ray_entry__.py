@@ -604,6 +604,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compression path), ADC lookup-table scan. Rows-only (iterative
         # quantizer); recall + ADC-error pytest gates + golden parquet
         "ann_topk_pq": lambda sf: similarity.pq_topk(sf),
+        # IVF-PQ composite (FAISS IVFPQ shape): coarse lists prune the
+        # scan to n_probe/nlist of the corpus AND the in-list payload is
+        # m uint8 residual codes — pruning + compression together, the
+        # billion-vector layout. Rows-only; recall/residual-law pytest
+        # gates (tests/test_ivfpq.py) + golden parquet
+        "ann_topk_ivfpq": lambda sf: similarity.ivfpq_topk(
+            sf, nlist=8, n_probe=4, rerank=50),
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
         # embedding-cosine near-dup survivors (greedy smaller-id-wins law)
         "embedding_dedup_survivors": lambda sf:

@@ -716,3 +716,173 @@ def pq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
                             batch_size=65536)
                .sort(["cos", "vec_id"], descending=[True, False])
                .limit(k))
+
+
+def ivfpq_build(sf_dir: str, index_dir: str, *, nlist: int = 16,
+                m: int = 8, nbits: int = 6, train_sample: int = 4096,
+                iters: int = 8, seed: int = 29,
+                max_iters: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Build an IVF-PQ index (the FAISS IVFPQ composite): coarse
+    k-means lists for pruning + PQ codes of the RESIDUAL (x − centroid)
+    for in-list compression. Residual encoding is the part that makes
+    the composite better than either piece: within a list the residuals
+    are small and centered, so the same bit budget quantizes far finer
+    than global PQ.
+
+    Scale shape: coarse fit is the distributed Lloyd's loop
+    (``sketches.kmeans_fit``); codebooks train on a bounded driver-side
+    sample of residuals; ONE distributed pass assigns lists, encodes
+    residuals, and writes parquet ``partition_cols=["list_id"]`` — so a
+    probe reads n_probe/nlist of an m-bytes-per-vector table: both
+    pruning AND compression at 100 TB."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from .sketches import _stack_embeddings, kmeans_fit
+
+    cent, _, _ = kmeans_fit(sf_dir, k=nlist, max_iters=max_iters)
+    cent = _normalize(cent)
+
+    head = pq_.ParquetFile(_emb_path(sf_dir))
+    rows, need = [], train_sample
+    for rb in head.iter_batches(batch_size=4096, columns=["embedding"]):
+        rows.append(pa.Table.from_batches([rb]))
+        need -= rb.num_rows
+        if need <= 0:
+            break
+    sample = _normalize(_stack_embeddings(
+        pa.concat_tables(rows).slice(0, train_sample)))
+    assign = np.argmax(sample @ cent.T, axis=1)
+    books = _pq_train_codebooks(sample - cent[assign], m,
+                                1 << nbits, iters, seed)
+
+    cref = ray.put(cent)
+    bref = ray.put(books)
+
+    ds = rd.read_parquet(_emb_path(sf_dir),
+                         columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        b = ray.get(bref)
+        mat = _normalize(_stack_embeddings(batch))
+        lists = np.argmax(mat @ c.T, axis=1)
+        codes = _pq_encode_codes(mat - c[lists], b)
+        # `list_id` becomes the hive directory (stripped from the file);
+        # `lid` stays in the file so the probe can index its per-list
+        # base score without relying on hive-column inference
+        cols = {"vec_id": batch.column("vec_id"),
+                "list_id": pa.array(lists.astype(np.int64)),
+                "lid": pa.array(lists.astype(np.int64))}
+        for j in range(m):
+            cols[f"code_{j}"] = pa.array(codes[:, j], pa.uint8())
+        return pa.table(cols)
+
+    ds.map_batches(encode, batch_format="pyarrow", batch_size=4096) \
+        .write_parquet(os.path.join(index_dir, "codes"),
+                       partition_cols=["list_id"])
+    return cent, books
+
+
+def ivfpq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
+               nlist: int = 16, n_probe: int = 4, m: int = 8,
+               nbits: int = 6, rerank: int = 0,
+               index_dir: str | None = None):
+    """Approximate cosine top-k over an IVF-PQ index: probe the
+    ``n_probe`` nearest lists and ADC-score their residual codes with a
+    PER-LIST lookup table (cos ≈ q·c_list + q·decode(residual)); the
+    optional ``rerank`` stage exact-scores the shortlist from the raw
+    vectors, as in ``pq_topk``. Output shape matches
+    ``brute_force_topk`` so recall is directly measurable."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    if index_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"c4r_ivfpq_{tag}_nl{nlist}_m{m}_b{nbits}")
+    marker = os.path.join(index_dir, "_SUCCESS_c4r")
+    if os.path.exists(marker):
+        cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    else:
+        cent, books = ivfpq_build(sf_dir, index_dir, nlist=nlist, m=m,
+                                  nbits=nbits)
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        np.save(os.path.join(index_dir, "codebooks.npy"), books)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    q = _normalize(_query_vector(sf_dir, query_vec_id)[None, :])[0]
+    probes = np.argsort(-(cent @ q))[:n_probe]
+    sub = books.shape[2]
+    # per-list ADC: score = q·c_list + Σ_j LUT[j, code_j] with ONE
+    # query-side LUT (the residual part doesn't depend on the list)
+    lut = np.einsum("jkc,jc->jk", books, q.reshape(m, sub))
+    # base_vec[list] = q · c_list, indexable by the hive list_id column
+    base_vec = np.zeros(len(cent), np.float64)
+    base_vec[probes] = cent[probes] @ q
+    lref = ray.put((lut, base_vec))
+
+    code_cols = [f"code_{j}" for j in range(m)]
+    shortlist = max(k, rerank)
+    # read ONLY the probed list directories (the ivf_topk pruning
+    # pattern): n_probe/nlist of the codes table leaves storage
+    paths = [
+        f for c in probes.tolist()
+        for f in sorted(_glob.glob(
+            os.path.join(index_dir, "codes", f"list_id={c}",
+                         "*.parquet")))
+    ]
+    ds = rd.read_parquet(paths, columns=["vec_id", "lid"] + code_cols)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        tbl, bvec = ray.get(lref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        lid = np.asarray(batch.column("lid").to_pylist(), np.int64)
+        score = bvec[lid]
+        for j, col in enumerate(code_cols):
+            codes = batch.column(col).to_numpy(zero_copy_only=False)
+            score = score + tbl[j][codes]
+        keep = ids != query_vec_id
+        ids, score = ids[keep], score[keep]
+        r = np.round(score, 5)
+        if len(ids) > shortlist:
+            order = np.lexsort((ids, -r))[:shortlist]
+            ids, r = ids[order], r[order]
+        return pa.table({"vec_id": pa.array(ids),
+                         "cos": pa.array(r, pa.float64())})
+
+    adc = (ds.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=65536)
+             .sort(["cos", "vec_id"], descending=[True, False])
+             .limit(shortlist))
+    if not rerank:
+        return adc
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    cand = adc.to_pandas()["vec_id"].to_numpy(np.int64)
+    qref = ray.put(q)
+    raw = rd.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filter=_pads.field("vec_id").isin(_pc.cast(
+            pa.array(cand), pa.int64())))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        from .sketches import _stack_embeddings
+        qv = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        cos = _normalize(_stack_embeddings(batch)) @ qv
+        return pa.table({"vec_id": pa.array(ids),
+                         "cos": pa.array(np.round(cos, 5),
+                                         pa.float64())})
+
+    return (raw.map_batches(exact, batch_format="pyarrow",
+                            batch_size=65536)
+               .sort(["cos", "vec_id"], descending=[True, False])
+               .limit(k))

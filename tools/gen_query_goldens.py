@@ -47,6 +47,7 @@ GOLDEN_QUERIES = [
     "crawl_adaptive_embedding",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "embedding_kmeans",
     "distinct_users_hll",
     "doc_llm_tables",
