@@ -563,14 +563,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": analysis.q15_top_supplier,
         "q17_small_quantity_revenue": analysis.q17_small_quantity_revenue,
         # r5 session 2 cont.: market share, cost-proxy profit, late-line
-        # class counts, inactivity anti-join — with these the engine
-        # covers 17 of the 22 classic shapes (Q2/Q11/Q16/Q20/Q21 need
-        # partsupp/commitdate columns the synthetic schema lacks)
+        # class counts, inactivity anti-join
         "q8_market_share": analysis.q8_market_share,
         "q9_product_profit": analysis.q9_product_profit,
         "q12_late_lines_by_flag": analysis.q12_late_lines_by_flag,
         "q22_inactive_rich_customers":
             analysis.q22_inactive_rich_customers,
+        # r5 session 3: the last five classic shapes, adapted around the
+        # missing partsupp/commitdate columns (lineitem is the
+        # part↔supplier link; "late" is shipdate-vs-orderdate). With
+        # these all 22 TPC-H query shapes have an oracle-gated Ray form.
+        "q2_min_cost_supplier": analysis.q2_min_cost_supplier,
+        "q11_important_parts": analysis.q11_important_parts,
+        "q16_supplier_part_variety": analysis.q16_supplier_part_variety,
+        "q20_promotable_suppliers": analysis.q20_promotable_suppliers,
+        "q21_waiting_suppliers": analysis.q21_waiting_suppliers,
         # RANK/DENSE_RANK/PERCENT_RANK in histogram-rank form (bounded
         # tie-heavy value domain ⇒ no global sort), oracle-gated
         "lineitem_rank_stats": analysis.lineitem_rank_stats,
@@ -1527,6 +1534,90 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= DATE '1999-01-01')
             GROUP BY n_name ORDER BY n_name
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS supplycost
+                FROM lineitem, supplier, nation, region
+                WHERE s_suppkey = l_suppkey
+                  AND s_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_type = 'STANDARD'
+                                      AND p_size <= 25)
+                GROUP BY l_partkey, l_suppkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(cost.supplycost, 2) AS supplycost
+            FROM cost, part, supplier, nation
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND s_nationkey = n_nationkey
+              AND cost.supplycost =
+                  (SELECT min(supplycost) FROM cost c2
+                   WHERE c2.l_partkey = cost.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS val
+                FROM lineitem, supplier, nation, region
+                WHERE s_suppkey = l_suppkey
+                  AND s_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+                GROUP BY l_partkey)
+            SELECT l_partkey, round(val, 2) AS value FROM v
+            WHERE val > 1.5 * (SELECT avg(val) FROM v)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q16_supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_promotable_suppliers": """
+            SELECT s_name, n_name
+            FROM supplier, nation
+            WHERE s_nationkey = n_nationkey
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY l_suppkey
+                HAVING sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                                 AND l_shipdate < DATE '1997-01-01'
+                           THEN l_quantity ELSE 0 END)
+                     > 0.15 * sum(l_quantity))
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, numwait FROM (
+                SELECT s_name, count(*) AS numwait
+                FROM lineitem l1, orders, supplier
+                WHERE o_orderkey = l1.l_orderkey
+                  AND o_orderstatus = 'F'
+                  AND s_suppkey = l1.l_suppkey
+                  AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                  AND EXISTS (SELECT 1 FROM lineitem l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (
+                      SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o_orderdate
+                                             + INTERVAL 90 DAY)
+                GROUP BY s_name)
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist

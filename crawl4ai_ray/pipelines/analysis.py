@@ -3723,3 +3723,626 @@ def q22_inactive_rich_customers(sf_dir: str,
     out = out.sort_values("n_name")
     return pa.Table.from_pandas(
         out[["n_name", "numcust", "totacctbal"]], preserve_index=False)
+
+
+def _in_sorted(skeys: np.ndarray, query) -> np.ndarray:
+    """Vectorized membership of ``query`` keys in the sorted int64 key
+    array — the broadcast semi-join probe (ship the sorted keys once
+    with ``ray.put``, test whole columns per batch). All-False on an
+    empty key set."""
+    query = np.asarray(query, dtype=np.int64)
+    if len(skeys) == 0:
+        return np.zeros(len(query), bool)
+    pos = np.searchsorted(skeys, query)
+    pos = np.minimum(pos, len(skeys) - 1)
+    return skeys[pos] == query
+
+
+def _region_nationkeys(sf_dir: str, region: str) -> np.ndarray:
+    """Sorted nationkeys of ``region``. nation/region are fixed 25/5-row
+    dimensions at EVERY scale factor, so the driver-side read is
+    scale-safe by construction (not a gated broadcast)."""
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rks = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    return np.sort(nat.loc[nat["n_regionkey"].isin(rks),
+                           "n_nationkey"].to_numpy(np.int64))
+
+
+def _nation_name_probe(sf_dir: str):
+    """(sorted nationkeys, aligned name object array) for vectorized
+    ``_probe_sorted`` name attachment — 25 rows, safe in a closure."""
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    return _sorted_probe_arrays(nat["n_nationkey"].to_numpy(np.int64),
+                                nat["n_name"].to_numpy(object))
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         part_type: str = "STANDARD", max_size: int = 25,
+                         topn: int = 100, form: str = "auto",
+                         broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q2 shape (adapted: no partsupp table — the supply cost of
+    a (part, supplier) pair is min(l_extendedprice / l_quantity) over
+    their lineitems, and the part slice is type + size band) — for each
+    part in the slice, the region supplier(s) offering the minimum
+    cost, richest suppliers first, ties preserved.
+
+    Scale shape: nation/region are fixed-size dims (driver);
+    supplier-in-region and the part slice are GATED together on
+    ``broadcast_limit`` (small → sorted-key ``ray.put`` probes prune
+    lineitem map-side; SF-scaled → two native joins). The
+    (part, supplier) min reduces through per-batch pandas-min partials
+    into ONE two-key groupby; the correlated per-part min is a second
+    combiner-fed groupby over that compact cost table, matched back by
+    a partkey join (argmin-with-ties — the scalar-subquery pattern).
+    Names attach to the ≤slice-sized winner table; sort + limit end
+    the pipeline. supplycost uses ``_round2_duck`` because the min of
+    a single division is bitwise-identical in both engines and exact
+    binary midpoints (ep/8 etc.) are live."""
+    import ray
+
+    from .dedup import _join_parts
+
+    nkeys = _region_nationkeys(sf_dir, region)
+    nk_sorted, nname = _nation_name_probe(sf_dir)
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+
+    def sfilt(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.filter(pa.array(np.isin(nk, nkeys)))
+        names = _probe_sorted(
+            nk_sorted, nname,
+            t.column("s_nationkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64), "")
+        return t.append_column("n_name", pa.array(names, pa.string())) \
+            .drop_columns(["s_nationkey"])
+
+    supp_r = supp.map_batches(sfilt, batch_format="pyarrow",
+                              batch_size=65536)
+
+    part_ds = _read(sf_dir, "part",
+                    ["p_partkey", "p_name", "p_type", "p_size"])
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("p_type"), pa.scalar(part_type)),
+            pc.less_equal(batch.column("p_size"), pa.scalar(max_size)))
+        return batch.filter(keep).select(["p_partkey", "p_name"])
+
+    eligible = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    if form == "auto":
+        form = ("broadcast"
+                if supp_r.count() + eligible.count() <= broadcast_limit
+                else "join")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+
+    if form == "broadcast":
+        sk = np.sort(supp_r.to_pandas()["s_suppkey"].to_numpy(np.int64))
+        pk = np.sort(eligible.to_pandas()["p_partkey"]
+                     .to_numpy(np.int64))
+        ref = ray.put((sk, pk))
+
+        def prune(batch: pa.Table, ref=ref) -> pa.Table:
+            sk, pk = ray.get(ref)
+            ls = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(
+                _in_sorted(sk, ls) & _in_sorted(pk, lp)))
+
+        pruned = li.map_batches(prune, batch_format="pyarrow",
+                                batch_size=65536)
+    else:
+        skeys = supp_r.select_columns(["s_suppkey"])
+        pruned = li.join(skeys, join_type="inner", on=("l_suppkey",),
+                         right_on=("s_suppkey",),
+                         num_partitions=_join_parts(li, skeys))
+        pkeys = eligible.select_columns(["p_partkey"])
+        pruned = pruned.join(pkeys, join_type="inner",
+                             on=("l_partkey",), right_on=("p_partkey",),
+                             num_partitions=_join_parts(pruned, pkeys)) \
+            .select_columns(["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_quantity"])
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey")
+                .to_numpy(zero_copy_only=False),
+            "l_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+            "_u": batch.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False)
+            / batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby(["l_partkey", "l_suppkey"],
+                       as_index=False)["_u"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cost = pruned.map_batches(cpartial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["l_partkey", "l_suppkey"]) \
+        .aggregate(Min("_u", alias_name="supplycost"))
+
+    minc = cost.groupby("l_partkey") \
+        .aggregate(Min("supplycost", alias_name="_minc"))
+
+    matched = cost.join(minc, join_type="inner", on=("l_partkey",),
+                        num_partitions=_join_parts(cost, minc))
+
+    def wfilt(batch: pa.Table) -> pa.Table:
+        sc = batch.column("supplycost") \
+            .to_numpy(zero_copy_only=False)
+        mn = batch.column("_minc").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sc == mn)) \
+            .drop_columns(["_minc"])
+
+    winners = matched.map_batches(wfilt, batch_format="pyarrow",
+                                  batch_size=65536)
+
+    named = winners.join(eligible, join_type="inner",
+                         on=("l_partkey",), right_on=("p_partkey",),
+                         num_partitions=_join_parts(winners, eligible))
+    named = named.join(supp_r, join_type="inner", on=("l_suppkey",),
+                       right_on=("s_suppkey",),
+                       num_partitions=_join_parts(named, supp_r))
+
+    out = named.sort(["s_acctbal", "n_name", "s_name", "l_partkey"],
+                     descending=[True, False, False, False]) \
+        .limit(topn).to_pandas()
+    out["p_partkey"] = out["l_partkey"]
+    out["supplycost"] = _round2_duck(out["supplycost"].to_numpy())
+    return pa.Table.from_pandas(
+        out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+             "supplycost"]], preserve_index=False)
+
+
+def q11_important_parts(sf_dir: str, region: str = "ASIA",
+                        avg_mult: float = 1.5, form: str = "auto",
+                        broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q11 shape (adapted: no partsupp — a part's "value" held by
+    ``region``'s suppliers is its discounted lineitem revenue, and the
+    fixed TPC-H fraction becomes ``avg_mult``× the per-part average so
+    the threshold is scale-free) — parts whose value concentration is
+    well above average, the grouped-sum + global-scalar-subquery shape.
+
+    Scale shape: supplier-in-region is GATED on ``broadcast_limit``
+    (sorted-key probe vs native join); per-part value reduces through
+    per-batch sum partials into one groupby; the global mean is ONE
+    ``aggregate(Mean)`` over that part-dimension-sized table (a
+    scalar to the driver, never the table); the HAVING filter and
+    2-dp rounding are a final map_batches."""
+    import ray
+
+    from .dedup import _join_parts
+
+    nkeys = _region_nationkeys(sf_dir, region)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def sfilt(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(nk, nkeys))) \
+            .select(["s_suppkey"])
+
+    supp_r = supp.map_batches(sfilt, batch_format="pyarrow",
+                              batch_size=65536)
+    if form == "auto":
+        form = ("broadcast" if supp_r.count() <= broadcast_limit
+                else "join")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    if form == "broadcast":
+        sk = np.sort(supp_r.to_pandas()["s_suppkey"].to_numpy(np.int64))
+        ref = ray.put(sk)
+
+        def prune(batch: pa.Table, ref=ref) -> pa.Table:
+            sk = ray.get(ref)
+            ls = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(_in_sorted(sk, ls)))
+
+        pruned = li.map_batches(prune, batch_format="pyarrow",
+                                batch_size=65536)
+    else:
+        pruned = li.join(supp_r, join_type="inner", on=("l_suppkey",),
+                         right_on=("s_suppkey",),
+                         num_partitions=_join_parts(li, supp_r))
+
+    def vpartial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey")
+                .to_numpy(zero_copy_only=False),
+            "_v": ep * (1.0 - dc)})
+        g = df.groupby("l_partkey", as_index=False)["_v"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    value = pruned.map_batches(vpartial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .groupby("l_partkey").aggregate(Sum("_v", alias_name="val"))
+    thresh = avg_mult * float(
+        value.aggregate(Mean("val", alias_name="m"))["m"] or 0.0)
+
+    def tfilt(batch: pa.Table) -> pa.Table:
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(v > thresh))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "value": pa.array(_round2_snap(
+                t.column("val").to_numpy(zero_copy_only=False)))})
+
+    return value.map_batches(tfilt, batch_format="pyarrow",
+                             batch_size=65536) \
+        .sort(["value", "l_partkey"], descending=[True, False])
+
+
+def q16_supplier_part_variety(sf_dir: str,
+                              exclude_brand: str = "Brand#1",
+                              exclude_type: str = "PROMO",
+                              sizes=(1, 5, 10, 15, 20, 25, 30, 35),
+                              form: str = "auto",
+                              broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q16 shape (adapted: the part↔supplier relationship comes
+    from lineitem instead of partsupp, and "customer complaints"
+    becomes a negative account balance) — how many distinct suppliers
+    can supply parts of each (brand, type, size), excluding flagged
+    suppliers; the count-distinct-over-joined-dimensions shape.
+
+    Scale shape: the part slice and the flagged-supplier set are GATED
+    together on ``broadcast_limit`` (sorted-key probes prune lineitem
+    map-side; SF-scaled → an inner semi-join plus a native
+    ``left_anti``). Distinctness reduces in three combiner steps, each
+    fed by per-batch ``drop_duplicates`` partials: (part, supplier)
+    pairs, then (brand, type, size, supplier) quads after the
+    dimension join, then the final per-group supplier count — no step
+    ever sees more than the deduped key space."""
+    import ray
+
+    from .dedup import _join_parts
+
+    part_ds = _read(sf_dir, "part",
+                    ["p_partkey", "p_brand", "p_type", "p_size"])
+    size_arr = np.array(sizes, np.int64)
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        sz = batch.column("p_size") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = batch.column("p_brand").to_pandas().to_numpy()
+        ptype = batch.column("p_type").to_pandas().to_numpy()
+        keep = (np.isin(sz, size_arr) & (brand != exclude_brand)
+                & (ptype != exclude_type))
+        return batch.filter(pa.array(keep))
+
+    eligible = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def badf(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("s_acctbal"),
+                                    pa.scalar(0.0))) \
+            .select(["s_suppkey"])
+
+    bad = supp.map_batches(badf, batch_format="pyarrow",
+                           batch_size=65536)
+
+    n_bad = bad.count()
+    if form == "auto":
+        form = ("broadcast"
+                if eligible.count() + n_bad <= broadcast_limit
+                else "join")
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _dedup_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey")
+                .to_numpy(zero_copy_only=False),
+            "l_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    if form == "broadcast":
+        pk = np.sort(eligible.to_pandas()["p_partkey"]
+                     .to_numpy(np.int64))
+        bk = (np.sort(bad.to_pandas()["s_suppkey"].to_numpy(np.int64))
+              if n_bad else np.empty(0, np.int64))  # empty ds drops schema
+        ref = ray.put((pk, bk))
+
+        def prune(batch: pa.Table, ref=ref) -> pa.Table:
+            pk, bk = ray.get(ref)
+            lp = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _dedup_pairs(batch.filter(pa.array(
+                _in_sorted(pk, lp) & ~_in_sorted(bk, ls))))
+
+        pair_src = li.map_batches(prune, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        keyed = li.join(eligible.select_columns(["p_partkey"]),
+                        join_type="inner", on=("l_partkey",),
+                        right_on=("p_partkey",),
+                        num_partitions=_join_parts(li, eligible))
+        if n_bad > 0:  # all-empty join side breaks Ray's hash join
+            keyed = keyed.join(
+                bad, join_type="left_anti", on=("l_suppkey",),
+                right_on=("s_suppkey",),
+                num_partitions=_join_parts(keyed, bad))
+        pair_src = keyed.map_batches(_dedup_pairs,
+                                     batch_format="pyarrow",
+                                     batch_size=65536)
+
+    pairs = pair_src.groupby(["l_partkey", "l_suppkey"]) \
+        .aggregate(Max("_one", alias_name="_one"))
+
+    attrs = pairs.join(eligible, join_type="inner", on=("l_partkey",),
+                       right_on=("p_partkey",),
+                       num_partitions=_join_parts(pairs, eligible))
+
+    def qpartial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["p_brand", "p_type", "p_size",
+                           "l_suppkey"]).to_pandas().drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    quads = attrs.map_batches(qpartial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+        .aggregate(Max("_one", alias_name="_one"))
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["p_brand", "p_type", "p_size"]).to_pandas()
+        df["_n"] = np.int64(1)
+        g = df.groupby(["p_brand", "p_type", "p_size"],
+                       as_index=False)["_n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return quads.map_batches(cpartial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("_n", alias_name="supplier_cnt")) \
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])
+
+
+def q20_promotable_suppliers(sf_dir: str, name_prefix: str = "red",
+                             year: int = 1996, frac: float = 0.15,
+                             form: str = "auto",
+                             broadcast_limit: int = BROADCAST_LIMIT):
+    """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier is
+    "promotable" when its ``year`` shipped quantity of the
+    ``name_prefix`` parts exceeds ``frac`` of its all-time shipped
+    quantity of them, i.e. the activity concentrates in the target
+    year) — the nested semi-join chain (supplier IN … part IN …
+    HAVING over grouped sums).
+
+    Scale shape: the part slice is GATED on ``broadcast_limit``
+    (sorted-key probe vs native join) and prunes lineitem map-side;
+    per-supplier (year, total) quantity sums reduce through per-batch
+    conditional partials into ONE groupby (supplier-dimension-sized);
+    the HAVING filter is exact float arithmetic (integer-valued
+    quantities). Names attach via a dimension join + the fixed-size
+    nation probe; quantities are never re-scanned."""
+    import ray
+
+    from .dedup import _join_parts
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def pslice(batch: pa.Table) -> pa.Table:
+        keep = pc.starts_with(batch.column("p_name"),
+                              pattern=name_prefix)
+        return batch.filter(keep).select(["p_partkey"])
+
+    eligible = part_ds.map_batches(pslice, batch_format="pyarrow",
+                                   batch_size=65536)
+    if form == "auto":
+        form = ("broadcast" if eligible.count() <= broadcast_limit
+                else "join")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    if form == "broadcast":
+        pk = np.sort(eligible.to_pandas()["p_partkey"]
+                     .to_numpy(np.int64))
+        ref = ray.put(pk)
+
+        def prune(batch: pa.Table, ref=ref) -> pa.Table:
+            pk = ray.get(ref)
+            lp = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(_in_sorted(pk, lp)))
+
+        pruned = li.map_batches(prune, batch_format="pyarrow",
+                                batch_size=65536)
+    else:
+        pruned = li.join(eligible, join_type="inner",
+                         on=("l_partkey",), right_on=("p_partkey",),
+                         num_partitions=_join_parts(li, eligible))
+
+    def spartial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        iny = ((ship >= lo) & (ship < hi)).astype(np.float64)
+        df = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+            "_y": qty * iny, "_t": qty})
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            _y=("_y", "sum"), _t=("_t", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = pruned.map_batches(spartial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("_y", alias_name="_y"),
+                   Sum("_t", alias_name="_t"))
+
+    def hfilt(batch: pa.Table) -> pa.Table:
+        y = batch.column("_y").to_numpy(zero_copy_only=False)
+        t = batch.column("_t").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(y > frac * t)) \
+            .select(["l_suppkey"])
+
+    winners = sums.map_batches(hfilt, batch_format="pyarrow",
+                               batch_size=65536)
+
+    nk_sorted, nname = _nation_name_probe(sf_dir)
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"])
+    named = winners.join(supp, join_type="inner", on=("l_suppkey",),
+                         right_on=("s_suppkey",),
+                         num_partitions=_join_parts(winners, supp))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = _probe_sorted(
+            nk_sorted, nname,
+            batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64), "")
+        return pa.table({
+            "s_name": batch.column("s_name"),
+            "n_name": pa.array(names, pa.string())})
+
+    return named.map_batches(attach, batch_format="pyarrow",
+                             batch_size=65536).sort("s_name")
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = 90,
+                          topn: int = 100):
+    """TPC-H Q21 shape (adapted: no receipt/commit dates — a line is
+    "late" when it ships ≥ ``late_days`` after the order date) — for
+    finished multi-supplier orders where EXACTLY ONE supplier shipped
+    late, count each such supplier's late lines; the
+    EXISTS + NOT-EXISTS correlated double-anti-join shape.
+
+    Scale shape: orders filters to status F map-side and ONE orderkey
+    hash join attaches the order date to lineitem; per-(order,
+    supplier) late-line counts reduce through per-batch partials into
+    a two-key groupby; per-order supplier/late-supplier tallies are a
+    second combiner-fed groupby over those pairs (≤7 rows per order);
+    the EXISTS/NOT-EXISTS pair becomes a filter on that compact table
+    plus one orderkey semi-join back to the late pairs — no correlated
+    rescan of lineitem. Name attach + sort + limit end it."""
+    from .dedup import _join_parts
+
+    late_us = np.timedelta64(late_days, "D") \
+        .astype("timedelta64[us]").astype(np.int64)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("o_orderstatus"),
+                                     pa.scalar("F"))) \
+            .select(["o_orderkey", "o_orderdate"])
+
+    ord_f = orders.map_batches(ofilt, batch_format="pyarrow",
+                               batch_size=65536)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = li.join(ord_f, join_type="inner", on=("l_orderkey",),
+                     right_on=("o_orderkey",),
+                     num_partitions=_join_parts(li, ord_f))
+
+    def ppartial(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        ship = batch.column("l_shipdate") \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+                .to_numpy(zero_copy_only=False),
+            "l_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+            "_late": (ship >= od + late_us).astype(np.int64)})
+        g = df.groupby(["l_orderkey", "l_suppkey"],
+                       as_index=False)["_late"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = joined.map_batches(ppartial, batch_format="pyarrow",
+                               batch_size=65536) \
+        .groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Sum("_late", alias_name="plate"))
+
+    def opartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+                .to_numpy(zero_copy_only=False),
+            "_ns": np.int64(1),
+            "_nl": (batch.column("plate")
+                    .to_numpy(zero_copy_only=False) > 0)
+            .astype(np.int64)})
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            _ns=("_ns", "sum"), _nl=("_nl", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = pairs.map_batches(opartial, batch_format="pyarrow",
+                                  batch_size=65536) \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("_ns", alias_name="_ns"),
+                   Sum("_nl", alias_name="_nl"))
+
+    def qfilt(batch: pa.Table) -> pa.Table:
+        ns = batch.column("_ns").to_numpy(zero_copy_only=False)
+        nl = batch.column("_nl").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ns >= 2) & (nl == 1))) \
+            .select(["l_orderkey"])
+
+    qual = per_order.map_batches(qfilt, batch_format="pyarrow",
+                                 batch_size=65536)
+
+    def lpairs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("plate"),
+                                       pa.scalar(0)))
+
+    waits = pairs.map_batches(lpairs, batch_format="pyarrow",
+                              batch_size=65536) \
+        .join(qual, join_type="inner", on=("l_orderkey",),
+              num_partitions=_join_parts(pairs, qual))
+
+    def wpartial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey")
+                .to_numpy(zero_copy_only=False),
+            "_w": batch.column("plate")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby("l_suppkey", as_index=False)["_w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    numwait = waits.map_batches(wpartial, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("l_suppkey").aggregate(Sum("_w", alias_name="numwait"))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = numwait.join(supp, join_type="inner", on=("l_suppkey",),
+                         right_on=("s_suppkey",),
+                         num_partitions=_join_parts(numwait, supp))
+    out = named.sort(["numwait", "s_name"],
+                     descending=[True, False]).limit(topn).to_pandas()
+    out["numwait"] = out["numwait"].astype("int64")
+    return pa.Table.from_pandas(out[["s_name", "numwait"]],
+                                preserve_index=False)

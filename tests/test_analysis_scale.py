@@ -256,3 +256,41 @@ def test_q9_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(a) > 0
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# round-5 session 3: the last five TPC-H shapes — forced native-join
+# fallbacks byte-equal to the broadcast forms.
+# ---------------------------------------------------------------------------
+
+
+def test_q2_join_fallback():
+    a = _norm(analysis.q2_min_cost_supplier(SF).to_pandas())
+    b = _norm(analysis.q2_min_cost_supplier(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q11_join_fallback():
+    a = _norm(analysis.q11_important_parts(SF).to_pandas())
+    b = _norm(analysis.q11_important_parts(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q16_join_fallback():
+    a = _norm(analysis.q16_supplier_part_variety(SF).to_pandas())
+    b = _norm(analysis.q16_supplier_part_variety(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_q20_join_fallback():
+    a = _norm(analysis.q20_promotable_suppliers(SF).to_pandas())
+    b = _norm(analysis.q20_promotable_suppliers(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
