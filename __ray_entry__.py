@@ -764,6 +764,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # C4/Dolma-style PII scrub: deterministic injected PII, counted
+        # and masked by Arrow RE2 kernels; DuckDB recomputes with the
+        # same patterns — regex semantics cross-checked engine-to-engine
+        "doc_pii_redact": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["pii_redact"],
+        ).pii_redact(sf),
+        # CCNet-style perplexity signal (Wenzek et al. 2020): add-α
+        # bigram LM trained on the src0 slice, broadcast, every doc
+        # scored; DuckDB recomputes the whole model+score in SQL
+        "doc_lm_perplexity": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["lm_perplexity"],
+        ).lm_perplexity(sf),
         # Efraimidis-Spirakis weighted sampling (hash-derived uniforms,
         # n_chars weights), DuckDB-oracle-gated
         "doc_weighted_sample": lambda sf: __import__(
@@ -1362,6 +1374,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # both engines build the SAME augmented string from the parquet
+        # columns, then count/redact independently (Arrow RE2 kernels vs
+        # DuckDB regexp_*) — the patterns are shared constants
+        # (corpus.PII_EMAIL/IPV4/PHONE), interpolated below verbatim
+        "doc_pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@mail.example.com from 10.'
+                            || (doc_id % 200) || '.' || (doc_id % 250)
+                            || '.' || (doc_id % 100) || ' tel 555-'
+                            || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR),
+                                    4, '0') AS t
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS n_ip,
+                   len(regexp_extract_all(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'), '\b555-\d{4}\b')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b555-\d{4}\b', '<PHONE>', 'g') AS clean_text
+            FROM aug
+        """,
+        # full model recompute: unigram/bigram counts on the src0 slice,
+        # add-0.5 smoothing over V = |train vocab|, ppl = exp(-avg ln p)
+        # per doc over transitions 2..n; 2dp absorbs summation-order ulps
+        "doc_lm_perplexity": r"""
+            WITH w AS (
+                SELECT doc_id, source, w, pos FROM (
+                    SELECT doc_id, source, unnest(arr) AS w,
+                           unnest(range(1, len(arr) + 1)) AS pos
+                    FROM (SELECT doc_id, source,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\s+') AS arr
+                          FROM documents)
+                ) WHERE w <> ''
+            ), big AS (
+                SELECT doc_id, source, w AS w2,
+                       lag(w) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS w1
+                FROM w
+            ), uni_c AS (
+                SELECT w, count(*) AS c FROM w
+                WHERE source = 'src0' GROUP BY w
+            ), big_c AS (
+                SELECT w1, w2, count(*) AS c FROM big
+                WHERE source = 'src0' AND w1 IS NOT NULL GROUP BY w1, w2
+            ), v AS (SELECT count(*) AS nv FROM uni_c)
+            SELECT b.doc_id, count(*) AS lm_tokens,
+                   round(exp(-avg(ln(
+                       (coalesce(bc.c, 0) + 0.5)
+                       / (coalesce(uc.c, 0) + 0.5 * (SELECT nv FROM v))
+                   ))), 2) AS ppl
+            FROM big b
+            LEFT JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            LEFT JOIN uni_c uc ON b.w1 = uc.w
+            WHERE b.w1 IS NOT NULL
+            GROUP BY b.doc_id ORDER BY b.doc_id
         """,
         # ln(u)/w key with u = md5(doc_id) first 8 hex chars / 2^32 —
         # integer-exact u on both sides, float64 ln, 10-dp round

@@ -608,3 +608,185 @@ def shuffle_shards(sf_dir: str, n_shards: int = 8, seed: int = 7):
 
     return sorted_ds.map_batches(emit, batch_format="pyarrow",
                                  batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# round-5: PII redaction and LM-perplexity filtering — the two C4/CCNet
+# cleaning steps the corpus layer still lacked.
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no backrefs/lookarounds) so the SAME pattern
+# text runs in Arrow's RE2 kernels here and in DuckDB's RE2 oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def pii_redact(sf_dir: str):
+    """C4/Dolma-style PII scrub (Raffel et al. 2020 §2.2 cleaning;
+    Dolma's PII taggers): count and mask email / IPv4 / phone spans in
+    every document, emitting the redacted text plus per-kind counts.
+
+    The synthetic documents table carries no organic PII, so the
+    pipeline first injects a deterministic PII suffix derived from
+    doc_id (email, IP, 555-phone) — the SQL oracle builds the SAME
+    augmented string from the same columns, then counts and redacts
+    independently with DuckDB's regex engine, making the regex
+    semantics and replacement order a real cross-check.
+
+    Scale shape: one stateless ``map_batches`` of pure Arrow compute —
+    string concat, ``count_substring_regex``, three chained
+    ``replace_substring_regex`` — zero Python per row, zero shuffle;
+    at 100 TB this is the cheapest kind of stage there is (reference
+    scope note: crawl4ai's per-page sanitizers live in utils.py; this
+    is the corpus-wide batch form)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        txt = pc.cast(batch.column("text"), pa.string())
+        dstr = pc.cast(did, pa.string())
+        dnp = did.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def _m(mod: int) -> pa.Array:  # pyarrow 16 has no pc.mod kernel
+            return pc.cast(pa.array(dnp % mod), pa.string())
+
+        aug = pc.binary_join_element_wise(
+            txt, pa.scalar(" contact user"), dstr,
+            pa.scalar("@mail.example.com from 10."),
+            _m(200), pa.scalar("."), _m(250), pa.scalar("."), _m(100),
+            pa.scalar(" tel 555-"),
+            pc.utf8_lpad(pc.cast(pa.array((dnp * 7) % 10000), pa.string()),
+                         4, "0"),
+            "")
+        n_email = pc.count_substring_regex(aug, PII_EMAIL)
+        clean = pc.replace_substring_regex(aug, PII_EMAIL, "<EMAIL>")
+        n_ip = pc.count_substring_regex(clean, PII_IPV4)
+        clean = pc.replace_substring_regex(clean, PII_IPV4, "<IP>")
+        n_phone = pc.count_substring_regex(clean, PII_PHONE)
+        clean = pc.replace_substring_regex(clean, PII_PHONE, "<PHONE>")
+        return pa.table({
+            "doc_id": did,
+            "n_email": pc.cast(n_email, pa.int64()),
+            "n_ip": pc.cast(n_ip, pa.int64()),
+            "n_phone": pc.cast(n_phone, pa.int64()),
+            "clean_text": clean,
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def lm_perplexity(sf_dir: str, train_source: str = "src0",
+                  alpha: float = 0.5):
+    """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020:
+    score every document under a language model trained on a trusted
+    slice; low perplexity ≈ fluent text): an add-α-smoothed bigram LM
+    with unigram-count denominators is trained on the ``train_source``
+    documents, then every document is scored —
+    ``p(w_i | w_{i-1}) = (c(w1,w2) + α) / (c(w1) + α·V)`` with V the
+    training vocabulary size, ``ppl = exp(-mean log p)`` over positions
+    2..n. Documents with fewer than two tokens drop out (no scorable
+    transition), matching the SQL oracle's group-by.
+
+    Scale shape: counting is per-batch pandas-groupby partials
+    (unigrams ride as ``w2=''`` rows, impossible for real tokens) into
+    ONE (w1, w2) groupby — the exchange is bounded by distinct grams
+    per block, not tokens; the fitted model is a broadcast artifact
+    (``ray.put`` once), exactly CCNet's shape (its KenLM file ships to
+    every worker), with vocabulary pruning the documented knob if a
+    corpus's gram table outgrows the object store. Scoring is an
+    embarrassingly-parallel ``map_batches``: tokens map to ids via one
+    vectorized ``pd.Index.get_indexer``, bigram counts via one int64
+    key lookup against an indexed Series — no per-token Python.
+    Perplexity rounds with DuckDB's half-away-from-zero law
+    (analysis._round2_duck); log values are irrational so midpoints
+    cannot occur and 2dp absorbs summation-order ulps."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .analysis import _round2_duck
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        txt = batch.column("text").to_pylist()
+        w1, w2 = [], []
+        for s, t in zip(src, txt):
+            if s != train_source:
+                continue
+            toks = (t or "").lower().split()
+            w1.extend(toks)
+            w2.extend([""] * len(toks))          # unigram marker rows
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        if not w1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = pd.DataFrame({"w1": w1, "w2": w2}) \
+            .groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grams = docs.map_batches(gram_partial, batch_format="pyarrow",
+                             batch_size=8192) \
+        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    uni = grams[grams["w2"] == ""]
+    vocab = pd.Index(uni["w1"].to_numpy())
+    uni_c = uni["c"].to_numpy(np.int64)
+    nv = len(vocab)
+    big = grams[grams["w2"] != ""]
+    i1 = vocab.get_indexer(big["w1"].to_numpy())
+    i2 = vocab.get_indexer(big["w2"].to_numpy())
+    big_c = pd.Series(big["c"].to_numpy(np.float64),
+                      index=i1.astype(np.int64) * nv + i2)
+    model = ray.put((vocab, uni_c, big_c, nv))
+
+    def score(batch: pa.Table, model=model) -> pa.Table:
+        import ray as _ray
+
+        vocab, uni_c, big_c, nv = _ray.get(model)
+        ids, toks, lens = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            tk = (t or "").lower().split()
+            if len(tk) < 2:
+                continue
+            ids.append(i)
+            toks.extend(tk)
+            lens.append(len(tk))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lm_tokens": pa.array([], pa.int64()),
+                             "ppl": pa.array([], pa.float64())})
+        tid = vocab.get_indexer(np.asarray(toks, object))
+        lens = np.asarray(lens, np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        prev, cur = tid[:-1], tid[1:]
+        uc = np.where(prev >= 0, uni_c[np.maximum(prev, 0)], 0)
+        key = prev.astype(np.int64) * nv + cur
+        bc = pd.Series(key).map(big_c).fillna(0.0).to_numpy()
+        bc[(prev < 0) | (cur < 0)] = 0.0       # OOV never counted
+        lp = np.log((bc + alpha) / (uc + alpha * nv))
+        # zero out the seam transitions (last token of doc k -> first
+        # of doc k+1) and the per-doc reduce via reduceat on starts
+        lp[ends[:-1] - 1] = 0.0
+        sums = np.add.reduceat(
+            np.concatenate([lp, [0.0]]), starts)[:len(ids)]
+        ppl = np.exp(-sums / (lens - 1))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lm_tokens": pa.array(lens - 1),
+            "ppl": pa.array(_round2_duck(ppl)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=8192).sort("doc_id")

@@ -206,3 +206,37 @@ def test_substr_dedup_hash_key_path_equal():
 
     pd.testing.assert_frame_equal(a, b)
     assert (a.n_tokens >= 8).all()
+
+
+def test_pii_redact_laws():
+    df = _pd(corpus.pii_redact(SF)).set_index("doc_id")
+    # every doc carries exactly the injected email/IP/phone (the
+    # synthetic text itself has no @, dotted quads, or 555- tokens)
+    assert (df["n_email"] == 1).all()
+    assert (df["n_ip"] == 1).all()
+    assert (df["n_phone"] == 1).all()
+    # redaction is complete: no pattern survives in the output
+    import re
+    for pat in (corpus.PII_EMAIL, corpus.PII_IPV4, corpus.PII_PHONE):
+        assert not df["clean_text"].str.contains(pat, regex=True).any()
+    assert df["clean_text"].str.endswith("tel <PHONE>").all()
+    assert df["clean_text"].str.contains("<EMAIL> from <IP>").all()
+
+
+def test_lm_perplexity_laws():
+    df = _pd(corpus.lm_perplexity(SF))
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM "
+        f"read_parquet('{SF}/documents.parquet')").df()
+    df = df.merge(docs, on="doc_id")
+    # every multi-token doc is scored, ppl is finite-positive
+    assert (df["ppl"] > 0).all()
+    assert (df["lm_tokens"] >= 1).all()
+    # the model is trained ON src0, so src0 text must look more fluent
+    # to it than the corpus at large (CCNet's in-domain law)
+    in_dom = df.loc[df["source"] == "src0", "ppl"].mean()
+    out_dom = df.loc[df["source"] != "src0", "ppl"].mean()
+    assert in_dom < out_dom
+    # perplexity can never beat the best single transition probability:
+    # with add-0.5 smoothing p <= (c_max+0.5)/(c_max+0.5V) < 1 => ppl > 1
+    assert (df["ppl"] > 1.0).all()
