@@ -781,6 +781,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["weighted_sample"],
         ).weighted_sample(sf),
+        # trained quality filter (Brown et al. 2020 app. A shape):
+        # distributed IRLS logistic regression over hashed features,
+        # then broadcast-weight scoring. Rows-only (blake2b features
+        # aren't SQL-expressible); AUC/descent/dual-form laws in
+        # tests/test_classifier.py
+        "doc_quality_classifier": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.classifier",
+            fromlist=["quality_classifier_scores"],
+        ).quality_classifier_scores(sf),
         # PageRank over the BFS crawl's link graph (rows-only; numeric
         # oracle = driver power iteration, tests/test_graph.py)
         "crawl_pagerank": lambda sf: __import__(
