@@ -764,6 +764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # temperature-based source mixing (mT5/XLM-R sampling law):
+        # quota ∝ size^tau per source, hash-order picks within a source
+        "doc_temperature_mix": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["temperature_mix"],
+        ).temperature_mix(sf),
         # C4/Dolma-style PII scrub: deterministic injected PII, counted
         # and masked by Arrow RE2 kernels; DuckDB recomputes with the
         # same patterns — regex semantics cross-checked engine-to-engine
@@ -1383,6 +1388,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # tempered quota = floor(200·w/Σw), w = round(pow(size,.7), 6)
+        # (half-away matches numpy's floor(x·1e6+.5) law; pow outputs
+        # are irrational so the 6dp midpoint hazard is measure-zero)
+        "doc_temperature_mix": """
+            WITH sz AS (SELECT source, CAST(sum(n_chars) AS DOUBLE)
+                               AS size
+                        FROM documents GROUP BY source),
+            w AS (SELECT source, round(pow(size, 0.7), 6) AS w FROM sz),
+            q AS (SELECT source,
+                         CAST(floor(200 * w / (SELECT sum(w) FROM w))
+                              AS BIGINT) AS quota FROM w),
+            r AS (SELECT doc_id, source,
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS h8,
+                         CAST(row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY substr(md5(CAST(doc_id
+                                 AS VARCHAR)), 1, 8), doc_id
+                         ) AS BIGINT) AS rnk
+                  FROM documents)
+            SELECT r.doc_id, r.source, r.h8, r.rnk
+            FROM r JOIN q ON r.source = q.source
+            WHERE r.rnk <= q.quota ORDER BY r.source, r.rnk
         """,
         # both engines build the SAME augmented string from the parquet
         # columns, then count/redact independently (Arrow RE2 kernels vs

@@ -790,3 +790,68 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=8192).sort("doc_id")
+
+
+def temperature_mix(sf_dir: str, tau: float = 0.7, n_total: int = 200):
+    """Temperature-based source mixing (the multilingual-sampling law
+    of mT5 / XLM-R, used for source mixing in LLaMA-style pipelines):
+    source s gets a quota ∝ size_s^tau of the n_total sampled docs —
+    tau=1 is proportional, tau→0 approaches uniform, 0<tau<1 upweights
+    small sources. Within a source, picks are the stratified_sample
+    hash order (md5(doc_id) prefix), so the sample is deterministic
+    and engine-independent end to end.
+
+    Exactness: the tempered weight rounds to 6dp with DuckDB's
+    half-away-from-zero law before the quota division, and quotas are
+    floor(n_total·w/Σw) — integer on both sides (the floor boundary
+    is ulp-safe because pow outputs are irrational; same stance as
+    doc_weighted_sample's 10dp ln rounding).
+
+    Scale shape: per-source sizes reduce through per-batch partials
+    into ONE tiny groupby (source cardinality is small by nature);
+    quotas broadcast as a dict; the per-source selection is the
+    local-top-q-per-block law (top-q of a union = top-q of per-part
+    top-qs), so the shuffle carries ≤ q rows per source per block."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def szpart(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "n_chars"]).to_pandas()
+        g = df.groupby("source", as_index=False)["n_chars"].sum()
+        g["n_chars"] = g["n_chars"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sizes = ds.map_batches(szpart, batch_format="pyarrow",
+                           batch_size=8192) \
+        .groupby("source").aggregate(Sum("n_chars", alias_name="size")) \
+        .to_pandas()
+    # DuckDB round(x, 6): half away from zero (x > 0 here)
+    w = np.floor(np.power(sizes["size"].to_numpy(np.float64), tau)
+                 * 1e6 + 0.5) / 1e6
+    quota = np.floor(n_total * w / w.sum()).astype(np.int64)
+    qmap = dict(zip(sizes["source"].tolist(), quota.tolist()))
+    qref = ray.put(qmap)
+
+    def with_hash(batch: pa.Table, qref=qref) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch.column("doc_id").to_pylist()
+        h8 = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+        df = batch.append_column("h8", pa.array(h8, pa.string())) \
+            .select(["doc_id", "source", "h8"]).to_pandas() \
+            .sort_values(["source", "h8", "doc_id"])
+        parts = [g.head(q.get(s, 0))
+                 for s, g in df.groupby("source", sort=False)]
+        out = pd.concat(parts) if parts else df.head(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        g = g.sort_values(["h8", "doc_id"]) \
+            .head(q.get(g["source"].iloc[0], 0)).reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.map_batches(with_hash, batch_format="pyarrow",
+                          batch_size=8192) \
+        .groupby("source").map_groups(pick, batch_format="pandas")

@@ -240,3 +240,30 @@ def test_lm_perplexity_laws():
     # perplexity can never beat the best single transition probability:
     # with add-0.5 smoothing p <= (c_max+0.5)/(c_max+0.5V) < 1 => ppl > 1
     assert (df["ppl"] > 1.0).all()
+
+
+def test_temperature_mix_laws():
+    import numpy as np
+
+    df = _pd(corpus.temperature_mix(SF, tau=0.7, n_total=200))
+    sizes = duckdb.sql(
+        f"SELECT source, sum(n_chars) AS size FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY source").df()
+    w = np.floor(sizes["size"].to_numpy(float) ** 0.7 * 1e6 + 0.5) / 1e6
+    quota = np.floor(200 * w / w.sum()).astype(int)
+    qmap = dict(zip(sizes["source"], quota))
+    got = df.groupby("source").size()
+    # per-source counts equal the tempered quotas (capped by availability)
+    for s, q in qmap.items():
+        assert got.get(s, 0) == min(q, 25)
+    # ranks are contiguous 1..q within each source
+    for s, g in df.groupby("source"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+    # tau=1 gives proportional quotas — larger source, larger quota
+    prop = _pd(corpus.temperature_mix(SF, tau=1.0, n_total=200)) \
+        .groupby("source").size()
+    big = sizes.sort_values("size").iloc[-1]["source"]
+    small = sizes.sort_values("size").iloc[0]["source"]
+    assert prop[big] > prop[small]
+    # tempering compresses the spread vs proportional
+    assert got.max() - got.min() <= prop.max() - prop.min()
