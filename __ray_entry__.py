@@ -764,6 +764,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # the composed FineWeb/C4-recipe flagship: min-words filter →
+        # PII scrub → exact dedup on md5(clean_text) → perplexity
+        # filter → shard assign, ONE lazy pipeline; the full chain is
+        # recomputed by the SQL oracle (hash-gated composition)
+        "corpus_prepare": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.prepare",
+            fromlist=["prepare_training_data"],
+        ).prepare_training_data(sf),
         # temperature-based source mixing (mT5/XLM-R sampling law):
         # quota ∝ size^tau per source, hash-order picks within a source
         "doc_temperature_mix": lambda sf: __import__(
@@ -1388,6 +1396,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # the whole prepare chain recomputed: C4 min-words rule, PII
+        # regex scrub, md5 exact dedup, the bigram-LM ppl law (same
+        # CTEs as doc_lm_perplexity), the shuffle_shards md5 law —
+        # per-shard stats of the survivors
+        "corpus_prepare": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)),
+                                              '\s+')) AS n_words,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                           '\b555-\d{4}\b', '<PHONE>', 'g') AS clean_text
+                FROM documents
+            ), filt AS (
+                SELECT * FROM base WHERE n_words >= 12
+            ), ded AS (
+                SELECT f.doc_id, f.n_words FROM filt f
+                JOIN (SELECT min(doc_id) AS doc_id FROM filt
+                      GROUP BY md5(clean_text)) s
+                  ON f.doc_id = s.doc_id
+            ), w AS (
+                SELECT doc_id, source, w, pos FROM (
+                    SELECT doc_id, source, unnest(arr) AS w,
+                           unnest(range(1, len(arr) + 1)) AS pos
+                    FROM (SELECT doc_id, source,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\s+') AS arr
+                          FROM documents)
+                ) WHERE w <> ''
+            ), big AS (
+                SELECT doc_id, source, w AS w2,
+                       lag(w) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS w1
+                FROM w
+            ), uni_c AS (
+                SELECT w, count(*) AS c FROM w
+                WHERE source = 'src0' GROUP BY w
+            ), big_c AS (
+                SELECT w1, w2, count(*) AS c FROM big
+                WHERE source = 'src0' AND w1 IS NOT NULL GROUP BY w1, w2
+            ), v AS (SELECT count(*) AS nv FROM uni_c
+            ), ppl AS (
+                SELECT b.doc_id,
+                       round(exp(-avg(ln(
+                           (coalesce(bc.c, 0) + 0.5)
+                           / (coalesce(uc.c, 0)
+                              + 0.5 * (SELECT nv FROM v))
+                       ))), 2) AS ppl
+                FROM big b
+                LEFT JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                LEFT JOIN uni_c uc ON b.w1 = uc.w
+                WHERE b.w1 IS NOT NULL
+                GROUP BY b.doc_id
+            ), kept AS (
+                SELECT d.doc_id, d.n_words FROM ded d
+                JOIN ppl p ON d.doc_id = p.doc_id
+                WHERE p.ppl <= 45.0
+            )
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':7'), 1, 8)) AS UBIGINT) % 8 AS BIGINT)
+                       AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS sum_words
+            FROM kept GROUP BY 1 ORDER BY shard_id
         """,
         # tempered quota = floor(200·w/Σw), w = round(pow(size,.7), 6)
         # (half-away matches numpy's floor(x·1e6+.5) law; pow outputs
