@@ -764,6 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # cumulative COUNT(DISTINCT) window via the first-occurrence
+        # identity (min-day groupby + running sum on the day axis)
+        "events_cum_distinct_users": analysis.events_cum_distinct_users,
         # the composed FineWeb/C4-recipe flagship: min-words filter →
         # PII scrub → exact dedup on md5(clean_text) → perplexity
         # filter → shard assign, ONE lazy pipeline; the full chain is
@@ -1396,6 +1399,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # first-occurrence identity spelled in SQL: day-axis LEFT JOIN
+        # new-user counts, running SUM over the partition
+        "events_cum_distinct_users": """
+            WITH e AS (SELECT event_type, user_id,
+                              strftime(ts, '%Y-%m-%d') AS day
+                       FROM events),
+            f AS (SELECT event_type, user_id, min(day) AS d0
+                  FROM e GROUP BY event_type, user_id),
+            c AS (SELECT event_type, d0 AS day, count(*) AS newu
+                  FROM f GROUP BY event_type, d0),
+            days AS (SELECT DISTINCT event_type, day FROM e)
+            SELECT d.event_type, d.day,
+                   CAST(sum(coalesce(c.newu, 0)) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                   ) AS BIGINT) AS cum_users
+            FROM days d LEFT JOIN c
+              ON d.event_type = c.event_type AND d.day = c.day
+            ORDER BY d.event_type, d.day
         """,
         # the whole prepare chain recomputed: C4 min-words rule, PII
         # regex scrub, md5 exact dedup, the bigram-LM ppl law (same

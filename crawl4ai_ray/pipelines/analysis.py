@@ -4346,3 +4346,74 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = 90,
     out["numwait"] = out["numwait"].astype("int64")
     return pa.Table.from_pandas(out[["s_name", "numwait"]],
                                 preserve_index=False)
+
+
+def events_cum_distinct_users(sf_dir: str):
+    """Cumulative COUNT(DISTINCT user) per event_type by day — the
+    growth-curve window every analytics pipeline wants, which naive
+    engines compute by re-scanning the prefix per day. Distributed via
+    the first-occurrence identity: the cumulative distinct count at
+    day d equals the number of users whose FIRST event of that type is
+    ≤ d — so the whole window collapses to a (type, user) min-day
+    groupby plus a running sum over the tiny (type, day) axis.
+
+    Scale shape: per-batch pandas partials reduce the min-day groupby
+    exchange to distinct (type, user) per block; new-user counts and
+    the day axis both ride the SAME downstream groupby by emitting
+    day-axis rows with newu=0 (a union instead of a join); the final
+    cumulative sum ranks inside ``groupby(event_type).map_groups``
+    where a group is bounded by the number of days per type, never by
+    event volume. Day strings (%Y-%m-%d) order lexicographically =
+    chronologically, so string min IS the first day."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "user_id": batch.column("user_id")
+                .to_numpy(zero_copy_only=False),
+            "day": pc.strftime(batch.column("ts"),
+                               format="%Y-%m-%d").to_pandas()})
+        g = df.groupby(["event_type", "user_id"],
+                       as_index=False)["day"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firstday = ds.map_batches(first_partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(Min("day", alias_name="day"))
+
+    def newu_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "day"]).to_pandas()
+        df["newu"] = np.int64(1)
+        g = df.groupby(["event_type", "day"], as_index=False)["newu"] \
+            .sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    newu = firstday.map_batches(newu_partial, batch_format="pyarrow",
+                                batch_size=65536)
+
+    def days_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": pc.strftime(batch.column("ts"),
+                               format="%Y-%m-%d").to_pandas()}) \
+            .drop_duplicates()
+        df["newu"] = np.int64(0)  # day-axis rows carry no new users
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    days = ds.map_batches(days_partial, batch_format="pyarrow",
+                          batch_size=65536)
+
+    per_day = days.union(newu) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("newu", alias_name="newu"))
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").reset_index(drop=True)
+        g["cum_users"] = g["newu"].cumsum().astype(np.int64)
+        return g[["event_type", "day", "cum_users"]]
+
+    return per_day.groupby("event_type") \
+        .map_groups(cum, batch_format="pandas") \
+        .sort(["event_type", "day"])
