@@ -750,6 +750,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substr_dedup": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["substr_dedup"],
         ).substr_dedup(sf),
+        # ExactSubstr APPLIED: cut the duplicated spans out of the
+        # text (packed-span blob join + stateless token cut),
+        # oracle re-derives spans AND cut
+        "doc_substr_apply": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["substr_apply"],
+        ).substr_apply(sf),
         # sequence packing (distributed prefix scan), oracle-gated
         "doc_pack_sequences": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["pack_sequences"],
@@ -1352,6 +1358,58 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dup_distinct
             FROM percnt p JOIN nd USING (g)
             GROUP BY p.doc_id
+        """,
+        # ExactSubstr applied: re-derive the duplicated window positions,
+        # expand each to its 8 covered token positions, anti-join the
+        # token stream, string_agg the survivors in position order
+        "doc_substr_apply": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS pos, w
+                FROM toks
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[pos:pos+7], ' ') AS gram
+                FROM win
+            ),
+            cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+            dup AS (
+                SELECT doc_id, pos FROM g JOIN cnt USING (gram)
+                WHERE c >= 2
+            ),
+            cutpos AS (
+                SELECT DISTINCT doc_id, pos + off AS cp
+                FROM dup CROSS JOIN
+                     (SELECT unnest(range(0, 8)) AS off) o
+            ),
+            tokpos AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       unnest(range(1, len(w) + 1)) AS pos
+                FROM toks
+            ),
+            kept AS (
+                SELECT t.doc_id, t.tok, t.pos FROM tokpos t
+                LEFT JOIN cutpos c
+                  ON t.doc_id = c.doc_id AND t.pos = c.cp
+                WHERE c.cp IS NULL
+            ),
+            f AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT toks.doc_id,
+                   CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(toks.w) - coalesce(f.n_kept, 0) AS BIGINT)
+                       AS n_cut,
+                   coalesce(f.clean_text, '') AS clean_text
+            FROM toks LEFT JOIN f ON toks.doc_id = f.doc_id
+            ORDER BY toks.doc_id
         """,
         # ExactSubstr cut spans: corpus-frequency >= 2 token 8-windows,
         # merged per doc via gaps-and-islands (1-based SQL positions

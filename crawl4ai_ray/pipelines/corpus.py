@@ -855,3 +855,72 @@ def temperature_mix(sf_dir: str, tau: float = 0.7, n_total: int = 200):
     return ds.map_batches(with_hash, batch_format="pyarrow",
                           batch_size=8192) \
         .groupby("source").map_groups(pick, batch_format="pandas")
+
+
+def substr_apply(sf_dir: str, length: int = 8, min_count: int = 2,
+                 key: str = "string"):
+    """The actionable half of ExactSubstr dedup (Lee et al. 2022 §4.1
+    "we remove the duplicated spans"): apply ``substr_dedup``'s cut
+    spans to the corpus, emitting each document's surviving text.
+
+    Output: doc_id, n_kept, n_cut, clean_text — clean_text is the
+    space-join of the surviving lowercased tokens (the corpus
+    tokenization convention; a fully-duplicated document survives as
+    an empty string, not a dropped row).
+
+    Scale shape: spans pack to ONE row per cut document (a bounded
+    ``map_groups``: group = that doc's spans) with the intervals
+    serialized to an int64 binary blob — Arrow's hash join rejects
+    list-typed payloads, the documented workaround — then one
+    ``left_outer`` doc_id join puts each doc next to its spans and a
+    stateless map cuts tokens; documents without spans pass through
+    untouched. Nothing is driver-resident. DuckDB-oracle-gated end to
+    end (the oracle re-derives the spans AND the cut)."""
+    from .dedup import _join_parts
+
+    spans = substr_dedup(sf_dir, length=length, min_count=min_count,
+                         key=key)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.stack([g["cut_start"].to_numpy(np.int64),
+                        g["cut_end"].to_numpy(np.int64)],
+                       axis=1).reshape(-1)
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "spans_blob": [arr.tobytes()],
+        })
+
+    packed = spans.groupby("doc_id").map_groups(pack,
+                                                batch_format="pandas")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    joined = docs.join(packed, "left_outer",
+                       _join_parts(docs, packed), on=("doc_id",))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        ids, n_kept, n_cut, texts = [], [], [], []
+        for doc_id, text, blob in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+                batch.column("spans_blob").to_pylist()):
+            w = _tokens(text)
+            if blob:
+                se = np.frombuffer(blob, np.int64).reshape(-1, 2)
+                mask = np.ones(len(w), bool)
+                for s, e in se:
+                    mask[s:e] = False
+                kept = [t for t, m in zip(w, mask) if m]
+            else:
+                kept = w
+            ids.append(doc_id)
+            n_kept.append(len(kept))
+            n_cut.append(len(w) - len(kept))
+            texts.append(" ".join(kept))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_cut": pa.array(n_cut, pa.int64()),
+            "clean_text": pa.array(texts, pa.string()),
+        })
+
+    return joined.map_batches(cut, batch_format="pyarrow",
+                              batch_size=4096).sort("doc_id")

@@ -267,3 +267,32 @@ def test_temperature_mix_laws():
     assert prop[big] > prop[small]
     # tempering compresses the spread vs proportional
     assert got.max() - got.min() <= prop.max() - prop.min()
+
+
+def test_substr_apply_laws():
+    spans = _pd(corpus.substr_dedup(SF)).sort_values(
+        ["doc_id", "cut_start"])
+    out = _pd(corpus.substr_apply(SF)).set_index("doc_id")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet')").df() \
+        .set_index("doc_id")
+    # token accounting: n_kept + n_cut == token count, and n_cut equals
+    # the doc's merged span widths
+    per_doc_cut = spans.groupby("doc_id")["n_tokens"].sum()
+    for did, row in out.iterrows():
+        w = (docs.loc[did, "text"] or "").lower().split()
+        assert row["n_kept"] + row["n_cut"] == len(w)
+        assert row["n_cut"] == per_doc_cut.get(did, 0)
+        # the surviving text is a subsequence of the tokens
+        kept = row["clean_text"].split() if row["clean_text"] else []
+        assert len(kept) == row["n_kept"]
+        it = iter(w)
+        assert all(t in it for t in kept)
+    # documents without spans pass through verbatim (normalized join)
+    clean_ids = set(out.index) - set(spans["doc_id"])
+    assert clean_ids
+    some = list(sorted(clean_ids))[:5]
+    for did in some:
+        assert out.loc[did, "clean_text"] == \
+            " ".join((docs.loc[did, "text"] or "").lower().split())
