@@ -59,6 +59,7 @@ GOLDEN_QUERIES = [
     "link_preview",
     "crawl_rendered",
     "media_resize",
+    "doc_quality_classifier",
 ]
 
 
