@@ -648,6 +648,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _media_decode,
         "media_frame_sample": _media_frames,
         # actor-pool image resize (stub math, real binary-column plumbing)
+        # multimodal similarity search: per-media features (actor
+        # pool) -> broadcast query matrix -> local-top-k combiner ->
+        # bounded per-query rank; golden-gated
+        "media_ann_topk": lambda sf: __import__(
+            "crawl4ai_ray.stages.multimodal",
+            fromlist=["media_ann_pipeline"],
+        ).media_ann_pipeline(sf),
         "media_resize": lambda sf: __import__(
             "crawl4ai_ray.stages.multimodal", fromlist=["resize_pipeline"],
         ).resize_pipeline(sf),

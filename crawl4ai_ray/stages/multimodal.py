@@ -294,3 +294,81 @@ def resize_pipeline(sf_dir: str, *, n: int | None = None,
         })
 
     return resized.map_batches(summarize, batch_format="pyarrow")
+
+
+def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
+                       n_query: int = 4):
+    """Multimodal similarity search — `media_ann_topk`: extract features
+    for every media payload (actor-pool MediaFeatureStage; a real
+    deployment swaps in a vision/audio model loaded once per actor) and
+    return the cosine top-k corpus matches for each of the first
+    ``n_query`` media items.
+
+    Scale shape: the query matrix ships ONCE via ray.put; each batch
+    computes one (batch × dim) @ (dim × n_query) matmul and emits at
+    most k rows PER QUERY per batch (the brute_force_topk local-top-k
+    combiner law, including its tie rule: round-5 cos desc, media_id
+    asc), so the final per-query rank sees ≤ k·blocks rows inside a
+    bounded ``map_groups``. Deterministic end to end (golden-gated)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    if n is None:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_table(n)
+    per = max(1, (n + 31) // 32)
+    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
+    ds = rd.from_arrow(slices)
+
+    feat = MediaFeatureStage()
+    qt = tbl.slice(0, n_query)
+    qmat = np.asarray(
+        feat(qt).column("features").to_pylist(), np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = qt.column("media_id").to_pylist()
+    qref = ray.put((qmat, np.asarray(qids, np.int64)))
+
+    class FeatureTopK:
+        def __init__(self):
+            self.stage = MediaFeatureStage()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qmat, qids = ray.get(qref)
+            fb = self.stage(batch)
+            ids = np.asarray(fb.column("media_id").to_pylist(), np.int64)
+            mat = np.asarray(fb.column("features").to_pylist(),
+                             np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cos = np.round(mat @ qmat.T, 5)       # (n, n_query)
+            out_q, out_m, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                keep = ids != qid                  # exclude self
+                cj, mj = cos[keep, j], ids[keep]
+                if len(mj) > k:
+                    order = np.lexsort((mj, -cj))[:k]
+                    cj, mj = cj[order], mj[order]
+                out_q.extend([qid] * len(mj))
+                out_m.extend(mj.tolist())
+                out_c.extend(cj.tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "media_id": pa.array(out_m, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            })
+
+    partials = ds.map_batches(FeatureTopK, batch_format="pyarrow",
+                              batch_size=64, concurrency=(1, 2))
+
+    def finish(g):
+        g = g.sort_values(["cos", "media_id"],
+                          ascending=[False, True]).head(k)
+        return g.reset_index(drop=True)
+
+    import pandas as pd  # noqa: F811 — map_groups pandas finisher
+
+    return partials.groupby("query_id") \
+        .map_groups(finish, batch_format="pandas") \
+        .sort(["query_id", "cos", "media_id"],
+              descending=[False, True, False])

@@ -60,6 +60,7 @@ GOLDEN_QUERIES = [
     "crawl_rendered",
     "media_resize",
     "doc_quality_classifier",
+    "media_ann_topk",
 ]
 
 
