@@ -123,6 +123,22 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Table maintenance: rewrite a small-file parquet tree (e.g. a
+    long crawl's superstep sink output) into evenly-sized files."""
+    from .pipelines.compact import compact_parquet
+
+    _init_ray(args.num_cpus)
+    st = compact_parquet(args.in_dir, args.out_dir,
+                         rows_per_file=args.rows_per_file)
+    print(json.dumps({k: st.column(k)[0].as_py()
+                      for k in st.column_names}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_browser(args) -> int:
     """Builtin-browser ops surface (reference cli.py:640-927
     status/start/stop/restart; the process is a real Playwright browser
@@ -226,6 +242,13 @@ def main(argv=None) -> int:
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--synthetic-hosts", type=int, default=0)
     v.set_defaults(fn=cmd_serve)
+
+    k = sub.add_parser("compact", help="compact a small-file parquet tree")
+    k.add_argument("in_dir")
+    k.add_argument("out_dir")
+    k.add_argument("--rows-per-file", type=int, default=100_000)
+    k.add_argument("--num-cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_compact)
 
     b = sub.add_parser("browser", help="builtin-browser lifecycle ops")
     b.add_argument("action",
