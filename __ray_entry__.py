@@ -777,6 +777,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # INTERSECT / EXCEPT set-op shapes on compact distinct-key sets
+        "users_purchase_and_error": analysis.users_purchase_and_error,
+        "users_purchase_except_error":
+            analysis.users_purchase_except_error,
         # cumulative COUNT(DISTINCT) window via the first-occurrence
         # identity (min-day groupby + running sum on the day axis)
         "events_cum_distinct_users": analysis.events_cum_distinct_users,
@@ -1464,6 +1468,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "users_purchase_and_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 180
+            ORDER BY user_id
+        """,
+        "users_purchase_except_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 180
+            ORDER BY user_id
         """,
         # first-occurrence identity spelled in SQL: day-axis LEFT JOIN
         # new-user counts, running SUM over the partition

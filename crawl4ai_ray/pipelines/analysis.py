@@ -4417,3 +4417,54 @@ def events_cum_distinct_users(sf_dir: str):
     return per_day.groupby("event_type") \
         .map_groups(cum, batch_format="pandas") \
         .sort(["event_type", "day"])
+
+
+def _distinct_users_of_type(sf_dir: str, etype: str,
+                            min_value: float | None = None):
+    """Distinct user_ids with at least one ``etype`` event (optionally
+    with value > min_value) — per-batch drop_duplicates partials into
+    one groupby, the exchange bounded by distinct users per block."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id")
+                .to_numpy(zero_copy_only=False),
+            "event_type": batch.column("event_type").to_pandas(),
+            "value": batch.column("value")
+                .to_numpy(zero_copy_only=False)})
+        keep = df["event_type"] == etype
+        if min_value is not None:
+            keep &= df["value"] > min_value
+        df = df[keep][["user_id"]].drop_duplicates()
+        df["_one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(part, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("user_id").aggregate(Max("_one", alias_name="_one")) \
+        .select_columns(["user_id"])
+
+
+def users_purchase_and_error(sf_dir: str, min_error_value: float = 180.0):
+    """INTERSECT shape: users who both purchased and hit a high-value
+    error — two distinct-key reductions and ONE inner join on the
+    compact user sets (never the raw event stream)."""
+    from .dedup import _join_parts
+
+    a = _distinct_users_of_type(sf_dir, "purchase")
+    b = _distinct_users_of_type(sf_dir, "error", min_error_value)
+    return a.join(b, join_type="inner", on=("user_id",),
+                  num_partitions=_join_parts(a, b)).sort("user_id")
+
+
+def users_purchase_except_error(sf_dir: str,
+                                min_error_value: float = 180.0):
+    """EXCEPT shape: purchasers who never hit a high-value error —
+    the same compact sets through a native ``left_anti`` join."""
+    from .dedup import _join_parts
+
+    a = _distinct_users_of_type(sf_dir, "purchase")
+    b = _distinct_users_of_type(sf_dir, "error", min_error_value)
+    return a.join(b, join_type="left_anti", on=("user_id",),
+                  num_partitions=_join_parts(a, b)).sort("user_id")
