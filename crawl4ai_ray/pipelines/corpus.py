@@ -680,7 +680,7 @@ def pii_redact(sf_dir: str):
 
 
 def lm_perplexity(sf_dir: str, train_source: str = "src0",
-                  alpha: float = 0.5):
+                  alpha: float = 0.5, max_grams: int | None = None):
     """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020:
     score every document under a language model trained on a trusted
     slice; low perplexity ≈ fluent text): an add-α-smoothed bigram LM
@@ -733,16 +733,28 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
         g["c"] = g["c"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    grams = docs.map_batches(gram_partial, batch_format="pyarrow",
-                             batch_size=8192) \
+    gram_ds = docs.map_batches(gram_partial, batch_format="pyarrow",
+                               batch_size=8192) \
         .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
-        .to_pandas()
+        .materialize()  # compact gram table feeds both branches once
 
-    uni = grams[grams["w2"] == ""]
+    uni = gram_ds.filter(expr="w2 == ''").to_pandas()
+    big_ds = gram_ds.filter(expr="w2 != ''")
+    if max_grams is not None:
+        # count-cutoff pruning (KenLM-style): keep the max_grams most
+        # frequent bigrams via a distributed sort+limit — the knob that
+        # bounds the broadcast model when a corpus's gram table would
+        # outgrow the object store. Pruned transitions fall back to the
+        # add-α floor, so pruning can only RAISE a doc's perplexity
+        # (law-tested); unigrams stay complete (Heaps-law bounded).
+        big_ds = big_ds.sort(["c", "w1", "w2"],
+                             descending=[True, False, False]) \
+            .limit(max_grams)
+    big = big_ds.to_pandas()
+
     vocab = pd.Index(uni["w1"].to_numpy())
     uni_c = uni["c"].to_numpy(np.int64)
     nv = len(vocab)
-    big = grams[grams["w2"] != ""]
     i1 = vocab.get_indexer(big["w1"].to_numpy())
     i2 = vocab.get_indexer(big["w2"].to_numpy())
     big_c = pd.Series(big["c"].to_numpy(np.float64),

@@ -296,3 +296,18 @@ def test_substr_apply_laws():
     for did in some:
         assert out.loc[did, "clean_text"] == \
             " ".join((docs.loc[did, "text"] or "").lower().split())
+
+
+def test_lm_perplexity_pruning_laws():
+    full = _pd(corpus.lm_perplexity(SF)).set_index("doc_id")
+    # a cap above the true gram count is a no-op (byte-equal)
+    huge = _pd(corpus.lm_perplexity(SF, max_grams=10_000_000)) \
+        .set_index("doc_id")
+    assert full.equals(huge)
+    # count-cutoff pruning can only raise perplexity (mass removed
+    # from the kept numerators; denominators unchanged)
+    pruned = _pd(corpus.lm_perplexity(SF, max_grams=50)) \
+        .set_index("doc_id")
+    assert (pruned["ppl"] >= full["ppl"] - 0.01).all()
+    assert pruned["ppl"].mean() > full["ppl"].mean()
+    assert (pruned.index == full.index).all()
