@@ -777,6 +777,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # trainer handoff: Megatron-style .bin/.idx shard export; the
+        # per-shard manifest (docs, token totals under the md5 shard
+        # law) is SQL-recomputable; byte-level round-trip/determinism
+        # laws live in tests/test_export.py
+        "doc_export_shards": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.export",
+            fromlist=["export_tokenized_shards"],
+        ).export_tokenized_shards(
+            sf, "/tmp/c4r_export_shards", n_shards=4,
+        ).select_columns(["shard_id", "n_docs", "n_tokens"]),
         # INTERSECT / EXCEPT set-op shapes on compact distinct-key sets
         "users_purchase_and_error": analysis.users_purchase_and_error,
         "users_purchase_except_error":
@@ -1468,6 +1478,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "doc_export_shards": r"""
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':7'), 1, 8)) AS UBIGINT) % 4 AS BIGINT)
+                       AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(lower(text)),
+                                                   '\s+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1 ORDER BY shard_id
         """,
         "users_purchase_and_error": """
             SELECT user_id FROM events WHERE event_type = 'purchase'
