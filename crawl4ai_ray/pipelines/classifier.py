@@ -68,7 +68,7 @@ def _featurize(sf_dir: str, pos_source: str, dim: int):
         })
 
     return docs.map_batches(feats, batch_format="pyarrow",
-                            batch_size=4096)
+                            batch_size=None)
 
 
 def _xy(batch: pa.Table, dim: int):
@@ -177,4 +177,4 @@ def quality_classifier_scores(sf_dir: str, pos_source: str = "src0",
         })
 
     return feats.map_batches(score, batch_format="pyarrow",
-                             batch_size=8192).sort("doc_id")
+                             batch_size=None).sort("doc_id")

@@ -88,7 +88,7 @@ def decontaminate(sf_dir: str, n: int = 3, bench_max_doc: int = 20):
                 ((2 * nh >= ng) & (ng > 0)).astype(np.int32)),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def corpus_postings(sf_dir: str, min_df: int = 2):
@@ -113,7 +113,7 @@ def corpus_postings(sf_dir: str, min_df: int = 2):
         })
 
     postings = ds.map_batches(
-        explode, batch_format="pyarrow", batch_size=4096)
+        explode, batch_format="pyarrow", batch_size=None)
     # postings are distinct per (term, doc): df is a plain per-term count
     df = postings.groupby("term").aggregate(Count(alias_name="df"))
     from .dedup import _join_parts
@@ -192,7 +192,7 @@ def tfidf_topterms(sf_dir: str, k: int = 5):
         })
 
     postings = ds.map_batches(
-        explode, batch_format="pyarrow", batch_size=4096)
+        explode, batch_format="pyarrow", batch_size=None)
     df = postings.groupby("term").aggregate(Count(alias_name="df"))
     joined = postings.join(
         df, join_type="inner", on=("term",),
@@ -260,7 +260,7 @@ def ngram_dup_stats(sf_dir: str, n: int = 5):
         })
 
     percnt = ds.map_batches(explode, batch_format="pyarrow",
-                            batch_size=4096)
+                            batch_size=None)
     nd = percnt.groupby("g").aggregate(Count(alias_name="ndocs"))
     joined = percnt.join(nd, join_type="inner", on=("g",),
                          num_partitions=_join_parts(percnt, nd))
@@ -680,7 +680,7 @@ def pii_redact(sf_dir: str):
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow",
-                          batch_size=8192)
+                          batch_size=None)
 
 
 def lm_perplexity(sf_dir: str, train_source: str = "src0",
@@ -738,7 +738,7 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
         return pa.Table.from_pandas(g, preserve_index=False)
 
     gram_ds = docs.map_batches(gram_partial, batch_format="pyarrow",
-                               batch_size=8192) \
+                               batch_size=None) \
         .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
         .materialize()  # compact gram table feeds both branches once
 
@@ -805,7 +805,7 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
         })
 
     return docs.map_batches(score, batch_format="pyarrow",
-                            batch_size=8192).sort("doc_id")
+                            batch_size=None).sort("doc_id")
 
 
 def temperature_mix(sf_dir: str, tau: float = 0.7, n_total: int = 200):
@@ -939,4 +939,4 @@ def substr_apply(sf_dir: str, length: int = 8, min_count: int = 2,
         })
 
     return joined.map_batches(cut, batch_format="pyarrow",
-                              batch_size=4096).sort("doc_id")
+                              batch_size=None).sort("doc_id")

@@ -71,7 +71,7 @@ def prepare_training_data(sf_dir: str, min_words: int = 12,
         })
 
     staged = docs.map_batches(scrub_count, batch_format="pyarrow",
-                              batch_size=8192) \
+                              batch_size=None) \
         .filter(expr=f"n_words >= {min_words}")
 
     survivors = staged.select_columns(["content_md5", "doc_id"]) \
