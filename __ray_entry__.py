@@ -777,6 +777,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # UNPIVOT (wide→long melt of the full-outer year matrix) and
+        # RATIO_TO_REPORT (nation share of region revenue, gated
+        # supplier probe) shapes
+        "orders_matrix_unpivot": analysis.orders_matrix_unpivot,
+        "revenue_share_in_region": analysis.revenue_share_in_region,
         # trainer handoff: Megatron-style .bin/.idx shard export; the
         # per-shard manifest (docs, token totals under the md5 shard
         # law) is SQL-recomputable; byte-level round-trip/determinism
@@ -1478,6 +1483,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "orders_matrix_unpivot": """
+            WITH a AS (SELECT o_custkey, count(*) AS n FROM orders
+                       WHERE year(o_orderdate) = 1996
+                       GROUP BY o_custkey),
+            b AS (SELECT o_custkey, count(*) AS n FROM orders
+                  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+            SELECT * FROM (
+                SELECT o_custkey, CAST(1996 AS BIGINT) AS year, n FROM a
+                UNION ALL
+                SELECT o_custkey, CAST(1997 AS BIGINT) AS year, n FROM b
+            ) ORDER BY o_custkey, year
+        """,
+        "revenue_share_in_region": """
+            WITH byn AS (
+                SELECT n_regionkey, n_name,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem, supplier, nation
+                WHERE s_suppkey = l_suppkey
+                  AND s_nationkey = n_nationkey
+                GROUP BY n_regionkey, n_name)
+            SELECT r_name, n_name, round(rev, 2) AS revenue,
+                   round(rev / sum(rev) OVER (PARTITION BY r_name), 6)
+                       AS share
+            FROM byn JOIN region ON n_regionkey = r_regionkey
+            ORDER BY r_name, n_name
         """,
         "doc_export_shards": r"""
             SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)

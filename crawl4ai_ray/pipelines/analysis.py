@@ -4468,3 +4468,109 @@ def users_purchase_except_error(sf_dir: str,
     b = _distinct_users_of_type(sf_dir, "error", min_error_value)
     return a.join(b, join_type="left_anti", on=("user_id",),
                   num_partitions=_join_parts(a, b)).sort("user_id")
+
+
+def orders_matrix_unpivot(sf_dir: str, y_a: int = 1996,
+                          y_b: int = 1997):
+    """UNPIVOT shape: melt the per-customer two-year count matrix back
+    to long form (o_custkey, year, n) — the wide→long transform is a
+    stateless per-batch explode (each row becomes ≤2 rows; zero-count
+    cells drop, matching SQL UNPIVOT's NULL-removal semantics), so the
+    whole melt adds NO exchange beyond the matrix's own joins."""
+    wide = orders_year_matrix(sf_dir, y_a, y_b)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        ka, kb = na > 0, nb > 0
+        return pa.table({
+            "o_custkey": pa.array(
+                np.concatenate([ck[ka], ck[kb]]).astype(np.int64)),
+            "year": pa.array(np.concatenate([
+                np.full(ka.sum(), y_a), np.full(kb.sum(), y_b),
+            ]).astype(np.int64)),
+            "n": pa.array(np.concatenate([na[ka], nb[kb]])
+                          .astype(np.int64)),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            batch_size=None).sort(["o_custkey", "year"])
+
+
+def revenue_share_in_region(sf_dir: str, form: str = "auto",
+                            broadcast_limit: int = BROADCAST_LIMIT):
+    """RATIO_TO_REPORT window shape: each nation's share of its
+    region's lineitem revenue. Revenue reduces through nation-keyed
+    combiner partials (supplier→nation attaches via the GATED
+    sorted-key probe, native join above ``broadcast_limit``); the
+    region totals are a 5-row second groupby on the driver along with
+    the fixed-size nation/region dims — no second window scan. Share
+    rounds to 6dp (ratio of two sums — irrational in practice;
+    validated at sf0.001/0.01); fallback byte-equality in
+    test_analysis_scale.py."""
+    from .dedup import _join_parts
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if form == "auto":
+        form = ("broadcast" if supp_ds.count() <= broadcast_limit
+                else "join")
+
+    def _rev(batch: pa.Table) -> np.ndarray:
+        return (batch.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False)
+                * (1.0 - batch.column("l_discount")
+                   .to_numpy(zero_copy_only=False)))
+
+    if form == "broadcast":
+        supp = supp_ds.to_pandas()
+        sk, snk = _sorted_probe_arrays(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64))
+
+        def part(batch: pa.Table) -> pa.Table:
+            ls = batch.column("l_suppkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            df = pd.DataFrame({
+                "n_nationkey": _probe_sorted(sk, snk, ls, -1),
+                "rev": _rev(batch)})
+            g = df.groupby("n_nationkey", as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        keyed = li.map_batches(part, batch_format="pyarrow",
+                               batch_size=65536)
+    else:
+        joined = li.join(supp_ds, join_type="inner",
+                         on=("l_suppkey",), right_on=("s_suppkey",),
+                         num_partitions=_join_parts(li, supp_ds))
+
+        def part_j(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "n_nationkey": batch.column("s_nationkey")
+                    .to_numpy(zero_copy_only=False).astype(np.int64),
+                "rev": _rev(batch)})
+            g = df.groupby("n_nationkey", as_index=False)["rev"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        keyed = joined.map_batches(part_j, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    by_nation = keyed.groupby("n_nationkey") \
+        .aggregate(Sum("rev", alias_name="rev")).to_pandas()
+
+    # fixed-size dims finish driver-side (25 nations / 5 regions at
+    # EVERY scale factor — not a gated broadcast)
+    out = by_nation.merge(nat, on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey")
+    tot = out.groupby("r_name")["rev"].transform("sum")
+    out["share"] = np.floor(out["rev"] / tot * 1e6 + 0.5) / 1e6
+    out["revenue"] = _round2_snap(out["rev"].to_numpy())
+    out = out.sort_values(["r_name", "n_name"])
+    return pa.Table.from_pandas(
+        out[["r_name", "n_name", "revenue", "share"]],
+        preserve_index=False)

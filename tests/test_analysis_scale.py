@@ -294,3 +294,11 @@ def test_q20_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_revenue_share_join_fallback():
+    a = _norm(analysis.revenue_share_in_region(SF).to_pandas())
+    b = _norm(analysis.revenue_share_in_region(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
