@@ -421,6 +421,39 @@ def _ngram_jaccard_verify(sf_dir: str):
         dump_cand=lambda t: _oracle_dump("ngram_jaccard_verify", t))
 
 
+def _crawl_corpus_prepare(sf_dir: str):
+    """The repo's mission statement as ONE pipeline: crawl the web →
+    markdown documents → the SAME FineWeb/C4 prepare chain the parquet
+    corpus uses (min-words filter, PII scrub, exact dedup — 4 duplicate
+    pages exist in the fixture site — bigram-LM perplexity filter
+    trained on the first host, shard assign) → per-shard stats.
+    Deterministic end to end (golden-gated); every stage live at this
+    fixture size (words p10=36 vs min 20; ppl p80≈116 vs cutoff 120)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.prepare import prepare_training_data
+
+    res = _crawl("bfs", n_hosts=4, max_depth=3)
+    ds = rd.read_parquet(res.docs_dir,
+                         columns=["seq", "markdown", "host", "success"])
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("success"), pa.scalar(True)))
+        return pa.table({
+            "doc_id": pc.cast(b.column("seq"), pa.int64()),
+            "text": pc.cast(b.column("markdown"), pa.string()),
+            "source": pc.cast(b.column("host"), pa.string()),
+        })
+
+    docs = ds.map_batches(to_docs, batch_format="pyarrow",
+                          batch_size=None)
+    return prepare_training_data(
+        None, docs=docs, train_source="h0000.test", min_words=20,
+        ppl_cutoff=120.0, n_shards=4)
+
+
 def _crawl_span_kinds(sf_dir: str):
     """Span-kind histogram of the flagship crawl output (exercises the
     interleaved-span payload end to end). SQL-oracled via the self-dump
@@ -676,6 +709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive_embedding": _crawl_adaptive_embedding,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_host_stats": _crawl_host_stats,
+        # crawl → markdown → the FULL corpus-prepare chain (the repo's
+        # mission statement as one pipeline); golden-gated
+        "crawl_corpus_prepare": _crawl_corpus_prepare,
         "crawl_fit_markdown": _crawl_fit_markdown,
         "crawl_markdown_compat": _crawl_markdown_compat,
         "link_preview": _link_preview,

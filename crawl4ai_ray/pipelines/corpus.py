@@ -684,7 +684,8 @@ def pii_redact(sf_dir: str):
 
 
 def lm_perplexity(sf_dir: str, train_source: str = "src0",
-                  alpha: float = 0.5, max_grams: int | None = None):
+                  alpha: float = 0.5, max_grams: int | None = None,
+                  docs=None):
     """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020:
     score every document under a language model trained on a trusted
     slice; low perplexity ≈ fluent text): an add-α-smoothed bigram LM
@@ -713,7 +714,9 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
 
     from .analysis import _round2_duck
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    if docs is None:  # any (doc_id, text, source) Dataset works —
+        # crawl_corpus_prepare feeds crawled markdown through here
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def gram_partial(batch: pa.Table) -> pa.Table:
         src = batch.column("source").to_pylist()

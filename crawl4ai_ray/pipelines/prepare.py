@@ -43,15 +43,21 @@ from .corpus import PII_EMAIL, PII_IPV4, PII_PHONE, lm_perplexity
 
 def prepare_training_data(sf_dir: str, min_words: int = 12,
                           ppl_cutoff: float = 45.0, n_shards: int = 8,
-                          seed: int = 7, out_dir: str | None = None):
+                          seed: int = 7, out_dir: str | None = None,
+                          docs=None, train_source: str = "src0"):
     """Returns the per-shard stats table (shard_id, n_docs, sum_words)
     for the surviving documents; optionally writes the cleaned corpus
-    to ``out_dir`` partitioned by shard."""
+    to ``out_dir`` partitioned by shard. Pass ``docs`` (a (doc_id,
+    text, source) Dataset — e.g. crawled markdown) to run the same
+    chain over any corpus; ``train_source`` selects the trusted slice
+    the perplexity model trains on."""
     import pyarrow.compute as pc
 
     from .dedup import _join_parts
 
-    docs = _readdocs(sf_dir)
+    ppl_docs = docs
+    if docs is None:
+        docs = _readdocs(sf_dir)
 
     def scrub_count(batch: pa.Table) -> pa.Table:
         txt = pc.cast(batch.column("text"), pa.string())
@@ -81,7 +87,8 @@ def prepare_training_data(sf_dir: str, min_words: int = 12,
     deduped = staged.join(survivors, join_type="inner", on=("doc_id",),
                           num_partitions=_join_parts(staged, survivors))
 
-    ppl = lm_perplexity(sf_dir).select_columns(["doc_id", "ppl"])
+    ppl = lm_perplexity(sf_dir, train_source=train_source,
+                        docs=ppl_docs).select_columns(["doc_id", "ppl"])
     kept = deduped.join(ppl, join_type="inner", on=("doc_id",),
                         num_partitions=_join_parts(deduped, ppl)) \
         .filter(expr=f"ppl <= {ppl_cutoff}")

@@ -61,6 +61,7 @@ GOLDEN_QUERIES = [
     "media_resize",
     "doc_quality_classifier",
     "media_ann_topk",
+    "crawl_corpus_prepare",
 ]
 
 
