@@ -373,9 +373,15 @@ def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
         return batch.filter(
             pc.greater_equal(batch.column("c"), min_count))
 
-    dup_keys = cnt.map_batches(keep_dup, batch_format="pyarrow")
+    dup_keys = cnt.map_batches(keep_dup, batch_format="pyarrow") \
+        .materialize()
+    # tiny dup sets must collapse to ONE join partition — an all-empty
+    # hash-join partition builds a zero-column table and acero fails
+    # ("No match ... FieldRef(g)"; the graph._pr_parts quirk)
+    parts = (1 if dup_keys.count() < 1024
+             else _join_parts(pos_tbl, dup_keys))
     joined = pos_tbl.join(dup_keys, join_type="inner", on=("g",),
-                          num_partitions=_join_parts(pos_tbl, dup_keys))
+                          num_partitions=parts)
 
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
         p = np.sort(g["pos"].to_numpy())

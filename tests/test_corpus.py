@@ -311,3 +311,65 @@ def test_lm_perplexity_pruning_laws():
     assert (pruned["ppl"] >= full["ppl"] - 0.01).all()
     assert pruned["ppl"].mean() > full["ppl"].mean()
     assert (pruned.index == full.index).all()
+
+
+def test_substr_dedup_fuzz_vs_bruteforce(tmp_path):
+    """Seeded random corpus with planted repeats -> spans must equal an
+    independent O(n^2) python reference (stronger than the SQL oracle:
+    nothing shared but the tokenization)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 60))]
+        texts.append(" ".join(words))
+    # plant exact 10-token repeats across and within docs
+    chunk = [rng.choice(vocab) for _ in range(10)]
+    texts[3] += " " + " ".join(chunk)
+    texts[17] = " ".join(chunk) + " " + texts[17]
+    texts[29] += " " + " ".join(chunk) + " filler " + " ".join(chunk)
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    L = 8
+    # brute-force reference: count every L-window, mark duplicated
+    # positions, merge per doc with the <=L gap rule
+    from collections import Counter
+    docs = [t.lower().split() for t in texts]
+    cnt = Counter(" ".join(w[i:i + L])
+                  for w in docs for i in range(len(w) - L + 1))
+    want = []
+    for did, w in enumerate(docs):
+        pos = [i for i in range(len(w) - L + 1)
+               if cnt[" ".join(w[i:i + L])] >= 2]
+        while pos:
+            start = prev = pos.pop(0)
+            while pos and pos[0] - prev <= L:
+                prev = pos.pop(0)
+            want.append((did, start, prev + L, prev + L - start))
+
+    got = _pd(corpus.substr_dedup(sf)) \
+        .sort_values(["doc_id", "cut_start"]).reset_index(drop=True)
+    got_tuples = list(got.itertuples(index=False, name=None))
+    assert sorted(got_tuples) == sorted(want)
+
+    # apply: cut tokens must equal the reference mask cut
+    out = _pd(corpus.substr_apply(sf)).set_index("doc_id")
+    spans_by_doc = {}
+    for did, s, e, _n in want:
+        spans_by_doc.setdefault(did, []).append((s, e))
+    for did, w in enumerate(docs):
+        mask = [True] * len(w)
+        for s, e in spans_by_doc.get(did, []):
+            for i in range(s, e):
+                mask[i] = False
+        kept = [t for t, m in zip(w, mask) if m]
+        assert out.loc[did, "clean_text"] == " ".join(kept)
