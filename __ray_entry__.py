@@ -813,6 +813,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # data-profiling / expectations: per-column nulls, exact
+        # distincts (key-uniqueness check), lexicographic bounds
+        "corpus_profile": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["corpus_profile"],
+        ).corpus_profile(sf),
         # UNPIVOT (wide→long melt of the full-outer year matrix) and
         # RATIO_TO_REPORT (nation share of region revenue, gated
         # supplier probe) shapes
@@ -1519,6 +1524,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "corpus_profile": """
+            WITH p AS (
+                SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                       count(*) - count(doc_id) AS n_null,
+                       count(DISTINCT doc_id) AS n_distinct,
+                       CAST(min(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                           AS min_val,
+                       max(CAST(doc_id AS VARCHAR)) AS max_val
+                FROM documents
+                UNION ALL
+                SELECT 'text', count(*), count(*) - count(text),
+                       count(DISTINCT text), min(text), max(text)
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(*) - count(lang),
+                       count(DISTINCT lang), min(lang), max(lang)
+                FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(*) - count(source),
+                       count(DISTINCT source), min(source), max(source)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                       count(DISTINCT n_chars),
+                       min(CAST(n_chars AS VARCHAR)),
+                       max(CAST(n_chars AS VARCHAR))
+                FROM documents
+            ) SELECT "column", n_rows, CAST(n_null AS BIGINT) AS n_null,
+                     CAST(n_distinct AS BIGINT) AS n_distinct,
+                     min_val, max_val
+            FROM p ORDER BY "column"
         """,
         "orders_matrix_unpivot": """
             WITH a AS (SELECT o_custkey, count(*) AS n FROM orders

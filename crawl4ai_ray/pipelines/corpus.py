@@ -949,3 +949,73 @@ def substr_apply(sf_dir: str, length: int = 8, min_count: int = 2,
 
     return joined.map_batches(cut, batch_format="pyarrow",
                               batch_size=None).sort("doc_id")
+
+
+def corpus_profile(sf_dir: str, table: str = "documents"):
+    """Data-profiling / expectations operator (the Great-Expectations
+    shape a lake pipeline runs before training): per-column row count,
+    null count, EXACT distinct count, and lexicographic min/max — the
+    distinct-vs-rows comparison is the key-uniqueness check, null
+    counts are the completeness check, bounds catch domain drift.
+
+    Scale shape: bounds/nulls reduce through one per-batch partial row
+    per column; distincts go through per-batch local dedup into ONE
+    (column, value) groupby — the exchange is bounded by per-block
+    distinct values summed over columns (for a true high-cardinality
+    key this is the exact-distinct shape; swap in the HLL sketch from
+    pipelines/sketches when ±2% suffices). All values compare as
+    strings (both engines cast before min/max), so one schema profiles
+    every column."""
+    ds = _read(sf_dir, table)
+    cols = ds.schema().names
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            s = batch.column(c).to_pandas().astype("string")
+            nn = int(s.isna().sum())
+            sv = s.dropna()
+            rows.append({
+                "column": c, "n": np.int64(len(s)),
+                "n_null": np.int64(nn),
+                "min_val": sv.min() if len(sv) else None,
+                "max_val": sv.max() if len(sv) else None})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    bounds = _read(sf_dir, table) \
+        .map_batches(stats_partial, batch_format="pyarrow",
+                     batch_size=None) \
+        .groupby("column") \
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Sum("n_null", alias_name="n_null"),
+                   Min("min_val", alias_name="min_val"),
+                   Max("max_val", alias_name="max_val"))
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        col_out, val_out = [], []
+        for c in cols:
+            vals = batch.column(c).to_pandas().astype("string") \
+                .dropna().unique()
+            col_out.extend([c] * len(vals))
+            val_out.extend(vals.tolist())
+        return pa.table({"column": pa.array(col_out, pa.string()),
+                         "value": pa.array(val_out, pa.string())})
+
+    def dcount(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"column": [g["column"].iloc[0]],
+                             "n_distinct": [np.int64(len(g))]})
+
+    distincts = _read(sf_dir, table) \
+        .map_batches(distinct_partial, batch_format="pyarrow",
+                     batch_size=None) \
+        .groupby(["column", "value"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda b: b.select(["column"]),
+                     batch_format="pyarrow") \
+        .groupby("column").map_groups(dcount, batch_format="pandas")
+
+    # k columns on both sides — one partition, no empty-partition quirk
+    return bounds.join(distincts, join_type="inner", on=("column",),
+                       num_partitions=1).sort("column")
