@@ -813,6 +813,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # CORR (parallelizable moments) and deterministic-MODE shapes
+        "lineitem_corr_by_flag": analysis.lineitem_corr_by_flag,
+        "events_mode_value_by_type": analysis.events_mode_value_by_type,
         # data-profiling / expectations: per-column nulls, exact
         # distincts (key-uniqueness check), lexicographic bounds
         "corpus_profile": lambda sf: __import__(
@@ -1524,6 +1527,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "lineitem_corr_by_flag": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity,
+                              l_extendedprice * (1 - l_discount)), 6)
+                       AS corr_qty_rev
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_mode_value_by_type": """
+            SELECT event_type, value AS mode_value, c AS mode_count
+            FROM (
+                SELECT event_type, value, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY count(*) DESC, value
+                       ) AS rn
+                FROM (SELECT event_type,
+                             CAST(floor(value) AS BIGINT) AS value
+                      FROM events)
+                GROUP BY event_type, value
+            ) WHERE rn = 1 ORDER BY event_type
         """,
         "corpus_profile": """
             WITH p AS (

@@ -4574,3 +4574,87 @@ def revenue_share_in_region(sf_dir: str, form: str = "auto",
     return pa.Table.from_pandas(
         out[["r_name", "n_name", "revenue", "share"]],
         preserve_index=False)
+
+
+def lineitem_corr_by_flag(sf_dir: str):
+    """CORR aggregate shape: Pearson correlation of quantity vs
+    discounted price per returnflag — the classic parallelizable-
+    moments reduction: each batch emits (n, Σx, Σy, Σxy, Σx², Σy²)
+    per flag, one tiny groupby merges them, and the driver-side finish
+    is pure algebra on ≤3 rows. Corr rounds to 6dp (a ratio of large
+    sums — summation-order ulps vanish at 6dp; validated at
+    sf0.001/0.01)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = (batch.column("l_extendedprice")
+             .to_numpy(zero_copy_only=False)
+             * (1.0 - batch.column("l_discount")
+                .to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sy": y,
+            "_sxy": x * y, "_sxx": x * x, "_syy": y * y})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = li.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sy", alias_name="sy"),
+                   Sum("_sxy", alias_name="sxy"),
+                   Sum("_sxx", alias_name="sxx"),
+                   Sum("_syy", alias_name="syy")).to_pandas()
+
+    n = mom["n"].to_numpy(np.float64)
+    cov = mom["sxy"] - mom["sx"] * mom["sy"] / n
+    vx = mom["sxx"] - mom["sx"] ** 2 / n
+    vy = mom["syy"] - mom["sy"] ** 2 / n
+    corr = (cov / np.sqrt(vx * vy)).to_numpy()
+    out = pd.DataFrame({
+        "l_returnflag": mom["l_returnflag"],
+        "n": mom["n"].astype(np.int64),
+        "corr_qty_rev": np.floor(corr * 1e6 + 0.5) / 1e6,
+    }).sort_values("l_returnflag")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_mode_value_by_type(sf_dir: str):
+    """MODE aggregate shape with a DETERMINISTIC tie rule (smallest
+    value among the max-count ones — SQL's bare mode() is
+    tie-arbitrary, so both engines spell the rule out): per-batch
+    (type, value) count partials → one groupby merge → per-type argmax
+    inside a bounded ``map_groups`` (group = the type's distinct
+    values)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "value": np.floor(batch.column("value")
+                              .to_numpy(zero_copy_only=False))
+            .astype(np.int64)})
+        df["_c"] = np.int64(1)
+        g = df.groupby(["event_type", "value"], as_index=False)["_c"] \
+            .sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ev.map_batches(part, batch_format="pyarrow",
+                            batch_size=65536) \
+        .groupby(["event_type", "value"]) \
+        .aggregate(Sum("_c", alias_name="c"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "value"], ascending=[False, True])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "mode_value": [np.int64(g["value"].iloc[0])],
+            "mode_count": [np.int64(g["c"].iloc[0])]})
+
+    return counts.groupby("event_type") \
+        .map_groups(argmax, batch_format="pandas").sort("event_type")
