@@ -813,6 +813,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # EWMA recursive per-key scan (bounded map_groups; golden —
+        # the recursion has no stable windowed-SQL form)
+        "events_user_ewma": analysis.events_user_ewma,
         # CORR (parallelizable moments) and deterministic-MODE shapes
         "lineitem_corr_by_flag": analysis.lineitem_corr_by_flag,
         "events_mode_value_by_type": analysis.events_mode_value_by_type,

@@ -4658,3 +4658,30 @@ def events_mode_value_by_type(sf_dir: str):
 
     return counts.groupby("event_type") \
         .map_groups(argmax, batch_format="pandas").sort("event_type")
+
+
+def events_user_ewma(sf_dir: str, lam: float = 0.9):
+    """EWMA window shape — the recursive per-key scan
+    (y_i = λ·y_{i-1} + (1-λ)·x_i, y_0 = x_0) that has no closed
+    windowed-SQL form without numerically explosive pow tricks: the
+    per-user series is a bounded ``map_groups`` (group = one user's
+    events, ordered by ts then event_id), the classic
+    sessionize-and-scan pattern. Golden-gated (recursion order makes
+    float recomputation engine-specific; values round to 6dp)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        x = g["value"].to_numpy(np.float64)
+        y = np.empty_like(x)
+        acc = x[0]
+        for i, v in enumerate(x):  # bounded: one user's events
+            acc = v if i == 0 else lam * acc + (1.0 - lam) * v
+            y[i] = acc
+        g["ewma"] = np.floor(np.abs(y) * 1e6 + 0.5) \
+            * np.sign(y) / 1e6
+        return g[["event_id", "user_id", "ewma"]]
+
+    return ev.groupby("user_id") \
+        .map_groups(scan, batch_format="pandas") \
+        .sort("event_id")

@@ -50,3 +50,34 @@ def test_scores_separate_the_trusted_slice():
     assert df["score"].between(0, 1).all()
     auc = _auc(df["label"].to_numpy(), df["score"].to_numpy())
     assert auc > 0.98
+
+
+def test_irls_partials_properties():
+    """Pure-math laws of the Newton kernel on random data: chunked
+    partials sum to the whole-matrix computation, and the fitted
+    gradient vanishes."""
+    rng = np.random.default_rng(99)
+    n, d = 120, 6
+    xb = np.concatenate([rng.standard_normal((n, d)),
+                         np.ones((n, 1))], axis=1)
+    y = (rng.random(n) < 0.3).astype(float)
+    w = rng.standard_normal(d + 1) * 0.1
+
+    g, h, loss = classifier._irls_partials(xb, y, w)
+    gs = hs = ls = 0
+    for lo in range(0, n, 37):          # ragged chunks
+        gc, hc, lc = classifier._irls_partials(
+            xb[lo:lo + 37], y[lo:lo + 37], w)
+        gs, hs, ls = gs + gc, hs + hc, ls + lc
+    assert np.allclose(g, gs) and np.allclose(h, hs)
+    assert abs(loss - ls) < 1e-8
+
+    # run Newton to convergence: gradient of the regularized loss ~ 0
+    l2 = 1e-6
+    wk = np.zeros(d + 1)
+    for _ in range(12):
+        g, h, _ = classifier._irls_partials(xb, y, wk)
+        wk = wk - np.linalg.solve(h + l2 * n * np.eye(d + 1),
+                                  g + l2 * n * wk)
+    g, _h, _ = classifier._irls_partials(xb, y, wk)
+    assert np.linalg.norm(g + l2 * n * wk) < 1e-6

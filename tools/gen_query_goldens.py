@@ -62,6 +62,7 @@ GOLDEN_QUERIES = [
     "doc_quality_classifier",
     "media_ann_topk",
     "crawl_corpus_prepare",
+    "events_user_ewma",
 ]
 
 
