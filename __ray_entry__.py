@@ -454,6 +454,53 @@ def _crawl_corpus_prepare(sf_dir: str):
         ppl_cutoff=120.0, n_shards=4)
 
 
+def _crawl_anchor_texts(sf_dir: str, k: int = 3):
+    """Anchor-text aggregation — the classic web-search/link-graph
+    signal (anchor words describe the TARGET page better than its own
+    text; every search stack aggregates them per target). Explode the
+    crawled ``links`` struct column → per-(target, anchor) counts via
+    per-batch partials → per-target top-k anchors inside a bounded
+    ``map_groups`` (group = one target's distinct anchors). The tie
+    rule (count desc, anchor asc) is explicit; golden-gated."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    res = _crawl("bfs", n_hosts=4, max_depth=3)
+    ds = rd.read_parquet(res.docs_dir, columns=["links"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hrefs, texts = [], []
+        for links in batch.column("links").to_pylist():
+            for ln in links or []:
+                if ln["text"]:
+                    hrefs.append(ln["href"])
+                    texts.append(ln["text"].strip().lower())
+        df = pd.DataFrame({"target": hrefs, "anchor": texts})
+        df["_c"] = np.int64(1)
+        g = df.groupby(["target", "anchor"], as_index=False)["_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby(["target", "anchor"]) \
+        .aggregate(Sum("_c", alias_name="c"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "anchor"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["c"] = g["c"].astype(np.int64)
+        return g[["target", "rank", "anchor", "c"]]
+
+    return counts.groupby("target") \
+        .map_groups(topk, batch_format="pandas") \
+        .sort(["target", "rank"])
+
+
 def _crawl_span_kinds(sf_dir: str):
     """Span-kind histogram of the flagship crawl output (exercises the
     interleaved-span payload end to end). SQL-oracled via the self-dump
@@ -712,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl → markdown → the FULL corpus-prepare chain (the repo's
         # mission statement as one pipeline); golden-gated
         "crawl_corpus_prepare": _crawl_corpus_prepare,
+        # per-target top-k anchor texts off the links struct column
+        "crawl_anchor_texts": _crawl_anchor_texts,
         "crawl_fit_markdown": _crawl_fit_markdown,
         "crawl_markdown_compat": _crawl_markdown_compat,
         "link_preview": _link_preview,

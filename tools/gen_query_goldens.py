@@ -63,6 +63,7 @@ GOLDEN_QUERIES = [
     "media_ann_topk",
     "crawl_corpus_prepare",
     "events_user_ewma",
+    "crawl_anchor_texts",
 ]
 
 
