@@ -862,6 +862,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_shards": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["shuffle_shards"],
         ).shuffle_shards(sf),
+        # incremental (streaming-ingest) dedup against persistent
+        # md5 state — three overlapping windows, each anti-joined vs
+        # all earlier state; crash-safe _COMMIT fragments
+        "doc_incremental_dedup": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.incremental",
+            fromlist=["incremental_dedup_demo"],
+        ).incremental_dedup_demo(sf),
         # EWMA recursive per-key scan (bounded map_groups; golden —
         # the recursion has no stable windowed-SQL form)
         "events_user_ewma": analysis.events_user_ewma,
@@ -1579,6 +1586,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # first-occurrence rank over (batch order, doc_id) per hash —
+        # docs in overlap regions belong to BOTH batches, so the later
+        # batch must drop them against state
+        "doc_incremental_dedup": """
+            WITH b AS (
+                SELECT 'b0' AS batch, 0 AS seq, doc_id, text
+                FROM documents WHERE doc_id >= 0 AND doc_id < 200
+                UNION ALL
+                SELECT 'b1', 1, doc_id, text
+                FROM documents WHERE doc_id >= 100 AND doc_id < 350
+                UNION ALL
+                SELECT 'b2', 2, doc_id, text
+                FROM documents WHERE doc_id >= 250 AND doc_id < 500
+            )
+            SELECT batch, doc_id FROM (
+                SELECT batch, doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(text)
+                           ORDER BY seq, doc_id) AS rn
+                FROM b
+            ) WHERE rn = 1 ORDER BY batch, doc_id
         """,
         "lineitem_corr_by_flag": """
             SELECT l_returnflag, count(*) AS n,
