@@ -108,15 +108,23 @@ def prepare_training_data(sf_dir: str, min_words: int = 12,
 
         marker = os.path.join(out_dir, "_SUCCESS")
         if not os.path.exists(marker):
-            sharded = sharded.materialize()  # one execution feeds both
+            # stream the corpus to the sink, then compute stats FROM
+            # the written parquet — materializing `sharded` to feed
+            # both consumers would pin the whole cleaned corpus in the
+            # object store at scale
             sharded.write_parquet(out_dir, partition_cols=["shard_id"])
             with open(marker, "w") as f:
                 f.write("ok\n")
+        sharded = rd.read_parquet(
+            out_dir, columns=["shard_id", "n_words"],
+            file_extensions=["parquet"])
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "shard_id": batch.column("shard_id")
-                .to_numpy(zero_copy_only=False),
+            # hive-partitioned reads surface shard_id as string —
+            # normalize so both sink and sinkless paths emit int64
+            "shard_id": pd.to_numeric(
+                batch.column("shard_id").to_pandas()).astype(np.int64),
             "_n": np.int64(1),
             "_w": batch.column("n_words")
                 .to_numpy(zero_copy_only=False)})
