@@ -751,6 +751,13 @@ def lm_perplexity(sf_dir: str, train_source: str = "src0",
         .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")) \
         .materialize()  # compact gram table feeds both branches once
 
+    n_grams = gram_ds.count()  # free: gram_ds is materialized
+    if max_grams is None and n_grams > 20_000_000:
+        raise ValueError(
+            f"lm_perplexity: {n_grams} distinct grams exceed the "
+            "broadcast-model budget; pass max_grams=<N> to prune the "
+            "bigram table (count-cutoff, KenLM-style) — the "
+            "fail-loud-not-silently-collect discipline")
     uni = gram_ds.filter(expr="w2 == ''").to_pandas()
     big_ds = gram_ds.filter(expr="w2 != ''")
     if max_grams is not None:
