@@ -471,14 +471,26 @@ def _crawl_anchor_texts(sf_dir: str, k: int = 3):
     res = _crawl("bfs", n_hosts=4, max_depth=3)
     ds = rd.read_parquet(res.docs_dir, columns=["links"])
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def raw_pairs(batch: pa.Table) -> pa.Table:
         hrefs, texts = [], []
         for links in batch.column("links").to_pylist():
             for ln in links or []:
                 if ln["text"]:
                     hrefs.append(ln["href"])
                     texts.append(ln["text"].strip().lower())
-        df = pd.DataFrame({"target": hrefs, "anchor": texts})
+        return pa.table({"target": pa.array(hrefs, pa.string()),
+                         "anchor": pa.array(texts, pa.string())})
+
+    # self-dump gate: the raw exploded pairs go to the oracle path so
+    # DuckDB recomputes the groupby AND the rank independently
+    _oracle_dump("crawl_anchor_texts", pa.concat_tables(
+        ds.map_batches(raw_pairs, batch_format="pyarrow",
+                       batch_size=None)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = raw_pairs(batch)
+        df = t.to_pandas()
         df["_c"] = np.int64(1)
         g = df.groupby(["target", "anchor"], as_index=False)["_c"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -1586,6 +1598,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # self-dump gate: raw exploded (target, anchor) pairs; DuckDB
+        # re-derives the counts and the per-target rank
+        "crawl_anchor_texts": """
+            SELECT target, "rank", anchor, c FROM (
+                SELECT target, anchor, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY target
+                           ORDER BY count(*) DESC, anchor
+                       ) AS "rank"
+                FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_anchor_texts/raw.parquet')
+                GROUP BY target, anchor
+            ) WHERE "rank" <= 3 ORDER BY target, "rank"
         """,
         # first-occurrence rank over (batch order, doc_id) per hash —
         # docs in overlap regions belong to BOTH batches, so the later
