@@ -51,8 +51,10 @@ def _committed_fragments(state_dir: str) -> list[str]:
 def ingest_dedup(docs_ds, state_dir: str, tag: str):
     """Dedup ``docs_ds`` (doc_id, text) against the state AND itself,
     append the survivors' hashes to the state under ``ingest=tag``,
-    and return the surviving (doc_id, content_md5) Dataset. Re-running
-    a committed tag is a no-op returning the recorded survivors."""
+    and return the surviving (doc_id, content_md5, ingest) Dataset —
+    the hive dir name surfaces as an ``ingest`` provenance column.
+    Re-running a committed tag is a no-op returning the recorded
+    survivors."""
     from .dedup import _join_parts
 
     frag = os.path.join(state_dir, f"ingest={tag}")
@@ -79,7 +81,19 @@ def ingest_dedup(docs_ds, state_dir: str, tag: str):
         fresh = local
 
     os.makedirs(frag, exist_ok=True)
-    fresh.write_parquet(frag)
+    fresh_mat = fresh.materialize()  # tiny: (md5, doc_id) survivors
+    if fresh_mat.count() == 0:
+        # a fully-duplicated batch must still leave a TYPED fragment —
+        # an empty Ray write drops the schema and later reads of the
+        # state (and the caller) would see a zero-column dataset
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({
+            "content_md5": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64())}),
+            os.path.join(frag, "empty.parquet"))
+    else:
+        fresh_mat.write_parquet(frag)
     with open(os.path.join(frag, "_COMMIT"), "w") as f:
         f.write("ok\n")
     return rd.read_parquet(frag, file_extensions=["parquet"])

@@ -39,3 +39,18 @@ def test_demo_covers_every_doc_once(ray_session):
     assert len(out) == 500
     assert out["doc_id"].is_unique
     assert out.groupby("batch").size().tolist() == [200, 150, 150]
+
+
+def test_fully_duplicated_batch_keeps_schema(ray_session, tmp_path):
+    state = str(tmp_path / "s")
+    ingest_dedup(_docs(0, 50), state, "a")
+    s2 = ingest_dedup(_docs(0, 50), state, "b")
+    assert s2.count() == 0
+    # the fragment stays TYPED on disk (Dataset schema survives;
+    # to_pandas() of zero rows drops columns — a Ray quirk), and the
+    # hive dir name surfaces as an `ingest` provenance column
+    assert sorted(s2.schema().names) == \
+        ["content_md5", "doc_id", "ingest"]
+    # and a later batch still probes the (partly empty) state fine
+    s3 = ingest_dedup(_docs(25, 75), state, "c").to_pandas()
+    assert sorted(s3["doc_id"]) == list(range(50, 75))
