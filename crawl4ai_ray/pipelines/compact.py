@@ -44,7 +44,7 @@ def compact_parquet(in_dir: str, out_dir: str,
     n = ds.count()
     n_blocks = max(1, -(-n // rows_per_file))
     ds.repartition(n_blocks).write_parquet(
-        out_dir, max_rows_per_file=rows_per_file)
+        out_dir, max_rows_per_file=rows_per_file, mode="overwrite")
     files_out = _count_parquet_files(out_dir)
     st = {"rows": n, "files_in": files_in, "files_out": files_out}
     import json

@@ -93,7 +93,9 @@ def ingest_dedup(docs_ds, state_dir: str, tag: str):
             "doc_id": pa.array([], pa.int64())}),
             os.path.join(frag, "empty.parquet"))
     else:
-        fresh_mat.write_parquet(frag)
+        # overwrite: a crashed (uncommitted) attempt leaves partial
+        # files that an APPEND rerun would duplicate
+        fresh_mat.write_parquet(frag, mode="overwrite")
     with open(os.path.join(frag, "_COMMIT"), "w") as f:
         f.write("ok\n")
     return rd.read_parquet(frag, file_extensions=["parquet"])

@@ -112,7 +112,8 @@ def prepare_training_data(sf_dir: str, min_words: int = 12,
             # the written parquet — materializing `sharded` to feed
             # both consumers would pin the whole cleaned corpus in the
             # object store at scale
-            sharded.write_parquet(out_dir, partition_cols=["shard_id"])
+            sharded.write_parquet(out_dir, partition_cols=["shard_id"],
+                                  mode="overwrite")
             with open(marker, "w") as f:
                 f.write("ok\n")
         sharded = rd.read_parquet(
