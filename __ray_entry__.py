@@ -881,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.incremental",
             fromlist=["incremental_dedup_demo"],
         ).incremental_dedup_demo(sf),
+        # gap-filled hourly resample (explicit zero rows on the dense
+        # types × hours grid)
+        "events_resample_hourly": analysis.events_resample_hourly,
         # EWMA recursive per-key scan (bounded map_groups; golden —
         # the recursion has no stable windowed-SQL form)
         "events_user_ewma": analysis.events_user_ewma,
@@ -1598,6 +1601,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "events_resample_hourly": """
+            WITH bounds AS (
+                SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi FROM events),
+            hours AS (
+                SELECT unnest(generate_series(lo, hi,
+                                              INTERVAL 1 HOUR)) AS h
+                FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM events),
+            agg AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*) AS n, sum(value) AS sv
+                FROM events GROUP BY event_type, 2)
+            SELECT t.event_type,
+                   strftime(hs.h, '%Y-%m-%d %H:00') AS hour,
+                   coalesce(a.n, 0) AS n,
+                   round(coalesce(a.sv, 0), 4) AS sum_value
+            FROM types t CROSS JOIN hours hs
+            LEFT JOIN agg a
+              ON a.event_type = t.event_type AND a.h = hs.h
+            ORDER BY t.event_type, hour
         """,
         # self-dump gate: raw exploded (target, anchor) pairs; DuckDB
         # re-derives the counts and the per-target rank

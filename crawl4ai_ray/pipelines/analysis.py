@@ -4685,3 +4685,47 @@ def events_user_ewma(sf_dir: str, lam: float = 0.9):
     return ev.groupby("user_id") \
         .map_groups(scan, batch_format="pandas") \
         .sort("event_id")
+
+
+def events_resample_hourly(sf_dir: str):
+    """Gap-filled hourly resample — the time-series densification
+    shape (missing (type, hour) cells become explicit zero rows so
+    downstream window math sees a regular grid). Aggregation reduces
+    through per-batch (type, hour) partials into one groupby; the
+    dense axis is types × hours — bounded by the TIMELINE, not event
+    volume (720 h/month × |types|), so the reindex finishes driver-
+    side on the already-aggregated table. sum_value rounds to 4dp
+    (the events_daily convention)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": pc.strftime(batch.column("ts"),
+                                format="%Y-%m-%d %H:00").to_pandas(),
+            "n": np.int64(1),
+            "sum_value": batch.column("value")
+                .to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value")) \
+        .to_pandas()
+
+    hours = pd.date_range(agg["hour"].min(), agg["hour"].max(),
+                          freq="h").strftime("%Y-%m-%d %H:00")
+    types = np.sort(agg["event_type"].unique())
+    axis = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"])
+    dense = agg.set_index(["event_type", "hour"]) \
+        .reindex(axis).reset_index()
+    dense["n"] = dense["n"].fillna(0).astype(np.int64)
+    dense["sum_value"] = np.round(
+        dense["sum_value"].fillna(0.0).to_numpy(np.float64), 4)
+    dense = dense.sort_values(["event_type", "hour"])
+    return pa.Table.from_pandas(dense, preserve_index=False)
