@@ -881,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.incremental",
             fromlist=["incremental_dedup_demo"],
         ).incremental_dedup_demo(sf),
+        # cohort-retention triangle (min-week cohorts + distinct
+        # weekly activity; integer week arithmetic shared with SQL)
+        "events_weekly_retention": analysis.events_weekly_retention,
         # gap-filled hourly resample (explicit zero rows on the dense
         # types × hours grid)
         "events_resample_hourly": analysis.events_resample_hourly,
@@ -1601,6 +1604,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "events_weekly_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(floor(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+                FROM events),
+            cohorts AS (SELECT user_id, min(week) AS cohort_week
+                        FROM w GROUP BY user_id),
+            activity AS (SELECT DISTINCT user_id, week FROM w)
+            SELECT c.cohort_week, a.week, count(*) AS n_users
+            FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+            GROUP BY c.cohort_week, a.week
+            ORDER BY c.cohort_week, a.week
         """,
         "events_resample_hourly": """
             WITH bounds AS (

@@ -4729,3 +4729,68 @@ def events_resample_hourly(sf_dir: str):
         dense["sum_value"].fillna(0.0).to_numpy(np.float64), 4)
     dense = dense.sort_values(["event_type", "hour"])
     return pa.Table.from_pandas(dense, preserve_index=False)
+
+
+def events_weekly_retention(sf_dir: str, anchor: str = "2024-01-01"):
+    """Cohort retention — the product-analytics triangle: users
+    cohorted by their FIRST active week, counted in every later week
+    they return. Weeks are integer indices from ``anchor``
+    (days-since-anchor // 7) so both engines share exact integer
+    arithmetic instead of engine-specific week-start conventions.
+
+    Scale shape: the cohort map is a (user → min week) groupby fed by
+    per-batch partials; activity is per-batch-deduped (user, week)
+    rows into the same kind of groupby; ONE user-keyed hash join
+    attaches cohorts to activity; the final (cohort, week) count is a
+    triangle bounded by weeks², never by event volume."""
+    from .dedup import _join_parts
+
+    a0 = np.datetime64(anchor, "D")
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def weeks(batch: pa.Table) -> pd.DataFrame:
+        day = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        return pd.DataFrame({
+            "user_id": batch.column("user_id")
+                .to_numpy(zero_copy_only=False),
+            "week": ((day - a0).astype(np.int64) // 7)})
+
+    def cohort_part(batch: pa.Table) -> pa.Table:
+        g = weeks(batch).groupby("user_id", as_index=False)["week"] \
+            .min().rename(columns={"week": "cohort_week"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cohorts = ds.map_batches(cohort_part, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby("user_id") \
+        .aggregate(Min("cohort_week", alias_name="cohort_week"))
+
+    def act_part(batch: pa.Table) -> pa.Table:
+        g = weeks(batch).drop_duplicates()
+        g["_one"] = np.int64(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    activity = ds.map_batches(act_part, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["user_id", "week"]) \
+        .aggregate(Max("_one", alias_name="_one")) \
+        .select_columns(["user_id", "week"])
+
+    joined = activity.join(cohorts, join_type="inner",
+                           on=("user_id",),
+                           num_partitions=_join_parts(activity,
+                                                      cohorts))
+
+    def tri_part(batch: pa.Table) -> pa.Table:
+        df = batch.select(["cohort_week", "week"]).to_pandas()
+        df["n_users"] = np.int64(1)
+        g = df.groupby(["cohort_week", "week"],
+                       as_index=False)["n_users"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(tri_part, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby(["cohort_week", "week"]) \
+        .aggregate(Sum("n_users", alias_name="n_users")) \
+        .sort(["cohort_week", "week"])
