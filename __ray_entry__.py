@@ -881,6 +881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.incremental",
             fromlist=["incremental_dedup_demo"],
         ).incremental_dedup_demo(sf),
+        # strict-sequence funnel (per-user bounded subsequence walk)
+        "events_funnel": analysis.events_funnel,
         # cohort-retention triangle (min-week cohorts + distinct
         # weekly activity; integer week arithmetic shared with SQL)
         "events_weekly_retention": analysis.events_weekly_retention,
@@ -1604,6 +1606,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        # greedy earliest-match chain == the subsequence walk for a
+        # fixed stage order: each stage's min ts strictly after the
+        # previous stage's qualifying ts
+        "events_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+                   FROM events e JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+                   FROM events e JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS name,
+                       count(*) AS n_users FROM t1
+                UNION ALL SELECT 2, 'click', count(*) FROM t2
+                UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+            ) ORDER BY stage
         """,
         "events_weekly_retention": """
             WITH w AS (

@@ -4794,3 +4794,46 @@ def events_weekly_retention(sf_dir: str, anchor: str = "2024-01-01"):
         .groupby(["cohort_week", "week"]) \
         .aggregate(Sum("n_users", alias_name="n_users")) \
         .sort(["cohort_week", "week"])
+
+
+def events_funnel(sf_dir: str,
+                  stages=("signup", "click", "purchase")):
+    """Strict-sequence funnel — how many users reach each stage IN
+    ORDER (the first qualifying event of stage k must come strictly
+    after the stage-k-1 event that qualified): the subsequence-walk
+    semantics real funnels use, not independent min-timestamps.
+
+    Scale shape: the walk is per-user and each user's event list is
+    bounded, so it runs inside ``groupby(user).map_groups`` (sort by
+    ts, single pass); stage counts reduce through per-batch partials
+    into a len(stages)-row groupby. Counts are cumulative (reached AT
+    LEAST stage k)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        depth = 0
+        for et in g["event_type"]:
+            if depth < len(stages) and et == stages[depth]:
+                depth += 1
+        return pd.DataFrame({"depth": [np.int64(depth)]})
+
+    depths = ds.groupby("user_id") \
+        .map_groups(walk, batch_format="pandas")
+
+    def cum_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("depth").to_numpy(zero_copy_only=False)
+        ns = [np.int64((d >= k).sum()) for k in range(1,
+                                                      len(stages) + 1)]
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1,
+                                        dtype=np.int64)),
+            "name": pa.array(list(stages), pa.string()),
+            "n_users": pa.array(ns),
+        })
+
+    return depths.map_batches(cum_part, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby(["stage", "name"]) \
+        .aggregate(Sum("n_users", alias_name="n_users")) \
+        .sort("stage")
