@@ -881,6 +881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.incremental",
             fromlist=["incremental_dedup_demo"],
         ).incremental_dedup_demo(sf),
+        # Markov transition matrix over per-user event sequences
+        "events_type_transitions": analysis.events_type_transitions,
         # strict-sequence funnel (per-user bounded subsequence walk)
         "events_funnel": analysis.events_funnel,
         # cohort-retention triangle (min-week cohorts + distinct
@@ -1606,6 +1608,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "events_type_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events),
+            c AS (SELECT prev AS from_type, event_type AS to_type,
+                         count(*) AS n
+                  FROM seq WHERE prev IS NOT NULL
+                  GROUP BY prev, event_type)
+            SELECT from_type, to_type, n,
+                   round(n / sum(n) OVER (PARTITION BY from_type), 6)
+                       AS p
+            FROM c ORDER BY from_type, to_type
         """,
         # greedy earliest-match chain == the subsequence walk for a
         # fixed stage order: each stage's min ts strictly after the

@@ -4837,3 +4837,43 @@ def events_funnel(sf_dir: str,
         .groupby(["stage", "name"]) \
         .aggregate(Sum("n_users", alias_name="n_users")) \
         .sort("stage")
+
+
+def events_type_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event sequences — the
+    behavioral-model shape (what follows what): transition counts and
+    row-normalized probabilities for consecutive event-type pairs in
+    each user's ts-ordered stream.
+
+    Scale shape: consecutive pairs are a per-user property, so the
+    pair emission is a bounded ``groupby(user).map_groups`` (sort one
+    user's events, zip with its shift); counts reduce through that
+    stage's own partials into ONE (from, to) groupby, |types|²-sized;
+    row normalization happens on the tiny matrix. p rounds to 6dp
+    (ratio of counts; irrational in practice)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "c": []})
+        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        df["c"] = np.int64(1)
+        return df.groupby(["from_type", "to_type"],
+                          as_index=False)["c"].sum()
+
+    counts = ds.groupby("user_id") \
+        .map_groups(pairs, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("c", alias_name="n")).to_pandas()
+
+    tot = counts.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    counts["n"] = counts["n"].astype(np.int64)
+    counts["p"] = np.floor(counts["n"].to_numpy(np.float64)
+                           / tot * 1e6 + 0.5) / 1e6
+    counts = counts.sort_values(["from_type", "to_type"])
+    return pa.Table.from_pandas(counts, preserve_index=False)
