@@ -896,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ewma": analysis.events_user_ewma,
         # CORR (parallelizable moments) and deterministic-MODE shapes
         "lineitem_corr_by_flag": analysis.lineitem_corr_by_flag,
+        "lineitem_var_by_flag": analysis.lineitem_var_by_flag,
         "events_mode_value_by_type": analysis.events_mode_value_by_type,
         # data-profiling / expectations: per-column nulls, exact
         # distincts (key-uniqueness check), lexicographic bounds
@@ -1723,6 +1724,13 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_quantity,
                               l_extendedprice * (1 - l_discount)), 6)
                        AS corr_qty_rev
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_var_by_flag": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(stddev_samp(l_quantity), 6) AS stddev_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_mode_value_by_type": """

@@ -4877,3 +4877,41 @@ def events_type_transitions(sf_dir: str):
                            / tot * 1e6 + 0.5) / 1e6
     counts = counts.sort_values(["from_type", "to_type"])
     return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def lineitem_var_by_flag(sf_dir: str):
+    """VAR_SAMP / STDDEV_SAMP aggregate shape — the same
+    parallelizable-moments reduction as ``lineitem_corr_by_flag``
+    ((n, Σx, Σx²) partials per flag, one tiny groupby, algebra on the
+    driver); 6dp rounding on ratios of large sums."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = li.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sxx", alias_name="sxx")).to_pandas()
+
+    n = mom["n"].to_numpy(np.float64)
+    var = (mom["sxx"] - mom["sx"] ** 2 / n) / (n - 1)
+
+    def _r6(v):
+        return np.floor(np.asarray(v, np.float64) * 1e6 + 0.5) / 1e6
+
+    out = pd.DataFrame({
+        "l_returnflag": mom["l_returnflag"],
+        "n": mom["n"].astype(np.int64),
+        "avg_qty": _r6(mom["sx"] / n),
+        "var_qty": _r6(var),
+        "stddev_qty": _r6(np.sqrt(var)),
+    }).sort_values("l_returnflag")
+    return pa.Table.from_pandas(out, preserve_index=False)
