@@ -845,6 +845,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topterms": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["tfidf_topterms"],
         ).tfidf_topterms(sf),
+        # PMI bigram collocations (Church & Hanks 1990 phrase mining)
+        "doc_pmi_bigrams": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["pmi_bigrams"],
+        ).pmi_bigrams(sf),
         # cross-doc duplicate n-gram stats (Lee et al. 2022 measure)
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
@@ -897,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORR (parallelizable moments) and deterministic-MODE shapes
         "lineitem_corr_by_flag": analysis.lineitem_corr_by_flag,
         "lineitem_var_by_flag": analysis.lineitem_var_by_flag,
+        "lineitem_skew_by_flag": analysis.lineitem_skew_by_flag,
         "events_mode_value_by_type": analysis.events_mode_value_by_type,
         # data-profiling / expectations: per-column nulls, exact
         # distincts (key-uniqueness check), lexicographic bounds
@@ -1481,6 +1486,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rnk <= 5
         """,
+        # PMI collocations: ln(p(x,y)/(p(x)p(y))), c_xy >= 5, top 100
+        "doc_pmi_bigrams": r"""
+            WITH toks AS (
+                SELECT list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS w
+                FROM documents
+            ),
+            uni AS (SELECT unnest(w) AS term FROM toks),
+            ucnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                     FROM uni GROUP BY term),
+            wtot AS (SELECT CAST(sum(c) AS DOUBLE) AS w_tot FROM ucnt),
+            big AS (
+                SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+                       unnest(list_slice(w, 2, len(w))) AS w2
+                FROM toks WHERE len(w) >= 2
+            ),
+            bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                     FROM big GROUP BY w1, w2),
+            btot AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS b_tot
+                     FROM bcnt),
+            scored AS (
+                SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+                       round(ln((CAST(b.c_xy AS DOUBLE) * w_tot * w_tot)
+                                / ((b_tot * u1.c) * u2.c)), 6) AS pmi
+                FROM bcnt b
+                JOIN ucnt u1 ON b.w1 = u1.term
+                JOIN ucnt u2 ON b.w2 = u2.term
+                CROSS JOIN wtot CROSS JOIN btot
+                WHERE b.c_xy >= 5
+            )
+            SELECT w1, w2, c_xy, c_x, c_y, pmi,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY pmi DESC, w1, w2) AS rnk
+                  FROM scored)
+            WHERE rnk <= 100
+        """,
         # integer-exact cross-doc duplicate 5-gram counts
         "doc_ngram_dup_stats": r"""
             WITH toks AS (
@@ -1731,6 +1774,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(var_samp(l_quantity), 6) AS var_qty,
                    round(stddev_samp(l_quantity), 6) AS stddev_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_skew_by_flag": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(skewness(l_quantity), 6) AS skew_qty,
+                   round(kurtosis(l_quantity), 6) AS kurt_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_mode_value_by_type": """

@@ -4915,3 +4915,56 @@ def lineitem_var_by_flag(sf_dir: str):
         "stddev_qty": _r6(np.sqrt(var)),
     }).sort_values("l_returnflag")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lineitem_skew_by_flag(sf_dir: str):
+    """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
+    (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
+    DuckDB's bias-corrected formulas on the driver (adjusted
+    Fisher-Pearson skew ``g1·sqrt(n(n-1))/(n-2)``; sample excess
+    kurtosis ``(n-1)·((n+1)·m4/m2² − 3(n-1))/((n-2)(n-3))``).
+    Shuffle volume is 5 doubles per flag per block regardless of n."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        x2 = x * x
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sxx": x2,
+            "_sx3": x2 * x, "_sx4": x2 * x2})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = li.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sxx", alias_name="sxx"),
+                   Sum("_sx3", alias_name="sx3"),
+                   Sum("_sx4", alias_name="sx4")).to_pandas()
+
+    n = mom["n"].to_numpy(np.float64)
+    sx = mom["sx"].to_numpy(np.float64)
+    sxx = mom["sxx"].to_numpy(np.float64)
+    sx3 = mom["sx3"].to_numpy(np.float64)
+    sx4 = mom["sx4"].to_numpy(np.float64)
+    m2 = (sxx - sx * sx / n) / n
+    m3 = (sx3 - 3.0 * sxx * sx / n + 2.0 * sx ** 3 / (n * n)) / n
+    m4 = (sx4 - 4.0 * sx3 * sx / n + 6.0 * sxx * sx * sx / (n * n)
+          - 3.0 * sx ** 4 / n ** 3) / n
+    skew = m3 / m2 ** 1.5 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+    kurt = ((n - 1.0) * ((n + 1.0) * m4 / (m2 * m2) - 3.0 * (n - 1.0))
+            / ((n - 2.0) * (n - 3.0)))
+
+    def _r6(v):
+        return np.floor(np.asarray(v, np.float64) * 1e6 + 0.5) / 1e6
+
+    out = pd.DataFrame({
+        "l_returnflag": mom["l_returnflag"],
+        "n": mom["n"].astype(np.int64),
+        "skew_qty": _r6(skew),
+        "kurt_qty": _r6(kurt),
+    }).sort_values("l_returnflag")
+    return pa.Table.from_pandas(out, preserve_index=False)

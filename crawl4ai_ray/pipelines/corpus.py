@@ -1026,3 +1026,106 @@ def corpus_profile(sf_dir: str, table: str = "documents"):
     # k columns on both sides — one partition, no empty-partition quirk
     return bounds.join(distincts, join_type="inner", on=("column",),
                        num_partitions=1).sort("column")
+
+def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
+    """Pointwise-mutual-information bigram collocations (Church &
+    Hanks 1990) — the corpus phrase-mining operator: find the k word
+    pairs that co-occur far more than their unigram frequencies
+    predict.  ``pmi = ln(p(x,y) / (p(x)·p(y)))`` with ``p(x,y) =
+    c_xy/B`` (B = total bigram positions) and ``p(x) = c_x/W``
+    (W = total tokens); only pairs with ``c_xy >= min_count``.
+
+    Scale shape: ONE tokenize pass emits per-block partial counts for
+    bigrams and unigrams together (unigram rows carry the ``w2 = ''``
+    sentinel, which a whitespace tokenizer can never produce), so the
+    only shuffle is one (w1, w2) groupby over per-block DISTINCT pairs
+    — never over raw positions.  W and B are sums over the grouped
+    table; the ``min_count`` filter prunes the long tail before the
+    two vocabulary-keyed hash joins attach c_x/c_y; a per-batch local
+    top-k combiner caps the final sort at batches×k rows (the
+    ann_topk pattern).  No driver state, no full materialization of
+    raw positions.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_parts
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import collections
+
+        uni: collections.Counter = collections.Counter()
+        big: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            t = _tokens(text)
+            uni.update(t)
+            big.update(zip(t[:-1], t[1:]))
+        w1 = [a for a, _ in big] + list(uni)
+        w2 = [b for _, b in big] + [""] * len(uni)
+        c = list(big.values()) + list(uni.values())
+        return pa.table({
+            "w1": pa.array(w1, type=pa.string()),
+            "w2": pa.array(w2, type=pa.string()),
+            "c": pa.array(c, type=pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    ucnt = counts.filter(expr="w2 == ''")
+    bcnt = counts.filter(expr="w2 != ''")
+    w_tot = float(ucnt.sum("c"))
+    b_tot = float(bcnt.sum("c"))
+
+    filt = bcnt.filter(expr=f"c >= {min_count}")
+
+    def _rename(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(list(cols)).rename_columns(
+                list(cols.values()))
+        return fn
+
+    u1 = ucnt.map_batches(_rename({"w1": "w1", "c": "c_x"}),
+                          batch_format="pyarrow")
+    u2 = ucnt.map_batches(_rename({"w1": "w2", "c": "c_y"}),
+                          batch_format="pyarrow")
+    j = filt.map_batches(
+        _rename({"w1": "w1", "w2": "w2", "c": "c_xy"}),
+        batch_format="pyarrow")
+    j = j.join(u1, join_type="inner", on=("w1",),
+               num_partitions=_join_parts(j, u1))
+    j = j.join(u2, join_type="inner", on=("w2",),
+               num_partitions=_join_parts(j, u2))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cxy = batch.column("c_xy").to_numpy().astype(np.float64)
+        cx = batch.column("c_x").to_numpy().astype(np.float64)
+        cy = batch.column("c_y").to_numpy().astype(np.float64)
+        # operand order mirrors the oracle SQL exactly:
+        # (c_xy*W)*W / ((B*c_x)*c_y) so both engines round the same ulp
+        pmi = np.round(np.log((cxy * w_tot * w_tot)
+                              / ((b_tot * cx) * cy)), 6)
+        return batch.append_column("pmi", pa.array(pmi))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    top = (
+        j.map_batches(score, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(key=["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top = top.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(
+        top[["w1", "w2", "c_xy", "c_x", "c_y", "pmi", "rnk"]],
+        preserve_index=False)
