@@ -421,6 +421,32 @@ def _ngram_jaccard_verify(sf_dir: str):
         dump_cand=lambda t: _oracle_dump("ngram_jaccard_verify", t))
 
 
+def _minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, SQL-oracled via the candidate-dump
+    gate: only the LSH candidate PAIRS (the minhash banding — the one
+    non-SQL-expressible step) come from the engine; DuckDB recomputes
+    the exact distinct-trigram Jaccard from the raw documents text and
+    re-applies the 0.7 threshold — an independent re-derivation of the
+    verify stage, not a self-equality check."""
+    from crawl4ai_ray.pipelines import dedup
+
+    return dedup.minhash_lsh_pairs(
+        sf_dir, dump_cand=lambda t: _oracle_dump("minhash_pairs", t))
+
+
+def _minhash_dedup_survivors(sf_dir: str):
+    """MinHash dedup survivors, SQL-oracled via the pairs-dump gate:
+    the verified near-dup pairs are dumped and DuckDB recomputes the
+    connected components by recursive transitive closure + min-label,
+    hard-gating the distributed Pregel propagation
+    (dedup.propagate_min_labels) against an independent algorithm."""
+    from crawl4ai_ray.pipelines import dedup
+
+    return dedup.minhash_dedup_survivors(
+        sf_dir,
+        dump_pairs=lambda t: _oracle_dump("minhash_dedup_survivors", t))
+
+
 def _crawl_corpus_prepare(sf_dir: str):
     """The repo's mission statement as ONE pipeline: crawl the web →
     markdown documents → the SAME FineWeb/C4 prepare chain the parquet
@@ -719,7 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_pairs_lsh": lambda sf: similarity.cosine_near_pairs_lsh(
             sf, threshold=0.4, n_tables=32, n_planes=4),
         # near-dup (rows-only: not SQL-expressible)
-        "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "minhash_pairs": _minhash_pairs,
         # exact n-gram (bigram) Jaccard verification at a looser threshold
         # over LSH candidates — the n-gram-Jaccard dedup operator
         "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
@@ -727,8 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-count variant over dumped LSH candidates — DuckDB
         # recomputes the bigram overlap from raw text (hard gate)
         "ngram_jaccard_verify": _ngram_jaccard_verify,
-        "minhash_dedup_survivors": lambda sf:
-            dedup.minhash_dedup_survivors(sf),
+        "minhash_dedup_survivors": _minhash_dedup_survivors,
         "simhash_table": dedup.simhash_table,
         "simhash_near_pairs": _simhash_near_pairs,
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
@@ -2672,6 +2697,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = o.doc_a
             JOIN sizes sb ON sb.doc_id = o.doc_b
             WHERE 2 * o.inter >= sa.n + sb.n - o.inter
+        """,
+        # candidate-dump gate: engine supplies only the LSH candidate
+        # pairs; DuckDB recomputes the exact distinct-TRIGRAM Jaccard
+        # from raw text and re-applies the 0.7 threshold.
+        "minhash_pairs": """
+            WITH cand AS (
+                SELECT doc_a, doc_b FROM read_parquet(
+                    '/tmp/c4r_oracle/minhash_pairs/raw.parquet')
+            ),
+            toks AS (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY ord) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS ord
+                    FROM documents
+                ) WHERE w <> ''
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS g
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            ov AS (
+                SELECT cd.doc_a, cd.doc_b, count(*) AS inter
+                FROM cand cd
+                JOIN grams ga ON ga.doc_id = cd.doc_a
+                JOIN grams gb ON gb.doc_id = cd.doc_b AND gb.g = ga.g
+                GROUP BY cd.doc_a, cd.doc_b
+            )
+            SELECT o.doc_a, o.doc_b,
+                   round(CAST(o.inter AS DOUBLE)
+                         / (sa.n + sb.n - o.inter), 6) AS jaccard
+            FROM ov o
+            JOIN sizes sa ON sa.doc_id = o.doc_a
+            JOIN sizes sb ON sb.doc_id = o.doc_b
+            WHERE CAST(o.inter AS DOUBLE)
+                  / (sa.n + sb.n - o.inter) >= 0.7
+        """,
+        # pairs-dump gate: engine supplies the verified near-dup pairs;
+        # DuckDB recomputes the connected components by recursive
+        # transitive closure + min-label — an independent check of the
+        # distributed Pregel min-label propagation.
+        "minhash_dedup_survivors": """
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM read_parquet(
+                    '/tmp/c4r_oracle/minhash_dedup_survivors/raw.parquet')
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT d.doc_id,
+                   CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id))
+                        AS BIGINT) AS canonical_id,
+                   least(d.doc_id, coalesce(min(r.v), d.doc_id))
+                       = d.doc_id AS survivor
+            FROM documents d
+            LEFT JOIN reach r ON r.u = d.doc_id
+            GROUP BY d.doc_id
         """,
         "crawl_host_stats": """
             SELECT split_part(url, '/', 3) AS host,

@@ -318,14 +318,18 @@ def lsh_candidate_pairs(band_rows, *, max_bucket: int = 4096):
 
 def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
                       k: int = 3, threshold: float = 0.7,
-                      max_bucket: int = 4096):
+                      max_bucket: int = 4096, dump_cand=None):
     """Near-duplicate pairs (doc_a < doc_b, exact Jaccard >= threshold).
 
     Fully distributed: one shingle pass (materialized) → minhash band rows
     derived from the shingle blobs → bucket groupby pair emission
     (``lsh_candidate_pairs``) → exact-Jaccard verification via two hash
     joins of the pairs against the shingle table (``Dataset.join``; no
-    whole-corpus broadcast, no driver materialization — VERDICT r1 item 1)."""
+    whole-corpus broadcast, no driver materialization — VERDICT r1 item 1).
+
+    ``dump_cand`` (same gate as ``ngram_overlap_pairs``): receives the
+    LSH candidate PAIRS as an Arrow table so an independent SQL engine
+    can recompute the exact k-shingle Jaccard from raw text."""
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
     sh = ds.map_batches(
         lambda b: _shingle_batch(b, k),
@@ -337,6 +341,10 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
     )
     cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket) \
         .materialize()
+    if dump_cand is not None:
+        dump_cand(pa.Table.from_pandas(
+            cand.to_pandas().sort_values(["doc_a", "doc_b"]),
+            preserve_index=False))
     if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
@@ -599,13 +607,23 @@ def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64):
 
 
 def minhash_dedup_survivors(sf_dir: str, *, threshold: float = 0.5,
-                            k: int = 2):
+                            k: int = 2, dump_pairs=None):
     """The deduplicated corpus: near-dup components collapse to their
     minimum doc_id (keep-first); returns (doc_id, canonical_id, survivor).
 
     Distributed end to end: LSH pairs (``minhash_lsh_pairs``) → min-label
-    propagation (``propagate_min_labels``) → one vectorized relabel pass."""
+    propagation (``propagate_min_labels``) → one vectorized relabel pass.
+
+    ``dump_pairs``: receives the verified near-dup PAIRS as an Arrow
+    table so an independent SQL engine can recompute the connected
+    components (recursive transitive closure) and the min-label
+    survivor selection — a hard gate on the Pregel propagation loop."""
     pairs = minhash_lsh_pairs(sf_dir, threshold=threshold, k=k)
+    if dump_pairs is not None:
+        pairs = pairs.materialize()
+        dump_pairs(pa.Table.from_pandas(
+            pairs.to_pandas().sort_values(["doc_a", "doc_b"]),
+            preserve_index=False))
     ids_ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
     labels = propagate_min_labels(pairs, ids_ds)
 
