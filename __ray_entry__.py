@@ -836,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_p95_by_priority":
             analysis.order_value_p95_by_priority,
         "events_hopping_window": analysis.events_hopping_window,
+        "events_sliding_distinct_users":
+            analysis.events_sliding_distinct_users,
         "corpus_top_terms": analysis.corpus_top_terms,
         # r3: distinct counting (exact two-level groupby + HLL sketch)
         # and distributed Lloyd's k-means over the embeddings table
@@ -874,6 +876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_bigrams": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["pmi_bigrams"],
         ).pmi_bigrams(sf),
+        # global-quantile length filter (histogram selection, no sort)
+        "doc_length_filter": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["length_filter"],
+        ).length_filter(sf),
         # cross-doc duplicate n-gram stats (Lee et al. 2022 measure)
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
@@ -1403,6 +1409,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events, range(0, 7) t(off)
             GROUP BY event_type, window_start
         """,
+        "events_sliding_distinct_users": """
+            SELECT strftime(date_trunc('day', ts)
+                            - (off * INTERVAL 1 DAY), '%Y-%m-%d')
+                       AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events, range(0, 7) t(off)
+            GROUP BY window_start
+        """,
         "corpus_top_terms": r"""
             SELECT term, count(*) AS n FROM (
                 SELECT unnest(string_split_regex(trim(lower(text)),
@@ -1510,6 +1524,18 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY tfidf DESC, term) AS rnk
                 FROM scored
             ) WHERE rnk <= 5
+        """,
+        # keep docs at or below the corpus-wide p90 token count
+        "doc_length_filter": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            q AS (SELECT quantile_disc(n_tokens, 0.9) AS p FROM t)
+            SELECT t.doc_id, t.n_tokens, q.p AS p_thresh
+            FROM t, q WHERE t.n_tokens <= q.p
         """,
         # PMI collocations: ln(p(x,y)/(p(x)p(y))), c_xy >= 5, top 100
         "doc_pmi_bigrams": r"""

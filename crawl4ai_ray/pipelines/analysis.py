@@ -1517,6 +1517,50 @@ def events_hopping_window(sf_dir: str, window_days: int = 7):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def events_sliding_distinct_users(sf_dir: str, window_days: int = 7):
+    """Sliding-window COUNT(DISTINCT) — distinct users per (7-day
+    window hopping by 1 day).  The windowed-distinct operator no
+    window-function engine gives you cheaply, expressed Ray-Data-first:
+    a per-batch (day, user) dedup bounds the explosion, each surviving
+    pair is exploded to the ``window_days`` windows containing it, and
+    distinctness resolves in ONE (window, user) groupby followed by a
+    per-window count — no ordered scan, no per-key state, shuffle
+    volume ≤ window_days × distinct (day, user) pairs."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").to_numpy().astype(
+            "datetime64[D]").astype(np.int32)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"d": days, "u": uid}).drop_duplicates()
+        d = df["d"].to_numpy()
+        u = df["u"].to_numpy()
+        offs = np.arange(window_days, dtype=np.int32)
+        starts = np.repeat(d, window_days) - np.tile(offs, len(d))
+        return pa.table({
+            "wstart": pa.array(starts, type=pa.int32()),
+            "user_id": pa.array(np.repeat(u, window_days),
+                                type=pa.int64()),
+        })
+
+    per_window = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+        .groupby(["wstart", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("wstart")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ws = batch.column("wstart").to_numpy().astype("datetime64[D]")
+        return pa.table({
+            "window_start": pa.array(np.datetime_as_string(ws, unit="D")),
+            "n_users": batch.column("n_users"),
+        })
+
+    return per_window.map_batches(fin, batch_format="pyarrow")
+
+
 def corpus_top_terms(sf_dir: str, k: int = 50):
     """Top-k corpus vocabulary by total term occurrences — per-batch
     Counter partials (each batch ships at most its distinct-term rows,

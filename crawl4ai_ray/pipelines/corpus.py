@@ -1129,3 +1129,61 @@ def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
     return pa.Table.from_pandas(
         top[["w1", "w2", "c_xy", "c_x", "c_y", "pmi", "rnk"]],
         preserve_index=False)
+
+def length_filter(sf_dir: str, q: float = 0.9,
+                  max_domain: int = 1_000_000):
+    """Global-quantile length filter — keep documents whose token count
+    is at or below the corpus-wide q-quantile (discrete, DuckDB
+    ``quantile_disc`` convention: the smallest value whose cumulative
+    count reaches ``ceil(q·n)``).  The common "drop the longest tail
+    before packing" corpus-prep step.
+
+    Scale shape (the grouped_median histogram-selection pattern,
+    ungrouped): doc lengths live in a BOUNDED value domain, so the
+    (n_tokens → count) histogram IS the full order statistic — per-block
+    histogram partials, one tiny groupby, threshold selection on the
+    driver over ≤``max_domain`` distinct lengths (guarded loud), then a
+    stateless second pass filters.  No sort, no materialization of the
+    corpus; shuffle volume = distinct lengths per block.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def nwords(batch: pa.Table) -> pa.Table:
+        n = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, type=pa.int64()),
+        })
+
+    counted = ds.map_batches(nwords, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch.column("n_tokens").to_numpy(),
+                         return_counts=True)
+        return pa.table({"n_tokens": pa.array(v, type=pa.int64()),
+                         "_c": pa.array(c, type=pa.int64())})
+
+    hist = (
+        counted.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_tokens").aggregate(Sum("_c", alias_name="c"))
+        .to_pandas()
+    )
+    if len(hist) > max_domain:
+        raise ValueError(
+            f"length_filter histogram has {len(hist)} distinct lengths "
+            f"(> max_domain={max_domain}); raise max_domain only if the "
+            "driver can hold the histogram")
+    hist = hist.sort_values("n_tokens")
+    cum = hist["c"].to_numpy().cumsum()
+    rank = math.ceil(q * int(cum[-1]))
+    thresh = int(hist["n_tokens"].to_numpy()[
+        np.searchsorted(cum, rank, side="left")])
+
+    return counted.filter(expr=f"n_tokens <= {thresh}") \
+        .add_column("p_thresh", lambda df: np.full(len(df), thresh,
+                                                   dtype=np.int64))
