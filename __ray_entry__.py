@@ -421,6 +421,29 @@ def _ngram_jaccard_verify(sf_dir: str):
         dump_cand=lambda t: _oracle_dump("ngram_jaccard_verify", t))
 
 
+def _ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN top-k, SQL-oracled via the candidate-dump gate:
+    only the bucket-match candidate ids come from the engine; DuckDB
+    recomputes every cosine from the raw embeddings and re-runs the
+    top-k selection."""
+    from crawl4ai_ray.pipelines import similarity
+
+    return similarity.lsh_topk(
+        sf_dir, dump_cand=lambda t: _oracle_dump("ann_topk_lsh", t))
+
+
+def _cosine_near_pairs_lsh(sf_dir: str):
+    """LSH-bucketed cosine near-dup pairs, SQL-oracled via the
+    bucket-dump gate: only the (vec_id, bkey) hyperplane assignment is
+    engine-derived; DuckDB re-joins buckets into candidate pairs and
+    recomputes every cosine + the threshold from raw embeddings."""
+    from crawl4ai_ray.pipelines import similarity
+
+    return similarity.cosine_near_pairs_lsh(
+        sf_dir, threshold=0.4, n_tables=32, n_planes=4,
+        dump_buckets=lambda t: _oracle_dump("cosine_near_pairs_lsh", t))
+
+
 def _minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, SQL-oracled via the candidate-dump
     gate: only the LSH candidate PAIRS (the minhash banding — the one
@@ -717,7 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_survivors": lambda sf: dedup.exact_dedup_survivors(sf),
         # similarity search
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
-        "ann_topk_lsh": lambda sf: similarity.lsh_topk(sf),
+        "ann_topk_lsh": _ann_topk_lsh,
         # IVF (inverted-file) ANN: k-means coarse quantizer, index stored
         # as parquet partitioned by inverted list, probe reads only
         # n_probe/nlist of the corpus. Rows-only (iterative quantizer not
@@ -742,8 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             similarity.embedding_dedup_survivors(sf),
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
-        "cosine_near_pairs_lsh": lambda sf: similarity.cosine_near_pairs_lsh(
-            sf, threshold=0.4, n_tables=32, n_planes=4),
+        "cosine_near_pairs_lsh": _cosine_near_pairs_lsh,
         # near-dup (rows-only: not SQL-expressible)
         "minhash_pairs": _minhash_pairs,
         # exact n-gram (bigram) Jaccard verification at a looser threshold
@@ -2723,6 +2745,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = o.doc_a
             JOIN sizes sb ON sb.doc_id = o.doc_b
             WHERE 2 * o.inter >= sa.n + sb.n - o.inter
+        """,
+        # candidate-dump gate: engine supplies only the bucket-match
+        # candidate ids; DuckDB recomputes cosines + top-k selection.
+        "ann_topk_lsh": """
+            WITH cand AS (
+                SELECT vec_id FROM read_parquet(
+                    '/tmp/c4r_oracle/ann_topk_lsh/raw.parquet')
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 5) AS cos
+            FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+            WHERE e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        # bucket-dump gate: engine supplies only the (vec_id, bkey)
+        # hyperplane assignment; DuckDB re-joins buckets into candidate
+        # pairs and recomputes every cosine + the 0.4 threshold.
+        "cosine_near_pairs_lsh": """
+            WITH bk AS (
+                SELECT vec_id, bkey FROM read_parquet(
+                    '/tmp/c4r_oracle/cosine_near_pairs_lsh/raw.parquet')
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bk a JOIN bk b
+                  ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 5) AS cos
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])) >= 0.4
         """,
         # candidate-dump gate: engine supplies only the LSH candidate
         # pairs; DuckDB recomputes the exact distinct-TRIGRAM Jaccard

@@ -117,9 +117,15 @@ class _LshIndexStage:
 
 
 def lsh_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
-             n_tables: int = 8, n_planes: int = 8, seed: int = 11):
+             n_tables: int = 8, n_planes: int = 8, seed: int = 11,
+             dump_cand=None):
     """Approximate top-k: exact-score only vectors sharing at least one
-    LSH-table bucket with the query."""
+    LSH-table bucket with the query.
+
+    ``dump_cand``: receives the candidate vec_ids (the LSH bucket
+    match — the one non-SQL-expressible step) as an Arrow table so an
+    independent SQL engine can recompute the cosine scores and the
+    top-k selection from the raw embeddings."""
     q = _normalize(_query_vector(sf_dir, query_vec_id)[None, :])[0]
     dim = len(q)
     stage = _LshIndexStage(dim, n_tables, n_planes, seed)
@@ -136,6 +142,22 @@ def lsh_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
     )
 
     qref = ray.put((q, qsig))
+
+    if dump_cand is not None:
+        indexed = indexed.materialize()
+
+        def cand_only(batch: pa.Table) -> pa.Table:
+            sigs = np.array(batch.column("buckets").to_pylist(),
+                            dtype=np.int64)
+            keep = (sigs == qsig[None, :]).any(axis=1)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)[keep]
+            return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+        cand = indexed.map_batches(
+            cand_only, batch_format="pyarrow").to_pandas()
+        dump_cand(pa.Table.from_pandas(
+            cand.sort_values("vec_id"), preserve_index=False))
 
     def probe(batch: pa.Table, qref=qref) -> pa.Table:
         qv, qs = ray.get(qref)
@@ -329,7 +351,8 @@ def cosine_near_pairs_broadcast(sf_dir: str, *, threshold: float = 0.4,
 
 def cosine_near_pairs_lsh(sf_dir: str, *, threshold: float = 0.85,
                           n_tables: int = 16, n_planes: int = 8,
-                          seed: int = 11, max_rows: int = 20000):
+                          seed: int = 11, max_rows: int = 20000,
+                          dump_buckets=None):
     """Approximate cosine near-dup pairs via LSH bucketing — the corpus-
     scale path for HIGH thresholds (true near-duplicates). Vectors are
     exploded into their ``n_tables`` random-hyperplane buckets; an exact
@@ -385,9 +408,18 @@ def cosine_near_pairs_lsh(sf_dir: str, *, threshold: float = 0.85,
             }
         )
 
+    bucketed = ds.map_batches(explode_buckets, batch_format="pyarrow",
+                              batch_size=4096)
+    if dump_buckets is not None:
+        # only the (vec_id, bkey) assignment — the hyperplane step — is
+        # engine-derived; the SQL side re-joins buckets into candidate
+        # pairs and recomputes every cosine from the raw embeddings
+        bucketed = bucketed.materialize()
+        bk = bucketed.select_columns(["vec_id", "bkey"]).to_pandas()
+        dump_buckets(pa.Table.from_pandas(
+            bk.sort_values(["bkey", "vec_id"]), preserve_index=False))
     found = (
-        ds.map_batches(explode_buckets, batch_format="pyarrow",
-                       batch_size=4096)
+        bucketed
         .groupby("bkey")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .materialize()
