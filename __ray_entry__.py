@@ -444,6 +444,30 @@ def _cosine_near_pairs_lsh(sf_dir: str):
         dump_buckets=lambda t: _oracle_dump("cosine_near_pairs_lsh", t))
 
 
+def _ann_topk_ivf(sf_dir: str):
+    """IVF ANN top-k, SQL-oracled via the candidate-dump gate: only the
+    probed-list member ids (quantizer assignment + probe selection)
+    come from the engine; DuckDB recomputes the cosines and the top-k
+    selection from the raw embeddings."""
+    from crawl4ai_ray.pipelines import similarity
+
+    return similarity.ivf_topk(
+        sf_dir, nlist=8, n_probe=4,
+        dump_cand=lambda t: _oracle_dump("ann_topk_ivf", t))
+
+
+def _ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN top-k with exact rerank, SQL-oracled via the
+    shortlist-dump gate: the ADC shortlist ids come from the engine;
+    the final output is EXACT cosines over that shortlist, which DuckDB
+    re-derives in full from the raw embeddings."""
+    from crawl4ai_ray.pipelines import similarity
+
+    return similarity.ivfpq_topk(
+        sf_dir, nlist=8, n_probe=4, rerank=50,
+        dump_cand=lambda t: _oracle_dump("ann_topk_ivfpq", t))
+
+
 def _minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, SQL-oracled via the candidate-dump
     gate: only the LSH candidate PAIRS (the minhash banding — the one
@@ -745,8 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as parquet partitioned by inverted list, probe reads only
         # n_probe/nlist of the corpus. Rows-only (iterative quantizer not
         # SQL-expressible); full-probe==brute-force + recall pytest-gated
-        "ann_topk_ivf": lambda sf: similarity.ivf_topk(
-            sf, nlist=8, n_probe=4),
+        "ann_topk_ivf": _ann_topk_ivf,
         # PQ (product-quantization) ANN: codebooks trained on a bounded
         # sample, m uint8 codes per vector on disk (the 100 TB memory-
         # compression path), ADC lookup-table scan. Rows-only (iterative
@@ -757,8 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # m uint8 residual codes — pruning + compression together, the
         # billion-vector layout. Rows-only; recall/residual-law pytest
         # gates (tests/test_ivfpq.py) + golden parquet
-        "ann_topk_ivfpq": lambda sf: similarity.ivfpq_topk(
-            sf, nlist=8, n_probe=4, rerank=50),
+        "ann_topk_ivfpq": _ann_topk_ivfpq,
         "cosine_near_pairs": lambda sf: similarity.cosine_near_pairs(sf),
         # embedding-cosine near-dup survivors (greedy smaller-id-wins law)
         "embedding_dedup_survivors": lambda sf:
@@ -2746,8 +2768,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = o.doc_b
             WHERE 2 * o.inter >= sa.n + sb.n - o.inter
         """,
-        # candidate-dump gate: engine supplies only the bucket-match
-        # candidate ids; DuckDB recomputes cosines + top-k selection.
+        # candidate-dump gates for the ANN family: the engine supplies
+        # only the candidate ids (bucket match / probed lists / ADC
+        # shortlist); DuckDB recomputes cosines + the top-k selection.
+        "ann_topk_ivf": """
+            WITH cand AS (
+                SELECT vec_id FROM read_parquet(
+                    '/tmp/c4r_oracle/ann_topk_ivf/raw.parquet')
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 5) AS cos
+            FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+            WHERE e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "ann_topk_ivfpq": """
+            WITH cand AS (
+                SELECT vec_id FROM read_parquet(
+                    '/tmp/c4r_oracle/ann_topk_ivfpq/raw.parquet')
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 5) AS cos
+            FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+            WHERE e.vec_id <> 0
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
         "ann_topk_lsh": """
             WITH cand AS (
                 SELECT vec_id FROM read_parquet(

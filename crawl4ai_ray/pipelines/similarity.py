@@ -490,7 +490,8 @@ def ivf_build(sf_dir: str, index_dir: str, *, nlist: int = 16,
 
 
 def ivf_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
-             nlist: int = 16, n_probe: int = 4, index_dir: str | None = None):
+             nlist: int = 16, n_probe: int = 4, index_dir: str | None = None,
+             dump_cand=None):
     """Approximate cosine top-k via IVF: score only the ``n_probe``
     inverted lists whose centroids are nearest the query.
 
@@ -498,7 +499,11 @@ def ivf_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
     is (n_probe/nlist) of the corpus, the point of the layout. Output
     shape/order matches ``brute_force_topk`` ((vec_id, cos), cos-desc
     then vec_id-asc, cos rounded to 5) so recall is directly measurable.
-    """
+
+    ``dump_cand``: receives the probed-list member vec_ids (the
+    quantizer assignment + probe selection — the non-SQL-expressible
+    steps) so an independent SQL engine can recompute the cosines and
+    the top-k selection from the raw embeddings."""
     import os
     import tempfile
 
@@ -527,6 +532,11 @@ def ivf_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
     qref = ray.put(q)
 
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    if dump_cand is not None:
+        ds = ds.materialize()
+        ids = ds.select_columns(["vec_id"]).to_pandas() \
+            .sort_values("vec_id")
+        dump_cand(pa.Table.from_pandas(ids, preserve_index=False))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         from .sketches import _stack_embeddings
@@ -820,7 +830,7 @@ def ivfpq_build(sf_dir: str, index_dir: str, *, nlist: int = 16,
 def ivfpq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
                nlist: int = 16, n_probe: int = 4, m: int = 8,
                nbits: int = 6, rerank: int = 0,
-               index_dir: str | None = None):
+               index_dir: str | None = None, dump_cand=None):
     """Approximate cosine top-k over an IVF-PQ index: probe the
     ``n_probe`` nearest lists and ADC-score their residual codes with a
     PER-LIST lookup table (cos ≈ q·c_list + q·decode(residual)); the
@@ -899,6 +909,11 @@ def ivfpq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
     import pyarrow.dataset as _pads
 
     cand = adc.to_pandas()["vec_id"].to_numpy(np.int64)
+    if dump_cand is not None:
+        # with rerank on, the final scores are EXACT cosines over this
+        # ADC shortlist — dumping it lets SQL re-derive the whole output
+        dump_cand(pa.table({"vec_id": pa.array(np.sort(cand),
+                                               pa.int64())}))
     qref = ray.put(q)
     raw = rd.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"],
