@@ -792,8 +792,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         # exact n-gram (bigram) Jaccard verification at a looser threshold
         # over LSH candidates — the n-gram-Jaccard dedup operator
+        # same candidate-dump gate as minhash_pairs, at k=2/0.5
         "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
-            sf, k=2, threshold=0.5),
+            sf, k=2, threshold=0.5,
+            dump_cand=lambda t: _oracle_dump("ngram_jaccard_pairs", t)),
         # integer-count variant over dumped LSH candidates — DuckDB
         # recomputes the bigram overlap from raw text (hard gate)
         "ngram_jaccard_verify": _ngram_jaccard_verify,
@@ -2724,6 +2726,49 @@ def oracle_sql() -> dict[str, str]:
                  '/tmp/c4r_oracle/simhash_near_pairs/raw.parquet') b
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # candidate-dump gate: exact distinct-BIGRAM Jaccard recomputed
+        # from raw text over the dumped LSH candidates, threshold 0.5.
+        "ngram_jaccard_pairs": """
+            WITH cand AS (
+                SELECT doc_a, doc_b FROM read_parquet(
+                    '/tmp/c4r_oracle/ngram_jaccard_pairs/raw.parquet')
+            ),
+            toks AS (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY ord) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS ord
+                    FROM documents
+                ) WHERE w <> ''
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS g
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            ov AS (
+                SELECT cd.doc_a, cd.doc_b, count(*) AS inter
+                FROM cand cd
+                JOIN grams ga ON ga.doc_id = cd.doc_a
+                JOIN grams gb ON gb.doc_id = cd.doc_b AND gb.g = ga.g
+                GROUP BY cd.doc_a, cd.doc_b
+            )
+            SELECT o.doc_a, o.doc_b,
+                   round(CAST(o.inter AS DOUBLE)
+                         / (sa.n + sb.n - o.inter), 6) AS jaccard
+            FROM ov o
+            JOIN sizes sa ON sa.doc_id = o.doc_a
+            JOIN sizes sb ON sb.doc_id = o.doc_b
+            WHERE CAST(o.inter AS DOUBLE)
+                  / (sa.n + sb.n - o.inter) >= 0.5
         """,
         # candidate-dump gate (stronger than self-dump): only the LSH
         # candidate PAIRS come from the engine; the bigram sets, the
