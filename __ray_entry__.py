@@ -796,6 +796,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.minhash_lsh_pairs(
             sf, k=2, threshold=0.5,
             dump_cand=lambda t: _oracle_dump("ngram_jaccard_pairs", t)),
+        # EXACT prefix-filtered similarity self-join (AllPairs/PPJoin
+        # family) — completeness-guaranteed, so the oracle is a fully
+        # independent brute-force recomputation (no dump at all)
+        "jaccard_join_exact": lambda sf: dedup.jaccard_join_exact(sf),
         # integer-count variant over dumped LSH candidates — DuckDB
         # recomputes the bigram overlap from raw text (hard gate)
         "ngram_jaccard_verify": _ngram_jaccard_verify,
@@ -2726,6 +2730,46 @@ def oracle_sql() -> dict[str, str]:
                  '/tmp/c4r_oracle/simhash_near_pairs/raw.parquet') b
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # fully independent brute-force oracle for the EXACT prefix-
+        # filtered similarity join: every doc pair, distinct-bigram
+        # Jaccard, threshold 0.5 — nothing engine-derived.
+        "jaccard_join_exact": """
+            WITH toks AS (
+                SELECT doc_id, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY ord) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS ord
+                    FROM documents
+                ) WHERE w <> ''
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS g
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            ov AS (
+                SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM grams ga
+                JOIN grams gb ON gb.g = ga.g AND ga.doc_id < gb.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT o.doc_a, o.doc_b,
+                   round(CAST(o.inter AS DOUBLE)
+                         / (sa.n + sb.n - o.inter), 6) AS jaccard
+            FROM ov o
+            JOIN sizes sa ON sa.doc_id = o.doc_a
+            JOIN sizes sb ON sb.doc_id = o.doc_b
+            WHERE CAST(o.inter AS DOUBLE)
+                  / (sa.n + sb.n - o.inter) >= 0.5
         """,
         # candidate-dump gate: exact distinct-BIGRAM Jaccard recomputed
         # from raw text over the dumped LSH candidates, threshold 0.5.

@@ -43,6 +43,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -349,6 +350,13 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
+    return _verify_exact_jaccard(cand, sh, threshold)
+
+
+def _verify_exact_jaccard(cand, sh, threshold: float):
+    """Candidate pairs (doc_a, doc_b) + shingle table → exact-Jaccard
+    verified pairs (doc_a, doc_b, jaccard round 6): two hash joins
+    attach the shingle blobs, one stateless map verifies."""
     n = _join_parts(cand, sh)
     j = cand.join(sh.rename_columns({"doc_id": "doc_a", "shingles": "sh_a"}),
                   "inner", n, on=("doc_a",))
@@ -372,6 +380,93 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
                          "jaccard": pa.array(out_j, pa.float64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard_join_exact(sf_dir: str, *, k: int = 2, threshold: float = 0.5):
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri
+    et al. ICDE 2006; Bayardo et al. WWW 2007 "Scaling Up All Pairs"):
+    ALL pairs with k-shingle Jaccard >= threshold, with a completeness
+    GUARANTEE — unlike the MinHash-LSH path nothing is missed, so the
+    SQL oracle is a fully independent brute-force recomputation (no
+    candidate dump needed).
+
+    Prefix-filter lemma: under ONE global token order, if
+    |A∩B| >= α then the (|A|-α+1)-prefix of A and the (|B|-α+1)-prefix
+    of B share a token.  Jaccard >= t implies |A∩B| >= t·|A∪B| >=
+    ceil(t·|A|), so each doc only indexes its |A| - ceil(t·|A|) + 1
+    shingles that are RAREST under the global (df, hash) order — the
+    frequent shingles never enter the inverted index, which is what
+    keeps the candidate buckets small.
+
+    Scale shape: shingle pass (once, materialized) → df groupby →
+    df join + per-doc prefix cut (bounded ``map_groups`` — a group is
+    one doc's shingle set) → prefix-token groupby pair emission →
+    pair-dedup groupby → the shared exact-verify joins.  Every stage
+    is a bounded groupby/join; nothing is driver-resident.  Shingle
+    hashes are carried as int64 views (the uint64→int64 reinterpret)
+    because Ray's hash groupby re-infers Python ints >= 2^63 as
+    pickled objects."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    sh = ds.map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow", batch_size=4096,
+    ).materialize()
+
+    def explode_postings(batch: pa.Table) -> pa.Table:
+        docs, keys = [], []
+        for did, blob in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("shingles").to_pylist()):
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            docs.append(np.full(len(arr), did, dtype=np.int64))
+            keys.append(arr.view(np.int64))
+        if not docs:
+            return pa.table({"sh_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "sh_key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(docs)),
+        })
+
+    postings = sh.map_batches(explode_postings, batch_format="pyarrow")
+    df = postings.groupby("sh_key").aggregate(Count(alias_name="df"))
+    pdf = postings.join(df, "inner", _join_parts(postings, df),
+                        on=("sh_key",))
+
+    def prefix_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "sh_key"])
+        n = len(g)
+        p = n - math.ceil(threshold * n) + 1
+        return g.head(p)[["sh_key", "doc_id"]]
+
+    prefix = pdf.groupby("doc_id").map_groups(prefix_cut,
+                                              batch_format="pandas")
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy())
+        n = len(ids)
+        if n < 2:
+            return _EMPTY_PAIRS
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table({"doc_a": pa.array(ids[ia]),
+                         "doc_b": pa.array(ids[ib])})
+
+    cand = (
+        prefix.groupby("sh_key")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if cand.count() == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return _verify_exact_jaccard(cand, sh, threshold)
 
 
 def ngram_overlap_pairs(sf_dir: str, *, num_perm: int = 64,

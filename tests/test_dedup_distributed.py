@@ -92,3 +92,16 @@ def test_candidate_pairs_bucket_cap(ray_session):
     assert len(capped) == 0
     full = _df(dedup.lsh_candidate_pairs(band_rows, max_bucket=100))
     assert len(full) == n * (n - 1) // 2
+
+
+def test_jaccard_join_exact_complete(ray_session):
+    """The prefix-filtered EXACT join must contain every pair the
+    probabilistic MinHash-LSH path finds (completeness guarantee), and
+    every returned pair must satisfy the threshold."""
+    sf = "/root/testdata/sf0.001"
+    exact = _df(dedup.jaccard_join_exact(sf, k=2, threshold=0.5))
+    lsh = _df(dedup.minhash_lsh_pairs(sf, k=2, threshold=0.5))
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))  # noqa: E731
+    assert key(lsh) <= key(exact)
+    assert (exact["jaccard"] >= 0.5).all()
+    assert (exact["doc_a"] < exact["doc_b"]).all()
