@@ -753,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": analysis.events_range_window,
         # FIRST_VALUE/LAST_VALUE over the full partition, oracle-gated
         "events_first_last": analysis.events_first_last,
+        # rolling MIN/MAX frame (sliding_window_view kernel), oracle-gated
+        "events_rolling_minmax": analysis.events_rolling_minmax,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -800,6 +802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family) — completeness-guaranteed, so the oracle is a fully
         # independent brute-force recomputation (no dump at all)
         "jaccard_join_exact": lambda sf: dedup.jaccard_join_exact(sf),
+        # EXACT edit-distance self-join via symmetric-delete (FastSS)
+        # blocking — complete, so the oracle is an independent
+        # brute-force levenshtein cross-join
+        "supplier_edit_pairs": lambda sf: dedup.edit_distance_join(sf),
         # integer-count variant over dumped LSH candidates — DuckDB
         # recomputes the bigram overlap from raw text (hard gate)
         "ngram_jaccard_verify": _ngram_jaccard_verify,
@@ -2518,6 +2524,15 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 7 DAY PRECEDING
                                AND CURRENT ROW)
         """,
+        # order-statistic ROWS frame: extrema, not a prefix sum
+        "events_rolling_minmax": """
+            SELECT event_id, user_id,
+                   min(value) OVER w AS rmin,
+                   max(value) OVER w AS rmax
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
         # frame pinned to the full partition (the default-frame
         # LAST_VALUE trap is sidestepped in both engines)
         "events_first_last": """
@@ -2734,6 +2749,14 @@ def oracle_sql() -> dict[str, str]:
         # fully independent brute-force oracle for the EXACT prefix-
         # filtered similarity join: every doc pair, distinct-bigram
         # Jaccard, threshold 0.5 — nothing engine-derived.
+        # fully independent oracle for the symmetric-delete edit join:
+        # brute-force levenshtein over every supplier-name pair
+        "supplier_edit_pairs": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
         "jaccard_join_exact": """
             WITH toks AS (
                 SELECT doc_id, w,

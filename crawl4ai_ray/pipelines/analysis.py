@@ -2284,6 +2284,35 @@ def events_first_last(sf_dir: str):
     return ds.groupby("user_id").map_groups(fl, batch_format="pandas")
 
 
+def events_rolling_minmax(sf_dir: str, window: int = 4):
+    """Rolling MIN / MAX — MIN(value)/MAX(value) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW): the order-statistic frame shape (moving_avg covers the
+    additive frame; min/max need a window kernel, not a prefix sum).
+
+    Scale shape: the same bounded groupby(user_id).map_groups as every
+    window query here; the frame extrema come from ONE vectorized
+    sliding_window_view reduction over the padded value array (no
+    per-row loop, no O(n·w) Python). DuckDB-oracle-gated."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    w = int(window)
+
+    def mm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        sw = np.lib.stride_tricks.sliding_window_view
+        lo = sw(np.concatenate((np.full(w - 1, np.inf), v)), w).min(axis=1)
+        hi = sw(np.concatenate((np.full(w - 1, -np.inf), v)), w).max(axis=1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "rmin": lo,
+            "rmax": hi,
+        })
+
+    return ds.groupby("user_id").map_groups(mm, batch_format="pandas")
+
+
 def _pnum_prepare(ds, sort_cols: list, descending: list,
                   part_col: str, unique_col: str):
     """Distributed partitioned-ROW_NUMBER machinery (shared by

@@ -178,3 +178,41 @@ def test_authkit_expiry():
         raise AssertionError("expired must fail")
     except AuthError:
         pass
+
+
+# ---- edit-distance join kernels (dedup.edit_distance_join) ----
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.text(max_size=12), st.text(max_size=12)),
+                min_size=1, max_size=20))
+def test_lev_batch_matches_reference(pairs):
+    from crawl4ai_ray.pipelines.dedup import _lev_batch
+    sa = [p[0] for p in pairs]
+    sb = [p[1] for p in pairs]
+    got = _lev_batch(sa, sb)
+    for x, y, g in zip(sa, sb, got):
+        assert g == _lev_ref(x, y)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="ab#", max_size=10),
+       st.text(alphabet="ab#", max_size=10),
+       st.integers(min_value=1, max_value=2))
+def test_symmetric_delete_blocking_complete(a, b, d):
+    """FastSS completeness: any pair within edit distance d shares a
+    member of their up-to-d-deletions neighborhoods — the lemma
+    edit_distance_join's candidate generation relies on."""
+    from crawl4ai_ray.pipelines.dedup import _del_variants
+    if _lev_ref(a, b) <= d:
+        assert _del_variants(a, d) & _del_variants(b, d)
