@@ -656,6 +656,72 @@ def _crawl_host_stats(sf_dir: str):
     return agg.map_batches(widen, batch_format="pyarrow")
 
 
+def _crawl_media_density(sf_dir: str):
+    """Interleaved-span composition rollup — per host: docs, text spans,
+    media spans (spans carrying a media_ref), text chars, and media
+    spans per doc. Exercises the (kind, text, media_ref) span payload
+    the input contract centers on, end to end: per-doc span reduction
+    inside map_batches, one host groupby, vectorized ratio. SQL-oracled
+    via the self-dump gate (DuckDB re-derives everything from the
+    copied documents parquet with unnest + groupby)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    res = _crawl("bfs")
+    _oracle_copy("crawl_media_density", res.docs_dir)
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hosts, n_text, n_media, chars = [], [], [], []
+        for u, spans in zip(batch.column("url").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            hosts.append(u.split("/")[2])
+            nt = nm = tc = 0
+            for s in spans:
+                if s["kind"] == "text":
+                    nt += 1
+                    tc += len(s["text"] or "")
+                if s["media_ref"]:
+                    nm += 1
+            n_text.append(nt)
+            n_media.append(nm)
+            chars.append(tc)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "n_text": pa.array(n_text, pa.int64()),
+            "n_media": pa.array(n_media, pa.int64()),
+            "text_chars": pa.array(chars, pa.int64()),
+        })
+
+    agg = (docs.map_batches(prep, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Count(alias_name="docs"),
+                      Sum("n_text", alias_name="n_text"),
+                      Sum("n_media", alias_name="n_media"),
+                      Sum("text_chars", alias_name="text_chars")))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        m = batch.column("n_media").to_numpy(zero_copy_only=False)
+        d = batch.column("docs").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "media_per_doc",
+            pa.array(np.round(m / d, 6), pa.float64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def _kmeans_cluster_means(sf_dir: str):
+    import shutil
+
+    from crawl4ai_ray.pipelines import sketches
+
+    root = "/tmp/c4r_oracle/kmeans_cluster_means"
+    shutil.rmtree(root, ignore_errors=True)
+    return sketches.kmeans_cluster_means(sf_dir, dump_dir=root)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
@@ -755,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": analysis.events_first_last,
         # rolling MIN/MAX frame (sliding_window_view kernel), oracle-gated
         "events_rolling_minmax": analysis.events_rolling_minmax,
+        # MAD robust dispersion: two histogram-selection median passes
+        "order_value_mad_by_priority": analysis.order_value_mad_by_priority,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -849,6 +917,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_adaptive_embedding": _crawl_adaptive_embedding,
         "crawl_span_kinds": _crawl_span_kinds,
         "crawl_host_stats": _crawl_host_stats,
+        # interleaved-span composition per host, self-dump SQL-gated
+        "crawl_media_density": _crawl_media_density,
+        # k-means mean reduction, hard-gated via the assignment dump
+        "kmeans_cluster_means": _kmeans_cluster_means,
+        # order-insensitive table fingerprint (shard validation shape)
+        "lineitem_table_checksum": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["lineitem_table_checksum"],
+        ).lineitem_table_checksum(sf),
         # crawl → markdown → the FULL corpus-prepare chain (the repo's
         # mission statement as one pipeline); golden-gated
         "crawl_corpus_prepare": _crawl_corpus_prepare,
@@ -901,8 +978,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["distinct_users_by_type"],
         ).distinct_users_by_type(sf),
-        # HLL is approximate by construction — rows-only; the ±2σ error
-        # bound vs the exact count is pytest-gated (test_sketches.py)
+        # the HLL estimate is deterministic given the splitmix64 hash,
+        # so the oracle recomputes the WHOLE sketch independently in SQL
+        # (mod-2^64 hash emulation via HUGEINT); the ±2σ error bound vs
+        # the exact count is additionally pytest-gated (test_sketches.py)
         "distinct_users_hll": lambda sf: __import__(
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["distinct_users_hll"],
@@ -2524,6 +2603,18 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 7 DAY PRECEDING
                                AND CURRENT ROW)
         """,
+        # two-pass robust dispersion; join attaches pass-1 medians
+        "order_value_mad_by_priority": """
+            WITH m AS (SELECT o_orderpriority,
+                              median(o_totalprice) AS med
+                       FROM orders GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   ROUND(median(abs(o.o_totalprice - m.med)), 2)
+                       AS mad_price,
+                   count(*) AS n_orders
+            FROM orders o JOIN m USING (o_orderpriority)
+            GROUP BY 1
+        """,
         # order-statistic ROWS frame: extrema, not a prefix sum
         "events_rolling_minmax": """
             SELECT event_id, user_id,
@@ -3033,5 +3124,101 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(
                  '/tmp/c4r_oracle/crawl_host_stats/**/*.parquet')
             GROUP BY 1
+        """,
+        # independent whole-checksum recompute: the same splitmix64
+        # chain in SQL (HUGEINT mod-2^64), permutation-insensitive SUM
+        "lineitem_table_checksum": """
+            WITH x AS (SELECT CAST((CAST(l_orderkey AS HUGEINT) * 1000003
+                              + l_linenumber) % 18446744073709551616
+                              AS UBIGINT) AS k,
+                              CAST(round(l_extendedprice * 100)
+                                   AS UBIGINT) AS cents
+                       FROM lineitem),
+            a1 AS (SELECT CAST((CAST(k AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z, cents
+                   FROM x),
+            a2 AS (SELECT CAST((((( (xor(z, z >> 30) >> 32) * 484763065 + (xor(z, z >> 30) & 4294967295) * 3210233709 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 30) & 4294967295) AS HUGEINT) * 484763065) % 18446744073709551616) AS UBIGINT) AS z, cents FROM a1),
+            a3 AS (SELECT CAST((((( (xor(z, z >> 27) >> 32) * 321982955 + (xor(z, z >> 27) & 4294967295) * 2496678331 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 27) & 4294967295) AS HUGEINT) * 321982955) % 18446744073709551616) AS UBIGINT) AS z, cents FROM a2),
+            a4 AS (SELECT xor(xor(z, z >> 31), cents) AS z FROM a3),
+            b1 AS (SELECT CAST((CAST(z AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z FROM a4),
+            b2 AS (SELECT CAST((((( (xor(z, z >> 30) >> 32) * 484763065 + (xor(z, z >> 30) & 4294967295) * 3210233709 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 30) & 4294967295) AS HUGEINT) * 484763065) % 18446744073709551616) AS UBIGINT) AS z FROM b1),
+            b3 AS (SELECT CAST((((( (xor(z, z >> 27) >> 32) * 321982955 + (xor(z, z >> 27) & 4294967295) * 2496678331 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 27) & 4294967295) AS HUGEINT) * 321982955) % 18446744073709551616) AS UBIGINT) AS z FROM b2),
+            h AS (SELECT xor(z, z >> 31) AS h FROM b3),
+            s AS (SELECT count(*) AS n,
+                         SUM(CAST(h AS HUGEINT))
+                             % 18446744073709551616 AS cs FROM h)
+            SELECT n AS n_rows, CAST(cs >> 32 AS BIGINT) AS checksum_hi,
+                   CAST(cs % 4294967296 AS BIGINT) AS checksum_lo
+            FROM s
+        """,
+        # the dumped (vec_id, cluster) labeling joins back to the
+        # embeddings view; every per-cluster per-dim mean is re-derived
+        # independent whole-sketch HLL recompute: splitmix64 emulated
+        # with 32-bit-split HUGEINT mod-2^64 multiplies, rho via bin()
+        # length, registers + estimator + linear-counting all in SQL
+        "distinct_users_hll": """
+            WITH u AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS x
+                       FROM events),
+            s1 AS (SELECT CAST((CAST(x AS HUGEINT) + 11400714819323198485)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM u),
+            s2 AS (SELECT CAST((((( (xor(z, z >> 30) >> 32) * 484763065 + (xor(z, z >> 30) & 4294967295) * 3210233709 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 30) & 4294967295) AS HUGEINT) * 484763065) % 18446744073709551616) AS UBIGINT) AS z FROM s1),
+            s3 AS (SELECT CAST((((( (xor(z, z >> 27) >> 32) * 321982955 + (xor(z, z >> 27) & 4294967295) * 2496678331 ) % 4294967296) * 4294967296 + CAST((xor(z, z >> 27) & 4294967295) AS HUGEINT) * 321982955) % 18446744073709551616) AS UBIGINT) AS z FROM s2),
+            h AS (SELECT xor(z, z >> 31) AS h FROM s3),
+            rr AS (SELECT h >> 50 AS reg,
+                          CAST((((( (h >> 32) * 16384 + (h & 4294967295) * 0 ) % 4294967296) * 4294967296 + CAST((h & 4294967295) AS HUGEINT) * 16384) % 18446744073709551616) AS UBIGINT) AS rest FROM h),
+            regs AS (SELECT reg,
+                            max(CASE WHEN rest = 0 THEN 51
+                                ELSE 65 - length(bin(rest)) END) AS rho
+                     FROM rr GROUP BY reg),
+            est AS (SELECT count(*) AS n_regs,
+                           (16384 - count(*)) * 1.0
+                               + sum(pow(2.0, -rho)) AS zsum
+                    FROM regs)
+            SELECT CAST(round(
+                     CASE WHEN (0.7213/(1+1.079/16384)) * 16384 * 16384 / zsum
+                               <= 2.5 * 16384 AND 16384 - n_regs > 0
+                     THEN 16384 * ln(16384 / (16384 - n_regs))
+                     ELSE (0.7213/(1+1.079/16384)) * 16384 * 16384 / zsum END)
+                   AS BIGINT) AS n_users_approx,
+                   14 AS precision_p
+            FROM est
+        """,
+        "kmeans_cluster_means": """
+            WITH a AS (
+                SELECT vec_id, cluster FROM read_parquet(
+                    '/tmp/c4r_oracle/kmeans_cluster_means/**/*.parquet')
+            ),
+            e AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            SELECT a.cluster AS cluster, e.dim AS dim,
+                   count(*) AS n,
+                   ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS mean_val
+            FROM a JOIN e USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "crawl_media_density": """
+            WITH per_doc AS (
+                SELECT split_part(url, '/', 3) AS host,
+                       len(list_filter(spans, s -> s.kind = 'text'))
+                           AS n_text,
+                       len(list_filter(spans, s -> s.media_ref <> ''))
+                           AS n_media,
+                       len(list_aggregate(list_transform(
+                           list_filter(spans, s -> s.kind = 'text'),
+                           s -> s.text), 'string_agg', '')) AS text_chars
+                FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_media_density/**/*.parquet')
+            )
+            SELECT host, count(*) AS docs,
+                   CAST(sum(n_text) AS BIGINT) AS n_text,
+                   CAST(sum(n_media) AS BIGINT) AS n_media,
+                   CAST(coalesce(sum(text_chars), 0) AS BIGINT)
+                       AS text_chars,
+                   ROUND(sum(n_media) / count(*), 6) AS media_per_doc
+            FROM per_doc GROUP BY host
         """,
     }

@@ -1204,6 +1204,45 @@ def order_value_median_by_priority(sf_dir: str):
     })
 
 
+def order_value_mad_by_priority(sf_dir: str):
+    """Median absolute deviation (MAD) per group — the robust-dispersion
+    holistic aggregate: MAD = median(|x - median(x)|). Two passes of the
+    distributed histogram-selection machinery: pass 1 takes the 5-row
+    per-priority medians, which broadcast via ``ray.put`` into a fully
+    vectorized |x - med| map (np.unique factorize + array index — no
+    per-row probe), pass 2 selects the median of the deviations. No task
+    ever holds a group. DuckDB-oracle-gated (same two-pass SQL)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    med = grouped_median_distributed(ds, "o_orderpriority", "o_totalprice")
+    med_map = {k: float(v) for k, v in
+               zip(med.column("o_orderpriority").to_pylist(),
+                   med.column("median").to_pylist())}
+    med_ref = ray.put(med_map)
+
+    def adev(batch: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        pr = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                        dtype=object)
+        uniq, inv = np.unique(pr, return_inverse=True)
+        meds = np.array([mm[u] for u in uniq])[inv]
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_adev": pa.array(np.abs(x - meds)),
+        })
+
+    dev = ds.map_batches(adev, batch_format="pyarrow", batch_size=32768)
+    t = grouped_median_distributed(dev, "o_orderpriority", "_adev")
+    return pa.table({
+        "o_orderpriority": t.column("o_orderpriority"),
+        "mad_price": pc.round(t.column("median"), 2,
+                              round_mode="half_towards_infinity"),
+        "n_orders": t.column("n"),
+    })
+
+
 def pdf_pages(sf_dir: str):
     """PDF document source (reference processors/pdf/processor.py as a
     Ray pipeline): documents.text → deterministic fixture PDFs

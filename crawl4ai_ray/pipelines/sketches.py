@@ -581,3 +581,119 @@ def corpus_top_terms_mg(sf_dir: str, k: int = 50,
         .groupby("_g")
         .map_groups(lambda g: merge_all(g.drop(columns=["_g"])),
                     batch_format="pandas"))
+
+
+
+def kmeans_cluster_means(sf_dir: str, k: int = 8, max_iters: int = 20,
+                         dump_dir: str | None = None):
+    """Per-cluster per-dimension means of the final k-means labeling, in
+    long form (cluster, dim, n, mean_val) — the hard-gateable face of
+    the k-means family: the final (vec_id, cluster) assignment table is
+    STREAMED to ``dump_dir`` (the self-dump oracle path) and the SQL
+    side re-derives every mean by joining the dump back to the
+    embeddings view, so the distributed mean reduction (per-block
+    partial sums -> k-row combine) is checked value-for-value, not
+    rows-only.
+
+    Scale shape: one labeling pass (broadcast matmul, as
+    ``kmeans_assignments``) materialized with the embedding carried;
+    the dump is a streaming ``write_parquet`` of two thin columns; the
+    mean reduction emits k rows per block and the driver folds k rows —
+    nothing n-sized ever lands on the driver."""
+    import ray
+
+    cent, _, _ = kmeans_fit(sf_dir, k=k, max_iters=max_iters)
+    cent_ref = ray.put(cent)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _stack_embeddings(batch)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(assign))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow",
+                             batch_size=4096).materialize()
+    if dump_dir is not None:
+        labeled.select_columns(["vec_id", "cluster"]) \
+            .write_parquet(dump_dir, mode="overwrite")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        assign = batch.column("cluster").to_numpy(zero_copy_only=False)
+        sums = np.zeros((k, x.shape[1]))
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        return pa.table({
+            "cid": pa.array(np.arange(k, dtype=np.int64)),
+            "vsum": pa.array([s.tobytes() for s in sums],
+                             type=pa.large_binary()),
+            "count": pa.array(counts, type=pa.int64()),
+        })
+
+    parts = labeled.map_batches(partials, batch_format="pyarrow",
+                                batch_size=4096).take_all()
+    d = cent.shape[1]
+    sums = np.zeros((k, d))
+    counts = np.zeros(k, dtype=np.int64)
+    for r in parts:
+        sums[r["cid"]] += np.frombuffer(r["vsum"], dtype=np.float64)
+        counts[r["cid"]] += r["count"]
+    nz = counts > 0          # empty clusters have no oracle-side rows
+    means = sums[nz] / counts[nz, None]
+    kk = int(nz.sum())
+    return pa.table({
+        "cluster": pa.array(np.repeat(
+            np.arange(k, dtype=np.int64)[nz], d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+        "n": pa.array(np.repeat(counts[nz], d)),
+        "mean_val": pa.array(np.round(means.ravel(), 6)),
+    })
+
+
+def lineitem_table_checksum(sf_dir: str):
+    """Order-insensitive table content fingerprint — the shard-
+    validation primitive a replicated 100 TB corpus needs: every row is
+    hashed (splitmix64 chain over its identifying + content columns)
+    and the row hashes are SUMMED mod 2^64, so any permutation,
+    re-partitioning or re-read of the same rows yields the same
+    checksum while any single-cell change flips it.
+
+    Scale shape: per-block vectorized hash + one uint64 partial per
+    block; the driver folds block partials — shuffle-free, O(blocks)
+    driver traffic. The oracle recomputes the whole checksum in SQL
+    (splitmix64 via the same HUGEINT mod-2^64 emulation the HLL gate
+    uses), fully independently."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        ln = batch.column("l_linenumber").to_numpy().astype(np.uint64)
+        price = batch.column("l_extendedprice").to_numpy()
+        cents = np.round(price * 100.0).astype(np.uint64)
+        h = _splitmix64(_splitmix64(ok * np.uint64(1000003) + ln) ^ cents)
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(h, dtype=np.uint64)
+        return pa.table({
+            "part_sum": pa.array([int(s)], type=pa.uint64()),
+            "part_n": pa.array([len(h)], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    total = 0
+    n = 0
+    for r in parts:
+        total = (total + int(r["part_sum"])) & 0xFFFFFFFFFFFFFFFF
+        n += int(r["part_n"])
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "checksum_hi": pa.array([total >> 32], type=pa.int64()),
+        "checksum_lo": pa.array([total & 0xFFFFFFFF], type=pa.int64()),
+    })
