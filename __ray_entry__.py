@@ -823,6 +823,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_minmax": analysis.events_rolling_minmax,
         # MAD robust dispersion: two histogram-selection median passes
         "order_value_mad_by_priority": analysis.order_value_mad_by_priority,
+        # grouped OLS regression (REGR_SLOPE family), moment partials
+        "events_value_trend": analysis.events_value_trend,
+        # per-user Shannon entropy of the event-type distribution
+        "user_event_entropy": analysis.user_event_entropy,
+        # deterministic 80/10/10 split by doc_id hash
+        "doc_train_split": analysis.doc_train_split,
+        # winsorized grouped mean (p05/p95 clip), selection quantiles
+        "events_winsorized_stats": analysis.events_winsorized_stats,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -919,6 +927,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         # interleaved-span composition per host, self-dump SQL-gated
         "crawl_media_density": _crawl_media_density,
+        # triangle count over the crawl link graph (degree-ordered
+        # wedge join), self-dump SQL-gated on the edge tables
+        "crawl_triangles": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_triangles"],
+        ).crawl_triangles(
+            sf, dump=lambda t: _oracle_dump("crawl_triangles", t)),
         # k-means mean reduction, hard-gated via the assignment dump
         "kmeans_cluster_means": _kmeans_cluster_means,
         # order-insensitive table fingerprint (shard validation shape)
@@ -2603,6 +2617,56 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 7 DAY PRECEDING
                                AND CURRENT ROW)
         """,
+        "events_value_trend": """
+            SELECT event_type, count(*) AS n,
+                   ROUND(regr_slope(value, epoch(ts) / 86400.0), 6)
+                       AS slope,
+                   ROUND(regr_intercept(value, epoch(ts) / 86400.0), 4)
+                       AS intercept
+            FROM events GROUP BY event_type
+        """,
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, sum(n) AS tot, count(*) AS n_types
+                FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   CAST(t.tot AS BIGINT) AS n_events,
+                   CAST(t.n_types AS BIGINT) AS n_types,
+                   ROUND(-sum((c.n / t.tot) * log2(c.n / t.tot)), 6)
+                       AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot, t.n_types
+        """,
+        "doc_train_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) < 3435973837 THEN 'train'
+                        WHEN CAST(('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) < 3865470567 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "events_winsorized_stats": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS p05,
+                       quantile_cont(value, 0.95) AS p95
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, count(*) AS n,
+                   ROUND(any_value(q.p05), 6) AS p05,
+                   ROUND(any_value(q.p95), 6) AS p95,
+                   ROUND(avg(least(greatest(e.value, q.p05), q.p95)), 6)
+                       AS wmean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type
+        """,
         # two-pass robust dispersion; join attaches pass-1 medians
         "order_value_mad_by_priority": """
             WITH m AS (SELECT o_orderpriority,
@@ -3199,6 +3263,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS mean_val
             FROM a JOIN e USING (vec_id)
             GROUP BY 1, 2
+        """,
+        # SQL re-runs wedge generation (oriented edges self-join) and
+        # closure (lex edge join) from the dumped edge tables
+        "crawl_triangles": """
+            WITH ed AS (SELECT u, v FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_triangles/raw.parquet')
+                 WHERE kind = 'ed'),
+            el AS (SELECT u AS lo, v AS hi FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_triangles/raw.parquet')
+                 WHERE kind = 'el'),
+            w AS (SELECT least(e1.v, e2.v) AS lo,
+                         greatest(e1.v, e2.v) AS hi
+                  FROM ed e1 JOIN ed e2
+                    ON e1.u = e2.u AND e1.v < e2.v)
+            SELECT (SELECT count(DISTINCT n) FROM (
+                        SELECT lo AS n FROM el
+                        UNION ALL SELECT hi FROM el)) AS n_nodes,
+                   (SELECT count(*) FROM el) AS n_edges,
+                   (SELECT count(*) FROM w JOIN el USING (lo, hi))
+                       AS n_triangles
         """,
         "crawl_media_density": """
             WITH per_doc AS (

@@ -565,3 +565,136 @@ def hits_numpy(edges: list[tuple[str, str]], nodes: list[str],
             break
     return ({u: h[i] for u, i in idx.items()},
             {u: a[i] for u, i in idx.items()})
+
+
+def triangle_count(edges_ds, *, dump=None):
+    """Distributed triangle counting over a directed (src, dst) edge
+    Dataset, treated as an undirected simple graph — the third classic
+    link-graph analytic next to PageRank/HITS (local clustering, spam-
+    farm detection).
+
+    Shape (Suri & Vassilvitskii, WWW 2011 MapReduce triangle counting):
+    (1) undirect + dedupe edges with one groupby; (2) per-node degrees
+    from an endpoint explode + groupby; (3) orient every edge from its
+    lower (degree, url) endpoint — a hub's out-degree collapses to its
+    few higher-degree neighbors, bounding per-group wedge emission by
+    the O(m^1.5) total of the degree-ordered algorithm; (4) wedge pairs
+    per tail via bounded map_groups, lex-normalized; (5) one hash join
+    against the lex edge table closes the wedges. Each triangle is
+    counted exactly once (at its unique (degree, url)-minimal vertex).
+
+    ``dump`` (self-dump oracle hook) receives the oriented and lex edge
+    tables tagged by a ``kind`` column so SQL can re-run wedge+closure
+    independently. Returns a one-row (n_nodes, n_edges, n_triangles)."""
+    from ray.data.aggregate import Count, Sum
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d                     # self-loops close no triangle
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    n_edges = el.count()
+    if n_edges == 0:
+        if dump is not None:
+            dump(pa.table({"kind": pa.array([], pa.string()),
+                           "u": pa.array([], pa.string()),
+                           "v": pa.array([], pa.string())}))
+        return pa.table({"n_nodes": pa.array([0], pa.int64()),
+                         "n_edges": pa.array([0], pa.int64()),
+                         "n_triangles": pa.array([0], pa.int64())})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("lo").combine_chunks().cast(pa.string()),
+             t.column("hi").combine_chunks().cast(pa.string())])})
+
+    deg = (el.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))) \
+        .materialize()
+    n_nodes = deg.count()
+
+    n = _pr_parts(n_edges, el, deg)
+    j = el.join(deg.rename_columns({"node": "lo", "deg": "deg_lo"}),
+                "inner", n, on=("lo",))
+    j = j.join(deg.rename_columns({"node": "hi", "deg": "deg_hi"}),
+               "inner", n, on=("hi",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t.column("lo").to_pylist(), dtype=object)
+        hi = np.asarray(t.column("hi").to_pylist(), dtype=object)
+        dl = t.column("deg_lo").to_numpy(zero_copy_only=False)
+        dh = t.column("deg_hi").to_numpy(zero_copy_only=False)
+        # lo is already the lex-lower url, so (deg, url) order reduces
+        # to: lo leads unless its degree is strictly larger
+        lo_first = dl <= dh
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        return pa.table({"u": pa.array(u.tolist(), pa.string()),
+                         "v": pa.array(v.tolist(), pa.string())})
+
+    ed = j.map_batches(orient, batch_format="pyarrow").materialize()
+    if dump is not None:
+        edt = pa.concat_tables(ray_get_tables(ed))
+        elt = pa.concat_tables(ray_get_tables(el))
+        dump(pa.concat_tables([
+            edt.append_column("kind",
+                              pa.array(["ed"] * edt.num_rows)),
+            elt.rename_columns(["u", "v"]).append_column(
+                "kind", pa.array(["el"] * elt.num_rows)),
+        ]))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        vs = np.sort(np.asarray(g.column("v").to_pylist(), dtype=object))
+        k = len(vs)
+        if k < 2:
+            return pa.table({"lo": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.string())})
+        ia, ib = np.triu_indices(k, k=1)
+        return pa.table({"lo": pa.array(vs[ia].tolist(), pa.string()),
+                         "hi": pa.array(vs[ib].tolist(), pa.string())})
+
+    w = ed.groupby("u").map_groups(wedges, batch_format="pyarrow")
+    closed = w.join(el, "inner", n, on=("lo", "hi"))
+    n_tri = closed.count()
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+    })
+
+
+def ray_get_tables(ds) -> list:
+    """Materialized Dataset -> list of Arrow tables (small results only:
+    the triangle dump tables are edge lists of the toy crawl graph)."""
+    import ray
+
+    return [ray.get(r) for r in ds.to_arrow_refs()]
+
+
+def crawl_triangles(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web, count triangles in its
+    undirected link graph. Self-dump SQL-gated when ``dump`` is set
+    (the oriented + lex edge tables; DuckDB re-runs wedge generation
+    and closure independently)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_tri_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return triangle_count(edges, dump=dump)

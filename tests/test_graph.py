@@ -139,3 +139,31 @@ def test_crawl_hits_query():
     assert abs((df["hub"] ** 2).sum() - 1.0) < 1e-4
     assert abs((df["authority"] ** 2).sum() - 1.0) < 1e-4
     assert list(df["authority"]) == sorted(df["authority"], reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_matches_bruteforce():
+    """Degree-ordered wedge join == trace(A^3)/6 on random graphs,
+    including multi-edges, self-loops and both edge directions."""
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 40
+    for trial in range(3):
+        m = int(rng.integers(30, 200))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        names = np.array([f"n{i:03d}" for i in range(n)])
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(names[src]), "dst": pa.array(names[dst])}))
+        got = triangle_count(edges).to_pandas()
+
+        A = np.zeros((n, n), dtype=np.int64)
+        keep = src != dst
+        A[src[keep], dst[keep]] = 1
+        A = ((A + A.T) > 0).astype(np.int64)
+        want = int(np.trace(A @ A @ A) // 6)
+        assert int(got["n_triangles"][0]) == want, (trial, m)
+        assert int(got["n_edges"][0]) == int(A.sum() // 2)
