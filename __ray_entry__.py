@@ -831,6 +831,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
         "events_winsorized_stats": analysis.events_winsorized_stats,
+        # JSON column extraction + grouped aggregate
+        "events_props_json_stats": analysis.events_props_json_stats,
+        # ordered STRING_AGG of per-group top-k (batch-pruned)
+        "nation_top_customer_names": analysis.nation_top_customer_names,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -933,6 +937,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_triangles"],
         ).crawl_triangles(
             sf, dump=lambda t: _oracle_dump("crawl_triangles", t)),
+        # weakly connected components (min-label propagation), SQL
+        # oracle = recursive reachability closure over the dumped edges
+        "crawl_components": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_components"],
+        ).crawl_components(
+            sf, dump=lambda t: _oracle_dump("crawl_components", t)),
         # k-means mean reduction, hard-gated via the assignment dump
         "kmeans_cluster_means": _kmeans_cluster_means,
         # order-insensitive table fingerprint (shard validation shape)
@@ -2652,6 +2662,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
+        "events_props_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   ROUND(avg(CAST(json_extract(props, '$.k') AS INT)), 6)
+                       AS k_avg,
+                   CAST(min(CAST(json_extract(props, '$.k') AS INT))
+                        AS BIGINT) AS k_min,
+                   CAST(max(CAST(json_extract(props, '$.k') AS INT))
+                        AS BIGINT) AS k_max
+            FROM events GROUP BY event_type
+        """,
+        "nation_top_customer_names": """
+            WITH r AS (
+                SELECT c_nationkey, c_name, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer
+            )
+            SELECT c_nationkey,
+                   string_agg(c_name, ',' ORDER BY rn) AS top_names,
+                   max(c_acctbal) AS top_balance
+            FROM r WHERE rn <= 3
+            GROUP BY c_nationkey
+        """,
         "events_winsorized_stats": """
             WITH q AS (
                 SELECT event_type,
@@ -3263,6 +3296,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS mean_val
             FROM a JOIN e USING (vec_id)
             GROUP BY 1, 2
+        """,
+        # recursive-CTE reachability closure: component(n) = min node
+        # reachable from n over the dumped (already both-direction)
+        # edge list — fully independent of the propagation loop
+        "crawl_components": """
+            WITH RECURSIVE e AS (
+                SELECT a, b FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_components/raw.parquet')
+                WHERE kind = 'e'
+            ),
+            nodes AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_components/raw.parquet')
+                WHERE kind = 'n'
+            ),
+            reach AS (
+                SELECT node AS a, node AS b FROM nodes
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS node, min(b) AS component
+            FROM reach GROUP BY a
         """,
         # SQL re-runs wedge generation (oriented edges self-join) and
         # closure (lex edge join) from the dumped edge tables

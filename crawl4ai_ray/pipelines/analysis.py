@@ -5243,3 +5243,74 @@ def events_winsorized_stats(sf_dir: str):
         "wmean": np.floor(wmean * 1e6 + 0.5) / 1e6,
     }).sort_values("event_type")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_props_json_stats(sf_dir: str):
+    """Semi-structured (JSON) column extraction + aggregate — the
+    json_extract shape every event pipeline hits: parse events.props,
+    pull $.k, aggregate count/avg/min/max per event_type. The parse is
+    a stateless map_batches over the string column (the JSON decode is
+    the operator; the aggregate rides the usual combiner partials)."""
+    import json
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ks = np.array([json.loads(s)["k"] if s else -1
+                       for s in batch.column("props").to_pylist()],
+                      dtype=np.float64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "_n": np.int64(1), "_s": ks, "_lo": ks, "_hi": ks})
+        g = df.groupby("event_type", as_index=False) \
+            .agg({"_n": "sum", "_s": "sum", "_lo": "min", "_hi": "max"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = ev.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Min("_lo", alias_name="k_min"),
+                   Max("_hi", alias_name="k_max")).to_pandas()
+
+    out = pd.DataFrame({
+        "event_type": mom["event_type"],
+        "n": mom["n"].astype(np.int64),
+        "k_avg": np.floor(
+            (mom["s"] / mom["n"]).to_numpy() * 1e6 + 0.5) / 1e6,
+        "k_min": mom["k_min"].astype(np.int64),
+        "k_max": mom["k_max"].astype(np.int64),
+    }).sort_values("event_type")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def nation_top_customer_names(sf_dir: str, k: int = 3):
+    """Ordered LISTAGG / STRING_AGG per group with a deterministic
+    order — per nation, the top-k customers by (acctbal desc, custkey)
+    concatenated as one string. Top-k per group rides a bounded
+    map_groups over per-batch-pruned candidates (each batch keeps at
+    most k rows per nation before the shuffle, so the group stage sees
+    ≤ k·blocks rows per nation, never the full table)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["c_acctbal", "c_custkey"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("c_nationkey").head(k),
+                                    preserve_index=False)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "top_names": [",".join(g["c_name"])],
+            "top_balance": [np.float64(g["c_acctbal"].iloc[0])]})
+
+    return (cust.map_batches(prune, batch_format="pyarrow",
+                             batch_size=32768)
+            .groupby("c_nationkey")
+            .map_groups(agg, batch_format="pandas"))

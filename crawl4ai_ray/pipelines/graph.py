@@ -672,11 +672,14 @@ def triangle_count(edges_ds, *, dump=None):
 
 
 def ray_get_tables(ds) -> list:
-    """Materialized Dataset -> list of Arrow tables (small results only:
-    the triangle dump tables are edge lists of the toy crawl graph)."""
+    """Materialized Dataset -> list of non-empty Arrow tables (small
+    results only: the dump tables are edge lists of the toy crawl
+    graph). Empty blocks are dropped — Ray emits them as zero-COLUMN
+    tables whose schema breaks concat_tables."""
     import ray
 
-    return [ray.get(r) for r in ds.to_arrow_refs()]
+    ts = [ray.get(r) for r in ds.to_arrow_refs()]
+    return [t for t in ts if t.num_rows > 0] or ts[:1]
 
 
 def crawl_triangles(sf_dir: str, *, dump=None):
@@ -698,3 +701,98 @@ def crawl_triangles(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return triangle_count(edges, dump=dump)
+
+
+def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
+                         dump=None):
+    """Weakly connected components over a (src, dst) edge Dataset —
+    min-label propagation (the hash-to-min scheme of Rastogi et al.,
+    ICDE 2013, the same loop dedup.propagate_min_labels runs on doc
+    ids, here string-keyed for URL graphs): every node starts labeled
+    with itself; each round one hash join ships labels onto edge
+    sources, one groupby(dst).min folds neighbor labels, one left-outer
+    join applies them. Converges in O(component diameter) rounds; every
+    round is pure Ray Data shuffle, nothing driver-resident.
+
+    ``dump`` receives the undirected edge list + node universe so the
+    SQL oracle can recompute the SAME labels independently via a
+    recursive-CTE reachability closure (component = min reachable
+    node). Returns (node, component)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().cast(pa.string())
+        d = batch.column("dst").combine_chunks().cast(pa.string())
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    edges = edges_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+    labels = nodes_ds.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.string()),
+                            "label": t.column("node").cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(edges))
+        nt = pa.concat_tables(ray_get_tables(labels))
+        dump(pa.concat_tables([
+            pa.table({"kind": pa.array(["e"] * et.num_rows),
+                      "a": et.column("src"), "b": et.column("dst")}),
+            pa.table({"kind": pa.array(["n"] * nt.num_rows),
+                      "a": nt.column("node"), "b": nt.column("node")}),
+        ]))
+
+    if edges.count() == 0:
+        return labels.rename_columns({"label": "component"})
+
+    def update(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label")
+        nb = pc.coalesce(batch.column("min_nb"), lab)
+        new = pc.min_element_wise(lab, nb)
+        return pa.table({
+            "node": batch.column("node"),
+            "label": new,
+            "changed": pc.cast(pc.less(new, lab), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        n = _join_parts(edges, labels)
+        cand = (
+            edges.join(labels.rename_columns({"node": "src"}),
+                       "inner", n, on=("src",))
+            .groupby("dst")
+            .aggregate(Min("label", alias_name="min_nb"))
+            .rename_columns({"dst": "node"})
+            .select_columns(["node", "min_nb"])
+        )
+        stepped = labels.join(cand, "left_outer", n, on=("node",)) \
+            .map_batches(update, batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("changed") or 0
+        labels = stepped.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            return labels.rename_columns({"label": "component"})
+    raise RuntimeError(
+        f"min-label propagation did not converge within {max_iters} "
+        "rounds — component diameter exceeds the bound; raise max_iters")
+
+
+def crawl_components(sf_dir: str, *, dump=None):
+    """Query entry: weakly connected components of the crawl link
+    graph. Self-dump SQL-gated: the oracle recomputes every label with
+    a recursive reachability closure over the dumped edges."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_cc_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    return connected_components(edges, nodes, dump=dump)

@@ -167,3 +167,44 @@ def test_triangle_count_matches_bruteforce():
         want = int(np.trace(A @ A @ A) // 6)
         assert int(got["n_triangles"][0]) == want, (trial, m)
         assert int(got["n_edges"][0]) == int(A.sum() // 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_matches_union_find():
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 30
+    names = [f"n{i:03d}" for i in range(n)]
+    for trial in range(3):
+        m = int(rng.integers(5, 40))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([names[i] for i in src]),
+            "dst": pa.array([names[i] for i in dst])}))
+        nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
+        got = connected_components(edges, nodes).to_pandas() \
+            .set_index("node")["component"].to_dict()
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(src, dst):
+            parent[find(a)] = find(b)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        want = {}
+        for members in comp.values():
+            rep = names[min(members)]
+            for i in members:
+                want[names[i]] = rep
+        assert got == want, trial
