@@ -744,7 +744,8 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
                       "a": nt.column("node"), "b": nt.column("node")}),
         ]))
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return labels.rename_columns({"label": "component"})
 
     def update(batch: pa.Table) -> pa.Table:
@@ -758,7 +759,9 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
         })
 
     for _ in range(max_iters):
-        n = _join_parts(edges, labels)
+        # _pr_parts collapses tiny graphs to one join partition (Ray
+        # 2.49 all-empty-partition acero failure, see _pr_parts doc)
+        n = _pr_parts(n_edges, edges, labels)
         cand = (
             edges.join(labels.rename_columns({"node": "src"}),
                        "inner", n, on=("src",))
