@@ -835,6 +835,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json_stats": analysis.events_props_json_stats,
         # ordered STRING_AGG of per-group top-k (batch-pruned)
         "nation_top_customer_names": analysis.nation_top_customer_names,
+        # time-weighted average over irregular timestamps
+        "events_time_weighted_avg": analysis.events_time_weighted_avg,
+        # per-dim z-score feature scaling (moment partials + broadcast)
+        "embedding_zscore": analysis.embedding_zscore,
         # distributed ROW_NUMBER/NTILE (sort + block-offset prefix scan)
         "orders_row_number": analysis.orders_row_number,
         # documents: token stats / chunking / regex extraction / dedup
@@ -2661,6 +2665,31 @@ def oracle_sql() -> dict[str, str]:
                             AS UBIGINT) < 3865470567 THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "events_time_weighted_avg": """
+            SELECT user_id, ROUND(sum(value * dt) / sum(dt), 6) AS twa
+            FROM (
+                SELECT user_id, value,
+                       epoch(lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - ts) AS dt
+                FROM events
+            ) WHERE dt IS NOT NULL
+            GROUP BY user_id
+        """,
+        "embedding_zscore": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            ),
+            s AS (
+                SELECT dim, avg(CAST(v AS DOUBLE)) AS mu,
+                       stddev_pop(CAST(v AS DOUBLE)) AS sd
+                FROM e GROUP BY 1
+            )
+            SELECT e.vec_id, e.dim,
+                   ROUND((CAST(e.v AS DOUBLE) - s.mu) / s.sd, 6) AS z
+            FROM e JOIN s USING (dim)
         """,
         "events_props_json_stats": """
             SELECT event_type, count(*) AS n,

@@ -5314,3 +5314,81 @@ def nation_top_customer_names(sf_dir: str, k: int = 3):
                              batch_size=32768)
             .groupby("c_nationkey")
             .map_groups(agg, batch_format="pandas"))
+
+
+def events_time_weighted_avg(sf_dir: str):
+    """Time-weighted average over irregular timestamps — the temporal
+    aggregate gauges/sensors need (each value weighted by how long it
+    held, i.e. until the user's next event; the last event carries no
+    interval). Same bounded groupby(user_id).map_groups shape as every
+    per-user window here; one sort + one diff per group, fully
+    vectorized. DuckDB-oracle-gated (lead(ts) recomputes the holds)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
+        v = g["value"].to_numpy(np.float64)
+        if len(v) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "twa": pd.Series([], dtype=np.float64)})
+        dt = np.diff(t)
+        val = float((v[:-1] * dt).sum() / dt.sum())
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "twa": [np.floor(val * 1e6 + 0.5) / 1e6]})
+
+    return ds.groupby("user_id").map_groups(twa, batch_format="pandas")
+
+
+def embedding_zscore(sf_dir: str):
+    """Per-dimension z-score normalization of the embedding matrix —
+    the feature-scaling pass a training pipeline runs before clustering
+    or PCA. Pass 1: one (d)-row moment reduction (Σx, Σx², n per dim —
+    each block emits d rows, the groupby folds blocks); pass 2: the
+    (d)-row mean/std table broadcasts via ``ray.put`` into a stateless
+    vectorized map. Long-form output (vec_id, dim, z) so the SQL oracle
+    (unnest + AVG/STDDEV_POP window) compares value-for-value."""
+    import ray
+
+    from ..pipelines.sketches import _stack_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        d = x.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "_n": pa.array(np.full(d, len(x), dtype=np.int64)),
+            "_s": pa.array(x.sum(axis=0)),
+            "_ss": pa.array((x * x).sum(axis=0)),
+        })
+
+    mom = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=4096) \
+        .groupby("dim") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Sum("_ss", alias_name="ss")).to_pandas() \
+        .sort_values("dim")
+    n = mom["n"].to_numpy(np.float64)
+    mean = mom["s"].to_numpy() / n
+    var = mom["ss"].to_numpy() / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put((mean, std))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        mu, sd = ray.get(ref)
+        x = _stack_embeddings(batch)
+        z = (x - mu[None, :]) / sd[None, :]
+        d = x.shape[1]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ids))),
+            "z": pa.array(np.floor(z.ravel() * 1e6 + 0.5) / 1e6),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=4096)
