@@ -954,6 +954,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["lineitem_table_checksum"],
         ).lineitem_table_checksum(sf),
+        # d x d Gram-partial covariance (PCA precursor), oracle-gated
+        "embedding_covariance": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["embedding_covariance"],
+        ).embedding_covariance(sf),
         # crawl → markdown → the FULL corpus-prepare chain (the repo's
         # mission statement as one pipeline); golden-gated
         "crawl_corpus_prepare": _crawl_corpus_prepare,
@@ -1020,6 +1025,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["kmeans_assignments"],
         ).kmeans_assignments(sf),
+        # eigh is not SQL-expressible — rows-only; orthonormality /
+        # variance-sum / reconstruction laws pytest-gated, covariance
+        # input oracle-gated via embedding_covariance
+        "embedding_pca": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["embedding_pca"],
+        ).embedding_pca(sf),
         # r3: corpus-prep layer (decontamination / inverted index /
         # stratified sampling) — all DuckDB-oracle-gated
         "doc_decontaminate": lambda sf: __import__(
@@ -3250,6 +3262,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(
                  '/tmp/c4r_oracle/crawl_host_stats/**/*.parquet')
             GROUP BY 1
+        """,
+        # covar_pop over unnested dim pairs — fully independent
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            SELECT a.dim AS dim_a, b.dim AS dim_b,
+                   ROUND(covar_pop(CAST(a.v AS DOUBLE),
+                                   CAST(b.v AS DOUBLE)), 6) AS cov
+            FROM e a JOIN e b USING (vec_id)
+            WHERE a.dim <= b.dim
+            GROUP BY 1, 2
         """,
         # independent whole-checksum recompute: the same splitmix64
         # chain in SQL (HUGEINT mod-2^64), permutation-insensitive SUM

@@ -697,3 +697,110 @@ def lineitem_table_checksum(sf_dir: str):
         "checksum_hi": pa.array([total >> 32], type=pa.int64()),
         "checksum_lo": pa.array([total & 0xFFFFFFFF], type=pa.int64()),
     })
+
+
+def embedding_covariance(sf_dir: str):
+    """Full covariance matrix of the embedding columns — the PCA/whitening
+    precursor: each block emits ONE (d x d) Gram partial (X^T X as d
+    rows of packed float64) plus per-dim sums, the groupby folds blocks,
+    and the driver finishes cov = G/n - mean mean^T on a d x d table.
+    Shuffle volume is O(d^2 * blocks), independent of n — the classic
+    tall-skinny reduction. Long upper-triangle output (dim_a <= dim_b)
+    so the DuckDB covar_pop oracle compares value-for-value."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        d = x.shape[1]
+        g = x.T @ x
+        return pa.table({
+            "row": pa.array(np.arange(d, dtype=np.int64)),
+            "_g": pa.array([r.tobytes() for r in g],
+                           type=pa.large_binary()),
+            "_s": pa.array(x.sum(axis=0)),
+            "_n": pa.array(np.full(d, len(x), dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    d = max(int(r["row"]) for r in parts) + 1
+    gram = np.zeros((d, d))
+    sums = np.zeros(d)
+    n = 0
+    for r in parts:
+        gram[int(r["row"])] += np.frombuffer(r["_g"], dtype=np.float64)
+        if int(r["row"]) == 0:
+            n += int(r["_n"])
+        sums[int(r["row"])] += float(r["_s"])
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    ia, ib = np.triu_indices(d)
+    return pa.table({
+        "dim_a": pa.array(ia.astype(np.int64)),
+        "dim_b": pa.array(ib.astype(np.int64)),
+        "cov": pa.array(np.floor(cov[ia, ib] * 1e6 + 0.5) / 1e6),
+    })
+
+
+def embedding_pca(sf_dir: str, k: int = 8):
+    """Distributed PCA projection — covariance via the d x d Gram
+    reduction above, eigendecomposition of the tiny d x d matrix on the
+    driver (the only driver-resident object is d^2 floats), components
+    broadcast once, projection one matmul per batch. Deterministic sign
+    convention: each component's largest-|loading| coordinate is made
+    positive. Returns (vec_id, pc, score) long form plus nothing
+    n-sized on the driver. Rows-only gate (eigh is not SQL-expressible);
+    orthonormality / variance-sum / reconstruction laws are pytest-gated
+    and the covariance input is oracle-gated via embedding_covariance."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        d = x.shape[1]
+        g = x.T @ x
+        return pa.table({
+            "row": pa.array(np.arange(d, dtype=np.int64)),
+            "_g": pa.array([r.tobytes() for r in g],
+                           type=pa.large_binary()),
+            "_s": pa.array(x.sum(axis=0)),
+            "_n": pa.array(np.full(d, len(x), dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    d = max(int(r["row"]) for r in parts) + 1
+    gram = np.zeros((d, d))
+    sums = np.zeros(d)
+    n = 0
+    for r in parts:
+        gram[int(r["row"])] += np.frombuffer(r["_g"], dtype=np.float64)
+        if int(r["row"]) == 0:
+            n += int(r["_n"])
+        sums[int(r["row"])] += float(r["_s"])
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                  # (d, k)
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * flip[None, :]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        x = _stack_embeddings(batch)
+        s = (x - mu[None, :]) @ c        # (n, k)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        kk = c.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, kk)),
+            "pc": pa.array(np.tile(np.arange(kk, dtype=np.int64),
+                                   len(ids))),
+            "score": pa.array(np.round(s.ravel(), 6)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=4096)
