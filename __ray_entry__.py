@@ -947,6 +947,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_components"],
         ).crawl_components(
             sf, dump=lambda t: _oracle_dump("crawl_components", t)),
+        # Newman degree assortativity, corr() over dumped degree pairs
+        "crawl_assortativity": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_assortativity"],
+        ).crawl_assortativity(
+            sf, dump=lambda t: _oracle_dump("crawl_assortativity", t)),
         # k-means mean reduction, hard-gated via the assignment dump
         "kmeans_cluster_means": _kmeans_cluster_means,
         # order-insensitive table fingerprint (shard validation shape)
@@ -3351,6 +3357,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(e.v AS DOUBLE)), 6) AS mean_val
             FROM a JOIN e USING (vec_id)
             GROUP BY 1, 2
+        """,
+        # Pearson corr over the dumped both-direction degree pairs
+        "crawl_assortativity": """
+            SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+                   ROUND(corr(CAST(deg_a AS DOUBLE),
+                              CAST(deg_b AS DOUBLE)), 6)
+                       AS assortativity
+            FROM read_parquet(
+                 '/tmp/c4r_oracle/crawl_assortativity/raw.parquet')
         """,
         # recursive-CTE reachability closure: component(n) = min node
         # reachable from n over the dumped (already both-direction)

@@ -799,3 +799,105 @@ def crawl_components(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, nodes = edges_from_docs(res.docs_dir)
     return connected_components(edges, nodes, dump=dump)
+
+
+def degree_assortativity(edges_ds, *, dump=None):
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph — Pearson correlation of endpoint degrees over every
+    edge counted in both directions. Rides the same one-groupby degree
+    pass as triangle_count plus two joins to attach endpoint degrees;
+    the correlation itself is a scalar moment reduction (no driver
+    rows beyond the partials). ``dump`` receives the per-edge
+    (deg_a, deg_b) pairs so SQL recomputes the coefficient with its own
+    corr() — value-for-value."""
+    from ray.data.aggregate import Count, Sum
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    n_edges = el.count()
+    empty = pa.table({"n_edges": pa.array([0], pa.int64()),
+                      "assortativity": pa.array([float("nan")])})
+    if n_edges == 0:
+        if dump is not None:
+            dump(pa.table({"deg_a": pa.array([], pa.int64()),
+                           "deg_b": pa.array([], pa.int64())}))
+        return empty
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("lo").combine_chunks().cast(pa.string()),
+             t.column("hi").combine_chunks().cast(pa.string())])})
+
+    deg = (el.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))) \
+        .materialize()
+    n = _pr_parts(n_edges, el, deg)
+    j = el.join(deg.rename_columns({"node": "lo", "deg": "deg_lo"}),
+                "inner", n, on=("lo",))
+    j = j.join(deg.rename_columns({"node": "hi", "deg": "deg_hi"}),
+               "inner", n, on=("hi",)).materialize()
+
+    if dump is not None:
+        t = pa.concat_tables(ray_get_tables(j))
+        dl = t.column("deg_lo").to_numpy(zero_copy_only=False)
+        dh = t.column("deg_hi").to_numpy(zero_copy_only=False)
+        dump(pa.table({
+            "deg_a": pa.array(np.concatenate([dl, dh]).astype(np.int64)),
+            "deg_b": pa.array(np.concatenate([dh, dl]).astype(np.int64)),
+        }))
+
+    def part(batch: pa.Table) -> pa.Table:
+        dl = batch.column("deg_lo").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dh = batch.column("deg_hi").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # both directions: x = lo..hi and hi..lo concatenated
+        x = np.concatenate([dl, dh])
+        y = np.concatenate([dh, dl])
+        return pa.table({
+            "_n": pa.array([len(x)], pa.int64()),
+            "_sx": pa.array([x.sum()]),
+            "_sxx": pa.array([(x * x).sum()]),
+            "_sxy": pa.array([(x * y).sum()]),
+        })
+
+    mom = j.map_batches(part, batch_format="pyarrow") \
+        .to_pandas().sum()
+    nn = float(mom["_n"])
+    cov = mom["_sxy"] - mom["_sx"] ** 2 / nn
+    var = mom["_sxx"] - mom["_sx"] ** 2 / nn
+    r = float(cov / var) if var > 0 else float("nan")
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "assortativity": pa.array([np.floor(r * 1e6 + 0.5) / 1e6]),
+    })
+
+
+def crawl_assortativity(sf_dir: str, *, dump=None):
+    """Query entry: degree assortativity of the crawl link graph.
+    Self-dump SQL-gated (corr over the dumped degree pairs)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_assort_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return degree_assortativity(edges, dump=dump)
