@@ -1074,7 +1074,10 @@ def edit_distance_join(sf_dir: str, *, d: int = 1, table: str = "supplier",
         lambda b: pa.table({"rid": b.column(id_col),
                             "s": b.column(str_col)}),
         batch_format="pyarrow")
-    n = _join_parts(cand, strs)
+    # tiny candidate sets collapse to one join partition — per-partition
+    # aggregator actors dominate wall time below ~32k rows (the same
+    # crossover graph._pr_parts encodes)
+    n = 1 if cand.count() < 32768 else _join_parts(cand, strs)
     j = cand.join(strs.rename_columns({"rid": "id_a", "s": "s_a"}),
                   "inner", n, on=("id_a",))
     j = j.join(strs.rename_columns({"rid": "id_b", "s": "s_b"}),
