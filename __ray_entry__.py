@@ -755,6 +755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).orders_bloom_semijoin(sf),
         "events_value_bands": analysis.events_value_bands,
         "part_type_counts": analysis.part_type_counts,
+        # co-occurrence mining: bounded-group wedge fan-out + pair
+        # groupby + local-top-k combiner; true base-table SQL oracle
+        "part_copurchase_pairs": analysis.part_copurchase_pairs,
         "nation_region_join": analysis.nation_region_join,
         "supplier_balance_by_nation": analysis.supplier_balance_by_nation,
         "orders_filter_sort": analysis.orders_filter_sort,
@@ -953,6 +956,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_assortativity"],
         ).crawl_assortativity(
             sf, dump=lambda t: _oracle_dump("crawl_assortativity", t)),
+        # directed-edge reciprocity (one pair-keyed groupby), SQL
+        # oracle = DISTINCT edges + reversed self-join over the dump
+        "crawl_reciprocity": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_reciprocity"],
+        ).crawl_reciprocity(
+            sf, dump=lambda t: _oracle_dump("crawl_reciprocity", t)),
         # k-means mean reduction, hard-gated via the assignment dump
         "kmeans_cluster_means": _kmeans_cluster_means,
         # order-insensitive table fingerprint (shard validation shape)
@@ -1344,6 +1354,19 @@ def oracle_sql() -> dict[str, str]:
         "nation_region_join": """
             SELECT n_nationkey, n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "part_copurchase_pairs": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS p_lo, b.l_partkey AS p_hi,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM pp a JOIN pp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, p_lo, p_hi
+            LIMIT 20
         """,
         "supplier_balance_by_nation": """
             SELECT s_nationkey, count(*) AS n_suppliers,
@@ -3366,6 +3389,27 @@ def oracle_sql() -> dict[str, str]:
                        AS assortativity
             FROM read_parquet(
                  '/tmp/c4r_oracle/crawl_assortativity/raw.parquet')
+        """,
+        # DISTINCT directed edges + reversed self-join — independent of
+        # the engine's Max-bit pair fold
+        "crawl_reciprocity": """
+            WITH e AS (
+                SELECT DISTINCT src, dst FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_reciprocity/raw.parquet')
+                WHERE src <> dst
+            ),
+            r AS (
+                SELECT CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END
+                           AS rec
+                FROM e AS e1 LEFT JOIN e AS e2
+                  ON e1.src = e2.dst AND e1.dst = e2.src
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(sum(rec), 0) AS BIGINT)
+                       AS n_reciprocated,
+                   FLOOR(1e6 * CAST(COALESCE(sum(rec), 0) AS DOUBLE)
+                         / count(*) + 0.5) / 1e6 AS reciprocity
+            FROM r
         """,
         # recursive-CTE reachability closure: component(n) = min node
         # reachable from n over the dumped (already both-direction)

@@ -5392,3 +5392,56 @@ def embedding_zscore(sf_dir: str):
         })
 
     return ds.map_batches(norm, batch_format="pyarrow", batch_size=4096)
+
+
+def part_copurchase_pairs(sf_dir: str, top_n: int = 20):
+    """Co-occurrence mining (market-basket pair support): the ``top_n``
+    part pairs most often bought in the same order.
+
+    Distributed shape: DISTINCT (order, part) via one groupby, then a
+    hash SELF-JOIN on l_orderkey — an order holds at most 7 lineitems,
+    so per-key join fan-out is ≤ 7×7 rows and no key ever skews a task
+    (the map_groups wedge form used for toy graphs is wrong here: one
+    Python call per order across millions of orders) — a vectorized
+    ``p_lo < p_hi`` filter orients pairs, one pair groupby counts
+    support, and a per-block local top-k combiner (ordered exactly
+    like the oracle: support desc, p_lo, p_hi) prunes to blocks×top_n
+    rows so the final global sort is tiny. Nothing driver-resident.
+    """
+    from .dedup import _join_parts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    dd = (li.groupby(["l_orderkey", "l_partkey"])
+          .aggregate(Count(alias_name="_c"))
+          .select_columns(["l_orderkey", "l_partkey"])
+          .materialize())          # both join sides read it; one pass
+    left = dd.rename_columns({"l_partkey": "p_lo"})
+    right = dd.rename_columns({"l_partkey": "p_hi"})
+    j = left.join(right, join_type="inner", on=("l_orderkey",),
+                  num_partitions=_join_parts(left, right))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("p_lo"), batch.column("p_hi"))
+        t = batch.filter(keep)
+        return pa.table({"p_lo": t.column("p_lo").cast(pa.int64()),
+                         "p_hi": t.column("p_hi").cast(pa.int64())})
+
+    agg = (j.map_batches(orient, batch_format="pyarrow")
+           .groupby(["p_lo", "p_hi"]).aggregate(
+               Count(alias_name="n_orders")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        lo = batch.column("p_lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("p_hi").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo, -n))[:top_n]
+        return pa.table({
+            "p_lo": pa.array(lo[order], pa.int64()),
+            "p_hi": pa.array(hi[order], pa.int64()),
+            "n_orders": pa.array(n[order], pa.int64()),
+        })
+
+    return (agg.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["n_orders", "p_lo", "p_hi"],
+                  descending=[True, False, False])
+            .limit(top_n))

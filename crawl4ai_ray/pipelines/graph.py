@@ -901,3 +901,94 @@ def crawl_assortativity(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return degree_assortativity(edges, dump=dump)
+
+
+def edge_reciprocity(edges_ds, *, dump=None):
+    """Directed-edge reciprocity of a (src, dst) edge Dataset — the
+    share of directed edges (u, v), u != v, whose reverse (v, u) is
+    also present (Newman-style link reciprocity; for a crawl graph it
+    separates mutually-linking site clusters from one-way citation
+    structure).
+
+    Distributed shape: ONE keyed exchange. Each edge is oriented onto
+    its unordered pair key (lo, hi) with a direction bit, and
+    ``groupby(lo, hi).aggregate(Max(fwd), Max(bwd))`` folds duplicates
+    and both directions in the same pass — Max is idempotent, so
+    repeated links (multiple anchors on one page) collapse without a
+    separate DISTINCT stage. A per-batch combiner then reduces the
+    pair table to two scalars: n_edges = sum(fwd + bwd) distinct
+    directed edges, n_reciprocated = 2 * |pairs with both bits|. At
+    corpus scale the pair table is the only shuffle and everything
+    after it is a two-int partial per block.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().cast(pa.string())
+        d = batch.column("dst").combine_chunks().cast(pa.string())
+        keep = pc.invert(pc.equal(s, d))          # drop self-loops
+        s, d = s.filter(keep), d.filter(keep)
+        is_fwd = pc.less(s, d)                    # src is the lex-lo end
+        one = pa.scalar(1, pa.int64())
+        fwd = pc.cast(is_fwd, pa.int64())
+        return pa.table({
+            "lo": pc.if_else(is_fwd, s, d),
+            "hi": pc.if_else(is_fwd, d, s),
+            "fwd": fwd,
+            "bwd": pc.subtract(one, fwd),
+        })
+
+    ed = edges_ds.map_batches(orient, batch_format="pyarrow")
+
+    if dump is not None:
+        ed = ed.materialize()
+        t = pa.concat_tables(ray_get_tables(ed))
+        # reconstruct the directed (src, dst) list for the SQL oracle
+        # (it re-derives DISTINCT edges and the reverse-join itself)
+        is_f = pc.cast(t.column("fwd"), pa.bool_())
+        dump(pa.table({
+            "src": pc.if_else(is_f, t.column("lo"), t.column("hi")),
+            "dst": pc.if_else(is_f, t.column("hi"), t.column("lo")),
+        }))
+
+    pairs = ed.groupby(["lo", "hi"]).aggregate(
+        Max("fwd", alias_name="fwd"), Max("bwd", alias_name="bwd"))
+
+    def part(batch: pa.Table) -> pa.Table:
+        f = batch.column("fwd").to_numpy(zero_copy_only=False)
+        b = batch.column("bwd").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_nd": pa.array([int((f + b).sum())], pa.int64()),
+            "_nr": pa.array([2 * int(((f == 1) & (b == 1)).sum())],
+                            pa.int64()),
+        })
+
+    mom = pairs.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    n_dir, n_rec = int(mom["_nd"]), int(mom["_nr"])
+    rec = (np.floor(1e6 * n_rec / n_dir + 0.5) / 1e6) if n_dir else 0.0
+    return pa.table({
+        "n_edges": pa.array([n_dir], pa.int64()),
+        "n_reciprocated": pa.array([n_rec], pa.int64()),
+        "reciprocity": pa.array([float(rec)], pa.float64()),
+    })
+
+
+def crawl_reciprocity(sf_dir: str, *, dump=None):
+    """Query entry: link reciprocity of the crawl graph. Self-dump
+    SQL-gated: the oracle re-derives DISTINCT directed edges from the
+    dump and left-joins the reversed list independently."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_recip_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return edge_reciprocity(edges, dump=dump)
