@@ -732,6 +732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": analysis.top_customer_revenue,
         "events_daily": analysis.events_daily,
         "user_sessions": analysis.user_sessions,
+        # gaps-and-islands: user-keyed shuffle + numpy island scan
+        "user_day_streaks": analysis.user_day_streaks,
+        # two-phase global min/max broadcast + bucket groupby
+        "events_value_histogram": analysis.events_value_histogram,
         "events_asof_orders": analysis.events_asof_orders,
         # keyed range join (1:N interval join), DuckDB-oracle-gated
         "orders_repeat_window_join": analysis.orders_repeat_window_join,
@@ -1350,6 +1354,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type, count(*) AS n_parts,
                    round(avg(p_retailprice), 4) AS avg_price
             FROM part GROUP BY p_type
+        """,
+        # gaps-and-islands via the day - row_number() trick — a fully
+        # independent formulation of the engine's diff/cumsum scan
+        "user_day_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events
+            ), g AS (
+                SELECT user_id, day,
+                       day - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS INTEGER)
+                           AS grp
+                FROM d
+            ), runs AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM runs GROUP BY user_id
+        """,
+        # same float64 operation order as the engine's bucketize
+        "events_value_histogram": """
+            WITH mm AS (
+                SELECT min(value) AS mn, max(value) AS mx FROM events
+            ), b AS (
+                SELECT CAST(LEAST(FLOOR((value - mn) * 20 / (mx - mn)),
+                                  19) AS BIGINT) AS bucket,
+                       mn, mx
+                FROM events, mm
+            )
+            SELECT bucket,
+                   round(min(mn) + bucket * (min(mx) - min(mn)) / 20, 6)
+                       AS lo,
+                   round(min(mn) + (bucket + 1)
+                         * (min(mx) - min(mn)) / 20, 6) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "nation_region_join": """
             SELECT n_nationkey, n_name, r_name

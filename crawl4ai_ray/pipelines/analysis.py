@@ -5445,3 +5445,83 @@ def part_copurchase_pairs(sf_dir: str, top_n: int = 20):
             .sort(["n_orders", "p_lo", "p_hi"],
                   descending=[True, False, False])
             .limit(top_n))
+
+
+def user_day_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, the number of distinct active days
+    and the longest run of CONSECUTIVE active days (the retention-
+    streak shape; SQL expresses it with the day - row_number() island
+    trick, which has no direct Ray Data operator).
+
+    Distributed shape: project (user_id, day), then ONE
+    groupby(user_id).map_groups — groups are bounded (a user's
+    distinct days), and the per-group body is numpy-vectorized
+    (unique → diff → cumsum island ids → bincount run lengths), so
+    the only exchange is the user-keyed shuffle of two small columns.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day": batch.column("ts").cast(pa.timestamp("us")).cast(
+                pa.date32()),
+        })
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["day"].to_numpy().astype("datetime64[D]"))
+        if len(d) > 1:
+            brk = np.diff(d).astype("timedelta64[D]").astype(np.int64) != 1
+            runs = np.bincount(np.concatenate(([0], np.cumsum(brk))))
+            longest = int(runs.max())
+        else:
+            longest = len(d)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_active_days": [len(d)],
+            "longest_streak": [longest],
+        })
+
+    return (ds.map_batches(to_day, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(streaks, batch_format="pandas"))
+
+
+def events_value_histogram(sf_dir: str, n_buckets: int = 20):
+    """Equal-width histogram of event values — the two-phase
+    global-stat shape: pass 1 reduces to two scalars (min/max, a
+    per-block combiner aggregate), which are broadcast into pass 2's
+    bucket-assignment map_batches; the only exchange after that is a
+    groupby over ≤``n_buckets`` keys.
+
+    Bucket arithmetic is ``floor((v - mn) * n / (mx - mn))`` clipped
+    to ``n - 1``, evaluated in float64 in exactly the SQL oracle's
+    operation order so boundary values land identically.
+    """
+    ds = _read(sf_dir, "events", ["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    mn, mx = float(mm["min(value)"]), float(mm["max(value)"])
+    width_inv_num = float(n_buckets)   # bucket = (v-mn)*n/(mx-mn)
+    span = mx - mn
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor((v - mn) * width_inv_num / span)
+        b = np.minimum(b, n_buckets - 1).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64())})
+
+    agg = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="n_events")))
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        w = span / n_buckets
+        return pa.table({
+            "bucket": batch.column("bucket"),
+            "lo": pa.array(np.round(mn + b * w, 6), pa.float64()),
+            "hi": pa.array(np.round(mn + (b + 1) * w, 6), pa.float64()),
+            "n_events": batch.column("n_events"),
+        })
+
+    return (agg.map_batches(bounds, batch_format="pyarrow")
+            .sort("bucket"))
