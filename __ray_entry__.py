@@ -736,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
         "events_value_histogram": analysis.events_value_histogram,
+        # aggregate -> tiny broadcast -> vectorized filter-back
+        "events_outliers_by_type": analysis.events_outliers_by_type,
         "events_asof_orders": analysis.events_asof_orders,
         # keyed range join (1:N interval join), DuckDB-oracle-gated
         "orders_repeat_window_join": analysis.orders_repeat_window_join,
@@ -1375,6 +1377,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len) AS BIGINT) AS n_active_days,
                    CAST(max(len) AS BIGINT) AS longest_streak
             FROM runs GROUP BY user_id
+        """,
+        # independent one-pass stddev_samp vs the engine's moment sums
+        "events_outliers_by_type": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sd
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN abs(e.value - s.mu) > 2.5 * s.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         # same float64 operation order as the engine's bucketize
         "events_value_histogram": """

@@ -5525,3 +5525,66 @@ def events_value_histogram(sf_dir: str, n_buckets: int = 20):
 
     return (agg.map_batches(bounds, batch_format="pyarrow")
             .sort("bucket"))
+
+
+def events_outliers_by_type(sf_dir: str, z: float = 2.5):
+    """Grouped z-score outlier detection — the aggregate→broadcast→
+    filter-back shape: pass 1 reduces to per-type mean/std via moment
+    partials (sum, sum-of-squares, count — a tiny groupby), the
+    handful of per-type thresholds is broadcast with ``ray.put``, and
+    pass 2 filters the fact table vectorized against the sorted-array
+    probe (no per-row dict lookups, no fact-side shuffle).
+
+    Output: per type, total events and how many sit beyond ``z``
+    sample standard deviations from that type's mean.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.float64)
+        s = np.bincount(inv, weights=v)
+        s2 = np.bincount(inv, weights=v * v)
+        return pa.table({"event_type": pa.array(keys),
+                         "_n": pa.array(n), "_s": pa.array(s),
+                         "_s2": pa.array(s2)})
+
+    stats = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("_n", alias_name="n"),
+                        Sum("_s", alias_name="s"),
+                        Sum("_s2", alias_name="s2"))
+             .to_pandas())                       # one row per event type
+    n = stats["n"].to_numpy()
+    mean = stats["s"].to_numpy() / n
+    # sample variance from moments, guarded against fp negatives
+    var = np.maximum((stats["s2"].to_numpy() - n * mean * mean)
+                     / np.maximum(n - 1, 1.0), 0.0)
+    order = np.argsort(stats["event_type"].to_numpy())
+    ref = ray.put((stats["event_type"].to_numpy()[order],
+                   mean[order], np.sqrt(var)[order]))
+
+    def flag(batch: pa.Table, ref=ref, z=z) -> pa.Table:
+        import ray as _ray
+
+        keys, mu, sd = _ray.get(ref)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, et)
+        dev = np.abs(v - mu[idx])
+        out = dev > z * sd[idx]
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "_one": pa.array(np.ones(len(et), np.int64)),
+            "_out": pa.array(out.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(flag, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("_one", alias_name="n_events"),
+                      Sum("_out", alias_name="n_outliers")))
+    return agg.sort("event_type")
