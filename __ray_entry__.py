@@ -738,6 +738,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": analysis.events_value_histogram,
         # aggregate -> tiny broadcast -> vectorized filter-back
         "events_outliers_by_type": analysis.events_outliers_by_type,
+        # grouped rank statistic via distributed ROW_NUMBER partials
+        "order_gini_by_priority": analysis.order_gini_by_priority,
+        # bounded within-user pair fan-out + pair groupby + broadcast
+        "event_type_user_jaccard": analysis.event_type_user_jaccard,
         "events_asof_orders": analysis.events_asof_orders,
         # keyed range join (1:N interval join), DuckDB-oracle-gated
         "orders_repeat_window_join": analysis.orders_repeat_window_join,
@@ -1377,6 +1381,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len) AS BIGINT) AS n_active_days,
                    CAST(max(len) AS BIGINT) AS longest_streak
             FROM runs GROUP BY user_id
+        """,
+        # DISTINCT + self-join formulation, independent of the
+        # within-user triu fan-out
+        "event_type_user_jaccard": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ), c AS (
+                SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+            ), p AS (
+                SELECT a.event_type AS t_lo, b.event_type AS t_hi,
+                       count(*) AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT t_lo, t_hi, CAST(n_both AS BIGINT) AS n_both,
+                   round(n_both * 1.0 / (ca.n + cb.n - n_both), 6)
+                       AS jaccard
+            FROM p JOIN c ca ON ca.event_type = t_lo
+                   JOIN c cb ON cb.event_type = t_hi
+            ORDER BY t_lo, t_hi
+        """,
+        # rank identity G = (2*sum(rn*v) - (n+1)*sum(v)) / (n*sum(v));
+        # the window row_number is the independent rank derivation
+        "order_gini_by_priority": """
+            WITH r AS (
+                SELECT o_orderpriority, o_totalprice AS v,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round((2 * sum(rn * v) - (count(*) + 1) * sum(v))
+                         / (count(*) * sum(v)), 6) AS gini
+            FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # independent one-pass stddev_samp vs the engine's moment sums
         "events_outliers_by_type": """

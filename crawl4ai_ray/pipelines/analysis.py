@@ -5588,3 +5588,129 @@ def events_outliers_by_type(sf_dir: str, z: float = 2.5):
            .aggregate(Sum("_one", alias_name="n_events"),
                       Sum("_out", alias_name="n_outliers")))
     return agg.sort("event_type")
+
+
+def order_gini_by_priority(sf_dir: str):
+    """Grouped Gini concentration index over order values — the
+    rank-statistic shape that CANNOT fall back to per-group map_groups
+    (5 priority values would put n/5 of the table in one task).
+
+    Scale shape: the `_pnum_prepare`/`_pnum_rn` distributed
+    ROW_NUMBER machinery (one global sort by (priority, value, key) —
+    the operator's inherent exchange — plus one tiny per-(block,
+    partition) count row to the driver), then Gini per group from the
+    rank identity G = (2*Σ(rank·v) − (n+1)·Σv) / (n·Σv), reduced via
+    three per-block partial sums and a 5-row groupby. Ties are safe:
+    equal values permuted among adjacent ranks leave Σ(rank·v)
+    unchanged, so the arbitrary tiebreak never shows in the result.
+    """
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sorted_ds, bases, totals = _pnum_prepare(
+        ds, ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        [False, False, False], "o_orderpriority", "o_orderkey")
+    bref = ray.put(bases)
+
+    def partials(batch: pa.Table, bref=bref) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "_rv": pa.array([], pa.float64()),
+                             "_v": pa.array([], pa.float64()),
+                             "_n": pa.array([], pa.int64())})
+        rn, pr = _pnum_rn(batch, "o_orderpriority", "o_orderkey",
+                          _ray.get(bref))
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(np.asarray(pr, dtype=object),
+                              return_inverse=True)
+        return pa.table({
+            "o_orderpriority": pa.array([str(k) for k in keys]),
+            "_rv": pa.array(np.bincount(inv, weights=rn * v)),
+            "_v": pa.array(np.bincount(inv, weights=v)),
+            "_n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    agg = (sorted_ds.map_batches(partials, batch_format="pyarrow",
+                                 batch_size=None)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("_rv", alias_name="rv"),
+                      Sum("_v", alias_name="sv"),
+                      Sum("_n", alias_name="n_orders")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rv = batch.column("rv").to_numpy(zero_copy_only=False)
+        sv = batch.column("sv").to_numpy(zero_copy_only=False)
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        gini = (2.0 * rv - (n + 1.0) * sv) / (n * sv)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_orders": batch.column("n_orders"),
+            "gini": pa.array(np.round(gini, 6), pa.float64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort("o_orderpriority"))
+
+
+def event_type_user_jaccard(sf_dir: str):
+    """Category set-overlap: Jaccard similarity between the distinct-
+    USER sets of every event-type pair (audience overlap — which
+    behaviors share users).
+
+    Scale shape: dedupe to (user, type) with one groupby, fan out
+    within-user type pairs in a user-keyed map_groups whose group size
+    is bounded by the type-vocabulary (≤ tens), count pair support
+    with a pair groupby, and broadcast the tiny per-type distinct-user
+    totals as sorted probe arrays into the vectorized Jaccard
+    finisher. The user-keyed shuffle of two small columns is the only
+    data-sized exchange; nothing is ever all-pairs over users.
+    """
+    import ray
+
+    ut = (_read(sf_dir, "events", ["user_id", "event_type"])
+          .groupby(["user_id", "event_type"])
+          .aggregate(Count(alias_name="_c"))
+          .select_columns(["user_id", "event_type"])
+          .materialize())          # pair fan-out + totals both read it
+
+    totals = ut.groupby("event_type").aggregate(
+        Count(alias_name="n")).to_pandas()
+    order = np.argsort(totals["event_type"].to_numpy())
+    tref = ray.put((totals["event_type"].to_numpy()[order],
+                    totals["n"].to_numpy()[order].astype(np.float64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["event_type"].unique())
+        if len(ts) < 2:
+            return pd.DataFrame({"t_lo": pd.Series([], dtype=object),
+                                 "t_hi": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(ts), k=1)
+        return pd.DataFrame({"t_lo": ts[i], "t_hi": ts[j]})
+
+    agg = (ut.groupby("user_id").map_groups(pairs, batch_format="pandas")
+           .groupby(["t_lo", "t_hi"])
+           .aggregate(Count(alias_name="n_both")))
+
+    def finish(batch: pa.Table, tref=tref) -> pa.Table:
+        import ray as _ray
+
+        keys, n = _ray.get(tref)
+        lo = batch.column("t_lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("t_hi").to_numpy(zero_copy_only=False)
+        both = batch.column("n_both").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        na = n[np.searchsorted(keys, lo)]
+        nb = n[np.searchsorted(keys, hi)]
+        jac = both / (na + nb - both)
+        return pa.table({
+            "t_lo": batch.column("t_lo"),
+            "t_hi": batch.column("t_hi"),
+            "n_both": batch.column("n_both"),
+            "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["t_lo", "t_hi"]))
