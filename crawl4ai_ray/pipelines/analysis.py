@@ -3214,9 +3214,14 @@ def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
     top = rev.filter(expr=f"total_revenue >= {float(mx)!r}")
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    # ONE join partition: the winner set is a handful of rows by
+    # construction, and Ray 2.49's hash-shuffle join crashes when a
+    # partition receives no left shards at all (empty ArrowBlockBuilder
+    # -> schema-less table -> acero "no match for FieldRef"), which a
+    # tiny multi-block left with empty blocks reliably triggers.
     named = top.join(supp, join_type="inner", on=("l_suppkey",),
                      right_on=("s_suppkey",),
-                     num_partitions=_join_parts(top, supp)).to_pandas()
+                     num_partitions=1).to_pandas()
     named["s_suppkey"] = named["l_suppkey"]
     named["total_revenue"] = _round2_snap(
         named["total_revenue"].to_numpy())
