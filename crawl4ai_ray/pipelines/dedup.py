@@ -353,10 +353,97 @@ def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
     return _verify_exact_jaccard(cand, sh, threshold)
 
 
-def _verify_exact_jaccard(cand, sh, threshold: float):
+def _sorted_distinct_u64(keyed, col: str = "k"):
+    """DISTINCT over a uint64 key column via range sort + per-block
+    run-length, instead of a groupby aggregate — Ray's sort-based
+    Aggregate pays per-group Python overhead, measured 653 s for the
+    7.9M mostly-singleton pair groups the exact jaccard join produces
+    at sf0.1, where the same rows range-sort in seconds.
+
+    After the sort equal keys are globally contiguous, so a key
+    strictly inside a block cannot recur elsewhere; only each block's
+    FIRST and LAST distinct values can span blocks.  Interior uniques
+    stay distributed; the ≤2-per-block boundary values are deduped on
+    the driver and unioned back as one tiny block."""
+    s = keyed.sort(col)
+
+    def runs(batch: pa.Table) -> pa.Table:
+        kk = batch.column(col).to_numpy(zero_copy_only=False)
+        vals = np.unique(kk)
+        bnd = np.zeros(len(vals), bool)
+        if len(vals):
+            bnd[0] = bnd[-1] = True
+        return pa.table({col: pa.array(vals, pa.uint64()),
+                         "_bnd": pa.array(bnd)})
+
+    parts = s.map_batches(runs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior = parts.filter(expr="_bnd == False").select_columns([col])
+    bvals = np.unique(parts.filter(expr="_bnd == True")
+                      .to_pandas()[col].to_numpy())       # ≤ 2 × blocks
+    if len(bvals) == 0:
+        return interior
+    return interior.union(rd.from_arrow(
+        pa.table({col: pa.array(bvals, pa.uint64())})))
+
+
+# total shingle-blob bytes under which exact-verify broadcasts the
+# whole blob table once via ray.put instead of running two hash joins
+# per candidate pair (the joins ship each blob once PER PAIR, so with
+# millions of candidates against a corpus whose blobs fit comfortably
+# in memory the broadcast probe is strictly better)
+_VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+def _verify_exact_jaccard(cand, sh, threshold: float,
+                          broadcast_bytes: int = _VERIFY_BROADCAST_BYTES):
     """Candidate pairs (doc_a, doc_b) + shingle table → exact-Jaccard
-    verified pairs (doc_a, doc_b, jaccard round 6): two hash joins
-    attach the shingle blobs, one stateless map verifies."""
+    verified pairs (doc_a, doc_b, jaccard round 6).
+
+    Gated two ways: when the whole shingle-blob table fits under
+    ``broadcast_bytes`` it ships ONCE via ``ray.put`` as (sorted
+    doc_id, offsets, one concatenated uint64 buffer) and a stateless
+    map probes both sides per pair (no pair-sized shuffle at all);
+    above the gate, two hash joins attach the blobs per pair."""
+    sizes = sh.map_batches(
+        lambda b: pa.table({"_nb": pa.array(
+            [sum(len(x) for x in b.column("shingles").to_pylist())],
+            pa.int64())}),
+        batch_format="pyarrow")
+    total_bytes = int(sizes.to_pandas()["_nb"].sum())
+    if total_bytes <= broadcast_bytes:
+        pdf = sh.to_pandas()
+        order = np.argsort(pdf["doc_id"].to_numpy())
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        blobs = [np.frombuffer(pdf["shingles"].iloc[i], dtype=np.uint64)
+                 for i in order]
+        lens = np.array([len(x) for x in blobs], np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = (np.concatenate(blobs) if blobs
+                else np.zeros(0, np.uint64))
+        ref = ray.put((ids, offs, flat))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            ids, offs, flat = ray.get(ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            out_a, out_b, out_j = [], [], []
+            for x, y, pa_, pb_ in zip(a, b, ia, ib):
+                sa = flat[offs[pa_]:offs[pa_ + 1]]
+                sb = flat[offs[pb_]:offs[pb_ + 1]]
+                jac = jaccard(sa, sb)
+                if jac >= threshold:
+                    out_a.append(int(x))
+                    out_b.append(int(y))
+                    out_j.append(round(jac, 6))
+            return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                             "doc_b": pa.array(out_b, pa.int64()),
+                             "jaccard": pa.array(out_j, pa.float64())})
+
+        return cand.map_batches(probe, batch_format="pyarrow",
+                                batch_size=65536)
     n = _join_parts(cand, sh)
     j = cand.join(sh.rename_columns({"doc_id": "doc_a", "shingles": "sh_a"}),
                   "inner", n, on=("doc_a",))
@@ -431,7 +518,8 @@ def jaccard_join_exact(sf_dir: str, *, k: int = 2, threshold: float = 0.5):
             "doc_id": pa.array(np.concatenate(docs)),
         })
 
-    postings = sh.map_batches(explode_postings, batch_format="pyarrow")
+    postings = sh.map_batches(explode_postings,
+                              batch_format="pyarrow").materialize()
     df = postings.groupby("sh_key").aggregate(Count(alias_name="df"))
     pdf = postings.join(df, "inner", _join_parts(postings, df),
                         on=("sh_key",))
@@ -445,23 +533,55 @@ def jaccard_join_exact(sf_dir: str, *, k: int = 2, threshold: float = 0.5):
     prefix = pdf.groupby("doc_id").map_groups(prefix_cut,
                                               batch_format="pandas")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
+    # per-doc set sizes, broadcast once for Bayardo's length filter
+    # (J >= t implies min(|A|,|B|) >= t * max(|A|,|B|)) — a pair that
+    # fails it can never verify, so dropping it at emission is exact
+    szdf = sh.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n": pa.array([len(x) // 8
+                           for x in b.column("shingles").to_pylist()],
+                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    sz_order = np.argsort(szdf["doc_id"].to_numpy())
+    szref = ray.put((szdf["doc_id"].to_numpy()[sz_order].astype(np.int64),
+                     szdf["n"].to_numpy()[sz_order].astype(np.float64)))
+
+    def emit_pairs(group: pa.Table, szref=szref) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy())
         n = len(ids)
         if n < 2:
             return _EMPTY_PAIRS
+        skeys, svals = ray.get(szref)
+        sz = svals[np.searchsorted(skeys, ids)]
         ia, ib = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia]),
-                         "doc_b": pa.array(ids[ib])})
+        keep = (np.minimum(sz[ia], sz[ib])
+                >= threshold * np.maximum(sz[ia], sz[ib]))
+        return pa.table({"doc_a": pa.array(ids[ia][keep]),
+                         "doc_b": pa.array(ids[ib][keep])})
 
-    cand = (
-        prefix.groupby("sh_key")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()
-    )
+    pairs = prefix.groupby("sh_key").map_groups(emit_pairs,
+                                                batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        assert len(a) == 0 or int(a.max()) < (1 << 32)
+        return pa.table({"k": pa.array(
+            (a.astype(np.uint64) << np.uint64(32))
+            | b.astype(np.uint64), pa.uint64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array((kk >> np.uint64(32)).astype(np.int64)),
+            "doc_b": pa.array((kk & np.uint64(0xFFFFFFFF))
+                              .astype(np.int64)),
+        })
+
+    cand = _sorted_distinct_u64(
+        pairs.map_batches(pack, batch_format="pyarrow"), "k"
+    ).map_batches(unpack, batch_format="pyarrow").materialize()
     if cand.count() == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
