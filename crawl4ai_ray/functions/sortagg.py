@@ -1,0 +1,72 @@
+"""Sort-based keyed reduction for HIGH-CARDINALITY keys.
+
+Ray's ``groupby().aggregate()`` is a range sort followed by a
+per-group Python finisher — fine when groups are few, pathological
+when nearly every row is its own group (measured in this repo:
+150 s for 1.2M singleton pair groups, 653 s for 7.9M, ~30 s for the
+580k (order, supplier) pairs of TPC-H Q21 — where a plain range sort
+of the same rows runs in well under a second).
+
+``sorted_keyed_sum`` keeps the sort (the operator's inherent
+exchange) and replaces the per-group finisher with one vectorized
+``np.unique``/``np.bincount`` pass per BLOCK: after a range sort,
+equal keys are globally contiguous, so every run strictly inside a
+block is complete and its partial sums are exact.  Only each block's
+FIRST and LAST key can span block boundaries; those ≤2-per-block
+boundary rows are summed on the driver and unioned back as one tiny
+block.  The result stays a distributed Dataset — nothing key-sized
+ever lands on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["sorted_keyed_sum"]
+
+
+def sorted_keyed_sum(ds, key: str, val_cols: list,
+                     key_type: pa.DataType | None = None):
+    """Exact per-key sums of ``val_cols`` grouped by the (single,
+    numeric) ``key`` column — semantics of
+    ``ds.groupby(key).aggregate(Sum(v) for v in val_cols)`` with sort
+    + run-length execution.  Composite keys should be packed into one
+    integer by the caller (e.g. ``hi32 << 32 | lo32``).  Returns a
+    Dataset with columns ``[key, *val_cols]`` (sums keep each value
+    column's numpy dtype: int64 stays int64, float64 stays float64).
+    """
+    s = ds.sort(key)
+
+    def runs(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            cols = {key: pa.array([], key_type or pa.int64())}
+            for v in val_cols:
+                cols[v] = pa.array([], pa.float64())
+            cols["_bnd"] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        vals, inv = np.unique(k, return_inverse=True)
+        bnd = np.zeros(len(vals), bool)
+        bnd[0] = bnd[-1] = True
+        cols = {key: pa.array(vals)}
+        for v in val_cols:
+            w = batch.column(v).to_numpy(zero_copy_only=False)
+            sums = np.bincount(inv, weights=w)
+            if np.issubdtype(w.dtype, np.integer):
+                sums = sums.astype(np.int64)
+            cols[v] = pa.array(sums)
+        cols["_bnd"] = pa.array(bnd)
+        return pa.table(cols)
+
+    parts = s.map_batches(runs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior = parts.filter(expr="_bnd == False") \
+        .select_columns([key] + list(val_cols))
+    bpd = parts.filter(expr="_bnd == True").to_pandas()  # ≤ 2 × blocks
+    if len(bpd) == 0:
+        return interior
+    merged = bpd.groupby(key, as_index=False)[list(val_cols)].sum()
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(merged, preserve_index=False)))

@@ -4207,37 +4207,63 @@ def q16_supplier_part_variety(sf_dir: str,
                                      batch_format="pyarrow",
                                      batch_size=65536)
 
-    pairs = pair_src.groupby(["l_partkey", "l_suppkey"]) \
-        .aggregate(Max("_one", alias_name="_one"))
+    # the (brand, type, size) vocabulary is FIXED (catalog attribute
+    # domains), not SF-scaled, so the dim table is always tiny:
+    # per-batch dedup partials over eligible reduce to it exactly,
+    # and it broadcasts as a dense dim_id mapping. The former
+    # string-keyed quad groupby cost 19.7 s for 66k groups at sf0.1
+    # (Ray's per-group finisher is brutal on string keys); packing
+    # (dim_id << 32 | suppkey) and running the sort + run-length
+    # distinct brings the whole tail under 2 s.
+    from .dedup import _sorted_distinct_u64
 
-    attrs = pairs.join(eligible, join_type="inner", on=("l_partkey",),
-                       right_on=("p_partkey",),
-                       num_partitions=_join_parts(pairs, eligible))
+    attrs = pair_src.join(eligible, join_type="inner",
+                          on=("l_partkey",), right_on=("p_partkey",),
+                          num_partitions=_join_parts(pair_src,
+                                                     eligible))
 
-    def qpartial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["p_brand", "p_type", "p_size",
-                           "l_suppkey"]).to_pandas().drop_duplicates()
-        df["_one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    dcols = ["p_brand", "p_type", "p_size"]
+    vocab = (eligible.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(dcols).to_pandas().drop_duplicates(),
+            preserve_index=False),
+        batch_format="pyarrow", batch_size=65536)
+        .to_pandas().drop_duplicates()
+        .sort_values(dcols).reset_index(drop=True))
+    vocab["_dim"] = np.arange(len(vocab), dtype=np.int64)
+    vref = ray.put(vocab)
 
-    quads = attrs.map_batches(qpartial, batch_format="pyarrow",
-                              batch_size=65536) \
-        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
-        .aggregate(Max("_one", alias_name="_one"))
+    def to_dim(batch: pa.Table, vref=vref) -> pa.Table:
+        v = ray.get(vref)
+        df = batch.select(dcols + ["l_suppkey"]).to_pandas() \
+            .drop_duplicates()
+        m = df.merge(v, on=dcols, how="left")
+        dim = m["_dim"].to_numpy().astype(np.uint64)
+        sk = m["l_suppkey"].to_numpy().astype(np.uint64)
+        return pa.table({"k": pa.array((dim << np.uint64(32)) | sk,
+                                       pa.uint64())})
 
-    def cpartial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["p_brand", "p_type", "p_size"]).to_pandas()
-        df["_n"] = np.int64(1)
-        g = df.groupby(["p_brand", "p_type", "p_size"],
-                       as_index=False)["_n"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    quads = _sorted_distinct_u64(
+        attrs.map_batches(to_dim, batch_format="pyarrow",
+                          batch_size=65536), "k")
 
-    return quads.map_batches(cpartial, batch_format="pyarrow",
-                             batch_size=65536) \
-        .groupby(["p_brand", "p_type", "p_size"]) \
-        .aggregate(Sum("_n", alias_name="supplier_cnt")) \
-        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
-              descending=[True, False, False, False])
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy(zero_copy_only=False)
+        dim = (kk >> np.uint64(32)).astype(np.int64)
+        cnt = np.bincount(dim, minlength=len(vocab)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"_dim": pa.array(nz, pa.int64()),
+                         "_n": pa.array(cnt[nz], pa.int64())})
+
+    cdf = quads.map_batches(dim_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas() \
+        .groupby("_dim", as_index=False)["_n"].sum()   # ≤ vocab rows
+    out = vocab.merge(cdf, on="_dim", how="inner") \
+        .rename(columns={"_n": "supplier_cnt"}) \
+        .sort_values(["supplier_cnt"] + dcols,
+                     ascending=[False, True, True, True])
+    return pa.Table.from_pandas(
+        out[dcols + ["supplier_cnt"]], preserve_index=False)
 
 
 def q20_promotable_suppliers(sf_dir: str, name_prefix: str = "red",
@@ -4400,10 +4426,39 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = 90,
                        as_index=False)["_late"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    pairs = joined.map_batches(ppartial, batch_format="pyarrow",
-                               batch_size=65536) \
-        .groupby(["l_orderkey", "l_suppkey"]) \
-        .aggregate(Sum("_late", alias_name="plate"))
+    # ~one (order, supplier) group per lineitem row makes Ray's
+    # sort-based Aggregate pathological here (per-group Python
+    # finisher); pack the two uint32-range keys and reduce with the
+    # sort + per-block run-length machinery instead
+    from ..functions.sortagg import sorted_keyed_sum
+
+    def pack_os(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        assert len(o) == 0 or int(o.max()) < (1 << 32)
+        return pa.table({
+            "k": pa.array((o.astype(np.uint64) << np.uint64(32))
+                          | sk.astype(np.uint64), pa.uint64()),
+            "_late": batch.column("_late"),
+        })
+
+    def unpack_os(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({
+            "l_orderkey": pa.array((kk >> np.uint64(32))
+                                   .astype(np.int64)),
+            "l_suppkey": pa.array((kk & np.uint64(0xFFFFFFFF))
+                                  .astype(np.int64)),
+            "plate": batch.column("_late").cast(pa.int64()),
+        })
+
+    pairs = sorted_keyed_sum(
+        joined.map_batches(ppartial, batch_format="pyarrow",
+                           batch_size=65536)
+        .map_batches(pack_os, batch_format="pyarrow"),
+        "k", ["_late"], key_type=pa.uint64(),
+    ).map_batches(unpack_os, batch_format="pyarrow").materialize()
 
     def opartial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -4417,11 +4472,11 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = 90,
             _ns=("_ns", "sum"), _nl=("_nl", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_order = pairs.map_batches(opartial, batch_format="pyarrow",
-                                  batch_size=65536) \
-        .groupby("l_orderkey") \
-        .aggregate(Sum("_ns", alias_name="_ns"),
-                   Sum("_nl", alias_name="_nl"))
+    # one group per finished order — same high-cardinality shape
+    per_order = sorted_keyed_sum(
+        pairs.map_batches(opartial, batch_format="pyarrow",
+                          batch_size=65536),
+        "l_orderkey", ["_ns", "_nl"])
 
     def qfilt(batch: pa.Table) -> pa.Table:
         ns = batch.column("_ns").to_numpy(zero_copy_only=False)
