@@ -26,17 +26,20 @@ import ray.data as rd
 
 __all__ = ["sorted_keyed_sum"]
 
+_UFUNC = {"sum": np.add, "max": np.maximum, "min": np.minimum}
+
 
 def sorted_keyed_sum(ds, key: str, val_cols: list,
-                     key_type: pa.DataType | None = None):
-    """Exact per-key sums of ``val_cols`` grouped by the (single,
-    numeric) ``key`` column — semantics of
-    ``ds.groupby(key).aggregate(Sum(v) for v in val_cols)`` with sort
-    + run-length execution.  Composite keys should be packed into one
-    integer by the caller (e.g. ``hi32 << 32 | lo32``).  Returns a
-    Dataset with columns ``[key, *val_cols]`` (sums keep each value
-    column's numpy dtype: int64 stays int64, float64 stays float64).
-    """
+                     key_type: pa.DataType | None = None,
+                     how: str = "sum"):
+    """Exact per-key ``how``-reduction (sum/max/min) of ``val_cols``
+    grouped by the (single, numeric) ``key`` column — semantics of
+    ``ds.groupby(key).aggregate(...)`` with sort + run-length
+    execution.  Composite keys should be packed into one integer by
+    the caller (e.g. ``hi32 << 32 | lo32``).  Returns a Dataset with
+    columns ``[key, *val_cols]`` (each value column keeps its numpy
+    dtype; integer sums stay int64)."""
+    ufunc = _UFUNC[how]
     s = ds.sort(key)
 
     def runs(batch: pa.Table) -> pa.Table:
@@ -47,16 +50,19 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
                 cols[v] = pa.array([], pa.float64())
             cols["_bnd"] = pa.array([], pa.bool_())
             return pa.table(cols)
-        vals, inv = np.unique(k, return_inverse=True)
+        # k is globally sorted -> runs are contiguous; reduce each run
+        # with one ufunc.reduceat, no per-group Python
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        vals = k[starts]
         bnd = np.zeros(len(vals), bool)
         bnd[0] = bnd[-1] = True
         cols = {key: pa.array(vals)}
         for v in val_cols:
             w = batch.column(v).to_numpy(zero_copy_only=False)
-            sums = np.bincount(inv, weights=w)
-            if np.issubdtype(w.dtype, np.integer):
-                sums = sums.astype(np.int64)
-            cols[v] = pa.array(sums)
+            red = ufunc.reduceat(w, starts)
+            if how == "sum" and np.issubdtype(w.dtype, np.integer):
+                red = red.astype(np.int64)
+            cols[v] = pa.array(red)
         cols["_bnd"] = pa.array(bnd)
         return pa.table(cols)
 
@@ -67,6 +73,6 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
     bpd = parts.filter(expr="_bnd == True").to_pandas()  # ≤ 2 × blocks
     if len(bpd) == 0:
         return interior
-    merged = bpd.groupby(key, as_index=False)[list(val_cols)].sum()
+    merged = bpd.groupby(key, as_index=False)[list(val_cols)].agg(how)
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(merged, preserve_index=False)))

@@ -393,10 +393,14 @@ def top_customer_revenue(sf_dir: str, k: int = 20):
         )
 
     out = orders.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    agg = out.groupby("c_custkey").aggregate(
-        Sum("_rev", alias_name="revenue"),
-        Sum("_cnt", alias_name="n_orders"),
-    )
+    # one group per customer (SF-scaled cardinality): reduce via the
+    # sort + per-block run-length machinery instead of Ray's Aggregate
+    # (per-group finisher overhead at 30k+ groups — this was the
+    # headline bench's flattest query until r5)
+    from ..functions.sortagg import sorted_keyed_sum
+
+    agg = sorted_keyed_sum(out, "c_custkey", ["_rev", "_cnt"]) \
+        .rename_columns({"_rev": "revenue", "_cnt": "n_orders"})
 
     def rnd(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -2543,10 +2547,12 @@ def q4_order_priority(sf_dir: str, date_from: str = "1996-01-01",
         g = df.groupby("l_orderkey", as_index=False)["_maxship"].max()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    maxship = li.map_batches(lpartial, batch_format="pyarrow",
-                             batch_size=65536) \
-        .groupby("l_orderkey").aggregate(Max("_maxship",
-                                             alias_name="_maxship"))
+    from ..functions.sortagg import sorted_keyed_sum
+
+    maxship = sorted_keyed_sum(
+        li.map_batches(lpartial, batch_format="pyarrow",
+                       batch_size=65536),
+        "l_orderkey", ["_maxship"], how="max")
 
     lo, hi = np.datetime64(date_from), np.datetime64(date_to)
     orders = _read(sf_dir, "orders",
@@ -2694,9 +2700,12 @@ def q18_large_volume_customers(sf_dir: str, min_qty: float = 200.0,
         g = df.groupby("l_orderkey", as_index=False)["_qty"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    sums = li.map_batches(lpartial, batch_format="pyarrow",
-                          batch_size=65536) \
-        .groupby("l_orderkey").aggregate(Sum("_qty", alias_name="sum_qty"))
+    from ..functions.sortagg import sorted_keyed_sum
+
+    sums = sorted_keyed_sum(
+        li.map_batches(lpartial, batch_format="pyarrow",
+                       batch_size=65536),
+        "l_orderkey", ["_qty"]).rename_columns({"_qty": "sum_qty"})
     big = sums.filter(expr=f"sum_qty > {min_qty}")
 
     orders = _read(sf_dir, "orders",
