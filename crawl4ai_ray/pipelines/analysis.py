@@ -1423,19 +1423,56 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
         return pa.Table.from_pandas(df.groupby("o_custkey").head(k),
                                     preserve_index=False)
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # the final selection is ONE global sort + a vectorized per-run
+    # position filter (rank = offset within the customer's run), not a
+    # per-customer map_groups — 30k Python group calls cost 11 s at
+    # sf0.1 where the sorted scan costs under 2 s. Runs complete
+    # inside a block rank locally; each block's first/last customer
+    # (the only ones that can span blocks) is completed on the driver
+    # (≤ 2 x blocks customers x k pruned rows) and unioned back.
+    s = (ds.map_batches(local_prune, batch_format="pyarrow",
+                        batch_size=65536)
+         .sort(["o_custkey", "o_totalprice", "o_orderkey"],
+               descending=[False, True, False]))
 
-    return (
-        ds.map_batches(local_prune, batch_format="pyarrow",
-                       batch_size=65536)
-        .groupby("o_custkey")
-        .map_groups(rank_group, batch_format="pandas")
-    )
+    def topk_runs(batch: pa.Table) -> pa.Table:
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        n = len(c)
+        if n == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "_bnd": pa.array([], pa.bool_())})
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        inv = np.searchsorted(starts, np.arange(n), side="right") - 1
+        pos = np.arange(n) - starts[inv]
+        bnd_row = (c == c[0]) | (c == c[-1])
+        keep = bnd_row | (pos < k)
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "rnk": pa.array((pos[keep] + 1).astype(np.int64)),
+            "_bnd": pa.array(bnd_row[keep]),
+        })
+
+    parts = s.map_batches(topk_runs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior = parts.filter(expr="_bnd == False") \
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice",
+                         "rnk"])
+    bpd = parts.filter(expr="_bnd == True").to_pandas() \
+        .drop(columns=["rnk", "_bnd"])
+    if len(bpd) == 0:
+        return interior
+    bpd = bpd.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+    bpd = bpd.groupby("o_custkey").head(k).reset_index(drop=True)
+    bpd["rnk"] = bpd.groupby("o_custkey").cumcount().to_numpy() + 1
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(bpd, preserve_index=False)))
 
 
 def doc_hash_sample(sf_dir: str, pct: int = 20):
