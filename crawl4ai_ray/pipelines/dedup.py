@@ -743,8 +743,26 @@ def connected_components(pairs, all_ids) -> dict[int, int]:
     return {int(i): find(int(i)) for i in all_ids}
 
 
-def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64):
+# below this many directed edges the per-round Ray join/groupby fixed
+# costs dominate the propagation loop (the PAGERANK_DRIVER_MAX_EDGES
+# convention from pipelines/graph.py — measured there and re-measured
+# here: the sf0.1 LSH graph of ~3k edges spends ~35 s on round
+# overhead for work a driver union-find finishes in milliseconds)
+COMPONENTS_DRIVER_MAX_EDGES = 2_000_000
+
+
+def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64,
+                         form: str = "auto",
+                         driver_max_edges: int =
+                         COMPONENTS_DRIVER_MAX_EDGES):
     """Distributed connected components: iterative min-label propagation.
+
+    ``form``: "distributed" always runs the Pregel loop; "driver"
+    collects the (tiny) edge list and runs the union-find oracle;
+    "auto" picks by edge count against ``driver_max_edges`` — the
+    same measured-crossover gate as graph.py's PageRank forms. Both
+    forms are byte-equal (tests/test_dedup_distributed.py pins the
+    distributed loop against the union-find explicitly).
 
     The Pregel/BSP formulation (Malewicz et al., SIGMOD 2010; also the
     "hash-to-min" scheme of Rastogi et al., ICDE 2013): every node starts
@@ -775,8 +793,37 @@ def propagate_min_labels(pairs_ds, ids_ds, *, max_iters: int = 64):
                             "label": t.column("doc_id")}),
         batch_format="pyarrow",
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return labels
+    if form == "auto":
+        form = ("driver" if n_edges <= driver_max_edges
+                else "distributed")
+    if form == "driver":
+        # edge list is gated-tiny; the NODE table is NOT collected —
+        # only the component map of nodes that appear on an edge
+        # (≤ n_edges entries) broadcasts, and the corpus-sized label
+        # table is relabeled by a vectorized sorted probe
+        epd = edges.to_pandas()
+        enodes = np.unique(epd["src"].to_numpy())
+        comp = connected_components(
+            zip(epd["src"].to_numpy(), epd["dst"].to_numpy()), enodes)
+        keys = np.sort(np.fromiter(comp.keys(), np.int64, len(comp)))
+        vals = np.array([comp[int(x)] for x in keys], np.int64)
+        ref = ray.put((keys, vals))
+
+        def relabel(batch: pa.Table, ref=ref) -> pa.Table:
+            keys, vals = ray.get(ref)
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(keys, node), 0, len(keys) - 1)
+            hit = keys[idx] == node
+            return pa.table({
+                "node": batch.column("node"),
+                "label": pa.array(np.where(hit, vals[idx], node)
+                                  .astype(np.int64)),
+            })
+
+        return labels.map_batches(relabel, batch_format="pyarrow")
 
     import pyarrow.compute as pc
 

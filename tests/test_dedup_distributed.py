@@ -64,8 +64,16 @@ def test_min_label_propagation_chain(ray_session):
     ids_ds = rd.from_arrow(
         pa.table({"doc_id": pa.array(ids, pa.int64())})
     )
-    labels = _df(dedup.propagate_min_labels(edges, ids_ds)) \
+    # form="distributed" pins the Pregel loop itself — the auto gate
+    # would otherwise route this toy graph to the union-find oracle
+    # and the test would compare the oracle against itself
+    labels = _df(dedup.propagate_min_labels(edges, ids_ds,
+                                            form="distributed")) \
         .sort_values("node").reset_index(drop=True)
+    labels_drv = _df(dedup.propagate_min_labels(edges, ids_ds,
+                                                form="driver")) \
+        .sort_values("node").reset_index(drop=True)
+    assert labels_drv["label"].tolist() == labels["label"].tolist()
     oracle = dedup.connected_components(
         list(zip(edges.column("doc_a").to_pylist(),
                  edges.column("doc_b").to_pylist())), ids)
