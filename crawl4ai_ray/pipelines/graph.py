@@ -704,7 +704,9 @@ def crawl_triangles(sf_dir: str, *, dump=None):
 
 
 def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
-                         dump=None):
+                         dump=None, form: str = "auto",
+                         driver_max_edges: int =
+                         PAGERANK_DRIVER_MAX_EDGES):
     """Weakly connected components over a (src, dst) edge Dataset —
     min-label propagation (the hash-to-min scheme of Rastogi et al.,
     ICDE 2013, the same loop dedup.propagate_min_labels runs on doc
@@ -747,6 +749,46 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
     n_edges = edges.count()
     if n_edges == 0:
         return labels.rename_columns({"label": "component"})
+    if form == "auto":
+        form = ("driver" if n_edges <= driver_max_edges
+                else "distributed")
+    if form == "driver":
+        # the PageRank crossover gate: below ~2M edges the per-round
+        # join/groupby fixed costs dominate. Edge list is gated-tiny;
+        # only the edge-node component map broadcasts — the node
+        # universe stays distributed and relabels by sorted probe.
+        # np.unique sorts, so min INDEX == lexicographically min node,
+        # matching the loop's pc.min_element_wise on ASCII URLs.
+        import ray
+
+        from .dedup import connected_components as _uf
+
+        epd = edges.to_pandas()
+        su, inv = np.unique(
+            np.concatenate([epd["src"].to_numpy(),
+                            epd["dst"].to_numpy()]).astype(object),
+            return_inverse=True)
+        half = len(epd)
+        comp = _uf(zip(inv[:half], inv[half:]), range(len(su)))
+        lab = np.array([str(su[comp[i]]) for i in range(len(su))],
+                       dtype=object)
+        ref = ray.put((np.array([str(x) for x in su], object), lab))
+
+        def relabel(batch: pa.Table, ref=ref) -> pa.Table:
+            keys, lab = ray.get(ref)
+            node = np.asarray(batch.column("node").to_pylist(),
+                              dtype=object)
+            idx = np.clip(np.searchsorted(keys, node), 0,
+                          len(keys) - 1)
+            hit = keys[idx] == node
+            out = np.where(hit, lab[idx], node)
+            return pa.table({
+                "node": batch.column("node"),
+                "component": pa.array([str(x) for x in out],
+                                      pa.string()),
+            })
+
+        return labels.map_batches(relabel, batch_format="pyarrow")
 
     def update(batch: pa.Table) -> pa.Table:
         lab = batch.column("label")

@@ -186,8 +186,15 @@ def test_connected_components_matches_union_find():
             "src": pa.array([names[i] for i in src]),
             "dst": pa.array([names[i] for i in dst])}))
         nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
-        got = connected_components(edges, nodes).to_pandas() \
+        # pin the Pregel loop — the auto gate would route this toy
+        # graph to the union-find form and test it against itself
+        got = connected_components(edges, nodes,
+                                   form="distributed").to_pandas() \
             .set_index("node")["component"].to_dict()
+        got_drv = connected_components(edges, nodes,
+                                       form="driver").to_pandas() \
+            .set_index("node")["component"].to_dict()
+        assert got_drv == got
 
         parent = list(range(n))
 
