@@ -24,7 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["sorted_keyed_sum"]
+__all__ = ["sorted_keyed_sum", "sorted_keyed_count",
+           "sorted_distinct_keys"]
 
 _UFUNC = {"sum": np.add, "max": np.maximum, "min": np.minimum}
 
@@ -76,3 +77,25 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
     merged = bpd.groupby(key, as_index=False)[list(val_cols)].agg(how)
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(merged, preserve_index=False)))
+
+
+def sorted_keyed_count(ds, key: str, out: str = "_n"):
+    """``ds.groupby(key).count()`` with sort + run-length execution:
+    a per-batch ``np.unique`` combiner first collapses each batch to
+    (key, partial count), then ``sorted_keyed_sum`` folds the
+    partials exactly."""
+    def combine(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(k, return_counts=True)
+        return pa.table({key: pa.array(vals),
+                         out: pa.array(counts.astype(np.int64))})
+
+    return sorted_keyed_sum(
+        ds.map_batches(combine, batch_format="pyarrow",
+                       batch_size=65536), key, [out])
+
+
+def sorted_distinct_keys(ds, key: str):
+    """DISTINCT ``key`` (single numeric column) via the same
+    machinery; returns a Dataset with just the key column."""
+    return sorted_keyed_count(ds, key).select_columns([key])

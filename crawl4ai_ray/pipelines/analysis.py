@@ -839,10 +839,12 @@ def big_spenders_union(sf_dir: str):
         batch_format="pyarrow",
     )
     both = hi.union(urgent).select_columns(["o_orderkey", "o_totalprice"])
-    # distinct via groupby-first (hash-partition + per-group first)
-    return both.groupby("o_orderkey").aggregate(
-        Max("o_totalprice", alias_name="o_totalprice")
-    )
+    # distinct via keyed max-fold (sort + run-length; one group per
+    # surviving order makes Ray's Aggregate the wrong tool)
+    from ..functions.sortagg import sorted_keyed_sum
+
+    return sorted_keyed_sum(both, "o_orderkey", ["o_totalprice"],
+                            how="max")
 
 
 def orders_filter_sort(sf_dir: str, k: int = 50):
@@ -914,11 +916,12 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01",
     # distributed distinct: per-batch unique combiner, then a groupby on
     # the (already compacted) key column — the collected result is at most
     # one row per distinct key.
-    keys_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
-        .map_batches(recent_keys, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
-        .select_columns(["o_custkey"]) \
-        .materialize()
+    from ..functions.sortagg import sorted_distinct_keys
+
+    keys_ds = sorted_distinct_keys(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(recent_keys, batch_format="pyarrow"),
+        "o_custkey").materialize()
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
@@ -1511,12 +1514,12 @@ def orders_year_matrix(sf_dir: str, y_a: int = 1996, y_b: int = 1997):
             yr = pc.year(batch.column("o_orderdate"))
             return batch.filter(pc.equal(yr, pa.scalar(y)))
 
-        return (
+        from ..functions.sortagg import sorted_keyed_count
+
+        return sorted_keyed_count(
             orders.map_batches(prep, batch_format="pyarrow",
-                               batch_size=65536)
-            .groupby("o_custkey")
-            .aggregate(Count(alias_name=out_name))
-        )
+                               batch_size=65536),
+            "o_custkey", out=out_name)
 
     a = year_counts(y_a, "n_a")
     b = year_counts(y_b, "n_b").map_batches(
@@ -1883,11 +1886,12 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         g = df.groupby("l_orderkey", as_index=False)["_rev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    rev = (
-        li.map_batches(lpartial, batch_format="pyarrow", batch_size=32768)
-        .groupby("l_orderkey")
-        .aggregate(Sum("_rev", alias_name="_rev"))
-    )
+    from ..functions.sortagg import sorted_keyed_sum
+
+    rev = sorted_keyed_sum(
+        li.map_batches(lpartial, batch_format="pyarrow",
+                       batch_size=32768),
+        "l_orderkey", ["_rev"])
 
     joined = rev.join(ofiltered, join_type="inner",
                       num_partitions=_join_ray_parts(rev, ofiltered),
@@ -2242,9 +2246,12 @@ def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
         g = df.groupby("c_custkey", as_index=False)["_rev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (joined.map_batches(cpartial, batch_format="pyarrow",
-                              batch_size=32768)
-           .groupby("c_custkey").aggregate(Sum("_rev", alias_name="_rev")))
+    from ..functions.sortagg import sorted_keyed_sum
+
+    agg = sorted_keyed_sum(
+        joined.map_batches(cpartial, batch_format="pyarrow",
+                           batch_size=32768),
+        "c_custkey", ["_rev"])
 
     def rnd(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -3199,9 +3206,12 @@ def q13_customer_distribution(sf_dir: str,
             .rename(columns={"size": "_n"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = orders.map_batches(opartial, batch_format="pyarrow",
-                                batch_size=65536) \
-        .groupby("o_custkey").aggregate(Sum("_n", alias_name="_n"))
+    from ..functions.sortagg import sorted_keyed_sum
+
+    counts = sorted_keyed_sum(
+        orders.map_batches(opartial, batch_format="pyarrow",
+                           batch_size=65536),
+        "o_custkey", ["_n"])
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
     joined = cust.join(counts, join_type="left_outer",
@@ -3854,9 +3864,11 @@ def q22_inactive_rich_customers(sf_dir: str,
         return pa.Table.from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
-    recent = orders.map_batches(rpartial, batch_format="pyarrow",
-                                batch_size=65536) \
-        .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+    from ..functions.sortagg import sorted_keyed_count
+
+    recent = sorted_keyed_count(
+        orders.map_batches(rpartial, batch_format="pyarrow",
+                           batch_size=65536), "o_custkey")
 
     rich = cust.filter(expr=f"c_acctbal > {float(avg_bal)!r}")
     inactive = rich.join(recent, join_type="left_anti",
