@@ -1620,19 +1620,30 @@ def events_sliding_distinct_users(sf_dir: str, window_days: int = 7):
         u = df["u"].to_numpy()
         offs = np.arange(window_days, dtype=np.int32)
         starts = np.repeat(d, window_days) - np.tile(offs, len(d))
-        return pa.table({
-            "wstart": pa.array(starts, type=pa.int32()),
-            "user_id": pa.array(np.repeat(u, window_days),
-                                type=pa.int64()),
-        })
+        uids = np.repeat(u, window_days)
+        # pack (window, user) into one uint64 key: the distinctness
+        # groupby on ~pairs-many groups is Ray-Aggregate-pathological;
+        # the packed sorted distinct is the sortagg shape
+        return pa.table({"k": pa.array(
+            (starts.astype(np.uint64) << np.uint64(32))
+            | uids.astype(np.uint64), pa.uint64())})
 
-    per_window = (
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
-        .groupby(["wstart", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby("wstart")
-        .aggregate(Count(alias_name="n_users"))
-    )
+    from .dedup import _sorted_distinct_u64
+
+    uniq = _sorted_distinct_u64(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       batch_size=65536), "k")
+
+    def wpartial(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy(zero_copy_only=False)
+        ws = (kk >> np.uint64(32)).astype(np.int32)
+        vals, counts = np.unique(ws, return_counts=True)
+        return pa.table({"wstart": pa.array(vals, pa.int32()),
+                         "_n": pa.array(counts.astype(np.int64))})
+
+    # window count is bounded by the date span — a tiny groupby
+    per_window = uniq.map_batches(wpartial, batch_format="pyarrow") \
+        .groupby("wstart").aggregate(Sum("_n", alias_name="n_users"))
 
     def fin(batch: pa.Table) -> pa.Table:
         ws = batch.column("wstart").to_numpy().astype("datetime64[D]")
