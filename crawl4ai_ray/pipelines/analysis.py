@@ -1962,8 +1962,6 @@ def orders_repeat_window_join(sf_dir: str, days: int = 30,
     """
     orders_ds = _read(sf_dir, "orders",
                       ["o_orderkey", "o_custkey", "o_orderdate"])
-    span = np.timedelta64(days, "D").astype("timedelta64[us]")
-    day_us = np.timedelta64(1, "D").astype("timedelta64[us]")
 
     def _bucket(keys: np.ndarray) -> np.ndarray:
         h = keys.astype(np.uint64, copy=True)
@@ -1984,38 +1982,40 @@ def orders_repeat_window_join(sf_dir: str, days: int = 30,
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for ck, og in g.groupby("o_custkey"):
-            og = og.sort_values(["_t", "o_orderkey"], kind="mergesort")
-            dates = og["_t"].to_numpy(dtype="datetime64[us]")
-            keys = og["o_orderkey"].to_numpy(np.int64)
-            # vectorized window bounds: per row i, matches are the
-            # sorted slice (dates[i], dates[i] + days]
-            lo = np.searchsorted(dates, dates, side="right")
-            hi = np.searchsorted(dates, dates + span, side="right")
-            cnt = hi - lo
-            if not cnt.any():
-                continue
-            # expand [lo_i, hi_i) ranges without a Python inner loop
-            firsts = np.repeat(np.arange(len(dates)), cnt)
-            offsets = np.arange(int(cnt.sum())) - np.repeat(
-                np.cumsum(cnt) - cnt, cnt)
-            nxts = np.repeat(lo, cnt) + offsets
-            parts.append(pd.DataFrame({
-                "o_custkey": np.full(len(firsts), int(ck), np.int64),
-                "first_orderkey": keys[firsts],
-                "next_orderkey": keys[nxts],
-                "gap_days": ((dates[nxts] - dates[firsts]) // day_us)
-                .astype(np.int64),
-            }))
-        if not parts:
-            return pd.DataFrame({
-                "o_custkey": pd.Series([], dtype="int64"),
-                "first_orderkey": pd.Series([], dtype="int64"),
-                "next_orderkey": pd.Series([], dtype="int64"),
-                "gap_days": pd.Series([], dtype="int64"),
-            })
-        return pd.concat(parts, ignore_index=True)
+        # ONE vectorized pass over the whole bucket (no per-customer
+        # Python loop): pack (custkey, day) into a single monotonic
+        # composite, sort once, and window-probe the composite — a
+        # probe can never cross customers because window_days < 2^32
+        empty = pd.DataFrame({
+            "o_custkey": pd.Series([], dtype="int64"),
+            "first_orderkey": pd.Series([], dtype="int64"),
+            "next_orderkey": pd.Series([], dtype="int64"),
+            "gap_days": pd.Series([], dtype="int64"),
+        })
+        if len(g) == 0:
+            return empty
+        ck = g["o_custkey"].to_numpy(np.int64)
+        day = (g["_t"].to_numpy(dtype="datetime64[us]")
+               .astype("datetime64[D]").astype(np.int64))
+        keys = g["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((keys, day, ck))
+        ck, day, keys = ck[order], day[order], keys[order]
+        comp = (ck << np.int64(32)) | day
+        lo = np.searchsorted(comp, comp, side="right")
+        hi = np.searchsorted(comp, comp + days, side="right")
+        cnt = hi - lo
+        if not cnt.any():
+            return empty
+        firsts = np.repeat(np.arange(len(comp)), cnt)
+        offsets = np.arange(int(cnt.sum())) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        nxts = np.repeat(lo, cnt) + offsets
+        return pd.DataFrame({
+            "o_custkey": ck[firsts],
+            "first_orderkey": keys[firsts],
+            "next_orderkey": keys[nxts],
+            "gap_days": (day[nxts] - day[firsts]).astype(np.int64),
+        })
 
     return (orders_ds.map_batches(tag, batch_format="pyarrow",
                                   batch_size=65536)
