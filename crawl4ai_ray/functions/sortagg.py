@@ -46,9 +46,13 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
     def runs(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy(zero_copy_only=False)
         if len(k) == 0:
-            cols = {key: pa.array([], key_type or pa.int64())}
+            # typed empties from the input schema, so empty sorted
+            # partitions never change the unified block schema
+            cols = {key: pa.array([], key_type or batch.column(key).type)}
             for v in val_cols:
-                cols[v] = pa.array([], pa.float64())
+                vt = batch.column(v).type
+                cols[v] = pa.array([], pa.int64()
+                                   if pa.types.is_integer(vt) else vt)
             cols["_bnd"] = pa.array([], pa.bool_())
             return pa.table(cols)
         # k is globally sorted -> runs are contiguous; reduce each run
