@@ -302,36 +302,33 @@ def ngram_dup_stats(sf_dir: str, n: int = 5):
 
     def partial(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
-        cnt = batch.column("cnt").to_numpy()
-        dup = batch.column("ndocs").to_numpy() >= 2
-        out = {}
-        for i in range(len(doc)):
-            a = out.setdefault(doc[i], [0, 0, 0, 0])
-            a[0] += cnt[i]
-            a[1] += cnt[i] if dup[i] else 0
-            a[2] += 1
-            a[3] += 1 if dup[i] else 0
-        ks = sorted(out)
+        if len(doc) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_grams": z,
+                             "n_dup_grams": z, "n_distinct_grams": z,
+                             "n_dup_distinct": z})
+        cnt = batch.column("cnt").to_numpy().astype(np.float64)
+        dup = (batch.column("ndocs").to_numpy() >= 2).astype(np.float64)
+        ks, inv = np.unique(doc, return_inverse=True)
         return pa.table({
             "doc_id": pa.array(ks, type=pa.int64()),
-            "n_grams": pa.array([out[k][0] for k in ks], pa.int64()),
-            "n_dup_grams": pa.array([out[k][1] for k in ks], pa.int64()),
-            "n_distinct_grams": pa.array([out[k][2] for k in ks],
-                                         pa.int64()),
-            "n_dup_distinct": pa.array([out[k][3] for k in ks],
-                                       pa.int64()),
+            "n_grams": pa.array(np.bincount(inv, weights=cnt)
+                                .astype(np.int64)),
+            "n_dup_grams": pa.array(np.bincount(inv, weights=cnt * dup)
+                                    .astype(np.int64)),
+            "n_distinct_grams": pa.array(np.bincount(inv)
+                                         .astype(np.int64)),
+            "n_dup_distinct": pa.array(np.bincount(inv, weights=dup)
+                                       .astype(np.int64)),
         })
 
-    from ray.data.aggregate import Sum
+    from ..functions.sortagg import sorted_keyed_sum
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("n_grams", alias_name="n_grams"),
-                       Sum("n_dup_grams", alias_name="n_dup_grams"),
-                       Sum("n_distinct_grams",
-                           alias_name="n_distinct_grams"),
-                       Sum("n_dup_distinct",
-                           alias_name="n_dup_distinct")))
+    return sorted_keyed_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        "doc_id",
+        ["n_grams", "n_dup_grams", "n_distinct_grams",
+         "n_dup_distinct"])
 
 
 def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
