@@ -44,24 +44,38 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
     s = ds.sort(key)
 
     def runs(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_numpy(zero_copy_only=False)
-        if len(k) == 0:
+        col = batch.column(key).combine_chunks()
+        n = len(col)
+        if n == 0:
             # typed empties from the input schema, so empty sorted
             # partitions never change the unified block schema
-            cols = {key: pa.array([], key_type or batch.column(key).type)}
+            cols = {key: pa.array([], key_type or col.type)}
             for v in val_cols:
                 vt = batch.column(v).type
                 cols[v] = pa.array([], pa.int64()
                                    if pa.types.is_integer(vt) else vt)
             cols["_bnd"] = pa.array([], pa.bool_())
             return pa.table(cols)
-        # k is globally sorted -> runs are contiguous; reduce each run
-        # with one ufunc.reduceat, no per-group Python
-        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
-        vals = k[starts]
-        bnd = np.zeros(len(vals), bool)
+        # keys are globally sorted -> runs are contiguous; find run
+        # starts with one vectorized neighbor-compare (arrow kernel
+        # for strings, numpy otherwise), reduce each run with one
+        # ufunc.reduceat — no per-group Python
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type):
+            import pyarrow.compute as _pc
+
+            ne = _pc.not_equal(col.slice(1), col.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.flatnonzero(ne) + 1))
+            key_vals = col.take(pa.array(starts, pa.int64()))
+        else:
+            k = col.to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(
+                np.concatenate(([True], k[1:] != k[:-1])))
+            key_vals = pa.array(k[starts])
+        bnd = np.zeros(len(starts), bool)
         bnd[0] = bnd[-1] = True
-        cols = {key: pa.array(vals)}
+        cols = {key: key_vals}
         for v in val_cols:
             w = batch.column(v).to_numpy(zero_copy_only=False)
             red = ufunc.reduceat(w, starts)

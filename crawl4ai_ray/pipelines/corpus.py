@@ -397,7 +397,12 @@ def substr_dedup(sf_dir: str, length: int = 8, min_count: int = 2,
     # (ds.stats(): Aggregate 20s -> 4s at sf0.1/32cpu after the change)
     pos_tbl = ds.map_batches(explode, batch_format="pyarrow",
                              batch_size=None)
-    cnt = pos_tbl.groupby("g").aggregate(Count(alias_name="c"))
+    # ~one group per corpus token position: the sortagg shape (and
+    # only the key column enters the count exchange)
+    from ..functions.sortagg import sorted_keyed_count
+
+    cnt = sorted_keyed_count(pos_tbl.select_columns(["g"]), "g",
+                             out="c")
 
     def keep_dup(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
