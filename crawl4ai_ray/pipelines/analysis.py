@@ -4158,9 +4158,13 @@ def q11_important_parts(sf_dir: str, region: str = "ASIA",
         g = df.groupby("l_partkey", as_index=False)["_v"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    value = pruned.map_batches(vpartial, batch_format="pyarrow",
-                               batch_size=65536) \
-        .groupby("l_partkey").aggregate(Sum("_v", alias_name="val"))
+    from ..functions.sortagg import sorted_keyed_sum
+
+    value = sorted_keyed_sum(
+        pruned.map_batches(vpartial, batch_format="pyarrow",
+                           batch_size=65536),
+        "l_partkey", ["_v"]).rename_columns({"_v": "val"}) \
+        .materialize()          # Mean + the HAVING filter both read it
     thresh = avg_mult * float(
         value.aggregate(Mean("val", alias_name="m"))["m"] or 0.0)
 
