@@ -111,7 +111,11 @@ def train_quality_classifier(sf_dir: str, pos_source: str = "src0",
     reg_eye = np.eye(dim + 1)
 
     if form == "driver":
-        df = feats.to_pandas()
+        # canonical row order: float reductions are order-sensitive in
+        # the last ulps, and Ray block arrival/splitting may permute
+        # rows between runs — sort so training is run-to-run identical
+        df = feats.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
         xb = np.concatenate(
             [np.asarray(df["x"].tolist(), np.float64),
              np.ones((len(df), 1))], axis=1)
@@ -133,16 +137,21 @@ def train_quality_classifier(sf_dir: str, pos_source: str = "src0",
 
             xb, y = _xy(batch, dim)
             g, h, loss = _irls_partials(xb, y, _ray.get(wref))
+            first = (int(batch.column("doc_id")[0].as_py())
+                     if batch.num_rows else -1)
             return pa.table({
                 "g": pa.array([g.tolist()], pa.list_(pa.float64())),
                 "h": pa.array([h.reshape(-1).tolist()],
                               pa.list_(pa.float64())),
                 "loss": pa.array([loss]),
                 "n": pa.array([np.int64(len(y))]),
+                "_k": pa.array([np.int64(first)]),
             })
 
+        # sum partials in canonical (_k) order — see the driver path
         parts = mat.map_batches(partial, batch_format="pyarrow",
-                                batch_size=8192).to_pandas()
+                                batch_size=8192).to_pandas() \
+            .sort_values("_k").reset_index(drop=True)
         g = np.sum(np.asarray(parts["g"].tolist(), np.float64), axis=0)
         h = np.sum(np.asarray(parts["h"].tolist(), np.float64),
                    axis=0).reshape(dim + 1, dim + 1)
