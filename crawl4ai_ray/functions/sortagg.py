@@ -90,7 +90,7 @@ def sorted_keyed_sum(ds, key: str, val_cols: list,
     interior = parts.filter(expr="_bnd == False") \
         .select_columns([key] + list(val_cols))
     bpd = parts.filter(expr="_bnd == True").to_pandas()  # ≤ 2 × blocks
-    if len(bpd) == 0:
+    if key not in bpd.columns or len(bpd) == 0:  # empty ds drops schema
         return interior
     merged = bpd.groupby(key, as_index=False)[list(val_cols)].agg(how)
     return interior.union(rd.from_arrow(
@@ -117,3 +117,34 @@ def sorted_distinct_keys(ds, key: str):
     """DISTINCT ``key`` (single numeric column) via the same
     machinery; returns a Dataset with just the key column."""
     return sorted_keyed_count(ds, key).select_columns([key])
+
+
+def triu_pairs_by_runs(vals: "np.ndarray", st: "np.ndarray",
+                       en: "np.ndarray", names=("a", "b"),
+                       max_run: int | None = None) -> pa.Table:
+    """Vectorized unordered-pair fan-out for runs [st, en) over a
+    sorted ``vals`` array (each run = one group's sorted members): for
+    each distinct run length m, gather all runs of that length into an
+    (R, m) matrix and emit its upper triangle in bulk — no per-group
+    Python call. Runs longer than ``max_run`` are dropped (the LSH
+    bucket cap semantics)."""
+    lens = en - st
+    if max_run is not None:
+        keep = lens <= max_run
+        st, lens = st[keep], lens[keep]
+    a_parts, b_parts = [], []
+    for m in np.unique(lens):
+        if m < 2:
+            continue
+        rs = st[lens == m]
+        mat = vals[rs[:, None] + np.arange(m)[None, :]]
+        iu, ju = np.triu_indices(int(m), k=1)
+        a_parts.append(mat[:, iu].ravel())
+        b_parts.append(mat[:, ju].ravel())
+    if not a_parts:
+        return pa.table({names[0]: pa.array([], pa.int64()),
+                         names[1]: pa.array([], pa.int64())})
+    return pa.table({
+        names[0]: pa.array(np.concatenate(a_parts).astype(np.int64)),
+        names[1]: pa.array(np.concatenate(b_parts).astype(np.int64)),
+    })

@@ -293,28 +293,78 @@ def lsh_candidate_pairs(band_rows, *, max_bucket: int = 4096):
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy())
-        n = len(ids)
-        if n < 2 or n > max_bucket:
+    # bucket fan-out as ONE sort + vectorized run-triu instead of a
+    # map_groups per bucket (~one Python call per distinct band hash —
+    # the dominant cost of the LSH path at sf0.1): interior buckets
+    # emit in-block; each block's first/last bucket — the only ones
+    # that can span blocks — is completed on the driver (bucket size is
+    # already capped at max_bucket) and unioned back.
+    from ..functions.sortagg import triu_pairs_by_runs
+
+    s = band_rows.map_batches(bucket_key, batch_format="pyarrow") \
+        .sort(["bkey", "doc_id"]).materialize()
+
+    def _runs(batch: pa.Table):
+        b = batch.column("bkey").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # drop (bucket, doc) duplicates (adjacent after the sort)
+        keep = np.concatenate(
+            ([True], (b[1:] != b[:-1]) | (d[1:] != d[:-1]))) \
+            if len(b) else np.zeros(0, bool)
+        return b[keep], d[keep]
+
+    def interior_pairs(batch: pa.Table) -> pa.Table:
+        b, d = _runs(batch)
+        if len(b) == 0:
             return _EMPTY_PAIRS
-        ia, ib = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[ia]),
-                         "doc_b": pa.array(ids[ib])})
+        st = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+        en = np.concatenate((st[1:], [len(b)]))
+        mask = (b[st] != b[0]) & (b[st] != b[-1])
+        return triu_pairs_by_runs(d, st[mask], en[mask],
+                                  names=("doc_a", "doc_b"),
+                                  max_run=max_bucket)
 
-    pairs = (
-        band_rows.map_batches(bucket_key, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-    )
-    # dedup pairs discovered via multiple bands: one small-row shuffle
-    from ray.data.aggregate import Count
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        b, d = _runs(batch)
+        m = (b == b[0]) | (b == b[-1]) if len(b) else np.zeros(0, bool)
+        return pa.table({"bkey": pa.array(b[m]),
+                         "doc_id": pa.array(d[m])})
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    pairs = s.map_batches(interior_pairs, batch_format="pyarrow",
+                          batch_size=None)
+    bdf = s.map_batches(boundary_rows, batch_format="pyarrow",
+                        batch_size=None).to_pandas().drop_duplicates() \
+        .sort_values(["bkey", "doc_id"])       # ≤ 2 buckets × blocks
+    bb = bdf["bkey"].to_numpy()
+    bd = bdf["doc_id"].to_numpy()
+    bst = np.flatnonzero(np.concatenate(([True], bb[1:] != bb[:-1]))) \
+        if len(bb) else np.zeros(0, np.int64)
+    ben = np.concatenate((bst[1:], [len(bb)])) if len(bb) else bst
+    bpairs = triu_pairs_by_runs(bd, bst, ben, names=("doc_a", "doc_b"),
+                                max_run=max_bucket)
+    if bpairs.num_rows:
+        pairs = pairs.union(rd.from_arrow(bpairs))
+
+    # dedup pairs discovered via multiple bands: packed sorted distinct
+    def pack(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        assert len(a) == 0 or int(a.max()) < (1 << 32)
+        return pa.table({"k": pa.array(
+            (a.astype(np.uint64) << np.uint64(32))
+            | b.astype(np.uint64), pa.uint64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array((kk >> np.uint64(32)).astype(np.int64)),
+            "doc_b": pa.array((kk & np.uint64(0xFFFFFFFF))
+                              .astype(np.int64)),
+        })
+
+    return _sorted_distinct_u64(
+        pairs.map_batches(pack, batch_format="pyarrow"), "k"
+    ).map_batches(unpack, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
@@ -379,10 +429,10 @@ def _sorted_distinct_u64(keyed, col: str = "k"):
     parts = s.map_batches(runs, batch_format="pyarrow",
                           batch_size=None).materialize()
     interior = parts.filter(expr="_bnd == False").select_columns([col])
-    bvals = np.unique(parts.filter(expr="_bnd == True")
-                      .to_pandas()[col].to_numpy())       # ≤ 2 × blocks
-    if len(bvals) == 0:
+    bpd = parts.filter(expr="_bnd == True").to_pandas()   # ≤ 2 × blocks
+    if col not in bpd.columns or len(bpd) == 0:  # empty ds drops schema
         return interior
+    bvals = np.unique(bpd[col].to_numpy())
     return interior.union(rd.from_arrow(
         pa.table({col: pa.array(bvals, pa.uint64())})))
 
