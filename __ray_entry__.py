@@ -722,6 +722,16 @@ def _kmeans_cluster_means(sf_dir: str):
     return sketches.kmeans_cluster_means(sf_dir, dump_dir=root)
 
 
+def _semantic_dedup_survivors(sf_dir: str):
+    import shutil
+
+    from crawl4ai_ray.pipelines import similarity
+
+    root = "/tmp/c4r_oracle/semantic_dedup_survivors"
+    shutil.rmtree(root, ignore_errors=True)
+    return similarity.semantic_dedup_survivors(sf_dir, dump_dir=root)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
@@ -884,6 +894,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-cosine near-dup survivors (greedy smaller-id-wins law)
         "embedding_dedup_survivors": lambda sf:
             similarity.embedding_dedup_survivors(sf),
+        # SemDeDup (Abbas et al. 2023): kmeans-cluster the embedding
+        # space, keep-first eps-cosine dedup within each cluster; the
+        # (vec_id, cluster) labeling self-dumps so the oracle recomputes
+        # every within-cluster cosine independently
+        "semantic_dedup_survivors": _semantic_dedup_survivors,
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
         "cosine_near_pairs_lsh": _cosine_near_pairs_lsh,
@@ -1081,6 +1096,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_filter": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["length_filter"],
         ).length_filter(sf),
+        # DSIR importance resampling (Xie et al. 2023): hashed-unigram
+        # log-ratio weights against the lang='en' target, top-k docs
+        "doc_dsir_sample": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["dsir_sample"],
+        ).dsir_sample(sf),
         # cross-doc duplicate n-gram stats (Lee et al. 2022 measure)
         "doc_ngram_dup_stats": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["ngram_dup_stats"],
@@ -1626,6 +1646,25 @@ def oracle_sql() -> dict[str, str]:
                                              b.embedding::DOUBLE[]) >= 0.4
             )
         """,
+        # SemDeDup: the (vec_id, cluster) labeling is the Ray side's
+        # self-dump; every within-cluster cosine and the keep-first rule
+        # are recomputed here from the raw embeddings
+        "semantic_dedup_survivors": """
+            WITH e AS (
+                SELECT a.vec_id, a.cluster, emb.embedding
+                FROM read_parquet(
+                    '/tmp/c4r_oracle/semantic_dedup_survivors/**/*.parquet'
+                ) a JOIN embeddings emb USING (vec_id)
+            )
+            SELECT x.vec_id, x.cluster FROM e x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e y
+                WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+                  AND round(list_cosine_similarity(
+                          x.embedding::DOUBLE[],
+                          y.embedding::DOUBLE[]), 6) >= 0.4
+            )
+        """,
         # BM25 (Robertson/Sparck Jones idf, k1=1.2 b=0.75) over
         # lower().split() tokens — the same law as pipelines/analysis.py
         # bm25_rank; zero-score docs fill the top-k tail by doc_id, hence
@@ -1842,6 +1881,46 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT quantile_disc(n_tokens, 0.9) AS p FROM t)
             SELECT t.doc_id, t.n_tokens, q.p AS p_thresh
             FROM t, q WHERE t.n_tokens <= q.p
+        """,
+        # DSIR importance resampling recomputed end-to-end from raw text:
+        # bucket = md5-hex-prefix mod 1024 (the exact expression the Ray
+        # side evaluates), +1-smoothed target(lang='en')/raw log-ratio,
+        # per-occurrence sum per doc, deterministic top-100
+        "doc_dsir_sample": r"""
+            WITH tk AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024
+                           AS bucket
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ),
+            tot AS (
+                SELECT count(*) FILTER (lang = 'en') AS t,
+                       count(*) AS r
+                FROM tk
+            ),
+            bc AS (
+                SELECT bucket,
+                       count(*) FILTER (lang = 'en') AS ct,
+                       count(*) AS cr
+                FROM tk GROUP BY 1
+            ),
+            lr AS (
+                SELECT bucket,
+                       ln((ct + 1.0) / ((SELECT t FROM tot) + 1024))
+                     - ln((cr + 1.0) / ((SELECT r FROM tot) + 1024)) AS lw
+                FROM bc
+            ),
+            w AS (
+                SELECT tk.doc_id, round(sum(lr.lw), 6) AS weight
+                FROM tk JOIN lr USING (bucket) GROUP BY 1
+            )
+            SELECT doc_id, weight FROM w
+            ORDER BY weight DESC, doc_id LIMIT 100
         """,
         # PMI collocations: ln(p(x,y)/(p(x)p(y))), c_xy >= 5, top 100
         "doc_pmi_bigrams": r"""

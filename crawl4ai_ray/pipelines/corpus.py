@@ -1224,3 +1224,111 @@ def length_filter(sf_dir: str, q: float = 0.9,
     return counted.filter(expr=f"n_tokens <= {thresh}") \
         .add_column("p_thresh", lambda df: np.full(len(df), thresh,
                                                    dtype=np.int64))
+
+
+def dsir_sample(sf_dir: str, *, n_buckets: int = 1024, k: int = 100,
+                target_lang: str = "en"):
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): hashed-unigram bag features, smoothed bucket unigram
+    models for the target domain (``lang == target_lang``) vs the full
+    raw pool, per-doc importance weight
+
+        w(d) = sum over token occurrences of
+               ln p_target(bucket) - ln p_raw(bucket)
+
+    with +1 smoothing over ``n_buckets`` hash buckets, then the top-k
+    docs by (weight, doc_id). The paper samples with Gumbel noise; the
+    deterministic top-k keeps the op exactly SQL-checkable end-to-end
+    (bucket = first 8 hex digits of md5(token) mod n_buckets — the same
+    expression DuckDB evaluates, so the oracle recomputes the whole
+    pipeline from raw text, not from a dump).
+
+    Scale shape: one tokenize+count pass emits <= n_buckets partial rows
+    per block (target_count, raw_count) -> a groupby-sum over n_buckets
+    keys; the dense log-ratio vector (n_buckets doubles) is broadcast
+    once via ``ray.put``; the scoring pass is stateless map_batches; the
+    tail is local-topk -> sort -> limit so the global sort ever sees
+    only blocks x k rows. Nothing n-sized lands on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _bucket_of(tok: str, cache: dict) -> int:
+        b = cache.get(tok)
+        if b is None:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                    16) % n_buckets
+            cache[tok] = b
+        return b
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        ct = np.zeros(n_buckets, dtype=np.int64)
+        cr = np.zeros(n_buckets, dtype=np.int64)
+        cache: dict = {}
+        for text, lang in zip(texts, langs):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            bks = np.fromiter((_bucket_of(t, cache) for t in toks),
+                              dtype=np.int64, count=len(toks))
+            cnt = np.bincount(bks, minlength=n_buckets)
+            cr += cnt
+            if lang == target_lang:
+                ct += cnt
+        nz = (ct > 0) | (cr > 0)
+        return pa.table({
+            "bucket": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+            "ct": pa.array(ct[nz]),
+            "cr": pa.array(cr[nz]),
+        })
+
+    counts = (ds.map_batches(bucket_partials, batch_format="pyarrow",
+                             batch_size=4096)
+              .groupby("bucket")
+              .aggregate(Sum("ct", alias_name="ct"),
+                         Sum("cr", alias_name="cr"))
+              .take_all())                       # <= n_buckets rows
+    ct = np.zeros(n_buckets, dtype=np.float64)
+    cr = np.zeros(n_buckets, dtype=np.float64)
+    for r in counts:
+        ct[r["bucket"]] = r["ct"]
+        cr[r["bucket"]] = r["cr"]
+    t_tot, r_tot = ct.sum(), cr.sum()
+    logratio = (np.log((ct + 1.0) / (t_tot + n_buckets))
+                - np.log((cr + 1.0) / (r_tot + n_buckets)))
+    lr_ref = ray.put(logratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cache: dict = {}
+        out_id, out_w = [], []
+        for did, text in zip(ids, texts):
+            toks = _tokens(text)
+            if not toks:
+                continue            # the oracle's join drops token-less docs
+            bks = np.fromiter((_bucket_of(t, cache) for t in toks),
+                              dtype=np.int64, count=len(toks))
+            out_id.append(did)
+            out_w.append(round(float(lr[bks].sum()), 6))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+            "weight": pa.array(np.asarray(out_w, dtype=np.float64)),
+        })
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["weight", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=4096)
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["weight", "doc_id"], descending=[True, False])
+            .limit(k))

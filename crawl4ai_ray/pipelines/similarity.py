@@ -933,3 +933,77 @@ def ivfpq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
                             batch_size=65536)
                .sort(["cos", "vec_id"], descending=[True, False])
                .limit(k))
+
+
+def semantic_dedup_survivors(sf_dir: str, *, k: int = 8, eps: float = 0.4,
+                             max_iters: int = 20,
+                             dump_dir: str | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then inside each cluster treat any pair with cosine
+    >= eps as semantic duplicates and keep one representative.
+
+    Keep rule: a vector survives iff no same-cluster vector with a
+    SMALLER vec_id is eps-similar to it (deterministic keep-first; the
+    paper keeps the member with the lowest centroid similarity — the
+    id-ordered rule makes the result exactly reproducible and
+    SQL-checkable). Cosines are rounded to 6 decimals before the
+    threshold test on both the Ray and oracle sides so the float64
+    summation order can never flip a verdict.
+
+    Scale shape: the centroid fit is the k-row partial reduction in
+    ``sketches.kmeans_fit`` (centroids broadcast via ``ray.put`` once per
+    iteration); the labeling pass is one broadcast matmul; the dedup pass
+    is ``groupby(cluster).map_groups`` with a single normalized matmul
+    per cluster. Per-task memory is bounded by the cluster size — at
+    corpus scale raise k so n/k stays task-sized (the paper runs
+    k ≈ sqrt(n); the reference point is SemDeDup's 50k clusters on LAION).
+    The (vec_id, cluster) labeling is streamed to ``dump_dir`` when given
+    so the SQL oracle can recompute every within-cluster cosine
+    independently (the kmeans_cluster_means self-dump convention).
+    """
+    from .sketches import _stack_embeddings, kmeans_fit
+
+    cent, _, _ = kmeans_fit(sf_dir, k=k, max_iters=max_iters)
+    cent_ref = ray.put(cent)
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _stack_embeddings(batch)
+        d2 = ((x * x).sum(axis=1)[:, None]
+              - 2.0 * (x @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        assign = np.argmin(d2, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(assign))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow",
+                             batch_size=4096)
+    if dump_dir is not None:
+        labeled = labeled.materialize()
+        labeled.select_columns(["vec_id", "cluster"]) \
+            .write_parquet(dump_dir, mode="overwrite")
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+
+    def survivors_in_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _normalize(_emb_matrix(g))[order]
+        cos = np.round(mat @ mat.T, 6)
+        # dup[i, j] for j < i: an earlier (smaller-id) eps-neighbor kills i
+        dup = np.tril(cos >= eps, k=-1).any(axis=1)
+        keep = ~dup
+        if not keep.any():
+            return empty
+        cid = int(g.column("cluster")[0].as_py())
+        n = int(keep.sum())
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "cluster": pa.array(np.full(n, cid, dtype=np.int64)),
+        })
+
+    return (labeled.groupby("cluster")
+            .map_groups(survivors_in_cluster, batch_format="pyarrow")
+            .sort("vec_id"))

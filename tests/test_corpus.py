@@ -373,3 +373,46 @@ def test_substr_dedup_fuzz_vs_bruteforce(tmp_path):
                 mask[i] = False
         kept = [t for t, m in zip(w, mask) if m]
         assert out.loc[did, "clean_text"] == " ".join(kept)
+
+
+def test_dsir_sample_laws():
+    """DSIR weight law: every selected doc's weight equals the brute
+    log-ratio sum recomputed in-process; ranking is (weight desc,
+    doc_id asc); exactly k rows."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    df = _pd(corpus.dsir_sample(SF, k=50))
+    assert len(df) == 50
+    w = df["weight"].to_numpy()
+    assert (np.diff(w) <= 0).all()
+    # tie order: equal weights must be doc_id-ascending
+    for v in np.unique(w):
+        ids = df.loc[df["weight"] == v, "doc_id"].to_numpy()
+        assert (np.diff(ids) > 0).all()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pylist()
+    B = 1024
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    ct = np.zeros(B)
+    cr = np.zeros(B)
+    for r in docs:
+        for t in (r["text"] or "").lower().split():
+            b = bucket(t)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    lr = (np.log((ct + 1.0) / (ct.sum() + B))
+          - np.log((cr + 1.0) / (cr.sum() + B)))
+    by_id = {r["doc_id"]: r["text"] for r in docs}
+    for _, row in df.iterrows():
+        want = round(float(sum(
+            lr[bucket(t)] for t in by_id[row["doc_id"]].lower().split())), 6)
+        assert math.isclose(row["weight"], want, abs_tol=1e-6)

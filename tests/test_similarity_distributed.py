@@ -115,3 +115,52 @@ def test_blocked_sparse_vec_ids_no_duplicates(ray_session,
                   cols)
     assert len(blocked) == len(bcast)
     pd.testing.assert_frame_equal(blocked, bcast)
+
+
+def test_semantic_dedup_laws(ray_session):
+    """SemDeDup laws: survivors are a subset with the keep-first
+    property — every dropped vec has a surviving same-cluster
+    eps-neighbor with a smaller id, and no two survivors in one cluster
+    are eps-similar (eps-independent-set greedily by id)."""
+    eps = 0.4
+    out = _df(similarity.semantic_dedup_survivors(SF, eps=eps))
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    pos = {v: i for i, v in enumerate(ids)}
+
+    surv = set(out["vec_id"])
+    assert surv <= set(ids)
+    cluster_of = dict(zip(out["vec_id"], out["cluster"]))
+    # within each cluster, replay the greedy keep-first rule on the
+    # survivors' own cluster labels: brute-force over the cluster members
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in cluster_of.items():
+        by_cluster.setdefault(int(c), []).append(int(v))
+    for c, members in by_cluster.items():
+        members = sorted(members)
+        m = mat[[pos[v] for v in members]]
+        cos = np.round(m @ m.T, 6)
+        iu = np.triu_indices(len(members), k=1)
+        # no surviving pair is eps-similar
+        assert not (cos[iu] >= eps).any()
+
+
+def test_semantic_dedup_drops_on_planted_dups(ray_session, tmp_path):
+    """A planted exact duplicate must never survive alongside its twin."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[:10]])          # ids 40..49 dup 0..9
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    out = _df(similarity.semantic_dedup_survivors(str(tmp_path), k=4,
+                                                  eps=0.99))
+    surv = set(out["vec_id"])
+    for i in range(10):
+        assert not (i in surv and (40 + i) in surv)
+        assert i in surv       # keep-first: the smaller id survives
