@@ -899,6 +899,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (vec_id, cluster) labeling self-dumps so the oracle recomputes
         # every within-cluster cosine independently
         "semantic_dedup_survivors": _semantic_dedup_survivors,
+        # embedding-space benchmark decontamination (semantic analog of
+        # doc_decontaminate): broadcast bench matrix, max-cos flag
+        "embedding_decontaminate": lambda sf:
+            similarity.embedding_decontaminate(sf),
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
         "cosine_near_pairs_lsh": _cosine_near_pairs_lsh,
@@ -1664,6 +1668,25 @@ def oracle_sql() -> dict[str, str]:
                           x.embedding::DOUBLE[],
                           y.embedding::DOUBLE[]), 6) >= 0.4
             )
+        """,
+        # embedding decontamination: max rounded cosine vs the small
+        # benchmark side (round is monotone: max-then-round ==
+        # round-then-max, matching the Ray side)
+        "embedding_decontaminate": """
+            WITH bench AS (
+                SELECT embedding FROM embeddings WHERE vec_id < 20
+            )
+            SELECT r.vec_id,
+                   max(round(list_cosine_similarity(
+                       r.embedding::DOUBLE[],
+                       b.embedding::DOUBLE[]), 6)) AS max_bench_cos,
+                   CAST(max(round(list_cosine_similarity(
+                       r.embedding::DOUBLE[],
+                       b.embedding::DOUBLE[]), 6)) >= 0.32 AS INTEGER)
+                       AS contaminated
+            FROM embeddings r CROSS JOIN bench b
+            WHERE r.vec_id >= 20
+            GROUP BY 1
         """,
         # BM25 (Robertson/Sparck Jones idf, k1=1.2 b=0.75) over
         # lower().split() tokens — the same law as pipelines/analysis.py

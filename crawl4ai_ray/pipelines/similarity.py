@@ -1007,3 +1007,52 @@ def semantic_dedup_survivors(sf_dir: str, *, k: int = 8, eps: float = 0.4,
     return (labeled.groupby("cluster")
             .map_groups(survivors_in_cluster, batch_format="pyarrow")
             .sort("vec_id"))
+
+
+def embedding_decontaminate(sf_dir: str, *, bench_max_vec: int = 20,
+                            threshold: float = 0.32):
+    """Embedding-space benchmark decontamination — the semantic analog
+    of ``corpus.decontaminate`` (n-gram overlap): flag every corpus
+    vector whose max cosine against ANY benchmark vector reaches the
+    threshold (paraphrased benchmark leakage that n-gram overlap
+    misses; the embedding-similarity decontamination used alongside
+    n-gram checks in recent LLM data work, e.g. Yang et al. 2023,
+    arXiv:2311.04850).
+
+    Scale shape: the benchmark side is SMALL by nature (vec_id <
+    bench_max_vec here; real benchmarks are thousands of rows) — pull it
+    once with a parquet row filter, normalize, ``ray.put`` the (b, d)
+    matrix, and every batch computes one matmul + row-max against the
+    broadcast; no shuffle at all, output is one row per corpus vector.
+    Cosines are rounded to 6 decimals before the threshold test on both
+    engines (round is monotone, so max-then-round == round-then-max).
+    """
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as _pq
+
+    from .sketches import _stack_embeddings
+
+    # benchmark side: small by nature — one filtered read, then broadcast
+    bench_tbl = _pq.read_table(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filters=_pads.field("vec_id") < bench_max_vec)
+    bench = _normalize(_stack_embeddings(bench_tbl))
+    bref = ray.put(bench)
+
+    rest = rd.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"],
+        filter=_pads.field("vec_id") >= bench_max_vec)
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        x = _normalize(_stack_embeddings(batch))
+        mx = np.round((x @ b.T).max(axis=1), 6)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "max_bench_cos": pa.array(mx, pa.float64()),
+            "contaminated": pa.array(
+                (mx >= threshold).astype(np.int32), pa.int32()),
+        })
+
+    return rest.map_batches(score, batch_format="pyarrow",
+                            batch_size=65536)

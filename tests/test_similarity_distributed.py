@@ -164,3 +164,22 @@ def test_semantic_dedup_drops_on_planted_dups(ray_session, tmp_path):
     for i in range(10):
         assert not (i in surv and (40 + i) in surv)
         assert i in surv       # keep-first: the smaller id survives
+
+
+def test_embedding_decontaminate_laws(ray_session):
+    """Flag law: contaminated == (max_bench_cos >= t); every bench-id is
+    excluded from the output; max_bench_cos matches a brute recompute."""
+    t = 0.32
+    out = _df(similarity.embedding_decontaminate(SF, threshold=t))
+    assert (out["vec_id"] >= 20).all()
+    assert ((out["max_bench_cos"] >= t).astype("int32")
+            == out["contaminated"]).all()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    brute = np.round((mat[ids >= 20] @ mat[ids < 20].T).max(axis=1), 6)
+    got = out.set_index("vec_id")["max_bench_cos"]
+    want = dict(zip(ids[ids >= 20], brute))
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in got.index)
