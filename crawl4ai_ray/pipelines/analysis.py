@@ -5942,3 +5942,4 @@ def event_type_user_jaccard(sf_dir: str):
 
     return (agg.map_batches(finish, batch_format="pyarrow")
             .sort(["t_lo", "t_hi"]))
+
