@@ -12,7 +12,9 @@ Layout
 - ``schemas``    : pyarrow schemas for every logical table (tables are
                    parquet directories with atomic ``_COMMIT``-marked
                    superstep partitions — Lance-style semantics; the
-                   ``lance`` package is not available in this environment)
+                   ``lance`` package is not available in this environment,
+                   and ``sources/lancekit.py`` activates real Lance
+                   datasets through the same read/write seam iff it is)
 - ``functions``  : pure, vectorizable kernels (URL canonicalization,
                    filters, scorers, chunkers, text stats, regex extraction)
 - ``stages``     : map_batches stages (HTML parse→spans, fetch actor pool)
