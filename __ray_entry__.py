@@ -947,6 +947,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": lambda sf: __import__(
             "crawl4ai_ray.stages.multimodal", fromlist=["resize_pipeline"],
         ).resize_pipeline(sf),
+        # perceptual-hash (dHash) near-dup pairs over media payloads:
+        # 8-band bucketing is EXACT for radius<=7 (pigeonhole); planted
+        # near-dups included; deterministic, golden-gated
+        "media_phash_dedup": lambda sf: __import__(
+            "crawl4ai_ray.stages.multimodal",
+            fromlist=["phash_dedup_pipeline"],
+        ).phash_dedup_pipeline(sf),
         # crawl pipelines (rows-only; oracle equality enforced in pytest)
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),

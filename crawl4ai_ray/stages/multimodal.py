@@ -372,3 +372,150 @@ def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
         .map_groups(finish, batch_format="pandas") \
         .sort(["query_id", "cos", "media_id"],
               descending=[False, True, False])
+
+
+class PerceptualHashStage:
+    """Actor-pool stage: payload → 64-bit dHash (difference hash).
+
+    A real implementation decodes with PIL, resizes to a 9×8 grayscale
+    grid and compares horizontal neighbors (the classic dHash of
+    Krawetz's "Kind of Like That"); the STUB applies the identical
+    comparison over the FakeCodec body's first 9×8 bytes, so flipping a
+    handful of payload bytes moves only a handful of hash bits — the
+    property the near-dup pipeline below relies on and tests plant."""
+
+    def __init__(self):
+        self.codec = FakeCodec()
+
+    @staticmethod
+    def dhash(body: bytes) -> int:
+        grid = np.frombuffer(body[:72], dtype=np.uint8).reshape(8, 9)
+        bits = (grid[:, 1:] > grid[:, :-1]).ravel()   # 8 rows × 8 bits
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for blob in batch.column("payload").to_pylist():
+            try:
+                d = self.codec.decode(blob)
+                hashes.append(self.dhash(d["body"]))
+            except (ValueError, struct.error, IndexError):
+                hashes.append((1 << 64) - 1)   # undecodable sentinel
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "phash": pa.array(np.asarray(hashes, dtype=np.uint64),
+                              pa.uint64()),
+        })
+
+
+def synth_media_with_neardups(n: int, seed: int = 42,
+                              every: int = 10) -> pa.Table:
+    """The media corpus plus planted near-duplicates: every ``every``-th
+    payload is re-emitted (media_id = n + j) with three body bytes
+    XOR-flipped inside the dHash window — ≤ 6 hash bits moved."""
+    base = synth_media_table(n, seed=seed)
+    ids, kinds, payloads = [], [], []
+    for j, i in enumerate(range(0, n, every)):
+        blob = bytearray(base.column("payload")[i].as_py())
+        for off in (5, 25, 55):                    # inside body[:72]
+            blob[23 + off] ^= 0x80
+        ids.append(n + j)
+        kinds.append(base.column("kind")[i].as_py())
+        payloads.append(bytes(blob))
+    dups = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+    return pa.concat_tables([base, dups])
+
+
+def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
+                         radius: int = 6, n_bands: int = 8):
+    """`media_phash_dedup` — perceptual-hash near-duplicate pairs over
+    the media corpus (planted near-dups included): dHash per payload
+    (actor pool), band-bucket the 64-bit hash, pair within buckets at
+    Hamming ≤ radius, dedupe pairs across bands.
+
+    With n_bands=8 the detection is EXACT for radius ≤ 7 (pigeonhole:
+    ≤7 differing bits cannot touch all 8 bands, so every true pair
+    shares at least one clean band — the FastSS-style completeness
+    lemma). The trade: 8-bit bands mean ≤256 buckets per band, so
+    bucket sizes grow linearly with the corpus; at 100 TB use wider
+    bands (4×16: probabilistic recall, simhash_near_pairs-style) or
+    shard each bucket by a secondary hash before pairing — the same
+    knob `pipelines/dedup.py` documents for SimHash banding.
+
+    Scale shape: hash per payload (actor pool, no shuffle) → n_bands
+    rows per item into a bucket groupby (the one exchange) → per-bucket
+    vectorized XOR-popcount pairing → a (pair)-keyed dedupe groupby on
+    the (small) near-dup pair set. Deterministic end to end.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if n is None:
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_with_neardups(n)
+    per = max(1, (len(tbl) + 31) // 32)
+    slices = [tbl.slice(i * per, per)
+              for i in range((len(tbl) + per - 1) // per)]
+    ds = rd.from_arrow(slices)
+
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+
+    class HashAndBand:
+        def __init__(self):
+            self.stage = PerceptualHashStage()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hb = self.stage(batch)
+            ids = hb.column("media_id").to_numpy(zero_copy_only=False)
+            ph = hb.column("phash").to_numpy(zero_copy_only=False)
+            reps = []
+            for b in range(n_bands):
+                band_val = (ph >> (b * band_bits)) & mask
+                reps.append(pa.table({
+                    "bucket": pa.array(
+                        (np.int64(b) << np.int64(band_bits))
+                        | band_val.astype(np.int64)),
+                    "media_id": pa.array(ids),
+                    "phash": pa.array(ph, pa.uint64()),
+                }))
+            return pa.concat_tables(reps)
+
+    empty = pa.table({"media_a": pa.array([], pa.int64()),
+                      "media_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g.column("media_id").to_numpy(zero_copy_only=False)
+        ph = g.column("phash").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        if m < 2:
+            return empty
+        xor = np.bitwise_xor.outer(ph, ph)
+        dist = np.unpackbits(
+            xor.view(np.uint8).reshape(m, m, 8), axis=2).sum(axis=2)
+        ai, bj = np.nonzero(np.triu(dist <= radius, k=1))
+        if not len(ai):
+            return empty
+        a, b = ids[ai], ids[bj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({
+            "media_a": pa.array(a2),
+            "media_b": pa.array(b2),
+            "hamming": pa.array(dist[ai, bj].astype(np.int64)),
+        })
+
+    return (ds.map_batches(HashAndBand, batch_format="pyarrow",
+                           batch_size=256, concurrency=(1, 2))
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+            .groupby(["media_a", "media_b"])
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .sort(["media_a", "media_b"]))

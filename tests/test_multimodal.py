@@ -92,3 +92,27 @@ def test_media_pipelines_e2e(ray_session):
     frames = frame_sample_pipeline(SF, n=60).to_pandas()
     assert len(frames) > 0
     assert set(frames.columns) == {"media_id", "frame_idx", "frame_checksum"}
+
+
+def test_phash_dedup_planted_pairs(ray_session):
+    """Every planted near-dup (3 byte flips inside the dHash window) is
+    found at Hamming <= 6, exactly once, with no spurious pairs, and
+    8-band bucketing is complete for the radius (pigeonhole law)."""
+    from crawl4ai_ray.stages.multimodal import (PerceptualHashStage,
+                                                phash_dedup_pipeline,
+                                                synth_media_with_neardups)
+
+    df = phash_dedup_pipeline("/root/testdata/sf0.001").to_pandas()
+    planted = {(i, 500 + j) for j, i in enumerate(range(0, 500, 10))}
+    got = set(zip(df["media_a"], df["media_b"]))
+    assert got == planted
+    assert int(df["hamming"].max()) <= 6
+    assert not df.duplicated(["media_a", "media_b"]).any()
+    # hamming values match a direct hash recompute
+    tbl = synth_media_with_neardups(500)
+    stage = PerceptualHashStage()
+    ph = dict(zip(tbl.column("media_id").to_pylist(),
+                  stage(tbl).column("phash").to_pylist()))
+    for _, r in df.iterrows():
+        d = bin(ph[r["media_a"]] ^ ph[r["media_b"]]).count("1")
+        assert d == r["hamming"]

@@ -64,6 +64,7 @@ GOLDEN_QUERIES = [
     "crawl_corpus_prepare",
     "events_user_ewma",
     "crawl_anchor_texts",
+    "media_phash_dedup",
 ]
 
 
