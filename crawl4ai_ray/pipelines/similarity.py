@@ -935,8 +935,8 @@ def ivfpq_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10,
                .limit(k))
 
 
-def semantic_dedup_survivors(sf_dir: str, *, k: int = 8, eps: float = 0.4,
-                             max_iters: int = 20,
+def semantic_dedup_survivors(sf_dir: str, *, k: int | None = None,
+                             eps: float = 0.4, max_iters: int = 20,
                              dump_dir: str | None = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
     embedding space, then inside each cluster treat any pair with cosine
@@ -961,8 +961,15 @@ def semantic_dedup_survivors(sf_dir: str, *, k: int = 8, eps: float = 0.4,
     so the SQL oracle can recompute every within-cluster cosine
     independently (the kmeans_cluster_means self-dump convention).
     """
+    import pyarrow.parquet as _pq
+
     from .sketches import _stack_embeddings, kmeans_fit
 
+    if k is None:
+        # the paper's regime: clusters ~ sqrt(n) keeps per-cluster work
+        # (the matmul) and cluster count balanced as the corpus grows
+        n_vecs = _pq.read_metadata(_emb_path(sf_dir)).num_rows
+        k = max(8, int(round(n_vecs ** 0.5)))
     cent, _, _ = kmeans_fit(sf_dir, k=k, max_iters=max_iters)
     cent_ref = ray.put(cent)
     ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
