@@ -732,6 +732,16 @@ def _semantic_dedup_survivors(sf_dir: str):
     return similarity.semantic_dedup_survivors(sf_dir, dump_dir=root)
 
 
+def _media_phash_dedup(sf_dir: str):
+    import shutil
+
+    from crawl4ai_ray.stages.multimodal import phash_dedup_pipeline
+
+    root = "/tmp/c4r_oracle/media_phash_dedup"
+    shutil.rmtree(root, ignore_errors=True)
+    return phash_dedup_pipeline(sf_dir, dump_dir=root)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
@@ -903,6 +913,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_decontaminate): broadcast bench matrix, max-cos flag
         "embedding_decontaminate": lambda sf:
             similarity.embedding_decontaminate(sf),
+        # perceptual-hash (dHash) near-dup pairs over media payloads:
+        # 8-band bucketing is EXACT for radius<=7 (pigeonhole); the
+        # (media_id, phash) table self-dumps so the oracle recomputes
+        # every pair brute-force — a banding-completeness gate
+        "media_phash_dedup": _media_phash_dedup,
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
         "cosine_near_pairs_lsh": _cosine_near_pairs_lsh,
@@ -947,13 +962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": lambda sf: __import__(
             "crawl4ai_ray.stages.multimodal", fromlist=["resize_pipeline"],
         ).resize_pipeline(sf),
-        # perceptual-hash (dHash) near-dup pairs over media payloads:
-        # 8-band bucketing is EXACT for radius<=7 (pigeonhole); planted
-        # near-dups included; deterministic, golden-gated
-        "media_phash_dedup": lambda sf: __import__(
-            "crawl4ai_ray.stages.multimodal",
-            fromlist=["phash_dedup_pipeline"],
-        ).phash_dedup_pipeline(sf),
         # crawl pipelines (rows-only; oracle equality enforced in pytest)
         "crawl_bfs_order": _crawl_order_query("bfs"),
         "crawl_best_first_order": _crawl_order_query("best_first"),
@@ -1675,6 +1683,21 @@ def oracle_sql() -> dict[str, str]:
                           x.embedding::DOUBLE[],
                           y.embedding::DOUBLE[]), 6) >= 0.4
             )
+        """,
+        # perceptual-hash near-dup: the Ray side pairs via 8-band
+        # bucketing; the oracle recomputes EVERY pair brute-force from
+        # the dumped hashes (popcount is invariant under the
+        # signed-bits reinterpret), proving banding completeness
+        "media_phash_dedup": """
+            WITH h AS (
+                SELECT media_id, phash_bits FROM read_parquet(
+                    '/tmp/c4r_oracle/media_phash_dedup/**/*.parquet')
+            )
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.phash_bits, b.phash_bits))
+                        AS BIGINT) AS hamming
+            FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash_bits, b.phash_bits)) <= 6
         """,
         # embedding decontamination: max rounded cosine vs the small
         # benchmark side (round is monotone: max-then-round ==

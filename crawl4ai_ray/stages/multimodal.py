@@ -431,7 +431,8 @@ def synth_media_with_neardups(n: int, seed: int = 42,
 
 
 def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
-                         radius: int = 6, n_bands: int = 8):
+                         radius: int = 6, n_bands: int = 8,
+                         dump_dir: str | None = None):
     """`media_phash_dedup` — perceptual-hash near-duplicate pairs over
     the media corpus (planted near-dups included): dHash per payload
     (actor pool), band-bucket the 64-bit hash, pair within buckets at
@@ -449,7 +450,11 @@ def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
     Scale shape: hash per payload (actor pool, no shuffle) → n_bands
     rows per item into a bucket groupby (the one exchange) → per-bucket
     vectorized XOR-popcount pairing → a (pair)-keyed dedupe groupby on
-    the (small) near-dup pair set. Deterministic end to end.
+    the (small) near-dup pair set. Deterministic end to end. When
+    ``dump_dir`` is given the (media_id, phash) table streams there so
+    the SQL oracle can recompute EVERY pair brute-force
+    (bit_count(xor(a, b)) <= radius over the full cross join) — a
+    banding-completeness proof, not just a replay.
     """
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -462,6 +467,26 @@ def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
     slices = [tbl.slice(i * per, per)
               for i in range((len(tbl) + per - 1) // per)]
     ds = rd.from_arrow(slices)
+
+    if dump_dir is not None:
+        class HashDump:
+            def __init__(self):
+                self.stage = PerceptualHashStage()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                hb = self.stage(batch)
+                # signed-bits view: DuckDB XORs BIGINTs; popcount is
+                # invariant under the reinterpret
+                return pa.table({
+                    "media_id": hb.column("media_id"),
+                    "phash_bits": pa.array(
+                        hb.column("phash").to_numpy(zero_copy_only=False)
+                        .view(np.int64), pa.int64()),
+                })
+
+        ds.map_batches(HashDump, batch_format="pyarrow",
+                       batch_size=256,
+                       concurrency=(1, 2)).write_parquet(dump_dir)
 
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
