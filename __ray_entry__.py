@@ -742,6 +742,16 @@ def _media_phash_dedup(sf_dir: str):
     return phash_dedup_pipeline(sf_dir, dump_dir=root)
 
 
+def _media_ann_topk(sf_dir: str):
+    import shutil
+
+    from crawl4ai_ray.stages.multimodal import media_ann_pipeline
+
+    root = "/tmp/c4r_oracle/media_ann_topk"
+    shutil.rmtree(root, ignore_errors=True)
+    return media_ann_pipeline(sf_dir, dump_dir=root)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
@@ -918,6 +928,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (media_id, phash) table self-dumps so the oracle recomputes
         # every pair brute-force — a banding-completeness gate
         "media_phash_dedup": _media_phash_dedup,
+        # multimodal similarity search: per-media features (actor
+        # pool) -> broadcast query matrix -> local-top-k combiner ->
+        # bounded per-query rank; features self-dump so the oracle
+        # recomputes every cosine and the rank independently
+        "media_ann_topk": _media_ann_topk,
         # approximate LSH-bucketed variant (the corpus-scale path); planes
         # tuned to the testdata's cos range so recall ~1 at threshold 0.4
         "cosine_near_pairs_lsh": _cosine_near_pairs_lsh,
@@ -952,13 +967,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _media_decode,
         "media_frame_sample": _media_frames,
         # actor-pool image resize (stub math, real binary-column plumbing)
-        # multimodal similarity search: per-media features (actor
-        # pool) -> broadcast query matrix -> local-top-k combiner ->
-        # bounded per-query rank; golden-gated
-        "media_ann_topk": lambda sf: __import__(
-            "crawl4ai_ray.stages.multimodal",
-            fromlist=["media_ann_pipeline"],
-        ).media_ann_pipeline(sf),
         "media_resize": lambda sf: __import__(
             "crawl4ai_ray.stages.multimodal", fromlist=["resize_pipeline"],
         ).resize_pipeline(sf),
@@ -1698,6 +1706,32 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS hamming
             FROM h a JOIN h b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.phash_bits, b.phash_bits)) <= 6
+        """,
+        # media ANN: every cosine + the (cos desc, media_id) top-k
+        # recomputed from the dumped per-item features (combiner law
+        # checked end-to-end, incl. the round-before-rank tie rule)
+        "media_ann_topk": """
+            WITH f AS (
+                SELECT media_id, features FROM read_parquet(
+                    '/tmp/c4r_oracle/media_ann_topk/**/*.parquet')
+            ),
+            q AS (
+                SELECT media_id AS query_id, features AS qf
+                FROM f WHERE media_id < 4
+            ),
+            scored AS (
+                SELECT q.query_id, f.media_id,
+                       round(list_cosine_similarity(
+                           f.features::DOUBLE[], q.qf::DOUBLE[]), 5)
+                           AS cos
+                FROM f JOIN q ON f.media_id <> q.query_id
+            )
+            SELECT query_id, media_id, cos FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, media_id) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
         """,
         # embedding decontamination: max rounded cosine vs the small
         # benchmark side (round is monotone: max-then-round ==

@@ -297,7 +297,7 @@ def resize_pipeline(sf_dir: str, *, n: int | None = None,
 
 
 def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
-                       n_query: int = 4):
+                       n_query: int = 4, dump_dir: str | None = None):
     """Multimodal similarity search — `media_ann_topk`: extract features
     for every media payload (actor-pool MediaFeatureStage; a real
     deployment swaps in a vision/audio model loaded once per actor) and
@@ -328,6 +328,21 @@ def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qids = qt.column("media_id").to_pylist()
     qref = ray.put((qmat, np.asarray(qids, np.int64)))
+
+    if dump_dir is not None:
+        # stream the per-item features to the oracle path: DuckDB
+        # recomputes every cosine and the (cos desc, media_id) top-k
+        # rank independently of the combiner
+        class FeatureDump:
+            def __init__(self):
+                self.stage = MediaFeatureStage()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return self.stage(batch).select(["media_id", "features"])
+
+        ds.map_batches(FeatureDump, batch_format="pyarrow",
+                       batch_size=64,
+                       concurrency=(1, 2)).write_parquet(dump_dir)
 
     class FeatureTopK:
         def __init__(self):
