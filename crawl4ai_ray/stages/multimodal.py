@@ -64,21 +64,42 @@ class FakeCodec:
         }
 
 
+def _media_row(i: int, seed: int = 42) -> tuple[str, bytes]:
+    """One deterministic media item — pure in media_id, so any task can
+    generate any slice of the corpus without driver state."""
+    kind = _KINDS[i % 3]
+    s = seed * 1_000_003 + i
+    if kind == "image":
+        blob = FakeCodec.encode(kind, s, width=64 + (i % 8) * 32,
+                                height=64 + (i % 5) * 32, body_len=4096)
+    elif kind == "audio":
+        blob = FakeCodec.encode(kind, s, sample_rate=16000,
+                                n_frames=100 + i % 50, body_len=8192)
+    else:
+        blob = FakeCodec.encode(kind, s, width=320, height=240,
+                                n_frames=24 + i % 72, body_len=16384)
+    return kind, blob
+
+
+def _neardup_row(j: int, n: int, seed: int = 42,
+                 every: int = 10) -> tuple[str, bytes]:
+    """Planted near-dup j (media_id = n + j): base payload every*j with
+    three body bytes XOR-flipped inside the dHash window."""
+    kind, base = _media_row(every * j, seed)
+    blob = bytearray(base)
+    for off in (5, 25, 55):                        # inside body[:72]
+        blob[23 + off] ^= 0x80
+    return kind, bytes(blob)
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus: media_id, kind, payload(binary), meta."""
+    """Deterministic media corpus: media_id, kind, payload(binary), meta.
+
+    Driver-side form — test scaffolding and small-n use only; the
+    pipelines stream the same corpus task-side via ``media_dataset``."""
     ids, kinds, payloads = [], [], []
     for i in range(n):
-        kind = _KINDS[i % 3]
-        s = seed * 1_000_003 + i
-        if kind == "image":
-            blob = FakeCodec.encode(kind, s, width=64 + (i % 8) * 32,
-                                    height=64 + (i % 5) * 32, body_len=4096)
-        elif kind == "audio":
-            blob = FakeCodec.encode(kind, s, sample_rate=16000,
-                                    n_frames=100 + i % 50, body_len=8192)
-        else:
-            blob = FakeCodec.encode(kind, s, width=320, height=240,
-                                    n_frames=24 + i % 72, body_len=16384)
+        kind, blob = _media_row(i, seed)
         ids.append(i)
         kinds.append(kind)
         payloads.append(blob)
@@ -89,6 +110,43 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             "payload": pa.array(payloads, type=pa.large_binary()),
         }
     )
+
+
+def media_dataset(n: int, seed: int = 42, *, with_neardups: bool = False,
+                  every: int = 10, ids_per_block: int = 4096):
+    """The media corpus as a task-side-generated Dataset: the driver
+    holds only id ranges; every payload byte is produced inside
+    ``map_batches`` workers (payloads are pure functions of media_id).
+    This is the pipelines' input path — at 10x corpus scale the
+    driver-side table form held ~1.5 GB of payload bytes on the driver;
+    this form holds none. ids_per_block trades generation parallelism
+    against downstream shuffle fan-in: 4096 ids ≈ 16–64 MB of payloads
+    per block (inside the default block target) and measured 12.5 s vs
+    26 s at 256-id blocks for the 55k-item phash pipeline — groupby
+    cost tracks input block count, not row count."""
+    import ray.data as rd
+
+    n_dups = ((n + every - 1) // every) if with_neardups else 0
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        kinds, payloads = [], []
+        for i in ids:
+            if i < n:
+                kind, blob = _media_row(int(i), seed)
+            else:
+                kind, blob = _neardup_row(int(i) - n, n, seed, every)
+            kinds.append(kind)
+            payloads.append(blob)
+        return pa.table({
+            "media_id": pa.array(ids.astype(np.int64)),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    return rd.range(n + n_dups, override_num_blocks=max(
+        1, (n + n_dups) // ids_per_block)).map_batches(
+            gen, batch_format="pyarrow", batch_size=ids_per_block)
 
 
 class MediaDecodeStage:
@@ -224,10 +282,7 @@ def media_pipeline(sf_dir: str, *, n: int | None = None):
 
     if n is None:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tbl = synth_media_table(n)
-    per = max(1, (n + 31) // 32)
-    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
-    ds = rd.from_arrow(slices)
+    ds = media_dataset(n)
     return ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
                           batch_size=64, concurrency=2)
 
@@ -239,10 +294,7 @@ def frame_sample_pipeline(sf_dir: str, *, n: int | None = None,
 
     if n is None:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tbl = synth_media_table(n)
-    per = max(1, (n + 31) // 32)
-    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
-    ds = rd.from_arrow(slices)
+    ds = media_dataset(n)
     return ds.map_batches(FrameSampleStage,
                           fn_constructor_kwargs={"stride": stride},
                           batch_format="pyarrow", batch_size=64,
@@ -263,10 +315,7 @@ def resize_pipeline(sf_dir: str, *, n: int | None = None,
 
     if n is None:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tbl = synth_media_table(n)
-    per = max(1, (n + 31) // 32)
-    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
-    ds = rd.from_arrow(slices)
+    ds = media_dataset(n)
     resized = ds.map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"target_width": target_width,
@@ -316,13 +365,10 @@ def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
 
     if n is None:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tbl = synth_media_table(n)
-    per = max(1, (n + 31) // 32)
-    slices = [tbl.slice(i * per, per) for i in range((n + per - 1) // per)]
-    ds = rd.from_arrow(slices)
+    ds = media_dataset(n)
 
     feat = MediaFeatureStage()
-    qt = tbl.slice(0, n_query)
+    qt = synth_media_table(n_query)   # tiny: just the query rows
     qmat = np.asarray(
         feat(qt).column("features").to_pylist(), np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -430,13 +476,11 @@ def synth_media_with_neardups(n: int, seed: int = 42,
     XOR-flipped inside the dHash window — ≤ 6 hash bits moved."""
     base = synth_media_table(n, seed=seed)
     ids, kinds, payloads = [], [], []
-    for j, i in enumerate(range(0, n, every)):
-        blob = bytearray(base.column("payload")[i].as_py())
-        for off in (5, 25, 55):                    # inside body[:72]
-            blob[23 + off] ^= 0x80
+    for j in range((n + every - 1) // every):
+        kind, blob = _neardup_row(j, n, seed, every)
         ids.append(n + j)
-        kinds.append(base.column("kind")[i].as_py())
-        payloads.append(bytes(blob))
+        kinds.append(kind)
+        payloads.append(blob)
     dups = pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "kind": pa.array(kinds, pa.string()),
@@ -477,11 +521,7 @@ def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
 
     if n is None:
         n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tbl = synth_media_with_neardups(n)
-    per = max(1, (len(tbl) + 31) // 32)
-    slices = [tbl.slice(i * per, per)
-              for i in range((len(tbl) + per - 1) // per)]
-    ds = rd.from_arrow(slices)
+    ds = media_dataset(n, with_neardups=True)
 
     if dump_dir is not None:
         class HashDump:
