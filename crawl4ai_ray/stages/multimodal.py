@@ -277,7 +277,6 @@ class FrameSampleStage:
 def media_pipeline(sf_dir: str, *, n: int | None = None):
     """End-to-end multimodal demo over a deterministic media corpus sized
     from the documents table: decode metadata for every payload."""
-    import ray.data as rd
     import pyarrow.parquet as pq
 
     if n is None:
@@ -289,7 +288,6 @@ def media_pipeline(sf_dir: str, *, n: int | None = None):
 
 def frame_sample_pipeline(sf_dir: str, *, n: int | None = None,
                           stride: int = 8):
-    import ray.data as rd
     import pyarrow.parquet as pq
 
     if n is None:
@@ -310,7 +308,6 @@ def resize_pipeline(sf_dir: str, *, n: int | None = None,
     sizing for image payloads) is real."""
     import zlib
 
-    import ray.data as rd
     import pyarrow.parquet as pq
 
     if n is None:
@@ -360,7 +357,6 @@ def media_ann_pipeline(sf_dir: str, *, n: int | None = None, k: int = 5,
     asc), so the final per-query rank sees ≤ k·blocks rows inside a
     bounded ``map_groups``. Deterministic end to end (golden-gated)."""
     import ray
-    import ray.data as rd
     import pyarrow.parquet as pq
 
     if n is None:
@@ -516,7 +512,6 @@ def phash_dedup_pipeline(sf_dir: str, *, n: int | None = None,
     banding-completeness proof, not just a replay.
     """
     import pyarrow.parquet as pq
-    import ray.data as rd
     from ray.data.aggregate import Min
 
     if n is None:
