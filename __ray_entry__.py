@@ -762,6 +762,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_revenue": analysis.top_customer_revenue,
         "events_daily": analysis.events_daily,
         "user_sessions": analysis.user_sessions,
+        # FK-graph orphan audit: distinct-key reduction per side,
+        # count-gated broadcast probe with native left_anti fallback
+        "referential_integrity_audit":
+            analysis.referential_integrity_audit,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1346,6 +1350,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # FK-graph orphan audit: one row per edge, exact distinct-key
+        # and orphan counts
+        "referential_integrity_audit": """
+            WITH e(fk, ck, pk) AS (VALUES
+                ('orders.o_custkey->customer.c_custkey', 1, 1),
+                ('lineitem.l_orderkey->orders.o_orderkey', 2, 2),
+                ('lineitem.l_partkey->part.p_partkey', 3, 3),
+                ('lineitem.l_suppkey->supplier.s_suppkey', 4, 4),
+                ('customer.c_nationkey->nation.n_nationkey', 5, 5),
+                ('events.user_id->customer.c_custkey', 6, 1)
+            ),
+            child AS (
+                SELECT 1 AS ck, o_custkey AS k FROM orders UNION ALL
+                SELECT 2, l_orderkey FROM lineitem UNION ALL
+                SELECT 3, l_partkey FROM lineitem UNION ALL
+                SELECT 4, l_suppkey FROM lineitem UNION ALL
+                SELECT 5, c_nationkey FROM customer UNION ALL
+                SELECT 6, user_id FROM events
+            ),
+            parent AS (
+                SELECT 1 AS pk, c_custkey AS k FROM customer UNION ALL
+                SELECT 2, o_orderkey FROM orders UNION ALL
+                SELECT 3, p_partkey FROM part UNION ALL
+                SELECT 4, s_suppkey FROM supplier UNION ALL
+                SELECT 5, n_nationkey FROM nation
+            ),
+            cd AS (SELECT DISTINCT ck, k FROM child),
+            pd AS (SELECT DISTINCT pk, k FROM parent)
+            SELECT e.fk,
+                   count(*) AS n_child_keys,
+                   count(*) FILTER (pd.k IS NULL) AS n_orphans
+            FROM e JOIN cd ON cd.ck = e.ck
+            LEFT JOIN pd ON pd.pk = e.pk AND pd.k = cd.k
+            GROUP BY e.fk
         """,
         "events_value_bands": """
             WITH bands AS (

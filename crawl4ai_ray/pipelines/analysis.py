@@ -5943,3 +5943,78 @@ def event_type_user_jaccard(sf_dir: str):
     return (agg.map_batches(finish, batch_format="pyarrow")
             .sort(["t_lo", "t_hi"]))
 
+
+
+def referential_integrity_audit(sf_dir: str,
+                                broadcast_limit: int = 2_000_000):
+    """Data-quality audit — exact orphan counts across the schema's FK
+    graph (the expectations check a pipeline runs before training-data
+    joins): one row per FK edge with the distinct child-key count and
+    how many of those keys have no parent.
+
+    Scale shape per edge: both sides reduce to DISTINCT int64 keys with
+    the per-batch-unique + sorted-runs combiner (sorted_distinct_keys —
+    exchange is one row per distinct key, not per row); the probe is a
+    broadcast np.isin when the parent key set is small (count-gated)
+    and Ray Data's native ``left_anti`` hash join beyond
+    ``broadcast_limit``. The driver folds one scalar pair per edge.
+    """
+    import ray
+
+    from ..functions.sortagg import sorted_distinct_keys
+
+    edges = [
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("lineitem.l_partkey->part.p_partkey",
+         ("lineitem", "l_partkey"), ("part", "p_partkey")),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         ("lineitem", "l_suppkey"), ("supplier", "s_suppkey")),
+        ("customer.c_nationkey->nation.n_nationkey",
+         ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+        ("events.user_id->customer.c_custkey",
+         ("events", "user_id"), ("customer", "c_custkey")),
+    ]
+
+    names, n_keys, n_orph = [], [], []
+    for fk, (ctab, ccol), (ptab, pcol) in edges:
+        child = sorted_distinct_keys(
+            _read(sf_dir, ctab, [ccol]), ccol).materialize()
+        parent = sorted_distinct_keys(
+            _read(sf_dir, ptab, [pcol]), pcol).materialize()
+        nc = child.count()
+        if parent.count() <= broadcast_limit:
+            pk = np.sort(np.concatenate([
+                b.column(pcol).to_numpy(zero_copy_only=False)
+                for b in ray.get(parent.to_arrow_refs())] or
+                [np.array([], dtype=np.int64)]))
+            pref = ray.put(pk)
+
+            def count_missing(batch: pa.Table, pref=pref, col=ccol):
+                keys = batch.column(col).to_numpy(zero_copy_only=False)
+                miss = ~np.isin(keys, ray.get(pref))
+                return pa.table({"n": pa.array(
+                    [int(miss.sum())], pa.int64())})
+
+            parts = child.map_batches(
+                count_missing, batch_format="pyarrow").take_all()
+            orphans = int(sum(r["n"] for r in parts))
+        else:
+            from .dedup import _join_parts
+
+            orphans = child.join(
+                parent, join_type="left_anti",
+                num_partitions=_join_parts(child, parent),
+                on=(ccol,), right_on=(pcol,),
+            ).count()
+        names.append(fk)
+        n_keys.append(nc)
+        n_orph.append(orphans)
+
+    return pa.table({
+        "fk": pa.array(names, pa.string()),
+        "n_child_keys": pa.array(n_keys, pa.int64()),
+        "n_orphans": pa.array(n_orph, pa.int64()),
+    })

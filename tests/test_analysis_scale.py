@@ -302,3 +302,50 @@ def test_revenue_share_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_referential_integrity_audit_planted_orphans(ray_session,
+                                                     tmp_path):
+    """Planted orphans are counted exactly, and the forced left_anti
+    fallback (broadcast_limit=0) is byte-equal to the broadcast form."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.analysis import referential_integrity_audit
+
+    sf = str(tmp_path)
+    # copy the sf0.001 tables, then orphan three orders customers and
+    # two event users
+    import shutil
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    f"{sf}/{t}.parquet")
+    orders = pq.read_table(f"{sf}/orders.parquet")
+    ck = orders.column("o_custkey").to_numpy(zero_copy_only=False).copy()
+    ck[:3] = [999_991, 999_992, 999_993]
+    orders = orders.set_column(
+        orders.column_names.index("o_custkey"), "o_custkey",
+        pa.array(ck))
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    events = pq.read_table(f"{sf}/events.parquet")
+    uid = events.column("user_id").to_numpy(zero_copy_only=False).copy()
+    uid[:5] = [888_888] * 5          # five rows, ONE distinct orphan key
+    events = events.set_column(
+        events.column_names.index("user_id"), "user_id", pa.array(uid))
+    pq.write_table(events, f"{sf}/events.parquet")
+
+    got = referential_integrity_audit(sf).to_pandas().set_index("fk")
+    assert got.loc["orders.o_custkey->customer.c_custkey",
+                   "n_orphans"] == 3
+    assert got.loc["events.user_id->customer.c_custkey",
+                   "n_orphans"] == 1
+    assert got.loc["lineitem.l_orderkey->orders.o_orderkey",
+                   "n_orphans"] == 0
+
+    anti = referential_integrity_audit(
+        sf, broadcast_limit=0).to_pandas().set_index("fk")
+    assert (anti["n_orphans"] == got["n_orphans"]).all()
+    assert (anti["n_child_keys"] == got["n_child_keys"]).all()
