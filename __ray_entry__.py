@@ -766,6 +766,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-gated broadcast probe with native left_anti fallback
         "referential_integrity_audit":
             analysis.referential_integrity_audit,
+        # windowed funnel (windowFunnel semantics): chain must complete
+        # within 24h of its own first event; per-user searchsorted walk
+        "events_funnel_windowed": analysis.events_funnel_windowed,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1350,6 +1353,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # windowed funnel: exists-chain semantics per stage, chain
+        # bounded by 24h from its own first event
+        "events_funnel_windowed": """
+            WITH s1 AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'signup'
+            ),
+            s2 AS (
+                SELECT DISTINCT e1.user_id
+                FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+                WHERE e1.event_type = 'signup'
+                  AND e2.event_type = 'click'
+                  AND e2.ts > e1.ts
+                  AND e2.ts <= e1.ts + INTERVAL 24 HOUR
+            ),
+            s3 AS (
+                SELECT DISTINCT e1.user_id
+                FROM events e1
+                JOIN events e2 ON e1.user_id = e2.user_id
+                JOIN events e3 ON e1.user_id = e3.user_id
+                WHERE e1.event_type = 'signup'
+                  AND e2.event_type = 'click'
+                  AND e3.event_type = 'purchase'
+                  AND e2.ts > e1.ts AND e3.ts > e2.ts
+                  AND e3.ts <= e1.ts + INTERVAL 24 HOUR
+            )
+            SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS name,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         # FK-graph orphan audit: one row per edge, exact distinct-key
         # and orphan counts

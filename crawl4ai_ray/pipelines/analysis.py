@@ -6018,3 +6018,69 @@ def referential_integrity_audit(sf_dir: str,
         "n_child_keys": pa.array(n_keys, pa.int64()),
         "n_orphans": pa.array(n_orph, pa.int64()),
     })
+
+
+def events_funnel_windowed(sf_dir: str,
+                           stages=("signup", "click", "purchase"),
+                           window_hours: int = 24):
+    """Time-windowed funnel (ClickHouse ``windowFunnel`` semantics): a
+    user reaches stage k iff SOME strictly-increasing chain of the
+    first k stage events completes within ``window_hours`` of the
+    chain's OWN first event. Differs from ``events_funnel`` (greedy
+    unbounded walk): here every stage-1 event opens a candidate window
+    and the earliest-next-match chain from each start is optimal (it
+    maximizes the remaining slack), so the per-user scan is exact.
+
+    Scale shape: per-user vectorized searchsorted over the user's
+    per-stage timestamp arrays inside ``groupby(user).map_groups`` —
+    O(starts x stages x log n) per user, no cross-user state; stage
+    counts reduce through per-batch partials into a len(stages)-row
+    groupby, the events_funnel tail."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    w = np.timedelta64(window_hours * 3600, "s")
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        per_stage = [ts[et == s] for s in stages]
+        starts = per_stage[0]
+        if len(starts) == 0:
+            return pd.DataFrame({"depth": [np.int64(0)]})
+        depth = 1
+        cur = starts                     # chain heads, one per start
+        deadline = starts + w
+        for nxt in per_stage[1:]:
+            if len(nxt) == 0:
+                break
+            idx = np.searchsorted(nxt, cur, side="right")
+            ok = idx < len(nxt)
+            cur = np.where(ok, nxt[np.minimum(idx, len(nxt) - 1)],
+                           np.datetime64("2262-01-01"))
+            alive = ok & (cur <= deadline)
+            if not alive.any():
+                break
+            depth += 1
+            cur, deadline = cur[alive], deadline[alive]
+        return pd.DataFrame({"depth": [np.int64(depth)]})
+
+    depths = ds.groupby("user_id").map_groups(walk,
+                                              batch_format="pandas")
+
+    def cum_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("depth").to_numpy(zero_copy_only=False)
+        ns = [np.int64((d >= k).sum()) for k in range(1,
+                                                      len(stages) + 1)]
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1,
+                                        dtype=np.int64)),
+            "name": pa.array(list(stages), pa.string()),
+            "n_users": pa.array(ns),
+        })
+
+    return depths.map_batches(cum_part, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby(["stage", "name"]) \
+        .aggregate(Sum("n_users", alias_name="n_users")) \
+        .sort("stage")

@@ -349,3 +349,50 @@ def test_referential_integrity_audit_planted_orphans(ray_session,
         sf, broadcast_limit=0).to_pandas().set_index("fk")
     assert (anti["n_orphans"] == got["n_orphans"]).all()
     assert (anti["n_child_keys"] == got["n_child_keys"]).all()
+
+
+def test_windowed_funnel_vs_bruteforce(ray_session):
+    """The per-user greedy-from-each-start walk equals the brute-force
+    exists-a-chain check on every user at sf0.001."""
+    import itertools
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.analysis import events_funnel_windowed
+
+    SF = "/root/testdata/sf0.001"
+    stages = ("signup", "click", "purchase")
+    w = np.timedelta64(24 * 3600, "s")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+
+    def brute_depth(g):
+        per = [np.sort(g.loc[g["event_type"] == s, "ts"].to_numpy())
+               for s in stages]
+        best = 0
+        for t1 in per[0]:
+            # chain exists to depth k iff nested strictly-increasing
+            # picks exist ending <= t1 + w; brute force over products of
+            # candidate picks is exponential, so check depth greedily
+            # per start but ALSO cross-check depth 3 by full triple scan
+            best = max(best, 1)
+        for t1 in per[0]:
+            for t2 in per[1]:
+                if t2 > t1 and t2 <= t1 + w:
+                    best = max(best, 2)
+                    for t3 in per[2]:
+                        if t3 > t2 and t3 <= t1 + w:
+                            best = max(best, 3)
+                            break
+        return best
+
+    want = {k: 0 for k in (1, 2, 3)}
+    for _, g in ev.groupby("user_id"):
+        d = brute_depth(g)
+        for k in range(1, d + 1):
+            want[k] += 1
+
+    got = events_funnel_windowed(SF).to_pandas().set_index("stage")
+    for k in (1, 2, 3):
+        assert int(got.loc[k, "n_users"]) == want[k]
