@@ -769,6 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed funnel (windowFunnel semantics): chain must complete
         # within 24h of its own first event; per-user searchsorted walk
         "events_funnel_windowed": analysis.events_funnel_windowed,
+        # last-touch attribution: per-user ordered scan, |types| groupby
+        "events_attribution_last_touch":
+            analysis.events_attribution_last_touch,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1353,6 +1356,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # last-touch attribution via IGNORE NULLS window
+        "events_attribution_last_touch": """
+            SELECT attributed,
+                   CAST(count(*) AS BIGINT) AS n_conversions
+            FROM (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS attributed
+                FROM events
+            )
+            WHERE event_type = 'purchase' AND attributed IS NOT NULL
+            GROUP BY 1
         """,
         # windowed funnel: exists-chain semantics per stage, chain
         # bounded by 24h from its own first event

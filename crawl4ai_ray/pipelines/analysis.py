@@ -6084,3 +6084,39 @@ def events_funnel_windowed(sf_dir: str,
         .groupby(["stage", "name"]) \
         .aggregate(Sum("n_users", alias_name="n_users")) \
         .sort("stage")
+
+
+def events_attribution_last_touch(sf_dir: str,
+                                  conversion: str = "purchase"):
+    """Last-touch attribution — every conversion event is credited to
+    the user's most recent PRECEDING non-conversion event type (the
+    marketing-attribution shape; first/last-touch are the standard
+    heuristic models). Output: (attributed, n_conversions), conversions
+    with no preceding touch excluded — matching the SQL
+    ``last_value(... IGNORE NULLS) ... ROWS ... 1 PRECEDING`` form.
+
+    Scale shape: attribution is a per-user ordered property —
+    ``groupby(user).map_groups`` sorts one user's stream by
+    (ts, event_id) and resolves each conversion's last preceding touch
+    with one np.maximum.accumulate index scan (no Python loop); the
+    tail is a |types|-sized groupby count."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        is_touch = et != conversion
+        # index of the most recent touch at-or-before each position
+        idx = np.where(is_touch, np.arange(len(et)), -1)
+        last_touch = np.maximum.accumulate(idx)
+        conv = et == conversion
+        att_idx = last_touch[conv]
+        keep = att_idx >= 0
+        return pd.DataFrame({"attributed": et[att_idx[keep]]})
+
+    return (ds.groupby("user_id")
+            .map_groups(attribute, batch_format="pandas")
+            .groupby("attributed")
+            .aggregate(Count(alias_name="n_conversions"))
+            .sort("attributed"))

@@ -396,3 +396,30 @@ def test_windowed_funnel_vs_bruteforce(ray_session):
     got = events_funnel_windowed(SF).to_pandas().set_index("stage")
     for k in (1, 2, 3):
         assert int(got.loc[k, "n_users"]) == want[k]
+
+
+def test_attribution_last_touch_law(ray_session):
+    """Per-conversion credit equals a per-user pandas replay; totals
+    conserve (sum of credits == purchases with a preceding touch)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.analysis import (
+        events_attribution_last_touch)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    want: dict = {}
+    n_credited = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last = None
+        for et in g["event_type"]:
+            if et == "purchase":
+                if last is not None:
+                    want[last] = want.get(last, 0) + 1
+                    n_credited += 1
+            else:
+                last = et
+    got = events_attribution_last_touch(SF).to_pandas()
+    assert dict(zip(got["attributed"], got["n_conversions"])) == want
+    assert int(got["n_conversions"].sum()) == n_credited
