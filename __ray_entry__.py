@@ -772,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # last-touch attribution: per-user ordered scan, |types| groupby
         "events_attribution_last_touch":
             analysis.events_attribution_last_touch,
+        # conversion latency: one row per converted user, single pass
+        "events_time_to_convert": analysis.events_time_to_convert,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1356,6 +1358,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # conversion latency: first purchase strictly after the
+        # earliest signup, in hours
+        "events_time_to_convert": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t1
+                GROUP BY 1
+            )
+            SELECT s.user_id,
+                   round(epoch(p.t2 - s.t1) / 3600.0, 6)
+                       AS hours_to_convert
+            FROM s JOIN p USING (user_id)
         """,
         # last-touch attribution via IGNORE NULLS window
         "events_attribution_last_touch": """

@@ -6120,3 +6120,39 @@ def events_attribution_last_touch(sf_dir: str,
             .groupby("attributed")
             .aggregate(Count(alias_name="n_conversions"))
             .sort("attributed"))
+
+
+def events_time_to_convert(sf_dir: str, start: str = "signup",
+                           end: str = "purchase"):
+    """Conversion latency — per user, hours from the earliest ``start``
+    event to the first ``end`` event strictly after it (the
+    time-to-convert distribution's raw table; converted users only).
+
+    Scale shape: one ``groupby(user).map_groups`` emitting at most one
+    row per user (two vectorized min/searchsorted probes inside the
+    group); no second pass, no join."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "hours_to_convert": pd.Series([],
+                                                        dtype="float64")})
+
+    def latency(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        st = ts[et == start]
+        if len(st) == 0:
+            return empty
+        t1 = st.min()
+        en = ts[(et == end) & (ts > t1)]
+        if len(en) == 0:
+            return empty
+        hours = float((en.min() - t1) / np.timedelta64(1, "h"))
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "hours_to_convert": [round(hours, 6)],
+        })
+
+    return (ds.groupby("user_id")
+            .map_groups(latency, batch_format="pandas")
+            .sort("user_id"))
