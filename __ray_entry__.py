@@ -774,6 +774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.events_attribution_last_touch,
         # conversion latency: one row per converted user, single pass
         "events_time_to_convert": analysis.events_time_to_convert,
+        # RFM segmentation: two sortagg passes + three exact-NTILE sorts
+        "customer_rfm": analysis.customer_rfm,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1358,6 +1360,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # RFM: per-customer recency/frequency/monetary + exact NTILE
+        # quartiles ordered (metric, custkey)
+        "customer_rfm": """
+            WITH m AS (
+                SELECT o_custkey AS c_custkey,
+                       date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                 (SELECT CAST(max(o_orderdate) AS DATE)
+                                  FROM orders)) AS recency_days,
+                       count(*) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY 1
+            )
+            SELECT c_custkey,
+                   CAST(recency_days AS BIGINT) AS recency_days,
+                   frequency, monetary,
+                   CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey)
+                        AS BIGINT) AS r_q,
+                   CAST(ntile(4) OVER (ORDER BY frequency, c_custkey)
+                        AS BIGINT) AS f_q,
+                   CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
+                        AS BIGINT) AS m_q
+            FROM m
         """,
         # conversion latency: first purchase strictly after the
         # earliest signup, in hours

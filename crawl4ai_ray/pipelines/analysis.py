@@ -6156,3 +6156,96 @@ def events_time_to_convert(sf_dir: str, start: str = "signup",
     return (ds.groupby("user_id")
             .map_groups(latency, batch_format="pandas")
             .sort("user_id"))
+
+
+def customer_rfm(sf_dir: str, k: int = 4):
+    """RFM segmentation — per ordering customer: recency (days from
+    their last order to the corpus max order date), frequency (order
+    count), monetary (total spend), each scored into k quartile buckets
+    by exact NTILE ordered (metric ASC, custkey ASC). The classic
+    customer-value segmentation.
+
+    Scale shape: the per-customer reduction is two sorted-runs passes
+    (sum/count and max-day — the sortagg shape, no per-group Python)
+    joined customer-keyed; each quartile score is one global sort +
+    the block-offset exact-NTILE scan shared with orders_row_number
+    (one tiny partial per block to the driver). Three sorts total —
+    NTILE's inherent exchange."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_sum
+    from .dedup import _join_parts
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "day": pa.array(days),
+            "price": batch.column("o_totalprice"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    base = orders.map_batches(prep, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    sums = sorted_keyed_sum(base, "c_custkey", ["price", "one"])
+    last = sorted_keyed_sum(base, "c_custkey", ["day"], how="max")
+    gmax = int(base.max("day"))
+    joined = sums.join(last, "inner", _join_parts(sums, last),
+                       on=("c_custkey",))
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "recency_days": pa.array(
+                gmax - batch.column("day").to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
+            "frequency": batch.column("one"),
+            "monetary": pa.array(np.round(
+                batch.column("price").to_numpy(zero_copy_only=False),
+                2), pa.float64()),
+        })
+
+    m = joined.map_batches(metrics, batch_format="pyarrow")
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_p", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    m = m.map_batches(add_const, batch_format="pyarrow")
+
+    def ntile_pass(ds, metric: str, out: str):
+        sorted_ds, bases, totals = _pnum_prepare(
+            ds, ["_p", metric, "c_custkey"], [False, False, False],
+            "_p", "c_custkey")
+        bref = ray.put((bases, totals))
+
+        def assign(batch: pa.Table, bref=bref) -> pa.Table:
+            import ray as _ray
+
+            if batch.num_rows == 0:
+                return batch.append_column(out, pa.array([], pa.int64()))
+            bases, totals = _ray.get(bref)
+            rn, pr = _pnum_rn(batch, "_p", "c_custkey", bases)
+            n = np.array([totals[p] for p in pr], np.int64)
+            size_small = n // k
+            n_big = n % k
+            big_span = n_big * (size_small + 1)
+            in_big = rn <= big_span
+            tile = np.where(
+                in_big,
+                (rn - 1) // np.maximum(size_small + 1, 1) + 1,
+                n_big + (rn - 1 - big_span)
+                // np.maximum(size_small, 1) + 1,
+            ).astype(np.int64)
+            return batch.append_column(out, pa.array(tile))
+
+        return sorted_ds.map_batches(assign, batch_format="pyarrow")
+
+    m = ntile_pass(m, "recency_days", "r_q")
+    m = ntile_pass(m, "frequency", "f_q")
+    m = ntile_pass(m, "monetary", "m_q")
+    return m.drop_columns(["_p"]).sort("c_custkey")

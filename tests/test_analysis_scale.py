@@ -423,3 +423,27 @@ def test_attribution_last_touch_law(ray_session):
     got = events_attribution_last_touch(SF).to_pandas()
     assert dict(zip(got["attributed"], got["n_conversions"])) == want
     assert int(got["n_conversions"].sum()) == n_credited
+
+
+def test_customer_rfm_laws(ray_session):
+    """NTILE bucket sizes differ by at most one per metric; every
+    ordering customer appears exactly once; monetary matches a direct
+    per-customer recompute."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.analysis import customer_rfm
+
+    SF = "/root/testdata/sf0.001"
+    got = customer_rfm(SF).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]).to_pandas()
+    want_m = orders.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    assert len(got) == orders["o_custkey"].nunique()
+    assert not got["c_custkey"].duplicated().any()
+    merged = got.set_index("c_custkey")["monetary"]
+    assert (merged - want_m).abs().max() < 1e-6
+    for col in ["r_q", "f_q", "m_q"]:
+        sizes = got[col].value_counts()
+        assert set(sizes.index) <= {1, 2, 3, 4}
+        assert sizes.max() - sizes.min() <= 1
