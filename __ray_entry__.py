@@ -776,6 +776,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_to_convert": analysis.events_time_to_convert,
         # RFM segmentation: two sortagg passes + three exact-NTILE sorts
         "customer_rfm": analysis.customer_rfm,
+        # cohort LTV curve: per-user offsets -> bounded groupby ->
+        # per-cohort cumsum in max_offset-sized groups
+        "cohort_ltv": analysis.cohort_ltv,
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1360,6 +1363,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
+        """,
+        # cohort LTV: first-activity-day cohorts, cumulative purchase
+        # revenue by day offset
+        "cohort_ltv": """
+            WITH f AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS d0
+                FROM events GROUP BY 1
+            ),
+            buys AS (
+                SELECT f.user_id,
+                       strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+                       date_diff('day', f.d0, CAST(e.ts AS DATE))
+                           AS day_offset,
+                       e.value
+                FROM events e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND date_diff('day', f.d0, CAST(e.ts AS DATE)) <= 14
+            ),
+            per AS (
+                SELECT cohort_day,
+                       CAST(day_offset AS BIGINT) AS day_offset,
+                       sum(value) AS raw_rev
+                FROM buys GROUP BY 1, 2
+            )
+            SELECT cohort_day, day_offset,
+                   round(raw_rev, 4) AS revenue,
+                   round(sum(raw_rev) OVER (
+                       PARTITION BY cohort_day ORDER BY day_offset), 4)
+                       AS cum_revenue
+            FROM per
         """,
         # RFM: per-customer recency/frequency/monetary + exact NTILE
         # quartiles ordered (metric, custkey)

@@ -6249,3 +6249,60 @@ def customer_rfm(sf_dir: str, k: int = 4):
     m = ntile_pass(m, "frequency", "f_q")
     m = ntile_pass(m, "monetary", "m_q")
     return m.drop_columns(["_p"]).sort("c_custkey")
+
+
+def cohort_ltv(sf_dir: str, max_offset: int = 14):
+    """Cohort lifetime-value curve — users grouped by first-activity
+    day (the cohort); for each day offset 0..max_offset, the CUMULATIVE
+    purchase revenue the cohort has generated by that day (the
+    LTV-by-cohort curve next to the retention triangle).
+
+    Scale shape: one ``groupby(user).map_groups`` emits each user's
+    per-offset purchase revenue (at most max_offset+1 rows per user),
+    a bounded (cohort, offset) groupby sums them, and the cumulative
+    sum runs inside one ``map_groups`` per cohort (max_offset+1 rows
+    per group). No join back to events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "value"])
+
+    empty = pd.DataFrame({
+        "cohort_day": pd.Series([], dtype="str"),
+        "day_offset": pd.Series([], dtype="int64"),
+        "revenue": pd.Series([], dtype="float64")})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        d0 = ts.min().astype("datetime64[D]")
+        buy = g["event_type"].to_numpy() == "purchase"
+        if not buy.any():
+            return empty
+        days = ts[buy].astype("datetime64[D]")
+        off = (days - d0).astype(np.int64)
+        keep = off <= max_offset
+        if not keep.any():
+            return empty
+        val = g["value"].to_numpy()[buy][keep]
+        offs, inv = np.unique(off[keep], return_inverse=True)
+        rev = np.zeros(len(offs))
+        np.add.at(rev, inv, val)
+        return pd.DataFrame({
+            "cohort_day": np.datetime_as_string(
+                np.full(len(offs), d0, dtype="datetime64[D]")),
+            "day_offset": offs,
+            "revenue": rev,
+        })
+
+    agg = (ds.groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day_offset")
+        g["cum_revenue"] = np.round(g["revenue"].cumsum(), 4)
+        g["revenue"] = np.round(g["revenue"], 4)
+        return g
+
+    return (agg.groupby("cohort_day")
+            .map_groups(cumsum, batch_format="pandas")
+            .sort(["cohort_day", "day_offset"]))

@@ -447,3 +447,26 @@ def test_customer_rfm_laws(ray_session):
         sizes = got[col].value_counts()
         assert set(sizes.index) <= {1, 2, 3, 4}
         assert sizes.max() - sizes.min() <= 1
+
+
+def test_cohort_ltv_laws(ray_session):
+    """cum_revenue is the running sum of revenue within each cohort and
+    is monotone non-decreasing; totals conserve against a direct
+    recompute of in-window purchase value."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.analysis import cohort_ltv
+
+    SF = "/root/testdata/sf0.001"
+    got = cohort_ltv(SF).to_pandas()
+    for _, g in got.groupby("cohort_day"):
+        g = g.sort_values("day_offset")
+        assert (g["cum_revenue"].diff().dropna() >= -1e-9).all()
+        assert abs(g["cum_revenue"].iloc[-1]
+                   - round(g["revenue"].sum(), 4)) < 1e-3
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    d0 = ev.groupby("user_id")["ts"].min().dt.normalize()
+    ev = ev.merge(d0.rename("d0"), on="user_id")
+    buys = ev[(ev["event_type"] == "purchase")
+              & ((ev["ts"].dt.normalize() - ev["d0"]).dt.days <= 14)]
+    assert abs(got["revenue"].sum() - buys["value"].sum()) < 1e-4
