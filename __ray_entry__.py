@@ -779,6 +779,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort LTV curve: per-user offsets -> bounded groupby ->
         # per-cohort cumsum in max_offset-sized groups
         "cohort_ltv": analysis.cohort_ltv,
+        # CDC latest-wins compaction: sort by (key, version) + run-last
+        # (sortagg argmax shape) over the synthetic orders changelog
+        "orders_upsert_latest": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.cdc",
+            fromlist=["orders_upsert_latest"]).orders_upsert_latest(sf),
+        # SCD2 history: bounded per-key interval stitch (<=3 rows/group)
+        "orders_scd2": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.cdc",
+            fromlist=["orders_scd2"]).orders_scd2(sf),
         # gaps-and-islands: user-keyed shuffle + numpy island scan
         "user_day_streaks": analysis.user_day_streaks,
         # two-phase global min/max broadcast + bucket groupby
@@ -1416,6 +1425,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
                         AS BIGINT) AS m_q
             FROM m
+        """,
+        # CDC latest-wins: the same deterministic changelog (v1 all
+        # rows; v2 keys%7 price+10 'U'; v3 keys%21 price+25 'V')
+        # compacted with QUALIFY-style row_number — pure double
+        # addition keeps both sides bit-identical
+        "orders_upsert_latest": """
+            WITH base AS (
+                SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                       o_orderstatus, o_totalprice FROM orders),
+            u2 AS (
+                SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+                FROM orders WHERE o_orderkey % 7 = 0),
+            u3 AS (
+                SELECT o_orderkey, 3, 'V', o_totalprice + 25.0
+                FROM orders WHERE o_orderkey % 21 = 0),
+            log AS (SELECT * FROM base UNION ALL
+                    SELECT * FROM u2 UNION ALL SELECT * FROM u3)
+            SELECT o_orderkey, version, o_orderstatus, o_totalprice
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn FROM log)
+            WHERE rn = 1 ORDER BY o_orderkey
+        """,
+        # SCD2 history over the same changelog: [eff_from, eff_to)
+        # validity via LEAD, open intervals closed with 9999-12-31
+        "orders_scd2": """
+            WITH base AS (
+                SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                       o_orderstatus, o_totalprice, o_orderdate
+                FROM orders),
+            u2 AS (
+                SELECT o_orderkey, 2, 'U', o_totalprice + 10.0,
+                       o_orderdate
+                FROM orders WHERE o_orderkey % 7 = 0),
+            u3 AS (
+                SELECT o_orderkey, 3, 'V', o_totalprice + 25.0,
+                       o_orderdate
+                FROM orders WHERE o_orderkey % 21 = 0),
+            log AS (SELECT * FROM base UNION ALL
+                    SELECT * FROM u2 UNION ALL SELECT * FROM u3),
+            eff AS (
+                SELECT o_orderkey, version, o_orderstatus,
+                       o_totalprice,
+                       strftime(CAST(o_orderdate AS DATE) +
+                                CAST((version - 1) * 30 AS INTEGER),
+                                '%Y-%m-%d') AS eff_from
+                FROM log)
+            SELECT o_orderkey, version, o_orderstatus, o_totalprice,
+                   eff_from,
+                   coalesce(lead(eff_from) OVER w, '9999-12-31')
+                       AS eff_to,
+                   lead(eff_from) OVER w IS NULL AS is_current
+            FROM eff
+            WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+            ORDER BY o_orderkey, version
         """,
         # conversion latency: first purchase strictly after the
         # earliest signup, in hours
