@@ -1105,6 +1105,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["distinct_users_by_type"],
         ).distinct_users_by_type(sf),
+        # skew-safe exact distinct: salt derived from the DISTINCT key
+        # splits each hot group num_salts ways; per-salt counts add
+        "distinct_users_salted": lambda sf: __import__(
+            "crawl4ai_ray.functions.skew",
+            fromlist=["salted_distinct_count"],
+        ).salted_distinct_count(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                f"{sf}/events.parquet",
+                columns=["event_type", "user_id"]),
+            "event_type", "user_id").sort("event_type"),
         # the HLL estimate is deterministic given the splitmix64 hash,
         # so the oracle recomputes the WHOLE sketch independently in SQL
         # (mod-2^64 hash emulation via HUGEINT); the ±2σ error bound vs
@@ -2097,6 +2107,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # same aggregate, salted execution (functions/skew.py): the
+        # fold is exact because each user_id hashes to ONE salt bucket
+        "distinct_users_salted": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # integer-exact 3-gram overlap vs the doc_id<20 "benchmark" docs
         # (contaminated = majority of a doc's distinct 3-grams appear in
