@@ -919,6 +919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_survivors": lambda sf: dedup.exact_dedup_survivors(sf),
         # similarity search
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
+        # contrastive mining: broadcast anchors, per-batch matmul +
+        # local top-k per (anchor, pos/neg), bounded-group finisher
+        "contrastive_pairs": lambda sf: similarity.contrastive_mining(sf),
         "ann_topk_lsh": _ann_topk_lsh,
         # IVF (inverted-file) ANN: k-means coarse quantizer, index stored
         # as parquet partitioned by inverted list, probe reads only
@@ -1898,6 +1901,30 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)), 5) AS cos
             FROM embeddings e WHERE e.vec_id <> 0
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        # contrastive mining: per anchor (vec_id%100==0), top-3
+        # same-label positives and top-3 different-label hard
+        # negatives; tie rule = round(cos,5) desc then vec_id
+        "contrastive_pairs": """
+            WITH q AS (
+                SELECT vec_id AS qid,
+                       CAST(embedding AS DOUBLE[]) AS qe,
+                       label AS ql
+                FROM embeddings WHERE vec_id % 100 = 0),
+            s AS (
+                SELECT q.qid, e.vec_id,
+                       CASE WHEN e.label = q.ql THEN 'pos'
+                            ELSE 'neg' END AS kind,
+                       round(list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])), 5)
+                           AS cos
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+            SELECT qid AS query_id, kind, vec_id, cos,
+                   CAST(rn AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qid, kind
+                      ORDER BY cos DESC, vec_id) AS rn FROM s)
+            WHERE rn <= 3 ORDER BY query_id, kind, rnk
         """,
         # exact all-pairs cosine: validated vs the blocked self-join at
         # sf0.001/0.01/0.1 (round-5 values are bit-stable across the numpy

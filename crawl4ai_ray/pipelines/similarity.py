@@ -1063,3 +1063,78 @@ def embedding_decontaminate(sf_dir: str, *, bench_max_vec: int = 20,
 
     return rest.map_batches(score, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def contrastive_mining(sf_dir: str, *, query_mod: int = 100, k: int = 3):
+    """Contrastive-pair mining for embedding training: for each anchor
+    (``vec_id % query_mod == 0``) emit its top-``k`` SAME-label
+    neighbors (positives) and top-``k`` DIFFERENT-label neighbors
+    (hard negatives) by cosine — the standard hard-negative mining
+    pass over a labeled corpus (e.g. SimCLR/SBERT fine-tuning data).
+
+    Scale shape: the anchor set is the small side — broadcast once
+    with ``ray.put``; each batch computes one (batch × anchors)
+    matmul and emits only its local top-k per (anchor, kind), so the
+    final exchange sees ``batches × anchors × 2k`` rows.  The
+    per-anchor finisher runs in bounded groups.  Ordering/tie rule
+    matches the oracle: round(cos, 5) desc, then vec_id asc.
+    """
+    import pyarrow.parquet as pq
+
+    from .sketches import _stack_embeddings
+
+    t = pq.read_table(_emb_path(sf_dir),
+                      columns=["vec_id", "embedding", "label"])
+    qmask = t.column("vec_id").to_numpy() % query_mod == 0
+    qt = t.filter(pa.array(qmask))
+    qids = qt.column("vec_id").to_numpy().astype(np.int64)
+    qlabels = qt.column("label").to_numpy().astype(np.int64)
+    qmat = _normalize(_stack_embeddings(qt))
+    qref = ray.put((qids, qlabels, qmat))
+
+    ds = rd.read_parquet(_emb_path(sf_dir),
+                         columns=["vec_id", "embedding", "label"])
+
+    def local_topk(batch: pa.Table, qref=qref) -> pa.Table:
+        qids, qlabels, qmat = ray.get(qref)
+        ids = batch.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        labels = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cos = np.round(_normalize(_stack_embeddings(batch)) @ qmat.T, 5)
+        out_q, out_kind, out_id, out_cos = [], [], [], []
+        for j in range(len(qids)):          # anchors are few (n/mod)
+            not_self = ids != qids[j]
+            for kind, mask in (("pos", (labels == qlabels[j]) & not_self),
+                               ("neg", labels != qlabels[j])):
+                cand_ids, cand_cos = ids[mask], cos[mask, j]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, -cand_cos))[:k]
+                    cand_ids, cand_cos = cand_ids[order], cand_cos[order]
+                out_q.append(np.full(len(cand_ids), qids[j]))
+                out_kind.extend([kind] * len(cand_ids))
+                out_id.append(cand_ids)
+                out_cos.append(cand_cos)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)
+                                 if out_q else np.array([], np.int64)),
+            "kind": pa.array(out_kind, pa.string()),
+            "vec_id": pa.array(np.concatenate(out_id)
+                               if out_id else np.array([], np.int64)),
+            "cos": pa.array(np.concatenate(out_cos)
+                            if out_cos else np.array([], np.float64),
+                            pa.float64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (partials.groupby(["query_id", "kind"])
+            .map_groups(finish, batch_format="pandas")
+            .sort(["query_id", "kind", "rnk"]))

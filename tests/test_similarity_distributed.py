@@ -183,3 +183,34 @@ def test_embedding_decontaminate_laws(ray_session):
     got = out.set_index("vec_id")["max_bench_cos"]
     want = dict(zip(ids[ids >= 20], brute))
     assert all(abs(got[v] - want[v]) < 1e-9 for v in got.index)
+
+
+def test_contrastive_mining_laws(ray_session):
+    """Per anchor: <=k rows per kind ranked 1..m; positives share the
+    anchor's label, negatives never do, the anchor never pairs with
+    itself; each kind's cos sequence is non-increasing and equals the
+    brute-force top-k recomputed from the raw embeddings."""
+    k = 3
+    out = _df(similarity.contrastive_mining(SF, k=k))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    labels = emb.set_index("vec_id")["label"]
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    pos_of = dict(zip(emb["vec_id"], range(len(emb))))
+    for (qid, kind), g in out.groupby(["query_id", "kind"]):
+        g = g.sort_values("rnk")
+        assert len(g) <= k
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["vec_id"] != qid).all()
+        same = labels.loc[g["vec_id"]].to_numpy() == labels.loc[qid]
+        assert same.all() if kind == "pos" else (~same).all()
+        assert (np.diff(g["cos"].to_numpy()) <= 0).all()
+        # brute recompute of the top-k for this (anchor, kind)
+        cos = np.round(mat @ mat[pos_of[qid]], 5)
+        mask = (labels.loc[emb["vec_id"]].to_numpy()
+                == labels.loc[qid]) == (kind == "pos")
+        mask &= emb["vec_id"].to_numpy() != qid
+        ids, cs = emb["vec_id"].to_numpy()[mask], cos[mask]
+        order = np.lexsort((ids, -cs))[:len(g)]
+        assert list(g["vec_id"]) == list(ids[order])
+        assert np.allclose(g["cos"].to_numpy(), cs[order])
