@@ -1147,6 +1147,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_postings": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["corpus_postings"],
         ).corpus_postings(sf),
+        # vocabulary build: partial Counters -> sortagg string-key sum
+        # -> cutoff filter -> block-offset dense id assignment
+        "corpus_vocab": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["corpus_vocab"],
+        ).corpus_vocab(sf),
+        # token-id encode: broadcast sorted vocab, one searchsorted
+        # probe per batch, stateless explode (no shuffle)
+        "doc_encode_ids": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["doc_encode_ids"],
+        ).doc_encode_ids(sf),
         "doc_stratified_sample": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["stratified_sample"],
         ).stratified_sample(sf),
@@ -2191,6 +2201,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.term, p.doc_id, p.tf, d.df
             FROM posting p JOIN dfreq d USING (term)
             WHERE d.df >= 2
+        """,
+        # vocabulary: rank by (count desc, term asc), ids 1-based
+        # (0 = OOV), cutoff min_count=3
+        "corpus_vocab": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS term
+                FROM documents
+            ),
+            cnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS n
+                FROM toks WHERE term <> ''
+                GROUP BY term HAVING count(*) >= 3
+            )
+            SELECT term, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, term)
+                        AS BIGINT) AS token_id
+            FROM cnt
+        """,
+        # encode: every token position mapped through the vocab,
+        # OOV -> 0; positions from the same split convention
+        "doc_encode_ids": r"""
+            WITH vocab AS (
+                SELECT term,
+                       CAST(row_number() OVER (ORDER BY n DESC, term)
+                            AS BIGINT) AS token_id
+                FROM (
+                    SELECT term, count(*) AS n
+                    FROM (SELECT unnest(string_split_regex(
+                              trim(lower(text)), '\s+')) AS term
+                          FROM documents)
+                    WHERE term <> ''
+                    GROUP BY term HAVING count(*) >= 3)
+            ),
+            d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1)) AS x
+                FROM d
+            ),
+            pos AS (
+                SELECT doc_id, toks[CAST(x AS INTEGER) + 1] AS term,
+                       CAST(x AS BIGINT) AS pos
+                FROM idx
+            )
+            SELECT p.doc_id, p.pos,
+                   coalesce(v.token_id, 0) AS token_id
+            FROM pos p LEFT JOIN vocab v USING (term)
+            WHERE p.term <> ''
+            ORDER BY p.doc_id, p.pos
         """,
         "doc_stratified_sample": """
             SELECT doc_id, lang,

@@ -416,3 +416,35 @@ def test_dsir_sample_laws():
         want = round(float(sum(
             lr[bucket(t)] for t in by_id[row["doc_id"]].lower().split())), 6)
         assert math.isclose(row["weight"], want, abs_tol=1e-6)
+
+
+def test_vocab_encode_laws(ray_session):
+    """Vocab: dense 1-based ids in (count desc, term asc) order, every
+    kept term >= min_count. Encode: round-trip — decoding non-OOV ids
+    through the vocab reproduces the original tokens; OOV ids are
+    exactly the below-cutoff tokens; positions are 0..len-1 per doc."""
+    import numpy as np
+
+    v = corpus.corpus_vocab(SF, min_count=3).to_pandas() \
+        .sort_values("token_id").reset_index(drop=True)
+    assert list(v["token_id"]) == list(range(1, len(v) + 1))
+    assert (v["n"] >= 3).all()
+    key = list(zip(-v["n"], v["term"]))
+    assert key == sorted(key)
+
+    enc = corpus.doc_encode_ids(SF, min_count=3).to_pandas()
+    id2term = dict(zip(v["token_id"], v["term"]))
+    vocab_terms = set(v["term"])
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = dict(zip(docs["doc_id"], docs["text"]))
+    for doc_id, g in enc.groupby("doc_id"):
+        g = g.sort_values("pos")
+        words = docs[doc_id].lower().split()
+        assert list(g["pos"]) == list(range(len(words)))
+        for w, tid in zip(words, g["token_id"]):
+            if w in vocab_terms:
+                assert id2term[tid] == w
+            else:
+                assert tid == 0
