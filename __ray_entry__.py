@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort LTV curve: per-user offsets -> bounded groupby ->
         # per-cohort cumsum in max_offset-sized groups
         "cohort_ltv": analysis.cohort_ltv,
+        # FULL OUTER join surface: both sides pre-aggregated to
+        # day-cardinality before the native full_outer exchange
+        "daily_activity_full_outer": analysis.daily_activity_full_outer,
         # CDC latest-wins compaction: sort by (key, version) + run-last
         # (sortagg argmax shape) over the synthetic orders changelog
         "orders_upsert_latest": lambda sf: __import__(
@@ -1448,6 +1451,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
                         AS BIGINT) AS m_q
             FROM m
+        """,
+        # full-outer day counts, missing side filled with 0
+        "daily_activity_full_outer": """
+            WITH o AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1),
+            e AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+            SELECT coalesce(o.day, e.day) AS day,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+            ORDER BY day
         """,
         # CDC latest-wins: the same deterministic changelog (v1 all
         # rows; v2 keys%7 price+10 'U'; v3 keys%21 price+25 'V')

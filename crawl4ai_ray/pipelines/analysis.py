@@ -6306,3 +6306,49 @@ def cohort_ltv(sf_dir: str, max_offset: int = 14):
     return (agg.groupby("cohort_day")
             .map_groups(cumsum, batch_format="pandas")
             .sort(["cohort_day", "day_offset"]))
+
+
+def daily_activity_full_outer(sf_dir: str):
+    """Order-count vs event-count per day, FULL OUTER joined — days
+    present on either side appear, the missing side filled with 0.
+    Completes the join-type surface next to the inner/broadcast/anti
+    shapes (native ``Dataset.join(join_type="full_outer")``).
+
+    Scale shape: both sides pre-aggregate to one row per day BEFORE
+    the join (the combiner-first rule), so the exchange carries
+    day-cardinality rows, not the raw tables."""
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+    events = _read(sf_dir, "events", ["ts"])
+
+    def day_of(col, out):
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+            vals, counts = np.unique(d, return_counts=True)
+            return pa.table({
+                "day": pa.array(np.datetime_as_string(vals)),
+                out: pa.array(counts.astype(np.int64)),
+            })
+        return f
+
+    o = (orders.map_batches(day_of("o_orderdate", "n_orders"),
+                            batch_format="pyarrow", batch_size=65536)
+         .groupby("day").aggregate(Sum("n_orders",
+                                       alias_name="n_orders")))
+    e = (events.map_batches(day_of("ts", "n_events"),
+                            batch_format="pyarrow", batch_size=65536)
+         .groupby("day").aggregate(Sum("n_events",
+                                       alias_name="n_events")))
+    from .dedup import _join_parts
+
+    j = o.join(e, "full_outer", num_partitions=_join_parts(o, e),
+               on=("day",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day"),
+            "n_orders": pc.fill_null(batch.column("n_orders"), 0),
+            "n_events": pc.fill_null(batch.column("n_events"), 0),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow").sort("day")
