@@ -779,6 +779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort LTV curve: per-user offsets -> bounded groupby ->
         # per-cohort cumsum in max_offset-sized groups
         "cohort_ltv": analysis.cohort_ltv,
+        # column profiling: per-column pruned reads; exact distinct
+        # via per-batch unique combiner + sortagg run-length count
+        "orders_column_profile": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.profile",
+            fromlist=["column_profile"]).column_profile(sf, "orders"),
         # FULL OUTER join surface: both sides pre-aggregated to
         # day-cardinality before the native full_outer exchange
         "daily_activity_full_outer": analysis.daily_activity_full_outer,
@@ -1451,6 +1456,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
                         AS BIGINT) AS m_q
             FROM m
+        """,
+        # column profile: exact per-column cardinality sweep
+        "orders_column_profile": """
+            SELECT "column", n_rows, n_null, n_distinct FROM (
+                SELECT 'o_orderkey' AS "column",
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(o_orderkey) AS BIGINT)
+                           AS n_null,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                           AS n_distinct FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       count(*) - count(o_custkey),
+                       count(DISTINCT o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(DISTINCT o_totalprice) FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', count(*),
+                       count(*) - count(o_orderdate),
+                       count(DISTINCT o_orderdate) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority) FROM orders
+            ) ORDER BY "column"
         """,
         # full-outer day counts, missing side filled with 0
         "daily_activity_full_outer": """
