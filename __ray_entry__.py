@@ -1165,6 +1165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_encode_ids": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["doc_encode_ids"],
         ).doc_encode_ids(sf),
+        # mixture rebalance: k-row count pass -> integer per-source
+        # md5 thresholds broadcast -> stateless hash-filter
+        "doc_mixture_rebalance": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["mixture_rebalance"]).mixture_rebalance(sf),
         "doc_stratified_sample": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["stratified_sample"],
         ).stratified_sample(sf),
@@ -2256,6 +2261,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.term, p.doc_id, p.tf, d.df
             FROM posting p JOIN dfreq d USING (term)
             WHERE d.df >= 2
+        """,
+        # mixture rebalance: integer thresholds (N*2^32)//(k*n_s)
+        # compared against the first 8 md5 hex digits of doc_id
+        "doc_mixture_rebalance": """
+            WITH c AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                FROM documents GROUP BY source),
+            t AS (
+                SELECT source,
+                       CAST(least(
+                           CAST(4294967296 AS HUGEINT),
+                           (SELECT CAST(sum(n_s) AS HUGEINT) FROM c)
+                               * 4294967296
+                               // ((SELECT count(*) FROM c) * n_s))
+                           AS BIGINT) AS thr
+                FROM c)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t USING (source)
+            WHERE CAST(('0x' || substr(
+                      md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) < t.thr
+            ORDER BY d.doc_id
         """,
         # vocabulary: rank by (count desc, term asc), ids 1-based
         # (0 = OOV), cutoff min_count=3

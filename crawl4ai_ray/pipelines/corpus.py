@@ -1467,3 +1467,44 @@ def doc_encode_ids(sf_dir: str, min_count: int = 3,
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           batch_size=256).sort(["doc_id", "pos"])
+
+
+def mixture_rebalance(sf_dir: str):
+    """Data-mixture rebalancing: downsample each source toward an
+    EQUAL target share (the data-curation step that stops one crawl
+    dump from dominating the training mix).  A source with n_s docs
+    keeps each doc with probability ``min(1, (N/k)/n_s)`` — decided
+    deterministically by md5(doc_id) against a per-source threshold,
+    so the selection is reproducible across engines and runs (same
+    convention as ``hash_sample``).
+
+    Thresholds are INTEGER arithmetic — ``(N * 2^32) // (k * n_s)``,
+    capped at 2^32 — so the Ray and SQL sides agree exactly with no
+    float rounding anywhere.
+
+    Scale shape: pass 1 is a k-row groupby count (k = #sources);
+    thresholds broadcast as a tiny dict; pass 2 is a stateless
+    hash-filter map — no further shuffle.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = (ds.groupby("source").aggregate(Count(alias_name="n_s"))
+              .to_pandas())
+    n_total = int(counts["n_s"].sum())
+    k = len(counts)
+    thr = {s: min(1 << 32, (n_total * (1 << 32)) // (k * int(n)))
+           for s, n in zip(counts["source"], counts["n_s"])}
+    tref = ray.put(thr)
+
+    def keep(batch: pa.Table, tref=tref) -> pa.Table:
+        t = ray.get(tref)
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        h = np.array([int(hashlib.md5(str(i).encode())
+                          .hexdigest()[:8], 16) for i in ids],
+                     dtype=np.int64)
+        lim = np.array([t[s] for s in srcs], dtype=np.int64)
+        return batch.filter(pa.array(h < lim))
+
+    return (ds.map_batches(keep, batch_format="pyarrow",
+                           batch_size=4096)
+            .sort("doc_id"))

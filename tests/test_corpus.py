@@ -448,3 +448,27 @@ def test_vocab_encode_laws(ray_session):
                 assert id2term[tid] == w
             else:
                 assert tid == 0
+
+
+def test_mixture_rebalance_laws(ray_session):
+    """Sources at or below the equal share are kept whole (threshold
+    caps at 2^32); over-represented sources shrink toward N/k; the
+    selection is a pure function of doc_id (stable across runs)."""
+    import pyarrow.parquet as pq
+
+    out = corpus.mixture_rebalance(SF).to_pandas()
+    out2 = corpus.mixture_rebalance(SF).to_pandas()
+    assert out.equals(out2)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    n = docs.groupby("source").size()
+    target = len(docs) / len(n)
+    kept = out.groupby("source").size().reindex(n.index).fillna(0)
+    for s in n.index:
+        if n[s] <= target:
+            assert kept[s] == n[s]          # under target: keep all
+        else:
+            # binomial around target with p=target/n_s; allow 5 sigma
+            p = target / n[s]
+            sigma = (n[s] * p * (1 - p)) ** 0.5
+            assert abs(kept[s] - target) < 5 * sigma + 1
