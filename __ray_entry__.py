@@ -1039,6 +1039,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_components"],
         ).crawl_components(
             sf, dump=lambda t: _oracle_dump("crawl_components", t)),
+        # re-crawl change detection: two deterministic snapshots,
+        # md5 fingerprints, url-keyed full_outer classification;
+        # self-dump SQL-gated on the per-side fingerprint tables
+        "crawl_snapshot_diff": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.snapshot",
+            fromlist=["crawl_snapshot_diff"]).crawl_snapshot_diff(
+            sf, dump=lambda t: _oracle_dump("crawl_snapshot_diff", t)),
         # Newman degree assortativity, corr() over dumped degree pairs
         "crawl_assortativity": lambda sf: __import__(
             "crawl4ai_ray.pipelines.graph",
@@ -4130,6 +4137,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SQL re-runs wedge generation (oriented edges self-join) and
         # closure (lex edge join) from the dumped edge tables
+        # snapshot diff: classification re-derived from the dumped
+        # per-side fingerprints with an independent FULL OUTER join
+        "crawl_snapshot_diff": """
+            WITH a AS (
+                SELECT url, md5 FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_snapshot_diff/raw.parquet')
+                WHERE side = 'a'),
+            b AS (
+                SELECT url, md5 FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_snapshot_diff/raw.parquet')
+                WHERE side = 'b')
+            SELECT coalesce(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        WHEN a.md5 <> b.md5 THEN 'changed'
+                        ELSE 'same' END AS change
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+            ORDER BY url
+        """,
         "crawl_triangles": """
             WITH ed AS (SELECT u, v FROM read_parquet(
                      '/tmp/c4r_oracle/crawl_triangles/raw.parquet')

@@ -1,0 +1,105 @@
+"""Crawl snapshot diff — re-crawl change detection.
+
+The monitoring question every crawl operator asks between runs: which
+pages appeared, disappeared, or changed?  ``crawl_snapshot_diff``
+crawls the synthetic site twice under two deterministic configs (the
+second adds a category and drops a product per subcategory, so all
+four classes occur), fingerprints each page's markdown with md5, and
+classifies every URL as ``added`` / ``removed`` / ``changed`` /
+``same`` via one FULL OUTER join on url.
+
+Reference surface: cbwinslow/crawl4ai's CacheMode + content hashing
+enable single-page change checks (async_database stores the page by
+url); this operator is the corpus-level diff those primitives imply,
+expressed as a Dataset join.
+
+Scale shape: each side reduces to (url, md5) inside ``map_batches``
+(markdown never crosses the exchange — 16-byte digests do); the diff
+is one url-keyed full_outer join; the per-side fingerprint tables are
+dumped for the SQL oracle, which re-derives the classification
+independently (self-dump hard gate, the graph-query convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _fingerprints(docs_dir: str):
+    ds = rd.read_parquet(docs_dir, columns=["url", "markdown"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        mds = batch.column("markdown").to_pylist()
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "md5": pa.array(
+                [hashlib.md5((m or "").encode()).hexdigest()
+                 for m in mds], pa.string()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
+
+
+def _crawl_once(site_cfg, tag: str):
+    from ..sources.synthetic_web import SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix=f"c4r_snap_{tag}_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg,
+                      fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    return res.docs_dir
+
+
+def crawl_snapshot_diff(sf_dir: str, *, dump=None):
+    """(url, change) for every URL in either snapshot, ordered by url.
+    ``dump`` receives the two fingerprint tables (side, url, md5) so
+    the oracle recomputes the FULL OUTER classification from scratch."""
+    from ..sources.synthetic_web import SiteConfig
+
+    cfg_a = SiteConfig(n_hosts=4)
+    cfg_b = SiteConfig(n_hosts=4, base_cats=4, base_products=4)
+    a = _fingerprints(_crawl_once(cfg_a, "a"))
+    b = _fingerprints(_crawl_once(cfg_b, "b"))
+
+    if dump is not None:
+        import ray as _ray
+
+        a_tbl = pa.concat_tables(
+            [_ray.get(r) for r in a.to_arrow_refs()])
+        b_tbl = pa.concat_tables(
+            [_ray.get(r) for r in b.to_arrow_refs()])
+        side = (["a"] * len(a_tbl)) + (["b"] * len(b_tbl))
+        both = pa.concat_tables([a_tbl, b_tbl])
+        dump(both.append_column("side", pa.array(side, pa.string())))
+        a, b = rd.from_arrow(a_tbl), rd.from_arrow(b_tbl)
+
+    from .dedup import _join_parts
+
+    j = a.join(b, "full_outer", num_partitions=_join_parts(a, b),
+               on=("url",), left_suffix="_a", right_suffix="_b")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ma = batch.column("md5_a").to_pylist()
+        mb = batch.column("md5_b").to_pylist()
+        out = np.where(
+            [x is None for x in ma], "added",
+            np.where([x is None for x in mb], "removed",
+                     np.where([x != y for x, y in zip(ma, mb)],
+                              "changed", "same")))
+        return pa.table({
+            "url": batch.column("url"),
+            "change": pa.array(out.tolist(), pa.string()),
+        })
+
+    return j.map_batches(classify, batch_format="pyarrow").sort("url")

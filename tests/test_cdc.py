@@ -73,3 +73,4 @@ def test_scd2_intervals_chain(ray_session):
         assert g["is_current"].sum() == 1
         assert g["eff_to"].iloc[-1] == "9999-12-31"
         assert bool(g["is_current"].iloc[-1])
+
