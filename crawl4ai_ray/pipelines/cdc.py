@@ -106,35 +106,39 @@ def _changelog(sf_dir: str):
     """Append-only changelog: (o_orderkey, version, o_orderstatus,
     o_totalprice, o_orderdate).  v1 = base; v2 for keys % 7 == 0
     (price + 10.0, status 'U'); v3 for keys % 21 == 0 (price + 25.0,
-    status 'V').  Pure double addition — bit-identical in DuckDB."""
+    status 'V').  Pure double addition — bit-identical in DuckDB.
+    All three version streams are emitted in ONE pass over the base
+    read (a single-scan multi-stream explode, not three reads)."""
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
     base = _read(sf_dir, "orders", cols)
 
-    def version_stream(v: int, mod: int, status: str, bump: float):
-        def mk(batch: pa.Table) -> pa.Table:
-            if mod > 1:
-                k = batch.column("o_orderkey").to_numpy(
-                    zero_copy_only=False)
-                batch = batch.filter(pa.array(k % mod == 0))
-            n = len(batch)
-            price = batch.column("o_totalprice")
-            if bump:
-                price = pc.add(price, bump)
-            return pa.table({
-                "o_orderkey": batch.column("o_orderkey"),
-                "version": pa.array(np.full(n, v, np.int64)),
-                "o_orderstatus": (pa.array([status] * n, pa.string())
-                                  if status else
-                                  batch.column("o_orderstatus")),
-                "o_totalprice": price,
-                "o_orderdate": batch.column("o_orderdate"),
-            })
-        return base.map_batches(mk, batch_format="pyarrow")
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)
+        status = batch.column("o_orderstatus").to_pylist()
+        date = batch.column("o_orderdate")
+        m7 = np.flatnonzero(k % 7 == 0)
+        m21 = np.flatnonzero(k % 21 == 0)
+        n, n7, n21 = len(k), len(m7), len(m21)
+        keys = np.concatenate((k, k[m7], k[m21]))
+        ver = np.concatenate((np.full(n, 1), np.full(n7, 2),
+                              np.full(n21, 3))).astype(np.int64)
+        prices = np.concatenate((price, price[m7] + 10.0,
+                                 price[m21] + 25.0))
+        stats = status + ["U"] * n7 + ["V"] * n21
+        idx = pa.array(np.concatenate(
+            (np.arange(n), m7, m21)).astype(np.int64))
+        return pa.table({
+            "o_orderkey": pa.array(keys),
+            "version": pa.array(ver),
+            "o_orderstatus": pa.array(stats, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": date.take(idx),
+        })
 
-    v1 = version_stream(1, 1, "", 0.0)
-    v2 = version_stream(2, 7, "U", 10.0)
-    v3 = version_stream(3, 21, "V", 25.0)
-    return v1.union(v2).union(v3)
+    return base.map_batches(explode, batch_format="pyarrow",
+                            batch_size=65536)
 
 
 def orders_upsert_latest(sf_dir: str):
@@ -174,13 +178,64 @@ def orders_scd2(sf_dir: str):
 
     eff = log.map_batches(to_eff, batch_format="pyarrow")
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("version")
-        nxt = g["eff_from"].shift(-1)
-        g["eff_to"] = nxt.fillna("9999-12-31")
-        g["is_current"] = nxt.isna()
-        return g
+    # run-length interval stitch (NOT per-key map_groups — 150k
+    # single-digit groups is the documented pathological shape): one
+    # sort by (key, version), then each row's eff_to is simply the
+    # NEXT row's eff_from when the key continues.  Within a block
+    # that's a vectorized shift; only each block's LAST row needs the
+    # next block's first row, so blocks emit their interior rows
+    # resolved plus one boundary row, and the driver stitches the
+    # ≤1-per-block boundaries against the next block's first
+    # (key, eff_from) pair.
+    s = eff.sort(["o_orderkey", "version"]).materialize()
+    names = ["o_orderkey", "version", "o_orderstatus", "o_totalprice",
+             "eff_from"]
+    OPEN = "9999-12-31"
 
-    return (eff.groupby("o_orderkey")
-            .map_groups(stitch, batch_format="pandas")
-            .sort(["o_orderkey", "version"]))
+    def stitch_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            cols = {c: pa.array(
+                [], pa.int64() if c in ("o_orderkey", "version")
+                else (pa.float64() if c == "o_totalprice"
+                      else pa.string())) for c in names}
+            cols["eff_to"] = pa.array([], pa.string())
+            cols["is_current"] = pa.array([], pa.bool_())
+            cols["_bnd"] = pa.array([], pa.bool_())
+            cols["_first_key"] = pa.array([], pa.int64())
+            cols["_first_eff"] = pa.array([], pa.string())
+            return pa.table(cols)
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ef = np.asarray(batch.column("eff_from").to_pylist(),
+                        dtype=object)
+        cont = np.zeros(n, bool)
+        cont[:-1] = k[1:] == k[:-1]
+        eff_to = np.where(cont, np.roll(ef, -1), OPEN)
+        out = {c: batch.column(c) for c in names}
+        out["eff_to"] = pa.array(eff_to.tolist(), pa.string())
+        out["is_current"] = pa.array(~cont)
+        bnd = np.zeros(n, bool)
+        bnd[-1] = True              # provisional: fixed by the driver
+        out["_bnd"] = pa.array(bnd)
+        out["_first_key"] = pa.array(np.full(n, k[0], np.int64))
+        out["_first_eff"] = pa.array([str(ef[0])] * n, pa.string())
+        return pa.table(out)
+
+    parts = s.map_batches(stitch_block, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior = parts.filter(expr="_bnd == False") \
+        .select_columns(names + ["eff_to", "is_current"])
+    bpd = parts.filter(expr="_bnd == True").to_pandas()  # 1 × blocks
+    if len(bpd) == 0:
+        return interior.sort(["o_orderkey", "version"])
+    bpd = bpd.sort_values(["o_orderkey", "version"],
+                          kind="mergesort").reset_index(drop=True)
+    nxt_key = bpd["_first_key"].shift(-1)
+    nxt_eff = bpd["_first_eff"].shift(-1)
+    cont = (bpd["o_orderkey"] == nxt_key).to_numpy()
+    bpd["eff_to"] = np.where(cont, nxt_eff, OPEN)
+    bpd["is_current"] = ~cont
+    fixed = bpd[names + ["eff_to", "is_current"]]
+    return (interior.union(rd.from_arrow(
+        pa.Table.from_pandas(fixed, preserve_index=False)))
+        .sort(["o_orderkey", "version"]))
