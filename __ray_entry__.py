@@ -779,6 +779,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort LTV curve: per-user offsets -> bounded groupby ->
         # per-cohort cumsum in max_offset-sized groups
         "cohort_ltv": analysis.cohort_ltv,
+        # robust mean: exact rank band via the shared block-offset
+        # row-number machinery + 5-row groupby mean
+        "order_trimmed_mean_by_priority":
+            analysis.order_trimmed_mean_by_priority,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1468,6 +1472,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
                         AS BIGINT) AS m_q
             FROM m
+        """,
+        # trimmed mean: drop the lowest/highest floor(0.1n) rows per
+        # group under the deterministic (value, key) ordering
+        "order_trimmed_mean_by_priority": """
+            WITH r AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn,
+                       count(*) OVER (
+                           PARTITION BY o_orderpriority) AS n
+                FROM orders)
+            SELECT o_orderpriority,
+                   round(avg(o_totalprice), 4) AS trimmed_mean
+            FROM r
+            WHERE rn > floor(0.1 * n) AND rn <= n - floor(0.1 * n)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # column profile: exact per-column cardinality sweep
         "orders_column_profile": """

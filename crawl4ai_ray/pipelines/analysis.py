@@ -6352,3 +6352,59 @@ def daily_activity_full_outer(sf_dir: str):
         })
 
     return j.map_batches(fill, batch_format="pyarrow").sort("day")
+
+
+def order_trimmed_mean_by_priority(sf_dir: str, trim: float = 0.1):
+    """10%-trimmed mean of o_totalprice per priority — the robust-mean
+    companion to the exact median/p95 queries: drop the lowest and
+    highest floor(trim*n) rows of each group (deterministic
+    (value, key) ordering) and average the rest.
+
+    Scale shape: exact global per-group ranks via the shared
+    ``_pnum_prepare``/``_pnum_rn`` block-offset machinery (one sort,
+    one tiny partial per (block, partition) to the driver — no
+    single-task groups), then a vectorized rank-band filter and a
+    5-row groupby mean."""
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sorted_ds, bases, totals = _pnum_prepare(
+        ds, ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        [False, False, False], "o_orderpriority", "o_orderkey")
+    bref = ray.put((bases, totals))
+
+    def band(batch: pa.Table, bref=bref, trim=trim) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+            })
+        bases, totals = _ray.get(bref)
+        rn, pr = _pnum_rn(batch, "o_orderpriority", "o_orderkey", bases)
+        n_part = np.array([totals[p] for p in pr], np.int64)
+        cut = (n_part * trim).astype(np.int64)   # floor(trim*n)
+        keep = (rn > cut) & (rn <= n_part - cut)
+        return pa.table({
+            "o_orderpriority": pa.array(pr[keep].tolist(), pa.string()),
+            "o_totalprice": batch.column("o_totalprice").filter(
+                pa.array(keep)),
+        })
+
+    kept = sorted_ds.map_batches(band, batch_format="pyarrow",
+                                 batch_size=None)
+    agg = kept.groupby("o_orderpriority").aggregate(
+        Mean("o_totalprice", alias_name="trimmed_mean"))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "trimmed_mean": pa.array(
+                np.round(batch.column("trimmed_mean").to_numpy(
+                    zero_copy_only=False), 4), pa.float64()),
+        })
+
+    return agg.map_batches(rnd, batch_format="pyarrow") \
+        .sort("o_orderpriority")
