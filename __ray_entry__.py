@@ -999,6 +999,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_survivors": _minhash_dedup_survivors,
         "simhash_table": dedup.simhash_table,
         "simhash_near_pairs": _simhash_near_pairs,
+        # BPE tokenizer training (rows-only: iterative merge loop —
+        # Sennrich 2016; merge sequence byte-equal to the reference
+        # implementation in tests/test_bpe.py)
+        "corpus_bpe_merges": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.bpe", fromlist=["bpe_train"],
+        ).bpe_train(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
         "bm25_rank": lambda sf: analysis.bm25_rank(sf),

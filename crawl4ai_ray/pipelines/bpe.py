@@ -1,0 +1,149 @@
+"""BPE tokenizer training (Sennrich et al. 2016, ACL — "Neural
+Machine Translation of Rare Words with Subword Units") over the
+documents corpus.
+
+The classic algorithm is two-phase, and the phases have very
+different scale profiles:
+
+1. **Word counting** — the only pass that touches the corpus.  Runs
+   fully distributed: per-batch ``Counter`` partials folded by the
+   string-key sortagg sum (one row per word type per block crosses
+   the exchange; at 100 TB this is the same shape as corpus_vocab).
+2. **Merge learning** — iterates over the WORD-TYPE table (bounded by
+   Heaps' law: vocabulary grows ~O(sqrt(corpus)), and the merge loop
+   never re-reads the corpus).  Each round is one ``map_batches``
+   pass over the type Dataset emitting per-block pair-count partials;
+   the driver folds the (bounded) pair table, picks the argmax merge
+   under the deterministic (count desc, pair asc) tie rule, and
+   broadcasts the rule for the vectorized re-encode pass.  The
+   per-round driver fold is gated the same way the PageRank driver
+   form is: it holds PAIR COUNTS (distinct adjacent symbol pairs),
+   never corpus data.
+
+Gates: the merge sequence is byte-equal to a pure-python reference
+implementation of the paper's algorithm (tests/test_bpe.py), and the
+query entry returns the learned merge table deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+EOW = "</w>"
+
+
+def _word_counts(sf_dir: str):
+    """Distributed (word, n) over the documents text — the corpus
+    pass.  Same tokenization convention as corpus_vocab."""
+    from ..functions.sortagg import sorted_keyed_sum
+    from .corpus import _read, _tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(_tokens(text))
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+    return sorted_keyed_sum(counts, "word", ["n"],
+                            key_type=pa.string())
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Per-block adjacent-pair counts, weighted by word frequency."""
+    import collections
+
+    c = collections.Counter()
+    for syms, n in zip(batch.column("syms").to_pylist(),
+                       batch.column("n").to_pylist()):
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += n
+    if not c:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    lefts, rights = zip(*c.keys())
+    return pa.table({
+        "left": pa.array(list(lefts), pa.string()),
+        "right": pa.array(list(rights), pa.string()),
+        "cnt": pa.array(list(c.values()), pa.int64()),
+    })
+
+
+def bpe_train(sf_dir: str, n_merges: int = 40, min_pair: int = 2):
+    """Learn ``n_merges`` BPE merges; returns an Arrow table
+    (rank, left, right, freq) in learning order.  Stops early when no
+    pair reaches ``min_pair``."""
+    wc = _word_counts(sf_dir)
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        syms = [list(w) + [EOW] for w in words]
+        return pa.table({
+            "syms": pa.array(syms, pa.list_(pa.string())),
+            "n": batch.column("n"),
+        })
+
+    types = wc.map_batches(symbolize, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    merges = []
+    for rank in range(n_merges):
+        parts = types.map_batches(_pair_partials,
+                                  batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+        if len(parts) == 0:
+            break
+        folded = parts.groupby(["left", "right"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+        folded = folded.sort_values(["cnt", "left", "right"],
+                                    ascending=[False, True, True],
+                                    kind="mergesort")
+        best = folded.iloc[0]
+        if int(best["cnt"]) < min_pair:
+            break
+        a, b = str(best["left"]), str(best["right"])
+        merges.append((rank, a, b, int(best["cnt"])))
+        rule = ray.put((a, b))
+
+        def apply_merge(batch: pa.Table, rule=rule) -> pa.Table:
+            a, b = ray.get(rule)
+            ab = a + b
+            out = []
+            for syms in batch.column("syms").to_pylist():
+                i, m, res = 0, len(syms), []
+                while i < m:
+                    if (i + 1 < m and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table({
+                "syms": pa.array(out, pa.list_(pa.string())),
+                "n": batch.column("n"),
+            })
+
+        types = types.map_batches(apply_merge, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "freq": pa.array([m[3] for m in merges], pa.int64()),
+    })
