@@ -1005,6 +1005,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bpe_merges": lambda sf: __import__(
             "crawl4ai_ray.pipelines.bpe", fromlist=["bpe_train"],
         ).bpe_train(sf),
+        # subword encode with the learned merges (round-trip law
+        # gated: pieces concatenate back to the original tokens)
+        "doc_bpe_subwords": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.bpe", fromlist=["doc_bpe_encode"],
+        ).doc_bpe_encode(sf),
         # text analysis (rows-only: langid/quality/fingerprint heuristics)
         "doc_quality": analysis.doc_quality,
         "bm25_rank": lambda sf: analysis.bm25_rank(sf),

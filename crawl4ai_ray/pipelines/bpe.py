@@ -147,3 +147,67 @@ def bpe_train(sf_dir: str, n_merges: int = 40, min_pair: int = 2):
         "right": pa.array([m[2] for m in merges], pa.string()),
         "freq": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+def _encode_word(word: str, prio: dict) -> list[str]:
+    """Greedy merge-priority BPE encode of one word (the paper's
+    apply-time procedure: repeatedly merge the pair with the LOWEST
+    learned rank until no learned pair remains)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = prio.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def doc_bpe_encode(sf_dir: str, n_merges: int = 40):
+    """Encode every document with the merges ``bpe_train`` learned on
+    the same corpus: one exploded row per subword piece —
+    (doc_id, pos, piece).  The trained merge table is tokenizer-sized
+    (n_merges rows) — broadcast once; encode is a stateless map with a
+    per-batch word-level memo (Zipf makes the hit rate high).  Law
+    gate: piece concatenation round-trips the original tokens and
+    every piece is a learned symbol (tests/test_bpe.py)."""
+    from .corpus import _read, _tokens
+
+    merges = bpe_train(sf_dir, n_merges=n_merges).to_pandas()
+    prio = {(a, b): r for r, a, b in
+            zip(merges["rank"], merges["left"], merges["right"])}
+    pref = ray.put(prio)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table, pref=pref) -> pa.Table:
+        prio = ray.get(pref)
+        memo: dict = {}
+        docs, poss, pieces = [], [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            out = []
+            for w in _tokens(text):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = _encode_word(w, prio)
+                    memo[w] = enc
+                out.extend(enc)
+            docs.append(np.full(len(out), d, np.int64))
+            poss.append(np.arange(len(out), dtype=np.int64))
+            pieces.extend(out)
+        if not pieces:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "piece": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(docs)),
+            "pos": pa.array(np.concatenate(poss)),
+            "piece": pa.array(pieces, pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          batch_size=256).sort(["doc_id", "pos"])

@@ -73,3 +73,25 @@ def test_bpe_merge_laws(ray_session):
             assert len(side) == 1 or side == EOW or side in known
         known.add(r["left"] + r["right"])
     assert (t["freq"] >= 2).all()
+
+
+def test_bpe_encode_roundtrip(ray_session):
+    """Every doc's piece sequence, with EOW markers removed and pieces
+    concatenated, reproduces its lowercased whitespace tokens; every
+    multi-char piece is a learned merge symbol."""
+    from crawl4ai_ray.pipelines.bpe import doc_bpe_encode, bpe_train
+
+    n_merges = 15
+    merges = bpe_train(SF, n_merges=n_merges).to_pandas()
+    symbols = set(merges["left"] + merges["right"])
+    enc = doc_bpe_encode(SF, n_merges=n_merges).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for doc_id, g in list(enc.groupby("doc_id"))[:50]:
+        g = g.sort_values("pos")
+        joined = "".join(g["piece"]).replace(EOW, " ").rstrip()
+        assert joined == " ".join((texts[doc_id] or "").lower().split())
+        for p in g["piece"]:
+            assert len(p.replace(EOW, "x")) == 1 or p == EOW \
+                or p in symbols
