@@ -99,30 +99,30 @@ def bpe_train(sf_dir: str, n_merges: int = 40, min_pair: int = 2):
     types = wc.map_batches(symbolize, batch_format="pyarrow",
                            batch_size=None).materialize()
 
-    merges = []
-    for rank in range(n_merges):
-        parts = types.map_batches(_pair_partials,
-                                  batch_format="pyarrow",
-                                  batch_size=None).to_pandas()
-        if len(parts) == 0:
-            break
-        folded = parts.groupby(["left", "right"], as_index=False) \
-            .agg(cnt=("cnt", "sum"))
-        folded = folded.sort_values(["cnt", "left", "right"],
-                                    ascending=[False, True, True],
-                                    kind="mergesort")
-        best = folded.iloc[0]
-        if int(best["cnt"]) < min_pair:
-            break
-        a, b = str(best["left"]), str(best["right"])
-        merges.append((rank, a, b, int(best["cnt"])))
-        rule = ray.put((a, b))
-
-        def apply_merge(batch: pa.Table, rule=rule) -> pa.Table:
-            a, b = ray.get(rule)
+    # The merge loop is the one place the Dataset API is the wrong
+    # tool: n_merges SEQUENTIAL rounds over a bounded working set pay
+    # Dataset planning/execution fixed costs twice per round (~0.35 s
+    # x 80 at toy scale).  The type table lives in the object store as
+    # plain block refs and each round is ONE wave of raw Ray tasks
+    # that fuse apply-previous-merge + count-pairs, returning the new
+    # block (stays in the store) and its small pair table (fetched).
+    # This is the documented raw-task escape hatch for iterative
+    # algorithms; the law gate (byte-equal merge sequence vs the
+    # reference implementation) is unchanged.
+    @ray.remote(num_returns=2)
+    def apply_and_count(tbl: pa.Table, rule):
+        if tbl.num_rows == 0 or "syms" not in tbl.schema.names:
+            # degenerate empty block (schema-less union remnant)
+            empty = pa.table({
+                "syms": pa.array([], pa.list_(pa.string())),
+                "n": pa.array([], pa.int64()),
+            })
+            return empty, _pair_partials(empty)
+        if rule is not None:
+            a, b = rule
             ab = a + b
             out = []
-            for syms in batch.column("syms").to_pylist():
+            for syms in tbl.column("syms").to_pylist():
                 i, m, res = 0, len(syms), []
                 while i < m:
                     if (i + 1 < m and syms[i] == a
@@ -133,13 +133,33 @@ def bpe_train(sf_dir: str, n_merges: int = 40, min_pair: int = 2):
                         res.append(syms[i])
                         i += 1
                 out.append(res)
-            return pa.table({
+            tbl = pa.table({
                 "syms": pa.array(out, pa.list_(pa.string())),
-                "n": batch.column("n"),
+                "n": tbl.column("n"),
             })
+        return tbl, _pair_partials(tbl)
 
-        types = types.map_batches(apply_merge, batch_format="pyarrow",
-                                  batch_size=None).materialize()
+    refs = types.to_arrow_refs()
+    merges, rule = [], None
+    for rank in range(n_merges):
+        waves = [apply_and_count.remote(r, rule) for r in refs]
+        refs = [w[0] for w in waves]
+        parts = [p for p in ray.get([w[1] for w in waves])
+                 if p.num_rows]
+        if not parts:
+            break
+        folded = pa.concat_tables(parts).to_pandas() \
+            .groupby(["left", "right"], as_index=False) \
+            .agg(cnt=("cnt", "sum")) \
+            .sort_values(["cnt", "left", "right"],
+                         ascending=[False, True, True],
+                         kind="mergesort")
+        best = folded.iloc[0]
+        if int(best["cnt"]) < min_pair:
+            break
+        a, b = str(best["left"]), str(best["right"])
+        merges.append((rank, a, b, int(best["cnt"])))
+        rule = (a, b)
 
     return pa.table({
         "rank": pa.array([m[0] for m in merges], pa.int64()),
