@@ -1138,6 +1138,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["distinct_users_by_type"],
         ).distinct_users_by_type(sf),
+        # incremental-ingest dedup: history fingerprints broadcast as
+        # a sorted probe (gated), incoming anti-filtered then
+        # first-wins reduced via sortagg min
+        "exact_dedup_incremental": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.dedup",
+            fromlist=["exact_dedup_incremental"],
+        ).exact_dedup_incremental(sf),
         # skew-safe exact distinct: salt derived from the DISTINCT key
         # splits each hot group num_salts ways; per-salt counts add
         "distinct_users_salted": lambda sf: __import__(
@@ -2243,6 +2250,20 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # incremental dedup: new-vs-history anti-join + keep-first
+        # within the incoming batch
+        "exact_dedup_incremental": """
+            WITH fp AS (
+                SELECT doc_id, md5(substr(text, 1, 64)) AS content_md5
+                FROM documents),
+            h AS (SELECT DISTINCT content_md5 FROM fp
+                  WHERE doc_id < 400),
+            inc AS (SELECT * FROM fp WHERE doc_id >= 400),
+            new AS (SELECT * FROM inc WHERE content_md5 NOT IN
+                    (SELECT content_md5 FROM h))
+            SELECT min(doc_id) AS doc_id, content_md5
+            FROM new GROUP BY content_md5 ORDER BY doc_id
         """,
         # same aggregate, salted execution (functions/skew.py): the
         # fold is exact because each user_id hashes to ONE salt bucket

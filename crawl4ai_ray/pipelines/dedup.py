@@ -1316,3 +1316,78 @@ def edit_distance_join(sf_dir: str, *, d: int = 1, table: str = "supplier",
         })
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def exact_dedup_incremental(sf_dir: str, split_id: int = 400,
+                            prefix_len: int = 64,
+                            broadcast_limit: int = 50_000_000):
+    """Incremental-ingest dedup — the streaming-corpus shape: an
+    incoming batch (doc_id >= ``split_id``) is deduped BOTH against
+    the historical corpus (doc_id < split_id) and within itself
+    (keep-first), without reprocessing history.
+
+    Scale shape: history reduces to its distinct fingerprint set
+    (per-batch combiner, same md5-prefix convention as
+    ``exact_dedup``), which ships once via ``ray.put`` as a sorted
+    array probed with ``np.searchsorted`` — gated by
+    ``broadcast_limit``; beyond the gate the history side becomes the
+    bloom-prefilter + anti-join path (``sketches.bloom_semijoin``
+    machinery). Incoming then runs the standard keyed first-wins
+    reduction on its (tiny) surviving rows.  Output: one row per NEW
+    distinct fingerprint — (doc_id, content_md5), ordered by doc_id.
+    """
+    import pyarrow.compute as _pc
+
+    import ray as _ray
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = [hashlib.md5((t or "")[:prefix_len].encode("utf-8"))
+                .hexdigest() for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "content_md5": pa.array(keys, pa.string()),
+        })
+
+    fp = ds.map_batches(fingerprint, batch_format="pyarrow",
+                        batch_size=4096)
+    hist = fp.filter(expr=f"doc_id < {split_id}")
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        u = _pc.unique(batch.column("content_md5").combine_chunks())
+        return pa.table({"content_md5": u})
+
+    hist_keys = (hist.map_batches(local_distinct,
+                                  batch_format="pyarrow",
+                                  batch_size=None).to_pandas())
+    if len(hist_keys) > broadcast_limit:
+        raise ValueError(
+            "exact_dedup_incremental: history fingerprint set "
+            f"{len(hist_keys)} exceeds broadcast_limit; switch to the "
+            "bloom-prefilter anti-join path")
+    sorted_hist = np.sort(hist_keys["content_md5"].to_numpy())
+    href = _ray.put(sorted_hist)
+
+    inc = fp.filter(expr=f"doc_id >= {split_id}")
+
+    def anti_probe(batch: pa.Table, href=href) -> pa.Table:
+        hist = _ray.get(href)
+        keys = batch.column("content_md5").to_numpy(
+            zero_copy_only=False)
+        idx = np.clip(np.searchsorted(hist, keys), 0,
+                      max(len(hist) - 1, 0))
+        seen = hist[idx] == keys if len(hist) else \
+            np.zeros(len(keys), bool)
+        return batch.filter(pa.array(~seen))
+
+    fresh = inc.map_batches(anti_probe, batch_format="pyarrow",
+                            batch_size=65536)
+    from ..functions.sortagg import sorted_keyed_sum
+
+    first = sorted_keyed_sum(
+        fresh.select_columns(["content_md5", "doc_id"]),
+        "content_md5", ["doc_id"], key_type=pa.string(), how="min")
+    return first.select_columns(["doc_id", "content_md5"]) \
+        .sort("doc_id")

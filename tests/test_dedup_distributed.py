@@ -113,3 +113,30 @@ def test_jaccard_join_exact_complete(ray_session):
     assert key(lsh) <= key(exact)
     assert (exact["jaccard"] >= 0.5).all()
     assert (exact["doc_a"] < exact["doc_b"]).all()
+
+
+def test_exact_dedup_incremental_laws(ray_session):
+    """No output fingerprint exists in history; output doc_ids are all
+    >= the split; one row per fingerprint (keep-first = min doc_id);
+    an incoming doc whose text duplicates a historical doc never
+    survives."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.dedup import exact_dedup_incremental
+
+    sf = "/root/testdata/sf0.01"
+    out = exact_dedup_incremental(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    fp = docs.assign(m=[hashlib.md5((t or "")[:64].encode()).hexdigest()
+                        for t in docs["text"]])
+    hist = set(fp[fp["doc_id"] < 400]["m"])
+    assert (out["doc_id"] >= 400).all()
+    assert not (out["content_md5"].isin(hist)).any()
+    assert out["content_md5"].is_unique
+    inc = fp[fp["doc_id"] >= 400]
+    want = (inc[~inc["m"].isin(hist)].groupby("m")["doc_id"].min()
+            .sort_values())
+    assert list(out["doc_id"]) == list(want)
