@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort LTV curve: per-user offsets -> bounded groupby ->
         # per-cohort cumsum in max_offset-sized groups
         "cohort_ltv": analysis.cohort_ltv,
+        # incremental view maintenance: base aggregate + delta slice
+        # merged by summation; oracle = the full recompute
+        "events_daily_ivm": analysis.events_daily_ivm,
         # robust mean: exact rank band via the shared block-offset
         # row-number machinery + 5-row groupby mean
         "order_trimmed_mean_by_priority":
@@ -1490,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY monetary, c_custkey)
                         AS BIGINT) AS m_q
             FROM m
+        """,
+        # IVM gate: the oracle is the FULL recompute, proving
+        # base(event_id<5000) + delta == whole-table view
+        "events_daily_ivm": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, day
+            ORDER BY event_type, day
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

@@ -6408,3 +6408,60 @@ def order_trimmed_mean_by_priority(sf_dir: str, trim: float = 0.1):
 
     return agg.map_batches(rnd, batch_format="pyarrow") \
         .sort("o_orderpriority")
+
+
+def events_daily_ivm(sf_dir: str, split_id: int = 5000):
+    """Incremental view maintenance of the daily-activity aggregate:
+    the (event_type, day) view is built from the historical slice
+    (event_id < split), then the incoming slice is aggregated ALONE
+    and merged in by summation — the view is never recomputed from the
+    full table.  Correctness rides on the combiner laws (count and sum
+    are associative); the DuckDB oracle IS the full recompute, so the
+    gate proves base+delta == full.
+
+    Scale shape: the delta pass touches only incoming rows; the merge
+    exchange carries view-cardinality rows from each side (days x
+    types), not raw events.  This is the maintenance loop a 100 TB
+    corpus runs nightly: O(delta) work per refresh.
+    """
+    def slice_agg(expr: str):
+        ds = _read(sf_dir, "events",
+                   ["event_id", "ts", "event_type", "value"]) \
+            .filter(expr=expr)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            d = batch.column("ts").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+            days = np.datetime_as_string(d)
+            et = np.asarray(batch.column("event_type").to_pylist(),
+                            dtype=object)
+            val = batch.column("value").to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"event_type": et, "day": days,
+                               "v": val})
+            g = df.groupby(["event_type", "day"], as_index=False) \
+                .agg(n_events=("v", "size"), sum_value=("v", "sum"))
+            g["n_events"] = g["n_events"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    base = slice_agg(f"event_id < {split_id}")
+    delta = slice_agg(f"event_id >= {split_id}")
+    merged = (base.union(delta)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_value", alias_name="sum_value")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": batch.column("day"),
+            "n_events": batch.column("n_events"),
+            "sum_value": pa.array(
+                np.round(batch.column("sum_value").to_numpy(
+                    zero_copy_only=False), 4), pa.float64()),
+        })
+
+    return merged.map_batches(rnd, batch_format="pyarrow") \
+        .sort(["event_type", "day"])
