@@ -786,6 +786,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-number machinery + 5-row groupby mean
         "order_trimmed_mean_by_priority":
             analysis.order_trimmed_mean_by_priority,
+        # rule mining: one basket sort powers thresholded pair counts
+        # (interior-run pruning + boundary partials), bounded item
+        # counts, and the order total; rules assemble driver-side
+        "part_association_rules": analysis.part_association_rules,
+        # Pareto concentration: combiner groupby + block-offset global
+        # rank (constant-partition _pnum) + k-group decile rollup
+        "customer_pareto_deciles": analysis.customer_pareto_deciles,
+        # LAG over an aggregate: the nation×year rollup (bounded) with
+        # driver-side growth on the 2dp-rounded revenues both emit
+        "nation_revenue_yoy": analysis.nation_revenue_yoy,
+        # purchase cadence: custkey map_groups, numpy sort→diff body
+        "customer_order_interarrival":
+            analysis.customer_order_interarrival,
+        # seasonality heat-map: ≤168-cell per-batch combiner; dow is
+        # epoch-days mod 7 so both engines share integer arithmetic
+        "events_seasonality": analysis.events_seasonality,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1502,6 +1518,113 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, day
             ORDER BY event_type, day
+        """,
+        # association rules: support/confidence/lift as the SAME float
+        # division order the Ray side evaluates (bit-identical doubles)
+        "part_association_rules": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            tot AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE)
+                           AS n_orders
+                FROM lineitem
+            ),
+            cnt AS (
+                SELECT l_partkey AS p, CAST(count(*) AS DOUBLE) AS n_item
+                FROM pp GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS lo, b.l_partkey AS hi,
+                       CAST(count(*) AS BIGINT) AS n_pair
+                FROM pp a JOIN pp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            dir AS (
+                SELECT lo AS antecedent, hi AS consequent, n_pair
+                FROM pairs
+                UNION ALL
+                SELECT hi AS antecedent, lo AS consequent, n_pair
+                FROM pairs
+            )
+            SELECT antecedent, consequent, n_pair,
+                   CAST(n_pair AS DOUBLE) / t.n_orders AS support,
+                   CAST(n_pair AS DOUBLE) / ca.n_item AS confidence,
+                   CAST(n_pair AS DOUBLE) / ca.n_item * t.n_orders
+                       / cc.n_item AS lift
+            FROM dir
+            JOIN cnt ca ON ca.p = antecedent
+            JOIN cnt cc ON cc.p = consequent
+            CROSS JOIN tot t
+            ORDER BY antecedent, consequent
+        """,
+        # Pareto deciles: explicit ((rank-1)*10)//n + 1 formula (NOT
+        # NTILE); customers rank by 2dp-rounded revenue, custkey ties
+        "customer_pareto_deciles": """
+            WITH rev AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT revenue,
+                       row_number() OVER (
+                           ORDER BY revenue DESC, o_custkey) AS rnk,
+                       count(*) OVER () AS n
+                FROM rev
+            )
+            SELECT CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(revenue), 2) AS revenue,
+                   round(sum(revenue)
+                         / (SELECT sum(revenue) FROM rev), 6)
+                       AS revenue_share
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        # YoY growth: lag over the 2dp-rounded nation×year rollup
+        "nation_revenue_yoy": """
+            WITH r AS (
+                SELECT n_name,
+                       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT n_name, order_year, revenue,
+                   round((revenue - lag(revenue) OVER w)
+                         / lag(revenue) OVER w * 100.0, 4) AS yoy_pct
+            FROM r WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+            ORDER BY n_name, order_year
+        """,
+        # inter-arrival: LAG day gaps per customer; avg ignores the
+        # NULL first row in both engines
+        "customer_order_interarrival": """
+            WITH g AS (
+                SELECT o_custkey,
+                       datediff('day',
+                                lag(CAST(o_orderdate AS DATE)) OVER (
+                                    PARTITION BY o_custkey
+                                    ORDER BY o_orderdate),
+                                CAST(o_orderdate AS DATE)) AS gap
+                FROM orders
+            )
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(avg(gap), 6) AS avg_gap_days,
+                   CAST(max(gap) AS BIGINT) AS max_gap_days
+            FROM g GROUP BY 1 HAVING count(*) >= 2
+        """,
+        # seasonality profile: dow = days-since-epoch mod 7 (0=Thu) —
+        # shared integer arithmetic, no week-start convention
+        "events_seasonality": """
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

@@ -6465,3 +6465,334 @@ def events_daily_ivm(sf_dir: str, split_id: int = 5000):
 
     return merged.map_batches(rnd, batch_format="pyarrow") \
         .sort(["event_type", "day"])
+
+
+# ---------------------------------------------------------------------------
+# r5 session-7 batch: rule mining, revenue concentration, YoY growth on an
+# aggregate, purchase-cadence stats, seasonality profile — each a distinct
+# distributed shape with an exact DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def part_association_rules(sf_dir: str, min_pair: int = 2):
+    """Market-basket association rules (support / confidence / lift) —
+    the rule-mining layer above ``part_copurchase_pairs``' pair counts.
+
+    Distributed shape: the same ONE (order, part) sort powers all three
+    reductions. Pair counts reuse the interior-run counting (a COMPLETE
+    run's count is final, so ``min_pair`` prunes in-task; boundary runs
+    ship as partials, sum-merge on the driver, then threshold). Basket
+    counts per part come from |parts|-bounded per-block partials over
+    INTERIOR orders plus the ≤2×blocks boundary orders completed
+    driver-side (the exact split ``part_copurchase_pairs`` uses), and
+    the distinct-order total rides the same partials as a sentinel row.
+    Rules assemble driver-side on the thresholded pair table —
+    ``min_pair`` is the knob that bounds that table at corpus scale.
+    support/confidence/lift are float64 divisions of exact ints, in the
+    SAME association order the oracle SQL spells out, so the doubles
+    are bit-identical.
+
+    Reference has no miner; this is the engine-side op its
+    link-recommendation analyses reach for downstream."""
+    import ray.data as _rd
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    s = li.sort(["l_orderkey", "l_partkey"]).materialize()
+
+    def interior_pairs(batch: pa.Table) -> pa.Table:
+        o, p = _dedup_sorted_pairs(batch)
+        if len(o) == 0:
+            return _PAIR_EMPTY
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        ends = np.concatenate((starts[1:], [len(o)]))
+        mask = (o[starts] != o[0]) & (o[starts] != o[-1])
+        return _triu_pairs_by_order(o, p, starts[mask], ends[mask])
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        o, p = _dedup_sorted_pairs(batch)
+        m = (o == o[0]) | (o == o[-1]) if len(o) else np.zeros(0, bool)
+        return pa.table({"o": pa.array(o[m].astype(np.int64)),
+                         "p": pa.array(p[m].astype(np.int64))})
+
+    def interior_item_partial(batch: pa.Table) -> pa.Table:
+        o, p = _dedup_sorted_pairs(batch)
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(o) == 0:
+            return empty
+        inner = (o != o[0]) & (o != o[-1])
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        n_inner_orders = int(((o[starts] != o[0])
+                              & (o[starts] != o[-1])).sum())
+        vals, counts = np.unique(p[inner], return_counts=True)
+        # sentinel part=-1 carries the block's interior-order count
+        return pa.table({
+            "part": pa.array(np.concatenate(
+                (vals.astype(np.int64), [-1]))),
+            "n": pa.array(np.concatenate(
+                (counts, [n_inner_orders])).astype(np.int64)),
+        })
+
+    pairs = s.map_batches(interior_pairs, batch_format="pyarrow",
+                          batch_size=None)
+    bdf = (s.map_batches(boundary_rows, batch_format="pyarrow",
+                         batch_size=None)
+           .to_pandas().drop_duplicates())          # ≤ 2 orders × blocks
+    bo = np.sort((bdf["o"].to_numpy().astype(np.uint64) << np.uint64(32))
+                 | bdf["p"].to_numpy().astype(np.uint64))
+    ob, pb = bo >> np.uint64(32), bo & np.uint64(0xFFFFFFFF)
+    bst = np.flatnonzero(np.concatenate(([True], ob[1:] != ob[:-1]))) \
+        if len(ob) else np.zeros(0, np.int64)
+    ben = np.concatenate((bst[1:], [len(ob)])) if len(ob) else bst
+    bpairs = _triu_pairs_by_order(ob, pb, bst, ben)
+    if bpairs.num_rows:
+        pairs = pairs.union(_rd.from_arrow(bpairs))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        lo = batch.column("p_lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("p_hi").to_numpy(zero_copy_only=False)
+        assert len(lo) == 0 or int(hi.max()) < (1 << 32)
+        return pa.table({"k": pa.array(
+            (lo.astype(np.uint64) << np.uint64(32))
+            | hi.astype(np.uint64), pa.uint64())})
+
+    ks = pairs.map_batches(pack, batch_format="pyarrow").sort("k")
+
+    def count_runs(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        vals, counts = np.unique(k, return_counts=True)   # sorted by k
+        interior = np.ones(len(vals), bool)
+        interior[0] = interior[-1] = False                # may span blocks
+        keep = (~interior) | (counts >= min_pair)
+        return pa.table({"k": pa.array(vals[keep]),
+                         "n": pa.array(counts[keep].astype(np.int64))})
+
+    cand = ks.map_batches(count_runs, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    merged = (cand.groupby("k", as_index=False)["n"].sum()
+              if len(cand) else cand)
+    merged = merged[merged["n"] >= min_pair]
+
+    item = s.map_batches(interior_item_partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("part").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_orders = int(item.loc[item["part"] == -1, "n"].sum()) \
+        + int(bdf["o"].nunique())
+    icounts = item[item["part"] != -1].rename(columns={"part": "p"})
+    bcounts = bdf.groupby("p", as_index=False).agg(n=("o", "size"))
+    counts = pd.concat([icounts[["p", "n"]], bcounts]) \
+        .groupby("p", as_index=False)["n"].sum().sort_values("p")
+    ckeys = counts["p"].to_numpy(np.int64)
+    cvals = counts["n"].to_numpy(np.float64)
+
+    k = merged["k"].to_numpy().astype(np.uint64)
+    npair = merged["n"].to_numpy().astype(np.int64)
+    lo = (k >> np.uint64(32)).astype(np.int64)
+    hi = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ant = np.concatenate((lo, hi))
+    con = np.concatenate((hi, lo))
+    np2 = np.concatenate((npair, npair)).astype(np.float64)
+    n_ant = cvals[np.searchsorted(ckeys, ant)]
+    n_con = cvals[np.searchsorted(ckeys, con)]
+    no = float(n_orders)
+    support = np2 / no
+    confidence = np2 / n_ant
+    lift = np2 / n_ant * no / n_con        # the oracle's exact op order
+    order = np.lexsort((con, ant))
+    return pa.table({
+        "antecedent": pa.array(ant[order]),
+        "consequent": pa.array(con[order]),
+        "n_pair": pa.array(np2[order].astype(np.int64)),
+        "support": pa.array(support[order], pa.float64()),
+        "confidence": pa.array(confidence[order], pa.float64()),
+        "lift": pa.array(lift[order], pa.float64()),
+    })
+
+
+def customer_pareto_deciles(sf_dir: str, k: int = 10):
+    """Revenue-concentration (Pareto / 80-20) profile: customers ranked
+    by lifetime revenue, split into ``k`` equal-rank deciles, each
+    reporting customer count, revenue, and share of total.
+
+    Scale shape: per-customer revenue is a combiner-fed groupby; the
+    global rank is the sort + block-offset prefix scan
+    (``_pnum_prepare`` with a constant partition) so no task sees more
+    than a block; the decile rollup is a k-group aggregate and the
+    k-row share division is driver-side. Customers rank by their
+    2dp-ROUNDED revenue (tie-broken by custkey) so both engines order
+    the exact same doubles; decile = ((rank-1)*k)//n + 1 — the explicit
+    integer formula, NOT SQL NTILE (whose remainder distribution
+    differs)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey").to_pandas(),
+            "revenue": batch.column("o_totalprice").to_pandas()})
+        g = df.groupby("o_custkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = ds.map_batches(part, batch_format="pyarrow", batch_size=65536) \
+        .groupby("o_custkey") \
+        .aggregate(Sum("revenue", alias_name="revenue"))
+
+    def snap(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "revenue": pa.array(_round2_duck(
+                batch.column("revenue").to_numpy(zero_copy_only=False))),
+            "_p": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    revp = rev.map_batches(snap, batch_format="pyarrow")
+    sorted_ds, bases, totals = _pnum_prepare(
+        revp, ["_p", "revenue", "o_custkey"], [False, True, False],
+        "_p", "o_custkey")
+    n = int(totals.get("0", 0))
+    bref = ray.put(bases)
+
+    def assign(batch: pa.Table, bref=bref, n=n, k=k) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0 or n == 0:
+            return pa.table({
+                "decile": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64())})
+        rn, _ = _pnum_rn(batch, "_p", "o_custkey", _ray.get(bref))
+        dec = ((rn - 1) * k) // n + 1
+        df = pd.DataFrame({
+            "decile": dec.astype(np.int64),
+            "revenue": batch.column("revenue")
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("decile", as_index=False).agg(
+            n_customers=("revenue", "size"), revenue=("revenue", "sum"))
+        g["n_customers"] = g["n_customers"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dec = sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                batch_size=None) \
+        .groupby("decile") \
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("revenue", alias_name="revenue")) \
+        .to_pandas().sort_values("decile")
+    total = float(dec["revenue"].sum())
+    revs = dec["revenue"].to_numpy(np.float64)
+    return pa.table({
+        "decile": pa.array(dec["decile"].to_numpy(np.int64)),
+        "n_customers": pa.array(dec["n_customers"].to_numpy(np.int64)),
+        "revenue": pa.array(_round2_snap(revs)),
+        "revenue_share": pa.array(np.round(revs / total, 6),
+                                  pa.float64()),
+    })
+
+
+def nation_revenue_yoy(sf_dir: str):
+    """Year-over-year revenue growth per nation — LAG over an AGGREGATE
+    (the growth-dashboard shape). The heavy work is the
+    ``revenue_by_nation_year`` rollup (combiner-fed, broadcast-gated
+    dimensions); the lag then runs on the bounded |nations|×|years|
+    result driver-side. ``yoy_pct`` divides the 2dp-rounded revenues
+    BOTH engines emit, so the quotient is bit-identical; rounding is
+    half-away-from-zero to match DuckDB ROUND."""
+    df = revenue_by_nation_year(sf_dir).to_pandas()
+    df = df.sort_values(["n_name", "order_year"]).reset_index(drop=True)
+    prev = df.groupby("n_name")["revenue"].shift(1)
+    yoy = (df["revenue"].to_numpy(np.float64) - prev.to_numpy(np.float64)) \
+        / prev.to_numpy(np.float64) * 100.0
+    yoy4 = np.copysign(np.floor(np.abs(yoy) * 1e4 + 0.5), yoy) / 1e4
+    return pa.table({
+        "n_name": pa.array(df["n_name"].astype(str)),
+        "order_year": pa.array(df["order_year"].to_numpy(np.int64)),
+        "revenue": pa.array(df["revenue"].to_numpy(np.float64)),
+        "yoy_pct": pa.array(yoy4, pa.float64(),
+                            from_pandas=True),   # NaN (first year) → null
+    })
+
+
+def customer_order_interarrival(sf_dir: str):
+    """Per-customer order inter-arrival stats (count, mean gap, max gap
+    in days) — the purchase-cadence shape behind churn features.
+
+    Scale shape: project (custkey, day); ONE custkey groupby whose
+    groups are bounded by a customer's order count and whose body is
+    numpy sort→diff (the ``user_day_streaks`` pattern); the only
+    exchange is the custkey shuffle of two narrow columns. Tie dates
+    give 0-day gaps in both engines (the diff multiset of a sorted
+    multiset is tie-order invariant), and mean = int sum / int count is
+    one exact float64 division."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "day": batch.column("o_orderdate").cast(pa.date32()),
+        })
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["day"].to_numpy().astype("datetime64[D]"))
+        if len(d) < 2:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "avg_gap_days": pd.Series([], dtype=np.float64),
+                "max_gap_days": pd.Series([], dtype=np.int64)})
+        dd = np.diff(d).astype("timedelta64[D]").astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": [int(g["o_custkey"].iloc[0])],
+            "n_orders": [len(d)],
+            "avg_gap_days": [round(float(dd.sum()) / len(dd), 6)],
+            "max_gap_days": [int(dd.max())],
+        })
+
+    return (ds.map_batches(to_day, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(gaps, batch_format="pandas"))
+
+
+def events_seasonality(sf_dir: str):
+    """Day-of-week × hour-of-day activity profile (the seasonality
+    heat-map): event count and mean value per (dow, hour) cell. dow is
+    days-since-epoch mod 7 (0 = Thursday) — exact integer arithmetic
+    both engines share instead of engine-specific week-start
+    conventions (the ``events_weekly_retention`` trick).
+
+    Scale shape: a per-batch combiner reduces every batch to ≤168
+    cells, the groupby exchanges blocks×168 partial rows, and the mean
+    is one division per cell at the end — event volume never crosses
+    the wire."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        days = ts.cast(pa.date32()).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "dow": days % 7,
+            "hour": pc.hour(ts).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": batch.column("value").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["dow", "hour"], as_index=False).agg(
+            n_events=("v", "size"), sum_value=("v", "sum"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby(["dow", "hour"]) \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value")) \
+        .to_pandas().sort_values(["dow", "hour"])
+    avg = agg["sum_value"].to_numpy(np.float64) \
+        / agg["n_events"].to_numpy(np.float64)
+    return pa.table({
+        "dow": pa.array(agg["dow"].to_numpy(np.int64)),
+        "hour": pa.array(agg["hour"].to_numpy(np.int64)),
+        "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+        "avg_value": pa.array(np.round(avg, 4), pa.float64()),
+    })
