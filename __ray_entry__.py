@@ -802,6 +802,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seasonality heat-map: ≤168-cell per-batch combiner; dow is
         # epoch-days mod 7 so both engines share integer arithmetic
         "events_seasonality": analysis.events_seasonality,
+        # aggregate-then-window monitoring: trailing z-score whose
+        # frame excludes the current row; window table bounded by the
+        # timeline, never event volume
+        "events_daily_anomaly": analysis.events_daily_anomaly,
+        # categorical dependence: gated dimension probe + ≤25-cell
+        # combiner; expected counts + chi-square contributions
+        "segment_priority_chisq": analysis.segment_priority_chisq,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1625,6 +1632,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # trailing z-score: frame = ROWS window..1 PRECEDING (current
+        # row excluded); empty frame and 1-row frame both yield NULL
+        "events_daily_anomaly": """
+            WITH d AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       sum(value) AS sv
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, round(sv, 4) AS sum_value,
+                   round((sv - avg(sv) OVER w)
+                         / NULLIF(stddev_samp(sv) OVER w, 0), 4) AS z
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ORDER BY event_type, day
+        """,
+        # chi-square cells: expected = row*col/n in the same float op
+        # order the Ray side evaluates
+        "segment_priority_chisq": """
+            WITH cell AS (
+                SELECT c_mktsegment, o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS observed
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT c_mktsegment, o_orderpriority, observed,
+                       CAST(sum(observed) OVER (
+                           PARTITION BY c_mktsegment) AS DOUBLE) AS r,
+                       CAST(sum(observed) OVER (
+                           PARTITION BY o_orderpriority) AS DOUBLE) AS c,
+                       CAST(sum(observed) OVER () AS DOUBLE) AS n
+                FROM cell
+            )
+            SELECT c_mktsegment, o_orderpriority, observed,
+                   round(r * c / n, 4) AS expected,
+                   round((observed - r * c / n)
+                         * (observed - r * c / n) / (r * c / n), 6)
+                       AS chisq_contrib
+            FROM m ORDER BY c_mktsegment, o_orderpriority
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

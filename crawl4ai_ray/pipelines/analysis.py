@@ -6796,3 +6796,155 @@ def events_seasonality(sf_dir: str):
         "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
         "avg_value": pa.array(np.round(avg, 4), pa.float64()),
     })
+
+
+def events_daily_anomaly(sf_dir: str, window: int = 7):
+    """Trailing z-score anomaly detection on the daily activity series
+    — the aggregate-then-window monitoring shape: per (event_type,
+    day), z = (today − mean(prev ≤window days)) / std(prev days), the
+    frame EXCLUDING the current row (SQL ROWS BETWEEN window PRECEDING
+    AND 1 PRECEDING). First day per type has an empty frame (z null);
+    a single-row frame has no sample std (z null) — both engines agree
+    because pandas shift+rolling(min_periods) reproduces the frame law
+    exactly.
+
+    Scale shape: the event volume reduces through the events_daily
+    combiner; the window then runs per-type over a table bounded by
+    the TIMELINE (days × types), via map_groups whose group count is
+    |types|."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": np.datetime_as_string(d),
+            "v": batch.column("value").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "day"], as_index=False) \
+            .agg(sum_value=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("sum_value", alias_name="sum_value"))
+
+    def zscore(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").reset_index(drop=True)
+        s = g["sum_value"]
+        prev = s.shift(1)
+        mean = prev.rolling(window, min_periods=1).mean()
+        std = prev.rolling(window, min_periods=2).std(ddof=1)
+        z = (s - mean) / std.where(std != 0.0)
+        z4 = np.copysign(np.floor(np.abs(z.to_numpy(np.float64))
+                                  * 1e4 + 0.5), z.to_numpy(np.float64)) \
+            / 1e4
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "day": g["day"],
+            "sum_value": np.round(s.to_numpy(np.float64), 4),
+            "z": z4,
+        })
+
+    return daily.groupby("event_type") \
+        .map_groups(zscore, batch_format="pandas")
+
+
+def segment_priority_chisq(sf_dir: str, form: str = "auto",
+                           broadcast_limit: int = BROADCAST_LIMIT):
+    """Chi-square association between customer market segment and
+    order priority — the categorical-dependence audit (is the 5×5
+    contingency table consistent with independence?). Emits one row
+    per cell: observed, expected = row_total×col_total/n, and the
+    cell's (obs−exp)²/exp contribution; the statistic is their sum.
+
+    Scale shape: customer is the gated dimension (≤``broadcast_limit``
+    rows → ray.put'd sorted probe arrays with segments factorized to
+    int codes; above → native Dataset.join), orders reduce through a
+    ≤25-cell per-batch combiner, and the expected/contribution algebra
+    runs on the bounded cell table driver-side. Divisions are the same
+    float64 ops the oracle SQL spells out, so doubles are
+    bit-identical."""
+    import ray
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    if form == "auto":
+        form = "broadcast" if cust_ds.count() <= broadcast_limit \
+            else "join"
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def _partial(codes: np.ndarray, prio: pd.Series) -> pa.Table:
+        df = pd.DataFrame({"_seg": codes, "o_orderpriority": prio})
+        g = df.groupby(["_seg", "o_orderpriority"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    if form == "broadcast":
+        cust = cust_ds.to_pandas()
+        codes, labels = pd.factorize(cust["c_mktsegment"], sort=True)
+        ref = ray.put(_sorted_probe_arrays(
+            cust["c_custkey"].to_numpy(np.int64),
+            codes.astype(np.int64)))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _partial(_probe_sorted(sk, sv, ck, -1),
+                            batch.column("o_orderpriority").to_pandas())
+
+        cells = orders.map_batches(probe, batch_format="pyarrow",
+                                   batch_size=16384)
+        seg_of = {i: str(s) for i, s in enumerate(labels)}
+    else:
+        joined = orders.join(
+            cust_ds, join_type="inner", on=("o_custkey",),
+            right_on=("c_custkey",),
+            num_partitions=_join_ray_parts(orders, cust_ds))
+
+        def jpart(batch: pa.Table) -> pa.Table:
+            segs, labels = pd.factorize(
+                batch.column("c_mktsegment").to_pandas(), sort=True)
+            df = pd.DataFrame({
+                "_segname": np.asarray(labels, object)[segs],
+                "o_orderpriority": batch.column("o_orderpriority")
+                .to_pandas()})
+            g = df.groupby(["_segname", "o_orderpriority"],
+                           as_index=False) \
+                .size().rename(columns={"size": "n"})
+            g["n"] = g["n"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        cells = joined.map_batches(jpart, batch_format="pyarrow",
+                                   batch_size=16384)
+        seg_of = None
+
+    key = "_seg" if seg_of is not None else "_segname"
+    agg = cells.groupby([key, "o_orderpriority"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if seg_of is not None:
+        agg["c_mktsegment"] = agg[key].map(seg_of)
+    else:
+        agg["c_mktsegment"] = agg[key].astype(str)
+    agg = agg.drop(columns=[key])
+
+    n = float(agg["n"].sum())
+    row = agg.groupby("c_mktsegment")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    col = agg.groupby("o_orderpriority")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    obs = agg["n"].to_numpy(np.float64)
+    exp = row * col / n                       # the oracle's op order
+    contrib = (obs - exp) * (obs - exp) / exp
+    out = pd.DataFrame({
+        "c_mktsegment": agg["c_mktsegment"].astype(str),
+        "o_orderpriority": agg["o_orderpriority"].astype(str),
+        "observed": obs.astype(np.int64),
+        "expected": np.round(exp, 4),
+        "chisq_contrib": np.round(contrib, 6),
+    }).sort_values(["c_mktsegment", "o_orderpriority"])
+    return pa.Table.from_pandas(out, preserve_index=False)

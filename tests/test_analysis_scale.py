@@ -470,3 +470,13 @@ def test_cohort_ltv_laws(ray_session):
     buys = ev[(ev["event_type"] == "purchase")
               & ((ev["ts"].dt.normalize() - ev["d0"]).dt.days <= 14)]
     assert abs(got["revenue"].sum() - buys["value"].sum()) < 1e-4
+
+
+def test_segment_priority_chisq_join_fallback():
+    # broadcast_limit=0 forces the native Dataset.join path; the cell
+    # table, expected counts, and contributions must be byte-equal
+    small = _norm(analysis.segment_priority_chisq(SF).to_pandas())
+    big = _norm(analysis.segment_priority_chisq(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(small) > 0
+    assert small.equals(big)
