@@ -65,6 +65,8 @@ GOLDEN_QUERIES = [
     "events_user_ewma",
     "crawl_anchor_texts",
     "media_phash_dedup",
+    "corpus_bpe_merges",
+    "doc_bpe_subwords",
 ]
 
 
