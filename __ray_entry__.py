@@ -809,6 +809,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # categorical dependence: gated dimension probe + ≤25-cell
         # combiner; expected counts + chi-square contributions
         "segment_priority_chisq": analysis.segment_priority_chisq,
+        # interval concurrency: +1/−1 event sweep reduced to timeline-
+        # bounded (day, net) partials; cumsum on the day table
+        "orders_open_backlog": analysis.orders_open_backlog,
+        # relational division (FOR ALL): broadcast brand codes, packed
+        # distinct + per-supplier count via sortagg run-length passes
+        "suppliers_all_brands": analysis.suppliers_all_brands,
+        # time-series memory: lag-1 Pearson per type on the daily
+        # aggregate (timeline-bounded map_groups)
+        "events_value_autocorr": analysis.events_value_autocorr,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1673,6 +1682,55 @@ def oracle_sql() -> dict[str, str]:
                          * (observed - r * c / n) / (r * c / n), 6)
                        AS chisq_contrib
             FROM m ORDER BY c_mktsegment, o_orderpriority
+        """,
+        # backlog sweep: running sum over the +1/−1 day events
+        "orders_open_backlog": """
+            WITH ev AS (
+                SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta
+                FROM orders
+                UNION ALL
+                SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders
+            ),
+            net AS (
+                SELECT d, CAST(sum(delta) AS BIGINT) AS net
+                FROM ev GROUP BY 1
+            )
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS backlog
+            FROM net ORDER BY day
+        """,
+        # relational division: HAVING count(DISTINCT brand) = |brands|
+        "suppliers_all_brands": """
+            WITH sb AS (
+                SELECT DISTINCT l_suppkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            tot AS (SELECT count(DISTINCT p_brand) AS nb FROM part)
+            SELECT l_suppkey AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_brands
+            FROM sb CROSS JOIN tot
+            GROUP BY 1, tot.nb HAVING count(*) = tot.nb
+            ORDER BY 1
+        """,
+        # lag-1 autocorrelation on the daily aggregate; corr ignores
+        # the NULL first pair in both engines
+        "events_value_autocorr": """
+            WITH d AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       sum(value) AS sv
+                FROM events GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT event_type, sv,
+                       lag(sv) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS prev
+                FROM d
+            )
+            SELECT event_type, round(corr(sv, prev), 6)
+                       AS lag1_autocorr,
+                   CAST(count(prev) AS BIGINT) AS n_pairs
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

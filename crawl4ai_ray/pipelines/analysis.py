@@ -6948,3 +6948,147 @@ def segment_priority_chisq(sf_dir: str, form: str = "auto",
         "chisq_contrib": np.round(contrib, 6),
     }).sort_values(["c_mktsegment", "o_orderpriority"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_open_backlog(sf_dir: str, hold_days: int = 30):
+    """Interval-concurrency (backlog) curve: each order is open for
+    ``hold_days`` from its order date; emit, for every day on which
+    the open-set changes, the number of simultaneously open orders
+    AFTER that day's openings and closings — the classic +1/−1 event
+    sweep (concurrent-sessions shape).
+
+    Scale shape: each batch reduces to (day, net-delta) partials (two
+    counts per distinct day — +1 at the start day, −1 at the end day),
+    the groupby exchanges timeline-bounded rows, and the running sum
+    happens on the day-cardinality table driver-side. Order volume
+    never crosses the wire."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        sv, sc = np.unique(d, return_counts=True)
+        ev, ec = np.unique(d + np.timedelta64(hold_days, "D"),
+                           return_counts=True)
+        return pa.table({
+            "day": pa.array(np.concatenate(
+                (np.datetime_as_string(sv), np.datetime_as_string(ev)))),
+            "net": pa.array(np.concatenate(
+                (sc, -ec)).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("day").aggregate(Sum("net", alias_name="net")) \
+        .to_pandas().sort_values("day")
+    return pa.table({
+        "day": pa.array(agg["day"].astype(str)),
+        "backlog": pa.array(np.cumsum(
+            agg["net"].to_numpy(np.int64))),
+    })
+
+
+def suppliers_all_brands(sf_dir: str):
+    """Relational division: suppliers whose shipped lineitems cover
+    EVERY part brand in the catalog (the \"for all\" join shape SQL
+    writes as HAVING count(DISTINCT …) = total).
+
+    Scale shape: part is the broadcast dimension (partkey → dense
+    brand code, factorized driver-side — the brand domain is bounded);
+    lineitem batches probe it and emit per-batch DISTINCT packed
+    (suppkey << 8 | code) keys; the high-cardinality distinct and the
+    per-supplier count both run through the sortagg run-length
+    machinery (``sorted_keyed_count``), so no per-group Python finisher
+    and nothing key-sized on the driver."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_count
+
+    part_dim = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .to_pandas().sort_values("p_partkey")
+    codes, labels = pd.factorize(part_dim["p_brand"], sort=True)
+    n_brands = int(len(labels))
+    assert n_brands < 256, "packed key reserves 8 bits for the brand"
+    ref = ray.put(_sorted_probe_arrays(
+        part_dim["p_partkey"].to_numpy(np.int64),
+        codes.astype(np.int64)))
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def packed(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        sk, sv = _ray.get(ref)
+        pk = batch.column("l_partkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = batch.column("l_suppkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        code = _probe_sorted(sk, sv, pk, -1)
+        key = np.unique((sp << 8) | code)          # batch-local distinct
+        return pa.table({"k": pa.array(key, pa.int64())})
+
+    pairs = li.map_batches(packed, batch_format="pyarrow",
+                           batch_size=65536)
+    distinct = sorted_keyed_count(pairs, "k")      # globally distinct k
+
+    def to_supp(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({"s_suppkey": pa.array(k >> 8, pa.int64())})
+
+    per_supp = sorted_keyed_count(
+        distinct.map_batches(to_supp, batch_format="pyarrow"),
+        "s_suppkey", out="n_brands")
+    out = per_supp.filter(expr=f"n_brands == {n_brands}") \
+        .to_pandas().sort_values("s_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "n_brands": pa.array(out["n_brands"].to_numpy(np.int64)),
+    })
+
+
+def events_value_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily value series per event type
+    — the time-series memory diagnostic. The event volume reduces
+    through the events_daily combiner; the (x_t, x_{t−1}) pairing and
+    Pearson correlation run per type over the timeline-bounded daily
+    table (map_groups, |types| groups). Pairs with no predecessor drop
+    out in both engines (SQL corr ignores NULL pairs)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": np.datetime_as_string(d),
+            "v": batch.column("value").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "day"], as_index=False) \
+            .agg(sv=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("sv", alias_name="sv"))
+
+    def ac(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        x = g["sv"].to_numpy(np.float64)
+        if len(x) < 3:           # <2 pairs: sample corr undefined
+            r = np.nan
+        else:
+            a, b = x[1:], x[:-1]
+            am, bm = a - a.mean(), b - b.mean()
+            den = float(np.sqrt((am * am).sum() * (bm * bm).sum()))
+            r = float((am * bm).sum()) / den if den else np.nan
+        return pd.DataFrame({
+            "event_type": [str(g["event_type"].iloc[0])],
+            "lag1_autocorr": [np.round(r, 6)],
+            "n_pairs": [max(len(x) - 1, 0)],
+        })
+
+    out = daily.groupby("event_type") \
+        .map_groups(ac, batch_format="pandas").to_pandas() \
+        .sort_values("event_type")
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
