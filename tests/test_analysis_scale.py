@@ -480,3 +480,41 @@ def test_segment_priority_chisq_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(small) > 0
     assert small.equals(big)
+
+
+def test_association_rules_tiny_block_seams():
+    """Force ~8KB blocks through every sort so interior/boundary run
+    splitting is exercised hard, then check exact equality against a
+    brute-force pandas rule miner."""
+    from collections import Counter
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = analysis.part_association_rules(SF).to_pandas() \
+            .sort_values(["antecedent", "consequent"]) \
+            .reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]) \
+        .drop_duplicates()
+    no = li["l_orderkey"].nunique()
+    cnt = li.groupby("l_partkey").size()
+    pairs = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] += 1
+    rows = [(a2, c2, n, n / no, n / cnt[a2], n / cnt[a2] * no / cnt[c2])
+            for (a, b), n in pairs.items() if n >= 2
+            for a2, c2 in ((a, b), (b, a))]
+    bf = pd.DataFrame(rows, columns=["antecedent", "consequent", "n_pair",
+                                     "support", "confidence", "lift"]) \
+        .sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    assert len(got) == len(bf) > 0
+    pd.testing.assert_frame_equal(got, bf, check_dtype=False,
+                                  check_exact=False, atol=1e-12)
