@@ -67,6 +67,11 @@ GOLDEN_QUERIES = [
     "media_phash_dedup",
     "corpus_bpe_merges",
     "doc_bpe_subwords",
+    # probed bit-exact across fresh sessions AND parallelism levels
+    # (4 vs 16 cpus) before gating — deterministic merge orders
+    "embedding_pca",
+    "events_value_tdigest",
+    "corpus_top_terms_mg",
 ]
 
 
