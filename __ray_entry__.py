@@ -818,6 +818,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series memory: lag-1 Pearson per type on the daily
         # aggregate (timeline-bounded map_groups)
         "events_value_autocorr": analysis.events_value_autocorr,
+        # GROUPING SETS ((nation),(year)) + GROUPING() bitmask from
+        # the same single gated leaf pass rollup/cube share
+        "revenue_grouping_sets": analysis.revenue_grouping_sets,
+        # multi-column moment sketch: one XᵀX row per batch, single
+        # Sum fold, 6-pair corr algebra driver-side
+        "lineitem_corr_matrix": analysis.lineitem_corr_matrix,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1731,6 +1737,48 @@ def oracle_sql() -> dict[str, str]:
                        AS lag1_autocorr,
                    CAST(count(prev) AS BIGINT) AS n_pairs
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # grouping sets with the GROUPING() bitmask (nation=MSB)
+        "revenue_grouping_sets": """
+            WITH leaf AS (
+                SELECT n_name, year(o_orderdate) AS yr, o_totalprice
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT COALESCE(n_name, 'ALL') AS nation,
+                   COALESCE(CAST(yr AS VARCHAR), 'ALL') AS order_year,
+                   CAST(GROUPING(n_name, yr) AS BIGINT) AS grouping_id,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM leaf GROUP BY GROUPING SETS ((n_name), (yr))
+            ORDER BY grouping_id, nation, order_year
+        """,
+        # pairwise Pearson over the lineitem numerics
+        "lineitem_corr_matrix": """
+            SELECT * FROM (
+                SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+                       round(corr(l_discount, l_extendedprice), 6)
+                           AS corr FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', 'l_tax',
+                       round(corr(l_discount, l_tax), 6) FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_tax',
+                       round(corr(l_extendedprice, l_tax), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', 'l_quantity',
+                       round(corr(l_discount, l_quantity), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_quantity',
+                       round(corr(l_extendedprice, l_quantity), 6)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', 'l_tax',
+                       round(corr(l_quantity, l_tax), 6) FROM lineitem
+            ) ORDER BY col_a, col_b
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

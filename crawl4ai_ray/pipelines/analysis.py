@@ -7092,3 +7092,86 @@ def events_value_autocorr(sf_dir: str):
         .sort_values("event_type")
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def revenue_grouping_sets(sf_dir: str, form: str = "auto",
+                          broadcast_limit: int = BROADCAST_LIMIT):
+    """GROUP BY GROUPING SETS ((nation), (year)) with the standard
+    GROUPING() bitmask id — the remaining multi-level aggregation
+    surface next to ROLLUP/CUBE (which this repo derives from the same
+    leaf). grouping_id = 1 marks the per-nation set (year rolled), 2
+    the per-year set (nation rolled) — GROUPING(nation, year) order.
+
+    Scale shape identical to revenue_rollup: ONE gated leaf pass
+    (``_nation_year_leaf``); both requested sets re-aggregate the
+    nations×years leaf driver-side, sums unrounded until the final
+    table so every set equals the sum of its leaves bit-for-bit."""
+    df = _nation_year_leaf(sf_dir, form=form,
+                           broadcast_limit=broadcast_limit).to_pandas() \
+        .rename(columns={"n_name": "nation"})
+    df["order_year"] = df["order_year"].astype("int64").astype(str)
+    by_nation = df.groupby("nation", as_index=False) \
+        .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
+    by_nation["order_year"] = "ALL"
+    by_nation["grouping_id"] = np.int64(1)
+    by_year = df.groupby("order_year", as_index=False) \
+        .agg(_rev=("_rev", "sum"), _n=("_n", "sum"))
+    by_year["nation"] = "ALL"
+    by_year["grouping_id"] = np.int64(2)
+    cols = ["nation", "order_year", "grouping_id", "_rev", "_n"]
+    out = pd.concat([by_nation[cols], by_year[cols]], ignore_index=True)
+    out["revenue"] = _round2_snap(out["_rev"].to_numpy())
+    out["n_orders"] = out["_n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["nation", "order_year", "grouping_id", "revenue",
+             "n_orders"]], preserve_index=False)
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over the four lineitem
+    numerics — the multi-column moment-sketch shape: each batch
+    reduces to ONE row of sufficient statistics (n, per-column sums,
+    and the upper triangle of XᵀX via one matmul), a single Sum
+    aggregate folds blocks, and the 6-pair correlation algebra runs on
+    that one row driver-side. One scan, no shuffle wider than
+    blocks×15 doubles."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+
+    def part(batch: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in cols]).astype(np.float64)
+        s = X.sum(axis=0)
+        xtx = X.T @ X
+        out = {"n": pa.array([float(len(X))], pa.float64())}
+        for i in range(4):
+            out[f"s{i}"] = pa.array([s[i]], pa.float64())
+        for i, j in pairs:
+            out[f"p{i}{j}"] = pa.array([xtx[i, j]], pa.float64())
+        return pa.table(out)
+
+    names = ["n"] + [f"s{i}" for i in range(4)] \
+        + [f"p{i}{j}" for i, j in pairs]
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+    n = agg["n"]
+    rows = []
+    for i, j in pairs:
+        if i == j:
+            continue
+        sx, sy = agg[f"s{i}"], agg[f"s{j}"]
+        cxy = agg[f"p{i}{j}"] - sx * sy / n
+        vx = agg[f"p{i}{i}"] - sx * sx / n
+        vy = agg[f"p{j}{j}"] - sy * sy / n
+        den = float(np.sqrt(vx * vy))
+        na, nb = sorted((cols[i], cols[j]))   # corr is symmetric
+        rows.append((na, nb, round(cxy / den, 6) if den else np.nan))
+    rows.sort()
+    return pa.table({
+        "col_a": pa.array([r[0] for r in rows]),
+        "col_b": pa.array([r[1] for r in rows]),
+        "corr": pa.array([r[2] for r in rows], pa.float64()),
+    })
