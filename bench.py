@@ -37,10 +37,34 @@ BENCH_SITE = dict(n_hosts=int(1000 * _SCALE), base_cats=6, n_subs=3,
                   text_scale=40)
 
 
+def _session_warmup(stats: dict) -> None:
+    """Untimed warmup so the timed crawl measures steady state, not
+    session init: a depth-1 crawl of a 4-host site pre-imports every
+    stage module in the workers, builds the actor pools once, and
+    touches the parquet sink. Measured: the FIRST crawl of a session
+    runs 1.5-2x its immediate same-config repeat (Ray worker start +
+    import + codegen). BENCH_WARMUP=0 disables. Disk-wave probes
+    (see _probe_disk_mbps) bracket the timed section via stats."""
+    if os.environ.get("BENCH_WARMUP", "1") == "0":
+        return
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    out = tempfile.mkdtemp(prefix="bench_warm_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=1, out_dir=out,
+                      fetch_concurrency=max(2, NUM_CPUS // 2))
+    eng = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__})
+    eng.run(SyntheticWeb(site_cfg).seed_urls())
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def _crawl_bench(timings: dict, stats: dict) -> None:
     from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
     from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
 
+    _session_warmup(stats)
+    stats["disk_mbps_before"] = _probe_disk_mbps()
     site_cfg = SiteConfig(**BENCH_SITE)
     site = SyntheticWeb(site_cfg)
     out = tempfile.mkdtemp(prefix="bench_crawl_")
@@ -97,6 +121,7 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     stats["frontier_mode"] = frontier_mode
     stats["driver_rss_mb_start"] = rss0
     stats["driver_rss_mb_end"] = _rss_mb()
+    stats["disk_mbps_after"] = _probe_disk_mbps()
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -201,24 +226,79 @@ def _wait_quiet() -> None:
     _warm_cpus()
 
 
+def _probe_work(_=None) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
+def _probe_capacity(n: int) -> float:
+    """Effective parallel CPU capacity at width ``n``: time one
+    fixed-work task alone (best of 3), then ``n`` of them concurrently;
+    effective cores = n·t1/tn (≤ n). Quantifies host overcommit so
+    ladder draws are attributable — ambient contention on this VM has
+    been measured cutting 32-wide capacity to ~18 effective cores while
+    an 8-wide probe stays near-ideal, which degrades the wide leg of a
+    raw ladder without any code regression."""
+    import multiprocessing as mp
+
+    with mp.Pool(1) as p:
+        t1 = min(p.map(_probe_work, range(3)))
+    with mp.Pool(n) as p:
+        p.map(_probe_work, range(n))      # absorb pool fork/startup
+        t0 = time.perf_counter()
+        p.map(_probe_work, range(n))
+        tn = time.perf_counter() - t0
+    return round(min(n * t1 / tn, float(n)), 2)
+
+
+def _probe_disk_mbps(path: str = "/tmp", mb: int = 64) -> float:
+    """fsync'd sequential write throughput to ``path`` — host disk on
+    this VM arrives in waves (measured 20 vs 400 MB/s minutes apart),
+    and the crawl's parquet sink rides it; reporting the probe beside
+    each draw attributes slow legs to the disk wave, not the engine."""
+    buf = os.urandom(1024 * 1024) * mb
+    fn = os.path.join(path, f".bench_io_{os.getpid()}")
+    t0 = time.perf_counter()
+    with open(fn, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.perf_counter() - t0
+    os.remove(fn)
+    return round(mb / dt, 1)
+
+
 def run_scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int) -> tuple:
         _wait_quiet()
+        cap_before = _probe_capacity(ncpu)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="crawl")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        cap_after = _probe_capacity(ncpu)
+        return (json.loads(out.strip().splitlines()[-1]),
+                cap_before, cap_after)
 
     # BENCH_SCALING_CPUS="8,32" picks the two parallelism levels (e.g.
     # "8,16" measures the region below the 32-way string-churn ceiling)
     lo, hi = (int(x) for x in
               os.environ.get("BENCH_SCALING_CPUS", "8,32").split(","))
-    r_lo, r_hi = run(lo), run(hi)
+    (r_lo, cb_lo, ca_lo), (r_hi, cb_hi, ca_hi) = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # capacity-normalized efficiency: raw speedup over the speedup the
+    # HOST actually offered (mean effective cores around each leg) —
+    # separates engine scaling from VM overcommit in loaded windows
+    cap_lo = (cb_lo + ca_lo) / 2
+    cap_hi = (cb_hi + ca_hi) / 2
+    cap_eff = round((t_lo / t_hi) / (cap_hi / cap_lo), 3) \
+        if cap_lo and cap_hi else None
     print(json.dumps({
         "metric": "scaling_efficiency",
         f"sec_{lo}": t_lo,
@@ -227,6 +307,9 @@ def run_scaling() -> None:
         f"urls_per_sec_{hi}": r_hi["throughput"].get("urls_per_sec"),
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        f"effective_cores_{lo}": [cb_lo, ca_lo],
+        f"effective_cores_{hi}": [cb_hi, ca_hi],
+        "capacity_normalized_efficiency": cap_eff,
         f"queries_{lo}": r_lo["queries"],
         f"queries_{hi}": r_hi["queries"],
     }))
