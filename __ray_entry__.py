@@ -824,6 +824,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-column moment sketch: one XᵀX row per batch, single
         # Sum fold, 6-pair corr algebra driver-side
         "lineitem_corr_matrix": analysis.lineitem_corr_matrix,
+        # corpus-prep observability: sequential filter cascade with
+        # per-stage rejection counts (blocks×5-int exchange, one pass)
+        "doc_filter_funnel": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["filter_funnel"]).filter_funnel(sf),
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1779,6 +1784,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'l_quantity', 'l_tax',
                        round(corr(l_quantity, l_tax), 6) FROM lineitem
             ) ORDER BY col_a, col_b
+        """,
+        # filter funnel: sequential cascade counts; predicate math is
+        # written identically on both sides (exact boolean outcomes)
+        "doc_filter_funnel": """
+            WITH f AS (
+                SELECT (n_chars >= 200) AS p1,
+                       (lang = 'en') AS p2,
+                       (CAST(length(text)
+                             - length(regexp_replace(
+                                   text, '[a-zA-Z]', '', 'g'))
+                             AS DOUBLE) / length(text) >= 0.55) AS p3,
+                       ((CAST(length(text) AS DOUBLE)
+                         - (length(text)
+                            - length(replace(text, ' ', ''))))
+                        / ((length(text)
+                            - length(replace(text, ' ', ''))) + 1)
+                        BETWEEN 3.0 AND 12.0) AS p4
+                FROM documents
+            ),
+            c AS (
+                SELECT CAST(count(*) AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN p1 AND p2 AND p3
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                       CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                FROM f
+            )
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage,
+                       'min_length' AS filter, n0 AS n_in, n1 AS n_kept,
+                       n0 - n1 AS n_rejected FROM c
+                UNION ALL SELECT 2, 'lang_en', n1, n2, n1 - n2 FROM c
+                UNION ALL SELECT 3, 'alpha_ratio', n2, n3, n2 - n3
+                FROM c
+                UNION ALL SELECT 4, 'mean_word_len', n3, n4, n3 - n4
+                FROM c
+            ) ORDER BY stage
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

@@ -1508,3 +1508,61 @@ def mixture_rebalance(sf_dir: str):
     return (ds.map_batches(keep, batch_format="pyarrow",
                            batch_size=4096)
             .sort("doc_id"))
+
+
+def filter_funnel(sf_dir: str, min_chars: int = 200,
+                  alpha_min: float = 0.55,
+                  mwl_lo: float = 3.0, mwl_hi: float = 12.0):
+    """Quality-filter cascade with per-stage rejection accounting — the
+    pipeline-observability table every corpus-prep run reports (how
+    many documents each rule removed, applied SEQUENTIALLY: min length
+    → English → alpha ratio → mean word length).
+
+    Scale shape: ONE pass; each batch evaluates all four predicates
+    vectorized (pandas str kernels over the batch) and reduces to a
+    5-int partial (total + survivors of each prefix), so the exchange
+    is blocks×5 ints and the funnel assembles from one summed row.
+    Predicate arithmetic (char counts, space counts, the two float
+    divisions) is written identically to the oracle SQL so the
+    boolean outcomes are exact, not approximately equal."""
+    ds = _read(sf_dir, "documents", ["text", "n_chars", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.column("text").to_pandas()
+        n = t.str.len().to_numpy(np.int64)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_pandas().to_numpy(object)
+        alpha = t.str.count(r"[a-zA-Z]").to_numpy(np.int64)
+        # spaces via replace-length, exactly the SQL's formula
+        spaces = (n - t.str.replace(" ", "", regex=False)
+                  .str.len().to_numpy(np.int64))
+        p1 = nc >= min_chars
+        p2 = lang == "en"
+        p3 = (alpha.astype(np.float64) / n) >= alpha_min
+        mwl = (n.astype(np.float64) - spaces) / (spaces + 1)
+        p4 = (mwl >= mwl_lo) & (mwl <= mwl_hi)
+        c12 = p1 & p2
+        c123 = c12 & p3
+        return pa.table({
+            "n0": pa.array([len(n)], pa.int64()),
+            "n1": pa.array([int(p1.sum())], pa.int64()),
+            "n2": pa.array([int(c12.sum())], pa.int64()),
+            "n3": pa.array([int(c123.sum())], pa.int64()),
+            "n4": pa.array([int((c123 & p4).sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n0", "n1", "n2", "n3", "n4")])
+    ns = [int(agg[f"n{i}"] or 0) for i in range(5)]
+    names = ["min_length", "lang_en", "alpha_ratio", "mean_word_len"]
+    return pa.table({
+        "stage": pa.array(np.arange(1, 5, dtype=np.int64)),
+        "filter": pa.array(names),
+        "n_in": pa.array([ns[i] for i in range(4)], pa.int64()),
+        "n_kept": pa.array([ns[i + 1] for i in range(4)], pa.int64()),
+        "n_rejected": pa.array(
+            [ns[i] - ns[i + 1] for i in range(4)], pa.int64()),
+    })
