@@ -829,6 +829,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_funnel": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus",
             fromlist=["filter_funnel"]).filter_funnel(sf),
+        # streaming watermark audit: distributed prefix-max over
+        # arrival order (block bases broadcast, shifted cummax in-task)
+        "events_late_arrivals": analysis.events_late_arrivals,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1825,6 +1828,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 4, 'mean_word_len', n3, n4, n3 - n4
                 FROM c
             ) ORDER BY stage
+        """,
+        # watermark lateness: running max over the scrambled arrival
+        # order ((id*2654435761) mod 2^32, the Ray side's integer
+        # arithmetic), frame excluding the current row; the first
+        # arrival has NULL wm
+        "events_late_arrivals": """
+            WITH w AS (
+                SELECT event_type, ts,
+                       max(ts) OVER (
+                           ORDER BY (event_id * 2654435761)
+                                    % 4294967296, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                            AND ts < wm - INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

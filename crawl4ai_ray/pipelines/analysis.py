@@ -7175,3 +7175,101 @@ def lineitem_corr_matrix(sf_dir: str):
         "col_b": pa.array([r[1] for r in rows]),
         "corr": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+def events_late_arrivals(sf_dir: str, lateness_sec: int = 3600):
+    """Watermark / late-event accounting — the streaming-semantics
+    audit: treating ``event_id`` as ARRIVAL order, an event is late
+    when its event time sits more than ``lateness_sec`` behind the
+    watermark (the running max event time over all strictly earlier
+    arrivals). Emits per-type totals and late counts.
+
+    The synthetic feed is time-ordered by event_id, so arrival order
+    is a deterministic Knuth-multiplicative scramble of event_id
+    ((id·2654435761) mod 2³², tie-broken by id) — the SAME integer
+    arithmetic the oracle SQL computes — giving a genuinely
+    out-of-order stream whose late counts are non-trivial.
+
+    Scale shape: distributed PREFIX-MAX. One sort by arrival key (the
+    operator's inherent exchange); pass 1 reduces each block to
+    (first_key, block_max); the driver prefix-maxes the per-block rows
+    into an EXCLUSIVE base watermark per block (blocks-sized, tiny)
+    and broadcasts it; pass 2 seeds each block with its base and runs
+    a vectorized shifted cumulative max, reducing to per-type (n,
+    n_late) partials. No task sees more than its block; the driver
+    sees blocks×1 rows."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = (eid * np.int64(2654435761)) % np.int64(4294967296)
+        return batch.append_column("arr", pa.array(arr, pa.int64()))
+
+    s = ds.map_batches(arrival, batch_format="pyarrow",
+                       batch_size=65536) \
+        .sort(["arr", "event_id"]).materialize()
+    late_us = np.int64(lateness_sec) * np.int64(1_000_000)
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_arr": pa.array([], pa.int64()),
+                             "first_id": pa.array([], pa.int64()),
+                             "max_ts": pa.array([], pa.int64())})
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "first_arr": pa.array(
+                [int(batch.column("arr")[0].as_py())], pa.int64()),
+            "first_id": pa.array(
+                [int(batch.column("event_id")[0].as_py())], pa.int64()),
+            "max_ts": pa.array([int(ts.max())], pa.int64()),
+        })
+
+    blocks = s.map_batches(block_max, batch_format="pyarrow",
+                           batch_size=None).to_pandas() \
+        .sort_values(["first_arr", "first_id"])
+    maxes = blocks["max_ts"].to_numpy(np.int64)
+    # exclusive prefix max: base watermark entering each block
+    bases = np.concatenate((
+        [np.iinfo(np.int64).min],
+        np.maximum.accumulate(maxes)[:-1])) if len(maxes) else maxes
+    base_of = dict(zip(blocks["first_id"].to_numpy(np.int64),
+                       bases))
+    bref = ray.put(base_of)
+
+    def late_partial(batch: pa.Table, bref=bref) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64())})
+        base = _ray.get(bref)[
+            int(batch.column("event_id")[0].as_py())]
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # watermark of row i = max(base, ts[0..i-1]) — shifted cummax
+        run = np.maximum.accumulate(
+            np.concatenate(([base], ts[:-1])))
+        late = ts < run - late_us
+        # the true first arrival has no watermark (NULL in the oracle)
+        if base == np.iinfo(np.int64).min:
+            late[0] = False
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "late": late})
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["n_late"] = g["n_late"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return s.map_batches(late_partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("event_type") \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_late", alias_name="n_late")) \
+        .sort("event_type")
