@@ -610,6 +610,54 @@ def _crawl_span_kinds(sf_dir: str):
         .groupby("kind").aggregate(Count(alias_name="n_spans"))
 
 
+def _crawl_caption_pairs(sf_dir: str):
+    """Caption mining over the interleaved-span payload (the
+    image-text pairing step a multimodal training pipeline runs on
+    crawled documents): every media span pairs with the NEAREST
+    PRECEDING non-empty text span in its document's span order.
+    Self-dump gated: the documents parquet is copied to the oracle
+    path and DuckDB re-derives every pair with unnest + a correlated
+    max-offset lookup. Per-doc work is a searchsorted against the
+    doc's text-span offsets — bounded by spans-per-document, never
+    corpus size."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    res = _crawl("bfs")
+    _oracle_copy("crawl_caption_pairs", res.docs_dir)
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        urls, offs, refs, caps = [], [], [], []
+        for url, spans in zip(batch.column("url").to_pylist(),
+                              batch.column("spans").to_pylist()):
+            txt = sorted((s["offset"], s["text"]) for s in spans
+                         if s["kind"] == "text" and s["text"]
+                         and s["text"].strip())
+            if not txt:
+                continue
+            ta = np.array([o for o, _ in txt], np.int64)
+            for s in spans:
+                if not s["media_ref"]:
+                    continue
+                i = int(np.searchsorted(ta, s["offset"])) - 1
+                if i >= 0:
+                    urls.append(url)
+                    offs.append(s["offset"])
+                    refs.append(s["media_ref"])
+                    caps.append(txt[i][1])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "img_offset": pa.array(offs, pa.int32()),
+            "media_ref": pa.array(refs, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        })
+
+    return docs.map_batches(pairs, batch_format="pyarrow") \
+        .sort(["url", "img_offset"])
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl metrics rollup (the A8 monitor's aggregate view
     as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
@@ -1091,6 +1139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         # interleaved-span composition per host, self-dump SQL-gated
         "crawl_media_density": _crawl_media_density,
+        # multimodal caption mining: media span ↔ nearest preceding
+        # text span, self-dump SQL-gated (correlated max-offset lookup)
+        "crawl_caption_pairs": _crawl_caption_pairs,
         # triangle count over the crawl link graph (degree-ordered
         # wedge join), self-dump SQL-gated on the edge tables
         "crawl_triangles": lambda sf: __import__(
@@ -4100,6 +4151,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s FROM read_parquet(
                   '/tmp/c4r_oracle/crawl_span_kinds/**/*.parquet'))
             GROUP BY s.kind
+        """,
+        # caption mining: nearest preceding non-empty text span per
+        # media span, recomputed with a correlated max-offset lookup
+        "crawl_caption_pairs": """
+            WITH sp AS (
+                SELECT url, unnest(spans) AS s FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_caption_pairs/**/*.parquet')
+            ),
+            txt AS (
+                SELECT url, s.offset AS toff, s.text AS text
+                FROM sp WHERE s.kind = 'text' AND s.text IS NOT NULL
+                         AND trim(s.text) <> ''
+            ),
+            img AS (
+                SELECT url, s.offset AS img_offset,
+                       s.media_ref AS media_ref
+                FROM sp WHERE s.media_ref IS NOT NULL
+                         AND s.media_ref <> ''
+            )
+            SELECT i.url AS url, i.img_offset, i.media_ref,
+                   (SELECT t.text FROM txt t
+                    WHERE t.url = i.url AND t.toff < i.img_offset
+                    ORDER BY t.toff DESC LIMIT 1) AS caption
+            FROM img i
+            WHERE EXISTS (SELECT 1 FROM txt t
+                          WHERE t.url = i.url
+                            AND t.toff < i.img_offset)
+            ORDER BY url, img_offset
         """,
         "seed_cc": """
             SELECT min(domain) AS domain, url
