@@ -518,3 +518,36 @@ def test_association_rules_tiny_block_seams():
     assert len(got) == len(bf) > 0
     pd.testing.assert_frame_equal(got, bf, check_dtype=False,
                                   check_exact=False, atol=1e-12)
+
+
+def test_late_arrivals_tiny_block_seams():
+    """Force ~8KB blocks through the arrival sort so the exclusive
+    per-block base watermarks are exercised across many seams, then
+    check exact equality against a single-process numpy recompute."""
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = analysis.events_late_arrivals(SF).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "ts"])
+    arr = (ev["event_id"].to_numpy(np.int64) * np.int64(2654435761)) \
+        % np.int64(4294967296)
+    order = np.lexsort((ev["event_id"].to_numpy(np.int64), arr))
+    ts = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)[order]
+    et = ev["event_type"].to_numpy(object)[order]
+    wm = np.concatenate(([np.iinfo(np.int64).min],
+                         np.maximum.accumulate(ts[:-1])))
+    late = ts < wm - np.int64(3_600_000_000)
+    late[0] = False
+    bf = pd.DataFrame({"event_type": et, "late": late}) \
+        .groupby("event_type", as_index=False) \
+        .agg(n_events=("late", "size"), n_late=("late", "sum")) \
+        .sort_values("event_type").reset_index(drop=True)
+    assert got["n_events"].tolist() == bf["n_events"].tolist()
+    assert got["n_late"].tolist() == bf["n_late"].tolist()
+    assert got["n_late"].sum() > 0          # the gate is non-trivial
