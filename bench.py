@@ -67,7 +67,15 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
     stats["disk_mbps_before"] = _probe_disk_mbps()
     site_cfg = SiteConfig(**BENCH_SITE)
     site = SyntheticWeb(site_cfg)
-    out = tempfile.mkdtemp(prefix="bench_crawl_")
+    # BENCH_SINK=shm puts the parquet sink on /dev/shm — the
+    # disk-independent configuration for CPU-scaling measurements on
+    # this VM, whose host disk arrives in waves (20↔400 MB/s; see
+    # BASELINE.md "disk waves"). Default stays /tmp: the honest
+    # persistent-sink number.
+    sink_dir = "/dev/shm" if os.environ.get("BENCH_SINK") == "shm" \
+        else None
+    out = tempfile.mkdtemp(prefix="bench_crawl_", dir=sink_dir)
+    stats["sink"] = sink_dir or "/tmp"
     # BENCH_DISCOVERY mode: "auto" (default — distributed above the 2M
     # candidate threshold, the measured driver/distributed crossover),
     # "distributed" (forced for every level), "driver" (polars path only);
