@@ -627,35 +627,44 @@ def _crawl_caption_pairs(sf_dir: str):
     res = _crawl("bfs")
     _oracle_copy("crawl_caption_pairs", res.docs_dir)
     docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        urls, offs, refs, caps = [], [], [], []
-        for url, spans in zip(batch.column("url").to_pylist(),
-                              batch.column("spans").to_pylist()):
-            txt = sorted((s["offset"], s["text"]) for s in spans
-                         if s["kind"] == "text" and s["text"]
-                         and s["text"].strip())
-            if not txt:
-                continue
-            ta = np.array([o for o, _ in txt], np.int64)
-            for s in spans:
-                if not s["media_ref"]:
-                    continue
-                i = int(np.searchsorted(ta, s["offset"])) - 1
-                if i >= 0:
-                    urls.append(url)
-                    offs.append(s["offset"])
-                    refs.append(s["media_ref"])
-                    caps.append(txt[i][1])
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "img_offset": pa.array(offs, pa.int32()),
-            "media_ref": pa.array(refs, pa.string()),
-            "caption": pa.array(caps, pa.string()),
-        })
-
-    return docs.map_batches(pairs, batch_format="pyarrow") \
+    return docs.map_batches(_caption_pairs_batch,
+                            batch_format="pyarrow") \
         .sort(["url", "img_offset"])
+
+
+def _caption_pairs_batch(batch):
+    """Per-batch caption-pairing kernel (law-gated directly in
+    tests/test_multimodal.py on synthetic span layouts): media spans
+    with no preceding non-empty text span are dropped; every other
+    media span takes the text span with the LARGEST offset strictly
+    below its own."""
+    import numpy as np
+    import pyarrow as pa
+
+    urls, offs, refs, caps = [], [], [], []
+    for url, spans in zip(batch.column("url").to_pylist(),
+                          batch.column("spans").to_pylist()):
+        txt = sorted((s["offset"], s["text"]) for s in spans
+                     if s["kind"] == "text" and s["text"]
+                     and s["text"].strip())
+        if not txt:
+            continue
+        ta = np.array([o for o, _ in txt], np.int64)
+        for s in spans:
+            if not s["media_ref"]:
+                continue
+            i = int(np.searchsorted(ta, s["offset"])) - 1
+            if i >= 0:
+                urls.append(url)
+                offs.append(s["offset"])
+                refs.append(s["media_ref"])
+                caps.append(txt[i][1])
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "img_offset": pa.array(offs, pa.int32()),
+        "media_ref": pa.array(refs, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+    })
 
 
 def _crawl_host_stats(sf_dir: str):

@@ -116,3 +116,49 @@ def test_phash_dedup_planted_pairs(ray_session):
     for _, r in df.iterrows():
         d = bin(ph[r["media_a"]] ^ ph[r["media_b"]]).count("1")
         assert d == r["hamming"]
+
+
+def test_caption_pairing_laws():
+    """Synthetic span layouts lock the pairing law independent of
+    crawl content: image-first docs drop the image, empty/whitespace
+    text spans never caption, ties resolve to the largest offset
+    strictly below the media span, and multiple images may share one
+    caption."""
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+
+    def doc(url, spans):
+        return {"url": url, "spans": spans}
+
+    def sp(kind, offset, text="", media_ref=""):
+        return {"kind": kind, "text": text, "media_ref": media_ref,
+                "offset": offset}
+
+    batch = pa.Table.from_pylist([
+        # image before any text -> dropped; later image pairs
+        doc("u1", [sp("image", 0, media_ref="m0"),
+                   sp("text", 1, "alpha"),
+                   sp("image", 2, media_ref="m1")]),
+        # whitespace-only text never captions; falls back to 'beta'
+        doc("u2", [sp("text", 0, "beta"),
+                   sp("text", 1, "   "),
+                   sp("image", 2, media_ref="m2")]),
+        # two images share the same nearest caption
+        doc("u3", [sp("text", 0, "gamma"),
+                   sp("image", 1, media_ref="m3"),
+                   sp("image", 2, media_ref="m4"),
+                   sp("text", 3, "delta"),
+                   sp("image", 4, media_ref="m5")]),
+        # no text at all -> no pairs
+        doc("u4", [sp("image", 0, media_ref="m6")]),
+    ])
+    out = entry._caption_pairs_batch(batch).to_pylist()
+    got = {(r["url"], r["media_ref"]): r["caption"] for r in out}
+    assert got == {
+        ("u1", "m1"): "alpha",
+        ("u2", "m2"): "beta",
+        ("u3", "m3"): "gamma",
+        ("u3", "m4"): "gamma",
+        ("u3", "m5"): "delta",
+    }
