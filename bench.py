@@ -114,10 +114,26 @@ def _crawl_bench(timings: dict, stats: dict) -> None:
                     return round(int(line.split()[1]) / 1024, 1)
         return -1.0
 
+    def _cpu_jiffies() -> list:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
     rss0 = _rss_mb()
+    j0 = _cpu_jiffies()
     t0 = time.perf_counter()
     res = eng.run(site.seed_urls())
     dt = time.perf_counter() - t0
+    j1 = _cpu_jiffies()
+    # machine-wide CPU-state split over the timed leg: user/idle/steal
+    # percentages. Steal is the host taking cycles from the VM — the
+    # decisive attribution for slow draws (measured 50% steal in the
+    # same windows that read 5% minutes earlier; see BASELINE.md).
+    dj = [b - a for a, b in zip(j0, j1)]
+    tot = sum(dj) or 1
+    stats["cpu_user_pct"] = round(100 * (dj[0] + dj[1]) / tot, 1)
+    stats["cpu_idle_pct"] = round(100 * dj[3] / tot, 1)
+    stats["cpu_iowait_pct"] = round(100 * dj[4] / tot, 1)
+    stats["cpu_steal_pct"] = round(100 * dj[7] / tot, 1)
     timings["crawl_bfs"] = round(dt, 3)
     frontier_ops = sum(
         r["frontier_in"] + r["discovered"] for r in res.lineage
