@@ -889,6 +889,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming watermark audit: distributed prefix-max over
         # arrival order (block bases broadcast, shifted cummax in-task)
         "events_late_arrivals": analysis.events_late_arrivals,
+        # FORWARD as-of event pairing: per-user suffix-min (reversed
+        # cummin + one-shift for the strictly-after frame), packed
+        # epoch-ms|id ordering
+        "events_error_to_purchase": analysis.events_error_to_purchase,
         # column profiling: per-column pruned reads; exact distinct
         # via per-batch unique combiner + sortagg run-length count
         "orders_column_profile": lambda sf: __import__(
@@ -1908,6 +1912,31 @@ def oracle_sql() -> dict[str, str]:
                             AND ts < wm - INTERVAL 1 HOUR
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # forward as-of pairing: suffix window min over the SAME packed
+        # epoch-ms·2^22|id ordering the Ray side computes; the frame
+        # starts 1 FOLLOWING (strictly after)
+        "events_error_to_purchase": """
+            WITH m AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_ms(ts) * 4194304 + event_id AS pkd,
+                       CASE WHEN event_type = 'purchase'
+                            THEN epoch_ms(ts) * 4194304 + event_id
+                       END AS pp
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, event_id, event_type,
+                       min(pp) OVER (
+                           PARTITION BY user_id ORDER BY pkd
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING) AS np
+                FROM m
+            )
+            SELECT event_id, user_id,
+                   CAST(np % 4194304 AS BIGINT) AS next_purchase_id,
+                   CAST(np // 4194304 AS BIGINT) AS next_purchase_ms
+            FROM w WHERE event_type = 'error' AND np IS NOT NULL
         """,
         # trimmed mean: drop the lowest/highest floor(0.1n) rows per
         # group under the deterministic (value, key) ordering

@@ -7273,3 +7273,57 @@ def events_late_arrivals(sf_dir: str, lateness_sec: int = 3600):
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("n_late", alias_name="n_late")) \
         .sort("event_type")
+
+
+def events_error_to_purchase(sf_dir: str):
+    """Event-pairing (time-to-recovery shape): for every 'error'
+    event, the same user's NEXT 'purchase' event strictly after it —
+    the FORWARD as-of complement of events_asof_orders' backward
+    lookup. Ordering and tie-breaks ride ONE packed int64
+    (epoch-ms·2²² | event_id — range-asserted), so "next" is exact and
+    deterministic in both engines.
+
+    Scale shape: one projection, ONE user-keyed groupby with groups
+    bounded by a user's event count; the per-group body is a reversed
+    ``np.minimum.accumulate`` over the packed column with an int64
+    sentinel for non-purchase rows, shifted one position for the
+    strictly-after frame (SQL ROWS 1 FOLLOWING..UNBOUNDED)."""
+    SHIFT = np.int64(4_194_304)          # 2^22
+    SENT = np.iinfo(np.int64).max
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ms = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ms]").astype(np.int64)
+        eid = batch.column("event_id") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        assert len(eid) == 0 or int(eid.max()) < (1 << 22)
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        pkd = ms * SHIFT + eid
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": pa.array(eid),
+            "is_err": pa.array(et == "error"),
+            "pkd": pa.array(pkd),
+            "pp": pa.array(np.where(et == "purchase", pkd, SENT)),
+        })
+
+    def nxt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pkd")
+        pp = g["pp"].to_numpy(np.int64)
+        # min over strictly-later rows: reversed cummin shifted by one
+        suf = np.minimum.accumulate(pp[::-1])[::-1]
+        excl = np.concatenate((suf[1:], [SENT]))
+        keep = g["is_err"].to_numpy(bool) & (excl != SENT)
+        nv = excl[keep]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "user_id": g["user_id"].to_numpy(np.int64)[keep],
+            "next_purchase_id": nv % SHIFT,
+            "next_purchase_ms": nv // SHIFT,
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("user_id").map_groups(nxt, batch_format="pandas")
