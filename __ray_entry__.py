@@ -1167,6 +1167,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_components"],
         ).crawl_components(
             sf, dump=lambda t: _oracle_dump("crawl_components", t)),
+        # multi-source BFS hop distance (frontier relaxation), SQL
+        # oracle = recursive shortest-reach closure over dumped
+        # edges + seeds; law: hops == the crawler's recorded depth
+        "crawl_hop_distance": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_hop_distance"],
+        ).crawl_hop_distance(
+            sf, dump=lambda t: _oracle_dump("crawl_hop_distance", t)),
         # re-crawl change detection: two deterministic snapshots,
         # md5 fingerprints, url-keyed full_outer classification;
         # self-dump SQL-gated on the per-side fingerprint tables
@@ -4662,6 +4670,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS node, min(b) AS component
             FROM reach GROUP BY a
+        """,
+        # recursive shortest-reach closure: hops(n) = min d over all
+        # (n, d) reach pairs grown breadth-wise from the seed set —
+        # fully independent of the frontier-relaxation loop; the d<32
+        # guard bounds the (node, d) pair space so cycles terminate
+        "crawl_hop_distance": """
+            WITH RECURSIVE e AS (
+                SELECT a, b FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_hop_distance/raw.parquet')
+                WHERE kind = 'e'
+            ),
+            nodes AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_hop_distance/raw.parquet')
+                WHERE kind = 'n'
+            ),
+            seeds AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_hop_distance/raw.parquet')
+                WHERE kind = 's'
+            ),
+            reach(node, d) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.b, r.d + 1 FROM reach r
+                JOIN e ON e.a = r.node WHERE r.d < 32
+            ),
+            best AS (
+                SELECT node, min(d) AS hops FROM reach GROUP BY node
+            )
+            SELECT n.node AS node,
+                   CAST(coalesce(b.hops, -1) AS BIGINT) AS hops
+            FROM nodes n LEFT JOIN best b ON b.node = n.node
         """,
         # SQL re-runs wedge generation (oriented edges self-join) and
         # closure (lex edge join) from the dumped edge tables

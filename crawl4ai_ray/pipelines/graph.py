@@ -843,6 +843,193 @@ def crawl_components(sf_dir: str, *, dump=None):
     return connected_components(edges, nodes, dump=dump)
 
 
+_HOP_INF = np.int64(1 << 62)     # "unreached" sentinel inside the loop
+
+
+def hop_distance(edges_ds, nodes_ds, seeds, *, max_iters: int = 32,
+                 dump=None, form: str = "auto",
+                 driver_max_edges: int = PAGERANK_DRIVER_MAX_EDGES):
+    """Multi-source BFS hop distance over a DIRECTED (src, dst) edge
+    Dataset — unit-weight Bellman-Ford on the connected_components
+    propagation skeleton, with the classic BFS frontier optimization:
+    only nodes whose distance CHANGED last round join onto the edge
+    list, so each round's exchange is O(frontier), not O(nodes).
+    Every round is one hash join (frontier→edges by src), one
+    groupby(dst).min fold, one left-outer apply; converges in
+    O(eccentricity) rounds. Returns (node, hops:int64) for the full
+    node universe, hops = -1 where unreachable from any seed.
+
+    ``dump`` receives edges/nodes/seeds so the SQL oracle can
+    recompute every distance independently via a recursive-CTE
+    shortest-reach closure (min d per node over all (node, d) reach
+    pairs). ``form='driver'`` is the gated tiny-graph path — a CSR
+    BFS on the driver with the result broadcast once via ``ray.put``
+    and applied by sorted probe (the PageRank crossover gate: below
+    ~2M edges per-round shuffle fixed costs dominate)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    seeds = sorted({str(s) for s in seeds})
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow").materialize()
+    nodes = nodes_ds.map_batches(
+        _cast_str("node"), batch_format="pyarrow").materialize()
+
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(edges))
+        nt = pa.concat_tables(ray_get_tables(nodes))
+        dump(pa.concat_tables([
+            pa.table({"kind": pa.array(["e"] * et.num_rows),
+                      "a": et.column("src"), "b": et.column("dst")}),
+            pa.table({"kind": pa.array(["n"] * nt.num_rows),
+                      "a": nt.column("node"), "b": nt.column("node")}),
+            pa.table({"kind": pa.array(["s"] * len(seeds)),
+                      "a": pa.array(seeds, pa.string()),
+                      "b": pa.array(seeds, pa.string())}),
+        ]))
+
+    n_edges = edges.count()
+    if form == "auto":
+        form = ("driver" if n_edges <= driver_max_edges
+                else "distributed")
+
+    if form == "driver":
+        epd = edges.to_pandas()
+        su, inv = np.unique(
+            np.concatenate([epd["src"].to_numpy(),
+                            epd["dst"].to_numpy(),
+                            np.array(seeds, object)]).astype(object),
+            return_inverse=True)
+        half = len(epd)
+        src_i, dst_i = inv[:half], inv[half:2 * half]
+        # CSR adjacency + layered frontier sweep
+        order = np.argsort(src_i, kind="stable")
+        s_sorted, d_sorted = src_i[order], dst_i[order]
+        starts = np.searchsorted(s_sorted, np.arange(len(su) + 1))
+        dist = np.full(len(su), -1, np.int64)
+        frontier = np.unique(inv[2 * half:])
+        dist[frontier] = 0
+        d = 0
+        while len(frontier):
+            d += 1
+            nxt = np.concatenate([
+                d_sorted[starts[u]:starts[u + 1]] for u in frontier
+            ]) if len(frontier) else np.zeros(0, np.int64)
+            nxt = np.unique(nxt)
+            nxt = nxt[dist[nxt] == -1]
+            dist[nxt] = d
+            frontier = nxt
+        ref = ray.put((np.array([str(x) for x in su], object), dist))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            keys, dist = ray.get(ref)
+            node = np.asarray(batch.column("node").to_pylist(),
+                              dtype=object)
+            idx = np.clip(np.searchsorted(keys, node), 0, len(keys) - 1)
+            hit = keys[idx] == node
+            out = np.where(hit, dist[idx], np.int64(-1))
+            return pa.table({"node": batch.column("node"),
+                             "hops": pa.array(out.astype(np.int64))})
+
+        return nodes.map_batches(probe, batch_format="pyarrow")
+
+    seed_set = set(seeds)
+
+    def init(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_pylist()
+        d = np.array([0 if u in seed_set else _HOP_INF for u in node],
+                     np.int64)
+        return pa.table({"node": batch.column("node"),
+                         "dist": pa.array(d),
+                         "changed": pa.array(
+                             (d == 0).astype(np.int64))})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    def apply_min(batch: pa.Table) -> pa.Table:
+        old = batch.column("dist")
+        cand = pc.coalesce(batch.column("cand"),
+                           pa.scalar(int(_HOP_INF), pa.int64()))
+        new = pc.min_element_wise(old, cand)
+        return pa.table({
+            "node": batch.column("node"),
+            "dist": new,
+            "changed": pc.cast(pc.less(new, old), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        frontier = labels.map_batches(
+            lambda t: t.filter(pc.equal(t.column("changed"), 1))
+                       .select(["node", "dist"]),
+            batch_format="pyarrow")
+        n = _pr_parts(n_edges, edges, labels)
+        cand = (
+            edges.join(frontier.rename_columns({"node": "src"}),
+                       "inner", n, on=("src",))
+            .map_batches(lambda t: pa.table({
+                "node": t.column("dst"),
+                "cand": pc.add(t.column("dist"),
+                               pa.scalar(1, pa.int64()))}),
+                batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+        ).materialize()
+        # a frontier of pure sink nodes emits ZERO candidates; the
+        # empty (schema-less) right side would trip the Ray 2.49
+        # acero FieldRef join failure — and means convergence anyway
+        if cand.count() == 0:
+            break
+        stepped = labels.select_columns(["node", "dist"]) \
+            .join(cand, "left_outer", n, on=("node",)) \
+            .map_batches(apply_min, batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("changed") or 0
+        labels = stepped
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"hop_distance did not converge within {max_iters} rounds "
+            "— graph eccentricity exceeds the bound; raise max_iters")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "hops": pa.array(np.where(d >= _HOP_INF, np.int64(-1),
+                                      d).astype(np.int64)),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_hop_distance(sf_dir: str, *, dump=None):
+    """Query entry: min-hop BFS distance from the seed set over the
+    crawl link graph. Self-dump SQL-gated: the oracle recomputes every
+    distance with a recursive shortest-reach closure over the dumped
+    edges + seeds. Law (pytest): hops == the crawler's recorded depth
+    for every fetched page — BFS with a first-discovery seen-set
+    assigns depth = min-hop, so the graph primitive independently
+    re-derives the crawl's own layering."""
+    import tempfile
+
+    from ..functions import urlkit
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_hop_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    seeds = [urlkit.canonicalize(u, u) or u for u in site.seed_urls()]
+    return hop_distance(edges, nodes, seeds, dump=dump)
+
+
 def degree_assortativity(edges_ds, *, dump=None):
     """Degree assortativity coefficient (Newman 2002) of the undirected
     simple graph — Pearson correlation of endpoint degrees over every

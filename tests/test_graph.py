@@ -215,3 +215,79 @@ def test_connected_components_matches_union_find():
             for i in members:
                 want[names[i]] = rep
         assert got == want, trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hop_distance_matches_numpy_bfs():
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import hop_distance
+
+    rng = np.random.default_rng(23)
+    n = 25
+    names = [f"n{i:03d}" for i in range(n)]
+    for trial in range(3):
+        m = int(rng.integers(10, 60))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        n_seeds = int(rng.integers(1, 4))
+        seed_idx = rng.choice(n, n_seeds, replace=False)
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([names[i] for i in src]),
+            "dst": pa.array([names[i] for i in dst])}))
+        nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
+        seeds = [names[i] for i in seed_idx]
+
+        # reference: plain BFS on the driver
+        adj = {i: set() for i in range(n)}
+        for a, b in zip(src, dst):
+            adj[a].add(b)
+        want = {nm: -1 for nm in names}
+        frontier, d = set(seed_idx.tolist()), 0
+        for i in frontier:
+            want[names[i]] = 0
+        while frontier:
+            d += 1
+            nxt = {v for u in frontier for v in adj[u]
+                   if want[names[v]] == -1}
+            for v in nxt:
+                want[names[v]] = d
+            frontier = nxt
+
+        # pin BOTH forms — auto routes toy graphs to the driver path
+        for form in ("distributed", "driver"):
+            got = hop_distance(edges, nodes, seeds, form=form) \
+                .to_pandas().set_index("node")["hops"].to_dict()
+            assert got == want, (trial, form)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_hop_distance_equals_crawl_depth():
+    """BFS with a first-discovery seen-set assigns depth = min-hop, so
+    the graph primitive must re-derive the crawler's own layering for
+    every fetched page."""
+    import tempfile
+
+    import ray.data as rd
+
+    from crawl4ai_ray.functions import urlkit
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.pipelines.graph import edges_from_docs, hop_distance
+    from crawl4ai_ray.sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=3)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_hoplaw_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={
+        "site_cfg": site_cfg.__dict__}).run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    seeds = [urlkit.canonicalize(u, u) or u for u in site.seed_urls()]
+    hops = hop_distance(edges, nodes, seeds).to_pandas() \
+        .set_index("node")["hops"].to_dict()
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "depth"]) \
+        .to_pandas()
+    assert len(docs) == len(hops)
+    for url, depth in zip(docs["url"], docs["depth"]):
+        assert hops[url] == depth, url
