@@ -1175,6 +1175,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_hop_distance"],
         ).crawl_hop_distance(
             sf, dump=lambda t: _oracle_dump("crawl_hop_distance", t)),
+        # host-level weighted link-graph collapse, SQL oracle =
+        # SPLIT_PART host re-extraction over the dumped page edges
+        "crawl_host_graph": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_host_graph"],
+        ).crawl_host_graph(
+            sf, dump=lambda t: _oracle_dump("crawl_host_graph", t)),
         # re-crawl change detection: two deterministic snapshots,
         # md5 fingerprints, url-keyed full_outer classification;
         # self-dump SQL-gated on the per-side fingerprint tables
@@ -4703,6 +4710,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node AS node,
                    CAST(coalesce(b.hops, -1) AS BIGINT) AS hops
             FROM nodes n LEFT JOIN best b ON b.node = n.node
+        """,
+        # host re-extraction + two-level re-aggregation, independent
+        # of the engine's split kernel and partial-count combiner
+        "crawl_host_graph": """
+            WITH e AS (
+                SELECT src, dst,
+                       SPLIT_PART(src, '/', 3) AS src_host,
+                       SPLIT_PART(dst, '/', 3) AS dst_host
+                FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_host_graph/raw.parquet')
+            )
+            SELECT src_host, dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT src) AS n_src_pages
+            FROM e GROUP BY src_host, dst_host
         """,
         # SQL re-runs wedge generation (oriented edges self-join) and
         # closure (lex edge join) from the dumped edge tables

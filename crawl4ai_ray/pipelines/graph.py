@@ -1030,6 +1030,79 @@ def crawl_hop_distance(sf_dir: str, *, dump=None):
     return hop_distance(edges, nodes, seeds, dump=dump)
 
 
+def host_graph(edges_ds, *, dump=None):
+    """Collapse the page-level (src, dst) link graph to weighted
+    HOST-level edges: (src_host, dst_host, n_links, n_src_pages) —
+    the domain-graph view crawl schedulers partition by (the engine's
+    own frontier is host-hash partitioned, so this is the operator
+    that audits that key's skew).
+
+    Scale shape: host extraction is a vectorized split inside
+    map_batches; the first groupby key is (src_host, dst_host, src) —
+    same cardinality class as the edge list — and the second groupby
+    folds to the host-pair space, which is bounded by hosts². No
+    driver-side pass at any size. ``dump`` receives the raw page
+    edges so the SQL oracle re-derives both aggregates with its own
+    SPLIT_PART host extraction."""
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow").materialize()
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(edges))
+        dump(pa.table({"src": et.column("src"),
+                       "dst": et.column("dst")}))
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def host_of(col):
+            # scheme://HOST/... — element 2 of the '/'-split, exactly
+            # what the oracle's SPLIT_PART(url, '/', 3) extracts
+            return pc.list_element(
+                pc.split_pattern(col, "/"), 2)
+
+        # per-batch pre-aggregation: count page-edges per
+        # (src_host, dst_host, src) so the shuffle ships partials
+        t = pa.table({
+            "src_host": host_of(batch.column("src")),
+            "dst_host": host_of(batch.column("dst")),
+            "src": batch.column("src"),
+        })
+        return pa.TableGroupBy(
+            t, ["src_host", "dst_host", "src"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["src_host", "dst_host", "src", "_n"])
+
+    per_page = edges.map_batches(hosts, batch_format="pyarrow") \
+        .groupby(["src_host", "dst_host", "src"]) \
+        .aggregate(Sum("_n", alias_name="_n"))
+    return per_page.groupby(["src_host", "dst_host"]).aggregate(
+        Sum("_n", alias_name="n_links"),
+        Count(alias_name="n_src_pages"),
+    )
+
+
+def crawl_host_graph(sf_dir: str, *, dump=None):
+    """Query entry: weighted host-level link graph of the crawl.
+    Self-dump SQL-gated: the oracle re-extracts hosts and re-counts
+    links + distinct source pages from the dumped page edges."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_hg_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return host_graph(edges, dump=dump)
+
+
 def degree_assortativity(edges_ds, *, dump=None):
     """Degree assortativity coefficient (Newman 2002) of the undirected
     simple graph — Pearson correlation of endpoint degrees over every
