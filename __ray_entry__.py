@@ -1453,6 +1453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_perplexity": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["lm_perplexity"],
         ).lm_perplexity(sf),
+        # CCNet head/middle/tail terciles over the perplexity scores —
+        # NTILE(3) via the sort + block-offset prefix scan, k-row fold
+        "doc_perplexity_buckets": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["perplexity_buckets"],
+        ).perplexity_buckets(sf),
         # Efraimidis-Spirakis weighted sampling (hash-derived uniforms,
         # n_chars weights), DuckDB-oracle-gated
         "doc_weighted_sample": lambda sf: __import__(
@@ -3533,6 +3539,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN uni_c uc ON b.w1 = uc.w
             WHERE b.w1 IS NOT NULL
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        # NTILE(3) over the same perplexity CTE — (ppl, doc_id) total
+        # order makes tie-breaking deterministic on both sides; bucket
+        # stats are counts + exact min/max of 2-dp values, no float sums
+        "doc_perplexity_buckets": r"""
+            WITH w AS (
+                SELECT doc_id, source, w, pos FROM (
+                    SELECT doc_id, source, unnest(arr) AS w,
+                           unnest(range(1, len(arr) + 1)) AS pos
+                    FROM (SELECT doc_id, source,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\s+') AS arr
+                          FROM documents)
+                ) WHERE w <> ''
+            ), big AS (
+                SELECT doc_id, source, w AS w2,
+                       lag(w) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS w1
+                FROM w
+            ), uni_c AS (
+                SELECT w, count(*) AS c FROM w
+                WHERE source = 'src0' GROUP BY w
+            ), big_c AS (
+                SELECT w1, w2, count(*) AS c FROM big
+                WHERE source = 'src0' AND w1 IS NOT NULL GROUP BY w1, w2
+            ), v AS (SELECT count(*) AS nv FROM uni_c),
+            ppl AS (
+                SELECT b.doc_id,
+                       round(exp(-avg(ln(
+                           (coalesce(bc.c, 0) + 0.5)
+                           / (coalesce(uc.c, 0)
+                              + 0.5 * (SELECT nv FROM v))
+                       ))), 2) AS ppl
+                FROM big b
+                LEFT JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                LEFT JOIN uni_c uc ON b.w1 = uc.w
+                WHERE b.w1 IS NOT NULL
+                GROUP BY b.doc_id
+            ),
+            t AS (
+                SELECT ppl,
+                       ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket
+                FROM ppl
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(ppl) AS ppl_min, max(ppl) AS ppl_max
+            FROM t GROUP BY bucket
         """,
         # ln(u)/w key with u = md5(doc_id) first 8 hex chars / 2^32 —
         # integer-exact u on both sides, float64 ln, 10-dp round

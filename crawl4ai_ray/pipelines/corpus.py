@@ -1566,3 +1566,67 @@ def filter_funnel(sf_dir: str, min_chars: int = 200,
         "n_rejected": pa.array(
             [ns[i] - ns[i + 1] for i in range(4)], pa.int64()),
     })
+
+
+def perplexity_buckets(sf_dir: str, k: int = 3):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3: rank the
+    corpus by LM perplexity, cut into equal-size terciles, keep the
+    head for high-quality training data): NTILE(k) over the
+    ``lm_perplexity`` scores with (ppl, doc_id) total order, reduced
+    to per-bucket doc counts and exact ppl ranges.
+
+    Scale shape: one global sort by (ppl, doc_id) — the operator's
+    inherent exchange — then the ``_pnum_prepare`` block-offset prefix
+    scan assigns exact global row numbers (one tiny partial row per
+    block on the driver), the NTILE law (first n%k tiles get
+    floor(n/k)+1 rows) maps row number → bucket per batch, and the
+    output fold is a k-row groupby of per-block partials. min/max are
+    exact selections of 2-dp-rounded values, so no float-summation
+    order can leak in."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .analysis import _pnum_prepare, _pnum_rn
+
+    ppl = lm_perplexity(sf_dir).map_batches(
+        lambda t: t.append_column("_g", pa.array(
+            np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    sorted_ds, bases, totals = _pnum_prepare(
+        ppl, ["_g", "ppl", "doc_id"], [False, False, False],
+        "_g", "doc_id")
+    bref = ray.put((bases, totals))
+
+    def partial(batch: pa.Table, bref=bref, k=k) -> pa.Table:
+        import ray as _ray
+
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "_n": pa.array([], pa.int64()),
+                          "_mn": pa.array([], pa.float64()),
+                          "_mx": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        bases, totals = _ray.get(bref)
+        rn, pr = _pnum_rn(batch, "_g", "doc_id", bases)
+        n = int(totals[pr[0]])
+        size_small = n // k
+        n_big = n % k
+        big_span = n_big * (size_small + 1)
+        in_big = rn <= big_span
+        tile = np.where(
+            in_big,
+            (rn - 1) // max(size_small + 1, 1) + 1,
+            n_big + (rn - 1 - big_span) // max(size_small, 1) + 1,
+        ).astype(np.int64)
+        p = batch.column("ppl").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"bucket": tile, "p": p}).groupby(
+            "bucket", as_index=False).agg(
+            _n=("p", "size"), _mn=("p", "min"), _mx=("p", "max"))
+        df["_n"] = df["_n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return sorted_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None) \
+        .groupby("bucket").aggregate(
+            Sum("_n", alias_name="n_docs"),
+            Min("_mn", alias_name="ppl_min"),
+            Max("_mx", alias_name="ppl_max"))
