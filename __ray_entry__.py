@@ -921,6 +921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded within-user pair fan-out + pair groupby + broadcast
         "event_type_user_jaccard": analysis.event_type_user_jaccard,
         "events_asof_orders": analysis.events_asof_orders,
+        # nearest-in-time temporal join (either direction, ties to the
+        # earlier date) — broadcast/bucketed forms on one probe kernel
+        "events_nearest_order": analysis.events_nearest_order,
         # keyed range join (1:N interval join), DuckDB-oracle-gated
         "orders_repeat_window_join": analysis.orders_repeat_window_join,
         # mergeable t-digest quantiles (rows-only; rank-error law
@@ -2198,6 +2201,26 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o.o_orderdate, '%Y-%m-%d') AS asof_order_date
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        # nearest order in EITHER direction by |day diff|, ties to the
+        # earlier date (row_number over (abs diff, date)); inner-join
+        # semantics — userless events drop on both sides
+        "events_nearest_order": """
+            SELECT event_id, user_id, nearest_order_date, day_diff
+            FROM (
+                SELECT e.event_id, e.user_id,
+                       strftime(o.o_orderdate, '%Y-%m-%d')
+                           AS nearest_order_date,
+                       CAST(abs(date_diff('day', o.o_orderdate,
+                                CAST(e.ts AS DATE))) AS BIGINT)
+                           AS day_diff,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY abs(date_diff('day', o.o_orderdate,
+                                        CAST(e.ts AS DATE))),
+                                    o.o_orderdate) AS rn
+                FROM events e JOIN orders o ON o.o_custkey = e.user_id
+            ) WHERE rn = 1
         """,
         # keyed range join: same-customer order pairs with the next
         # order strictly inside (first_date, first_date + 30 days]

@@ -586,6 +586,152 @@ def events_asof_orders(sf_dir: str, form: str = "auto",
                                                 batch_format="pandas")
 
 
+def _nearest_probe(comp, ck, od, uid, tday):
+    """Shared nearest-in-time kernel over a (custkey*2^20 + day)-sorted
+    composite index: backward candidate = as-of (<= day), forward
+    candidate = first order strictly after; nearest by |day diff| with
+    ties to the EARLIER (backward) date. Returns (valid, date, diff)."""
+    if len(comp) == 0:
+        z = np.zeros(len(uid), np.int64)
+        return np.zeros(len(uid), bool), z, z
+    q = uid * np.int64(1 << 20) + tday
+    pr = np.searchsorted(comp, q, side="right")
+    pb = pr - 1
+    pbc = np.maximum(pb, 0)
+    vb = (pb >= 0) & (ck[pbc] == uid)
+    db = tday - od[pbc]
+    pfc = np.minimum(pr, len(comp) - 1)
+    vf = (pr < len(comp)) & (ck[pfc] == uid)
+    dfw = od[pfc] - tday
+    take_f = vf & (~vb | (dfw < db))
+    best_od = np.where(take_f, od[pfc], od[pbc])
+    best_d = np.where(take_f, dfw, db)
+    return vb | vf, best_od, best_d
+
+
+def events_nearest_order(sf_dir: str, form: str = "auto",
+                         broadcast_limit: int = 2_000_000,
+                         n_buckets: int = 64):
+    """Nearest-neighbor TEMPORAL join — for each event, the same
+    user's order closest in time in EITHER direction (|order day −
+    event day| minimized, ties to the earlier order date). The
+    remaining temporal-join shape next to the backward as-of
+    (``events_asof_orders``) and the strictly-after forward pairing
+    (``events_error_to_purchase``); events whose user has no orders
+    drop out (inner-join semantics, matching the oracle).
+
+    Same two forms and the same gate as events_asof_orders, both
+    riding ``_nearest_probe``'s composite searchsorted (backward +
+    forward candidate, vectorized choose): broadcast ships the sorted
+    order index once via ``ray.put``; the bucketed big-big path
+    hash-buckets BOTH sides, one groupby co-group, and runs the same
+    kernel per bucket — per-task memory is (events+orders)/n_buckets."""
+    import ray
+
+    orders_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    events_ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    if form == "auto":
+        form = "broadcast" if orders_ds.count() <= broadcast_limit \
+            else "bucketed"
+
+    def _emit(batch_ids, batch_uids, valid, best_od, best_d):
+        dstr = np.datetime_as_string(
+            best_od.astype("datetime64[D]"), unit="D").astype(object)
+        return pa.table({
+            "event_id": pa.array(batch_ids[valid]),
+            "user_id": pa.array(batch_uids[valid]),
+            "nearest_order_date": pa.array(dstr[valid], pa.string()),
+            "day_diff": pa.array(best_d[valid].astype(np.int64)),
+        })
+
+    if form == "broadcast":
+        orders = orders_ds.to_pandas()
+        ck = orders["o_custkey"].to_numpy(np.int64)
+        od = orders["o_orderdate"].to_numpy(dtype="datetime64[us]") \
+            .astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((od, ck))
+        ck, od = ck[order], od[order]
+        comp = ck * np.int64(1 << 20) + od
+        ref = ray.put((comp, ck, od))
+
+        def nearest(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            comp, ck, od = _ray.get(ref)
+            uid = batch.column("user_id") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tday = batch.column("ts").to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype("datetime64[D]") \
+                .astype(np.int64)
+            valid, best_od, best_d = _nearest_probe(comp, ck, od,
+                                                    uid, tday)
+            return _emit(
+                batch.column("event_id")
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                uid, valid, best_od, best_d)
+
+        return events_ds.map_batches(nearest, batch_format="pyarrow",
+                                     batch_size=65536)
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(_bucket(uid)),
+            "_side": pa.array(np.zeros(len(uid), dtype=np.int8)),
+            "event_id": batch.column("event_id"),
+            "user_id": pa.array(uid),
+            "_day": pa.array(
+                batch.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype("datetime64[D]")
+                .astype(np.int64)),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_bucket": pa.array(_bucket(ck)),
+            "_side": pa.array(np.ones(len(ck), dtype=np.int8)),
+            "event_id": pa.array(np.zeros(len(ck), dtype=np.int64)),
+            "user_id": pa.array(ck),
+            "_day": pa.array(
+                batch.column("o_orderdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype("datetime64[D]")
+                .astype(np.int64)),
+        })
+
+    tagged = events_ds.map_batches(tag_events, batch_format="pyarrow",
+                                   batch_size=65536) \
+        .union(orders_ds.map_batches(tag_orders, batch_format="pyarrow",
+                                     batch_size=65536))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["_side"] == 0]
+        odf = g[g["_side"] == 1]
+        ck = odf["user_id"].to_numpy(np.int64)
+        od = odf["_day"].to_numpy(np.int64)
+        order = np.lexsort((od, ck))
+        ck, od = ck[order], od[order]
+        comp = ck * np.int64(1 << 20) + od
+        uid = ev["user_id"].to_numpy(np.int64)
+        tday = ev["_day"].to_numpy(np.int64)
+        valid, best_od, best_d = _nearest_probe(comp, ck, od, uid, tday)
+        return _emit(ev["event_id"].to_numpy(np.int64), uid,
+                     valid, best_od, best_d).to_pandas()
+
+    return tagged.groupby("_bucket").map_groups(merge,
+                                                batch_format="pandas")
+
+
 def events_value_bands(sf_dir: str, band_width: float = 25.0,
                        n_bands: int = 20):
     """Range (interval) join — events joined to value bands

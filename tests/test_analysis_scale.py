@@ -551,3 +551,47 @@ def test_late_arrivals_tiny_block_seams():
     assert got["n_events"].tolist() == bf["n_events"].tolist()
     assert got["n_late"].tolist() == bf["n_late"].tolist()
     assert got["n_late"].sum() > 0          # the gate is non-trivial
+
+
+def test_nearest_order_bucketed_equals_broadcast():
+    a = _norm(analysis.events_nearest_order(
+        SF, form="broadcast").to_pandas())
+    b = _norm(analysis.events_nearest_order(
+        SF, form="bucketed", n_buckets=7).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_nearest_order_prefers_earlier_on_tie():
+    # event day exactly between two orders (diff 2 both ways) must pick
+    # the EARLIER date; one-sided users fall back to the only direction
+    import ray
+
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            np.array(["1995-01-01", "1995-01-05", "1995-02-10",
+                      "1995-03-01"], "datetime64[us]")),
+    })
+    events = pa.table({
+        "event_id": pa.array([10, 20, 30], pa.int64()),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(np.array(
+            ["1995-01-03T12:00:00", "1995-02-01T00:00:00",
+             "1995-03-09T23:00:00"], "datetime64[us]")),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="c4r_near_")
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    pq.write_table(events, os.path.join(d, "events.parquet"))
+    got = analysis.events_nearest_order(d).to_pandas() \
+        .set_index("event_id")
+    assert got.loc[10, "nearest_order_date"] == "1995-01-01"  # tie->earlier
+    assert int(got.loc[10, "day_diff"]) == 2
+    assert got.loc[20, "nearest_order_date"] == "1995-02-10"  # forward only
+    assert int(got.loc[20, "day_diff"]) == 9
+    assert got.loc[30, "nearest_order_date"] == "1995-03-01"  # backward
+    assert int(got.loc[30, "day_diff"]) == 8
