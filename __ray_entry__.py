@@ -1486,6 +1486,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hits": lambda sf: __import__(
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_hits"],
         ).crawl_hits(sf),
+        # k-core decomposition (H-index fixpoint == bucket peeling,
+        # rows-only; naive-peeling oracle in tests/test_graph.py)
+        "crawl_kcore": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_kcore"],
+        ).crawl_kcore(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
     # no driver sweep has sampled yet front-loaded — then the

@@ -1030,6 +1030,230 @@ def crawl_hop_distance(sf_dir: str, *, dump=None):
     return hop_distance(edges, nodes, seeds, dump=dump)
 
 
+def coreness(edges_ds, nodes_ds, *, max_iters: int = 256,
+             form: str = "auto",
+             driver_max_edges: int = PAGERANK_DRIVER_MAX_EDGES):
+    """k-core decomposition — per-node CORENESS (the largest k such
+    that the node survives in the k-core) over the undirected simple
+    graph. Distributed algorithm: the H-index fixpoint of Lü et al.
+    (Nature Communications 2016) — init c(v) = degree(v), iterate
+    c(v) ← min(c(v), H({c(u) : u ~ v})) where H is the Hirsch index
+    of the neighbor values; the fixpoint is exactly the coreness, and
+    every round is pure Ray Data exchange:
+
+    one hash join ships c onto edge sources, one sort by
+    (node, c DESC) — then H per node is a vectorized prefix-count
+    over sorted runs (c_i ≥ i+1), with the repo's interior/boundary
+    run split: a run wholly inside a block finishes in-task; the ≤2
+    boundary runs per block ship their values to the driver (bounded
+    by 2 × blocks × max-degree-of-a-boundary-node) and merge there —
+    no per-key map_groups, no driver-resident graph.
+
+    ``form='driver'`` is the gated tiny-graph path: exact bucket
+    peeling (Batagelj-Zaversnik) on CSR arrays, broadcast once. The
+    two forms are byte-equality gated in tests/test_graph.py.
+    Returns (node, coreness:int64); isolated nodes get 0."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().cast(pa.string())
+        d = batch.column("dst").combine_chunks().cast(pa.string())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.table({"lo": lo, "hi": hi})
+
+    # dedupe parallel edges (simple graph), then emit both directions
+    simple = edges_ds.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_n"))
+    edges = simple.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column("lo").combine_chunks(),
+                t.column("hi").combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column("hi").combine_chunks(),
+                t.column("lo").combine_chunks()]),
+        }), batch_format="pyarrow").materialize()
+    nodes = nodes_ds.map_batches(_cast_str("node"),
+                                 batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if form == "auto":
+        form = ("driver" if n_edges <= driver_max_edges
+                else "distributed")
+
+    if form == "driver":
+        epd = edges.to_pandas()      # both directions already
+        su, inv = np.unique(
+            np.concatenate([epd["src"].to_numpy(),
+                            epd["dst"].to_numpy()]).astype(object),
+            return_inverse=True)
+        half = len(epd)
+        src_i, dst_i = inv[:half], inv[half:]
+        n = len(su)
+        order = np.argsort(src_i, kind="stable")
+        s_sorted, d_sorted = src_i[order], dst_i[order]
+        starts = np.searchsorted(s_sorted, np.arange(n + 1))
+        deg = (starts[1:] - starts[:-1]).astype(np.int64)
+        # Batagelj-Zaversnik bucket peeling
+        core = deg.copy()
+        verts = np.argsort(deg, kind="stable")
+        pos = np.empty(n, np.int64)
+        pos[verts] = np.arange(n)
+        md = int(deg.max()) if n else 0
+        bin_start = np.zeros(md + 2, np.int64)
+        np.add.at(bin_start, deg + 1, 1)
+        bin_start = np.cumsum(bin_start)
+        cur = core.copy()
+        for i in range(n):
+            v = verts[i]
+            for u in d_sorted[starts[v]:starts[v + 1]]:
+                if cur[u] > cur[v]:
+                    du, pu = cur[u], pos[u]
+                    pw = bin_start[du]
+                    w = verts[pw]
+                    if u != w:
+                        verts[pu], verts[pw] = w, u
+                        pos[u], pos[w] = pw, pu
+                    bin_start[du] += 1
+                    cur[u] -= 1
+        ref = ray.put((np.array([str(x) for x in su], object), cur))
+
+        def probe(batch: pa.Table, ref=ref) -> pa.Table:
+            keys, core = ray.get(ref)
+            node = np.asarray(batch.column("node").to_pylist(),
+                              dtype=object)
+            idx = np.clip(np.searchsorted(keys, node), 0, len(keys) - 1)
+            hit = (keys[idx] == node) if len(keys) else \
+                np.zeros(len(node), bool)
+            out = np.where(hit, core[idx] if len(keys) else 0, 0)
+            return pa.table({
+                "node": batch.column("node"),
+                "coreness": pa.array(out.astype(np.int64))})
+
+        return nodes.map_batches(probe, batch_format="pyarrow")
+
+    # --- distributed H-index fixpoint ---
+    deg = edges.groupby("src").aggregate(Count(alias_name="c")) \
+        .rename_columns({"src": "node"})
+    n = _pr_parts(n_edges, edges, nodes)
+    labels = nodes.join(deg, "left_outer", n, on=("node",)) \
+        .map_batches(lambda t: pa.table({
+            "node": t.column("node"),
+            "c": pc.coalesce(t.column("c").cast(pa.int64()),
+                             pa.scalar(0, pa.int64()))}),
+            batch_format="pyarrow").materialize()
+
+    def _run_h(nd: np.ndarray, cv: np.ndarray):
+        """H per contiguous (node)-run of a (node, c DESC)-sorted
+        slice: count of positions with c_i >= i+1 (prefix property
+        under the DESC sort). Returns (run_starts, H_sums)."""
+        starts = np.flatnonzero(
+            np.concatenate(([True], nd[1:] != nd[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([0], (nd[1:] != nd[:-1]).astype(np.int64))))
+        pos = np.arange(len(nd)) - starts[run_id]
+        ok = (cv >= pos + 1).astype(np.int64)
+        return starts, np.add.reduceat(ok, starts)
+
+    _H_EMPTY = pa.table({"node": pa.array([], pa.string()),
+                         "h": pa.array([], pa.int64())})
+    _B_EMPTY = pa.table({"node": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+
+    def interior_h(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch.column("node").to_pylist(), dtype=object)
+        if len(nd) == 0:
+            return _H_EMPTY
+        cv = batch.column("c").to_numpy(zero_copy_only=False)
+        starts, sums = _run_h(nd, cv)
+        interior = (nd[starts] != nd[0]) & (nd[starts] != nd[-1])
+        return pa.table({
+            "node": pa.array(nd[starts][interior], pa.string()),
+            "h": pa.array(sums[interior].astype(np.int64))})
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch.column("node").to_pylist(), dtype=object)
+        if len(nd) == 0:
+            return _B_EMPTY
+        cv = batch.column("c").to_numpy(zero_copy_only=False)
+        bmask = (nd == nd[0]) | (nd == nd[-1])
+        return pa.table({
+            "node": pa.array(nd[bmask], pa.string()),
+            "c": pa.array(cv[bmask].astype(np.int64))})
+
+    def step(t: pa.Table) -> pa.Table:
+        new = pc.min_element_wise(
+            t.column("c"), pc.coalesce(t.column("h"), t.column("c")))
+        return pa.table({
+            "node": t.column("node"),
+            "c": new,
+            "changed": pc.cast(pc.less(new, t.column("c")), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        n = _pr_parts(n_edges, edges, labels)
+        nb = edges.join(labels.rename_columns({"node": "src"}),
+                        "inner", n, on=("src",)) \
+            .select_columns(["dst", "c"]) \
+            .rename_columns({"dst": "node"}) \
+            .sort(["node", "c"], descending=[False, True]) \
+            .materialize()          # the round's one exchange
+        h_ds = nb.map_batches(interior_h, batch_format="pyarrow",
+                              batch_size=None)
+        # first/last run of every block completes on the driver —
+        # ≤ 2 runs × blocks, each bounded by its node's degree
+        bnd = nb.map_batches(boundary_rows, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+        if len(bnd):
+            bnd = bnd.sort_values(["node", "c"],
+                                  ascending=[True, False])
+            ndb = bnd["node"].to_numpy(object)
+            starts, sums = _run_h(ndb, bnd["c"].to_numpy(np.int64))
+            h_ds = h_ds.union(rd.from_arrow(pa.table({
+                "node": pa.array(ndb[starts], pa.string()),
+                "h": pa.array(sums.astype(np.int64))})))
+        h_ds = h_ds.materialize()
+        if h_ds.count() == 0:       # no neighbor rows at all: fixpoint
+            break
+        stepped = labels.join(h_ds, "left_outer", n, on=("node",)) \
+            .map_batches(step, batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("changed") or 0
+        labels = stepped.select_columns(["node", "c"]).materialize()
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"coreness H-iteration did not converge in {max_iters} "
+            "rounds; raise max_iters")
+
+    return labels.rename_columns({"c": "coreness"})
+
+
+def crawl_kcore(sf_dir: str):
+    """Query entry: coreness of every page in the crawl link graph
+    (undirected). Pytest-gated: distributed H-index fixpoint ==
+    driver bucket peeling on random graphs + on this crawl graph
+    (tests/test_graph.py)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_core_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    return coreness(edges, nodes)
+
+
 def host_graph(edges_ds, *, dump=None):
     """Collapse the page-level (src, dst) link graph to weighted
     HOST-level edges: (src_host, dst_host, n_links, n_src_pages) —

@@ -291,3 +291,53 @@ def test_crawl_hop_distance_equals_crawl_depth():
     assert len(docs) == len(hops)
     for url, depth in zip(docs["url"], docs["depth"]):
         assert hops[url] == depth, url
+
+
+def _coreness_reference(n, pairs):
+    """Independent naive peeling: repeatedly remove all nodes with
+    degree < k, for k = 1, 2, ...; coreness = last k at which the node
+    survived."""
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {i: 0 for i in range(n)}
+    alive = set(range(n))
+    k = 1
+    while alive:
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_coreness_matches_naive_peeling():
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import coreness
+
+    rng = np.random.default_rng(31)
+    n = 24
+    names = [f"n{i:03d}" for i in range(n)]
+    for trial in range(3):
+        m = int(rng.integers(15, 80))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([names[i] for i in src]),
+            "dst": pa.array([names[i] for i in dst])}))
+        nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
+        want = {names[i]: c
+                for i, c in _coreness_reference(
+                    n, zip(src.tolist(), dst.tolist())).items()}
+        for form in ("distributed", "driver"):
+            got = coreness(edges, nodes, form=form).to_pandas() \
+                .set_index("node")["coreness"].to_dict()
+            assert got == want, (trial, form)
