@@ -1164,6 +1164,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_triangles"],
         ).crawl_triangles(
             sf, dump=lambda t: _oracle_dump("crawl_triangles", t)),
+        # per-node local clustering coefficient (wedge join crediting
+        # all three corners), SQL oracle = full degree/triangle/
+        # coefficient recompute from the dumped lex edge table
+        "crawl_clustering": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph", fromlist=["crawl_clustering"],
+        ).crawl_clustering(
+            sf, dump=lambda t: _oracle_dump("crawl_clustering", t)),
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -4846,6 +4853,36 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM el) AS n_edges,
                    (SELECT count(*) FROM w JOIN el USING (lo, hi))
                        AS n_triangles
+        """,
+        "crawl_clustering": """
+            WITH el AS (SELECT u, v FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_clustering/raw.parquet')),
+            deg AS (
+                SELECT node, count(*) AS degree FROM (
+                    SELECT u AS node FROM el
+                    UNION ALL SELECT v AS node FROM el) GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM el e1
+                JOIN el e2 ON e2.u = e1.v
+                JOIN el e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            tn AS (
+                SELECT node, count(*) AS n_triangles FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b AS node FROM tri
+                    UNION ALL SELECT c AS node FROM tri) GROUP BY 1
+            )
+            SELECT deg.node,
+                   CAST(deg.degree AS BIGINT) AS degree,
+                   CAST(coalesce(tn.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   ROUND(CASE WHEN deg.degree >= 2
+                              THEN 2.0 * coalesce(tn.n_triangles, 0)
+                                   / (deg.degree * (deg.degree - 1.0))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM deg LEFT JOIN tn USING (node)
         """,
         "crawl_media_density": """
             WITH per_doc AS (

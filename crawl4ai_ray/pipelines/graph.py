@@ -703,6 +703,150 @@ def crawl_triangles(sf_dir: str, *, dump=None):
     return triangle_count(edges, dump=dump)
 
 
+def clustering_coefficient(edges_ds, *, dump=None):
+    """Per-node local clustering coefficient over a directed (src, dst)
+    edge Dataset treated as an undirected simple graph — c(v) =
+    2·tri(v) / (deg(v)·(deg(v)−1)), the Watts–Strogatz local measure
+    (spam-farm / community-density signal next to PageRank and k-core).
+
+    Shape: the same degree-oriented wedge machinery as
+    ``triangle_count`` (Suri & Vassilvitskii, WWW 2011 — per-group
+    wedge emission bounded by the O(m^1.5) total), except each closed
+    wedge keeps its center so the triangle credits ALL THREE corners:
+    explode every closed (u, lo, hi) row to three (node) rows, one
+    groupby counts per-node triangles, and one left-outer join attaches
+    them to the degree table (nodes on no triangle keep 0). Every step
+    is a bounded map_batches / map_groups / groupby / join — nothing
+    driver-resident.
+
+    ``dump`` receives ONLY the lex undirected edge table (u < v), from
+    which the SQL oracle recomputes degrees, triangles (triple
+    self-join over ordered triples a<b<c) and the coefficient fully
+    independently. Returns (node, degree, n_triangles, clustering)."""
+    from ray.data.aggregate import Count
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    n_edges = el.count()
+    if n_edges == 0:
+        if dump is not None:
+            dump(pa.table({"u": pa.array([], pa.string()),
+                           "v": pa.array([], pa.string())}))
+        return pa.table({"node": pa.array([], pa.string()),
+                         "degree": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64()),
+                         "clustering": pa.array([], pa.float64())})
+    if dump is not None:
+        dump(pa.concat_tables(ray_get_tables(el))
+             .rename_columns(["u", "v"]))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("lo").combine_chunks().cast(pa.string()),
+             t.column("hi").combine_chunks().cast(pa.string())])})
+
+    deg = (el.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="degree"))) \
+        .materialize()
+
+    n = _pr_parts(n_edges, el, deg)
+    j = el.join(deg.rename_columns({"node": "lo", "degree": "deg_lo"}),
+                "inner", n, on=("lo",))
+    j = j.join(deg.rename_columns({"node": "hi", "degree": "deg_hi"}),
+               "inner", n, on=("hi",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t.column("lo").to_pylist(), dtype=object)
+        hi = np.asarray(t.column("hi").to_pylist(), dtype=object)
+        dl = t.column("deg_lo").to_numpy(zero_copy_only=False)
+        dh = t.column("deg_hi").to_numpy(zero_copy_only=False)
+        lo_first = dl <= dh
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        return pa.table({"u": pa.array(u.tolist(), pa.string()),
+                         "v": pa.array(v.tolist(), pa.string())})
+
+    ed = j.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # keep the wedge center u: a closed wedge credits u, lo AND hi
+        u = g.column("u")[0].as_py()
+        vs = np.sort(np.asarray(g.column("v").to_pylist(), dtype=object))
+        k = len(vs)
+        if k < 2:
+            return pa.table({"ctr": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.string())})
+        ia, ib = np.triu_indices(k, k=1)
+        return pa.table({"ctr": pa.array([u] * len(ia), pa.string()),
+                         "lo": pa.array(vs[ia].tolist(), pa.string()),
+                         "hi": pa.array(vs[ib].tolist(), pa.string())})
+
+    w = ed.groupby("u").map_groups(wedges, batch_format="pyarrow")
+    closed = w.join(el, "inner", n, on=("lo", "hi"))
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column(c).combine_chunks().cast(pa.string())
+             for c in ("ctr", "lo", "hi")])})
+
+    tri = (closed.map_batches(corners, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="n_triangles")))
+
+    out = deg.join(tri, "left_outer", n, on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tr = t.column("n_triangles").to_numpy(zero_copy_only=False)
+        tr = np.where(np.isnan(tr.astype(np.float64)), 0,
+                      np.nan_to_num(tr.astype(np.float64))).astype(
+                          np.int64)
+        denom = d.astype(np.float64) * (d - 1).astype(np.float64)
+        c = np.where(d >= 2, 2.0 * tr / np.where(denom == 0, 1.0, denom),
+                     0.0)
+        return pa.table({
+            "node": t.column("node").cast(pa.string()),
+            "degree": pa.array(d, pa.int64()),
+            "n_triangles": pa.array(tr, pa.int64()),
+            "clustering": pa.array(np.round(c, 6), pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_clustering(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web, emit every node's
+    local clustering coefficient. Self-dump SQL-gated when ``dump`` is
+    set (lex edge table only; DuckDB recomputes degree, triangle and
+    coefficient from scratch)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_clus_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return clustering_coefficient(edges, dump=dump)
+
+
 def connected_components(edges_ds, nodes_ds, *, max_iters: int = 64,
                          dump=None, form: str = "auto",
                          driver_max_edges: int =
