@@ -1017,10 +1017,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_minmax": analysis.events_rolling_minmax,
         # MAD robust dispersion: two histogram-selection median passes
         "order_value_mad_by_priority": analysis.order_value_mad_by_priority,
+        # quantity-weighted median price, weighted histogram selection
+        "lineitem_weighted_median": analysis.lineitem_weighted_median,
         # grouped OLS regression (REGR_SLOPE family), moment partials
         "events_value_trend": analysis.events_value_trend,
         # per-user Shannon entropy of the event-type distribution
         "user_event_entropy": analysis.user_event_entropy,
+        # mutual information event_type × hour (bounded-cell histogram)
+        "event_type_hour_mi": analysis.event_type_hour_mi,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -3986,6 +3990,31 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept
             FROM events GROUP BY event_type
         """,
+        "event_type_hour_mi": """
+            WITH c AS (
+                SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), tot AS (SELECT sum(n) AS n FROM c),
+            mt AS (SELECT event_type, sum(n) AS n FROM c GROUP BY 1),
+            mh AS (SELECT hour, sum(n) AS n FROM c GROUP BY 1)
+            SELECT CAST(tot.n AS BIGINT) AS n_events,
+                   (SELECT count(*) FROM mt) AS n_types,
+                   (SELECT count(*) FROM mh) AS n_hours,
+                   ROUND((SELECT -sum((mt.n / tot.n)
+                                      * log2(mt.n / tot.n)) FROM mt),
+                         6) AS h_type,
+                   ROUND((SELECT -sum((mh.n / tot.n)
+                                      * log2(mh.n / tot.n)) FROM mh),
+                         6) AS h_hour,
+                   ROUND((SELECT sum((c.n / tot.n)
+                                     * log2((c.n / tot.n)
+                                            / ((mt.n / tot.n)
+                                               * (mh.n / tot.n))))
+                          FROM c JOIN mt USING (event_type)
+                          JOIN mh USING (hour)), 6) AS mi_bits
+            FROM tot
+        """,
         "user_event_entropy": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS n
@@ -4077,6 +4106,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_type
         """,
         # two-pass robust dispersion; join attaches pass-1 medians
+        "lineitem_weighted_median": """
+            WITH c AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       sum(CAST(l_quantity AS BIGINT)) AS wv
+                FROM lineitem GROUP BY 1, 2
+            ), tot AS (
+                SELECT l_returnflag, sum(wv) AS tw FROM c GROUP BY 1
+            ), cum AS (
+                SELECT l_returnflag, v,
+                       sum(wv) OVER (PARTITION BY l_returnflag
+                                     ORDER BY v) AS cw
+                FROM c
+            )
+            SELECT cum.l_returnflag,
+                   ROUND(min(v), 2) AS wmedian_price,
+                   CAST(min(tot.tw) AS BIGINT) AS total_qty
+            FROM cum JOIN tot USING (l_returnflag)
+            WHERE 2 * cw >= tot.tw
+            GROUP BY cum.l_returnflag
+        """,
         "order_value_mad_by_priority": """
             WITH m AS (SELECT o_orderpriority,
                               median(o_totalprice) AS med

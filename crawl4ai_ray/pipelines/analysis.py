@@ -5270,6 +5270,253 @@ def events_type_transitions(sf_dir: str):
     return pa.Table.from_pandas(counts, preserve_index=False)
 
 
+def grouped_weighted_median_distributed(ds, key_col: str, val_col: str,
+                                        weight_col: str,
+                                        bins: int = 4096,
+                                        collect_cap: int = 262_144,
+                                        max_keys: int = 10_000
+                                        ) -> pa.Table:
+    """Exact per-group WEIGHTED (lower) median — smallest v such that
+    the cumulative weight of values ≤ v reaches half the group's total
+    weight (2·cum ≥ W in exact integer space) — without ever holding a
+    group in one task. The weighted twin of
+    ``grouped_median_distributed``: same selection-by-histogram loop,
+    with per-bin WEIGHT sums locating the crossing bin and per-bin ROW
+    counts driving the ≤``collect_cap`` collection trigger.
+
+    Weights must be integral (the caller's contract; quantities,
+    counts, byte sizes): partial sums then stay exact in float64 up to
+    2^53 total weight (~9·10^15 — beyond a 100 TB table of unit-ish
+    weights), so the 2·cum ≥ W comparison can never drift across
+    engines. Below-window weight is recounted fresh every pass, the
+    grouped_median convention that keeps bin-edge float noise out of
+    the rank arithmetic. Returns (key_col, wmedian, total_weight)."""
+    import math as _math
+
+    import ray
+
+    stats = {
+        r[key_col]: r
+        for r in ds.groupby(key_col).aggregate(
+            Count(alias_name="_n"),
+            Sum(weight_col, alias_name="_w"),
+            Min(val_col, alias_name="_lo"),
+            Max(val_col, alias_name="_hi"),
+        ).take_all()
+    }
+    if len(stats) > max_keys:
+        raise ValueError(
+            f"grouped_weighted_median_distributed: {len(stats)} keys "
+            f"exceeds max_keys={max_keys}; use groupby.map_groups at "
+            "high key cardinality instead")
+    state = {}
+    for k, r in stats.items():
+        w = float(r["_w"])
+        if not _math.isclose(w, round(w), abs_tol=1e-9):
+            raise ValueError(
+                "grouped_weighted_median_distributed: weights must be "
+                f"integral, got group total {w!r}")
+        state[k] = {"lo": float(r["_lo"]), "hi": float(r["_hi"]),
+                    "W": float(round(w)), "cand": int(r["_n"])}
+
+    def _hist_pass(windows):
+        """One full scan → per key: below-window weight (bin −1) and
+        per-bin (weight, rows) inside [lo, hi]; per-batch partials
+        merged by a tiny groupby (n_keys × (bins+1) rows)."""
+        ref = ray.put(windows)
+
+        def hist(batch: pa.Table, ref=ref, bins=bins, key_col=key_col,
+                 val_col=val_col, weight_col=weight_col) -> pa.Table:
+            import ray as _ray
+
+            win = _ray.get(ref)
+            keys_list = list(win)
+            kidx = {k: i for i, k in enumerate(keys_list)}
+            los = np.array([win[k][0] for k in keys_list], np.float64)
+            his = np.array([win[k][1] for k in keys_list], np.float64)
+            g = pd.Series(batch.column(key_col).to_pandas()) \
+                .map(kidx).to_numpy(np.float64)
+            present = ~np.isnan(g)
+            gi = g[present].astype(np.int64)
+            vals = batch.column(val_col) \
+                .to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[present]
+            wts = batch.column(weight_col) \
+                .to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[present]
+            lo_r, hi_r = los[gi], his[gi]
+            G = len(keys_list)
+            out_k, out_b, out_w, out_c = [], [], [], []
+            bmask = vals < lo_r
+            below = np.bincount(gi[bmask], weights=wts[bmask],
+                                minlength=G)
+            for gidx in np.nonzero(below)[0]:
+                out_k.append(keys_list[gidx])
+                out_b.append(-1)
+                out_w.append(float(below[gidx]))
+                out_c.append(0)
+            inw = (vals >= lo_r) & (vals <= hi_r)
+            if inw.any():
+                gi_in, v_in = gi[inw], vals[inw]
+                w_in = wts[inw]
+                width = (his - los) / bins
+                w_r = width[gi_in]
+                safe = np.where(w_r > 0, w_r, 1.0)
+                idx = np.where(
+                    w_r > 0,
+                    np.clip(((v_in - los[gi_in]) / safe)
+                            .astype(np.int64), 0, bins - 1),
+                    0)
+                flat = gi_in * bins + idx
+                bw = np.bincount(flat, weights=w_in,
+                                 minlength=G * bins)
+                bc = np.bincount(flat, minlength=G * bins)
+                nz = np.nonzero(bc)[0]
+                out_k.extend(keys_list[int(f)] for f in nz // bins)
+                out_b.extend((nz % bins).tolist())
+                out_w.extend(bw[nz].tolist())
+                out_c.extend(bc[nz].tolist())
+            return pa.table({
+                "_k": pa.array(out_k),
+                "_bin": pa.array(out_b, type=pa.int64()),
+                "_w": pa.array(out_w, type=pa.float64()),
+                "_cnt": pa.array(out_c, type=pa.int64()),
+            })
+
+        parts = ds.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536) \
+            .groupby(["_k", "_bin"]) \
+            .aggregate(Sum("_w", alias_name="_sw"),
+                       Sum("_cnt", alias_name="_sc")) \
+            .take_all()
+        by_key: dict = {}
+        for row in parts:
+            by_key.setdefault(row["_k"], {})[int(row["_bin"])] = \
+                (float(row["_sw"]), int(row["_sc"]))
+        return by_key
+
+    it = 0
+    while sum(s["cand"] for s in state.values()
+              if s["lo"] < s["hi"]) > collect_cap and it < 48:
+        it += 1
+        act = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
+        by_key = _hist_pass(
+            {k: (s["lo"], s["hi"]) for k, s in act.items()})
+        progressed = False
+        for k, s in act.items():
+            counts = by_key.get(k, {})
+            below_w = counts.pop(-1, (0.0, 0))[0]
+            lo, hi = s["lo"], s["hi"]
+            width = (hi - lo) / bins
+            cum, b_hit = below_w, None
+            for b in sorted(counts):
+                bw, _bc = counts[b]
+                if 2.0 * (cum + bw) >= s["W"]:
+                    b_hit = b
+                    break
+                cum += bw
+            if b_hit is None:
+                continue  # defensive: collect as-is later
+            new_lo = lo + b_hit * width
+            new_hi = hi if b_hit == bins - 1 \
+                else lo + (b_hit + 1) * width
+            if (new_lo, new_hi) != (lo, hi):
+                progressed = True
+            s["lo"], s["hi"] = new_lo, new_hi
+            s["cand"] = counts[b_hit][1]
+        if not progressed:
+            break
+
+    solved = {k: s["lo"] for k, s in state.items() if s["lo"] == s["hi"]}
+    windows = {k: (s["lo"], s["hi"]) for k, s in state.items()
+               if k not in solved}
+    results = dict(solved)
+    if windows:
+        ref = ray.put(windows)
+
+        def in_window(batch: pa.Table, ref=ref, key_col=key_col,
+                      val_col=val_col,
+                      weight_col=weight_col) -> pa.Table:
+            import ray as _ray
+
+            win = _ray.get(ref)
+            karr = np.asarray(batch.column(key_col).to_pylist(),
+                              dtype=object)
+            vals = batch.column(val_col) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            wts = batch.column(weight_col) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = np.zeros(len(vals), dtype=bool)
+            below_k, below_w = [], []
+            for k, (lo, hi) in win.items():
+                km = karr == k
+                mask |= km & (vals >= lo) & (vals <= hi)
+                bw = float(wts[km & (vals < lo)].sum())
+                if bw:
+                    below_k.append(k)
+                    below_w.append(bw)
+            t = pa.table({
+                "_k": pa.array(karr[mask].tolist()),
+                "_v": pa.array(vals[mask], pa.float64()),
+                "_w": pa.array(wts[mask], pa.float64()),
+            })
+            if below_k:
+                t = pa.concat_tables([t, pa.table({
+                    "_k": pa.array(below_k),
+                    "_v": pa.array([np.nan] * len(below_k),
+                                   pa.float64()),
+                    "_w": pa.array(below_w, pa.float64()),
+                })])
+            return t
+
+        rows = ds.map_batches(in_window, batch_format="pyarrow",
+                              batch_size=65536).take_all()
+        cand: dict = {}
+        below: dict = {}
+        for r in rows:
+            if r["_v"] != r["_v"]:  # NaN marker = below-window weight
+                below[r["_k"]] = below.get(r["_k"], 0.0) + r["_w"]
+            else:
+                cand.setdefault(r["_k"], []).append((r["_v"], r["_w"]))
+        for k in windows:
+            pairs = sorted(cand.get(k, []))
+            cum = below.get(k, 0.0)
+            W = state[k]["W"]
+            ans = windows[k][0]
+            for v, w in pairs:
+                cum += w
+                if 2.0 * cum >= W:
+                    ans = v
+                    break
+            results[k] = ans
+
+    keys = sorted(results)
+    return pa.table({
+        key_col: pa.array(keys),
+        "wmedian": pa.array([results[k] for k in keys], pa.float64()),
+        "total_weight": pa.array([int(state[k]["W"]) for k in keys],
+                                 pa.int64()),
+    })
+
+
+def lineitem_weighted_median(sf_dir: str):
+    """Quantity-weighted median extended price per return flag — the
+    weighted-percentile shape (every unit of quantity votes for its
+    line's price; the crossing price is where half the shipped units
+    sit below). Exact, via the distributed weighted histogram
+    selection — no task ever holds a flag's rows."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    t = grouped_weighted_median_distributed(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity")
+    return pa.table({
+        "l_returnflag": t.column("l_returnflag"),
+        "wmedian_price": pc.round(t.column("wmedian"), 2,
+                                  round_mode="half_towards_infinity"),
+        "total_qty": t.column("total_weight"),
+    })
+
+
 def lineitem_var_by_flag(sf_dir: str):
     """VAR_SAMP / STDDEV_SAMP aggregate shape — the same
     parallelizable-moments reduction as ``lineitem_corr_by_flag``
@@ -6941,6 +7188,66 @@ def events_seasonality(sf_dir: str):
         "hour": pa.array(agg["hour"].to_numpy(np.int64)),
         "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
         "avg_value": pa.array(np.round(avg, 4), pa.float64()),
+    })
+
+
+def event_type_hour_mi(sf_dir: str, max_cells: int = 100_000):
+    """Mutual information between event_type and hour-of-day, in bits
+    — the categorical-dependence measure (MI = Σ p(t,h)·log2(p(t,h) /
+    (p(t)·p(h)))) next to the chi-square test, plus both marginal
+    entropies (the feature-redundancy audit: NMI = MI/min(H) follows
+    directly). One summary row.
+
+    Scale shape (the bounded-domain histogram pattern of
+    ``segment_priority_chisq``): every batch reduces to ≤ n_types×24
+    joint cells through a per-batch combiner, one groupby sums the
+    partials, and the entropy algebra runs driver-side on the bounded
+    cell table (guarded loud by ``max_cells``, the grouped_median
+    convention). Event volume never crosses the wire; the divisions
+    and log2 calls are the same float64 ops the oracle SQL spells
+    out, so round(6) is far inside the agreement margin."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": pc.hour(batch.column("ts"))
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"event_type_hour_mi: {len(cells)} joint cells exceed "
+            f"max_cells={max_cells}; the domain is not bounded enough "
+            "for the histogram pattern")
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    p = n / total
+    pt = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(np.float64) / total
+    ph = cells.groupby("hour")["n"].transform("sum") \
+        .to_numpy(np.float64) / total
+    mi = float(np.sum(p * np.log2(p / (pt * ph))))
+    tmarg = cells.groupby("event_type")["n"].sum() \
+        .to_numpy(np.float64) / total
+    hmarg = cells.groupby("hour")["n"].sum() \
+        .to_numpy(np.float64) / total
+    h_type = float(-np.sum(tmarg * np.log2(tmarg)))
+    h_hour = float(-np.sum(hmarg * np.log2(hmarg)))
+    return pa.table({
+        "n_events": pa.array([int(total)], pa.int64()),
+        "n_types": pa.array([len(tmarg)], pa.int64()),
+        "n_hours": pa.array([len(hmarg)], pa.int64()),
+        "h_type": pa.array([round(h_type, 6)], pa.float64()),
+        "h_hour": pa.array([round(h_hour, 6)], pa.float64()),
+        "mi_bits": pa.array([round(mi, 6)], pa.float64()),
     })
 
 

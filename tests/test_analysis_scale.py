@@ -595,3 +595,76 @@ def test_nearest_order_prefers_earlier_on_tie():
     assert int(got.loc[20, "day_diff"]) == 9
     assert got.loc[30, "nearest_order_date"] == "1995-03-01"  # backward
     assert int(got.loc[30, "day_diff"]) == 8
+
+
+def _wmedian_numpy(df, key, val, wt):
+    """Lower weighted median ground truth: smallest v with
+    2*cumweight(<=v) >= total weight."""
+    out = {}
+    for k, g in df.groupby(key):
+        g = g.sort_values(val)
+        cw = g[wt].cumsum().to_numpy()
+        W = float(g[wt].sum())
+        idx = int(np.searchsorted(2.0 * cw, W, side="left"))
+        out[k] = float(g[val].to_numpy()[idx])
+    return out
+
+
+def test_weighted_median_matches_numpy():
+    ds = rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    got = analysis.grouped_weighted_median_distributed(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity") \
+        .to_pandas().set_index("l_returnflag")
+    df = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    want = _wmedian_numpy(df, "l_returnflag", "l_extendedprice",
+                          "l_quantity")
+    for k, v in want.items():
+        assert got.loc[k, "wmedian"] == v, k
+        assert int(got.loc[k, "total_weight"]) == \
+            int(df[df["l_returnflag"] == k]["l_quantity"].sum())
+
+
+def test_weighted_median_forced_iterations():
+    # tiny bins + collect cap force the weighted narrowing loop
+    ds = rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    got = analysis.grouped_weighted_median_distributed(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity",
+        bins=4, collect_cap=64).to_pandas().set_index("l_returnflag")
+    df = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    want = _wmedian_numpy(df, "l_returnflag", "l_extendedprice",
+                          "l_quantity")
+    for k, v in want.items():
+        assert got.loc[k, "wmedian"] == v, k
+
+
+def test_weighted_median_duplicate_heavy_and_constant():
+    # one key all-constant (window collapses to a point), one key where
+    # a single duplicated value carries most of the weight
+    t = pa.table({
+        "k": ["a"] * 60 + ["b"] * 40,
+        "v": [5.0] * 60 + [1.0, 2.0] * 15 + [9.0] * 10,
+        "w": [1.0] * 60 + [1.0] * 30 + [10.0] * 10,
+    })
+    ds = rd.from_arrow([t.slice(i * 10, 10) for i in range(10)])
+    got = analysis.grouped_weighted_median_distributed(
+        ds, "k", "v", "w", bins=4, collect_cap=8) \
+        .to_pandas().set_index("k")
+    assert got.loc["a", "wmedian"] == 5.0
+    df = t.to_pandas().rename(columns={"k": "k", "v": "v", "w": "w"})
+    want = _wmedian_numpy(df, "k", "v", "w")
+    assert got.loc["b", "wmedian"] == want["b"]
+
+
+def test_weighted_median_rejects_fractional_weights():
+    t = pa.table({"k": ["a", "a"], "v": [1.0, 2.0], "w": [0.5, 1.0]})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="integral"):
+        analysis.grouped_weighted_median_distributed(ds, "k", "v", "w")
