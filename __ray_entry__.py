@@ -1305,6 +1305,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["distinct_users_hll"],
         ).distinct_users_hll(sf),
+        # Count-Min sketch estimates vs exact for the top-20 users;
+        # md5 cell hashing is deterministic so the oracle recomputes
+        # the WHOLE grid + min-over-rows estimates in SQL
+        "user_cms_estimates": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["user_cms_estimates"],
+        ).user_cms_estimates(sf),
         # iterative algorithm — rows-only; determinism + convergence
         # pytest-gated
         "embedding_kmeans": lambda sf: __import__(
@@ -4014,6 +4021,39 @@ def oracle_sql() -> dict[str, str]:
                           FROM c JOIN mt USING (event_type)
                           JOIN mh USING (hour)), 6) AS mi_bits
             FROM tot
+        """,
+        "user_cms_estimates": """
+            WITH rws AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+            ex AS (
+                SELECT user_id, count(*) AS n_exact
+                FROM events GROUP BY 1
+            ),
+            top AS (
+                SELECT user_id, n_exact FROM ex
+                ORDER BY n_exact DESC, user_id LIMIT 20
+            ),
+            cells AS (
+                SELECT rws.r,
+                       CAST(('0x' || substr(md5(
+                           CAST(e.user_id AS VARCHAR) || ':' ||
+                           CAST(rws.r AS VARCHAR)), 1, 8))
+                           AS UBIGINT) % 64 AS cell,
+                       count(*) AS n
+                FROM events e CROSS JOIN rws GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT t.user_id, min(c.n) AS n_cms
+                FROM top t CROSS JOIN rws
+                JOIN cells c ON c.r = rws.r AND c.cell =
+                    CAST(('0x' || substr(md5(
+                        CAST(t.user_id AS VARCHAR) || ':' ||
+                        CAST(rws.r AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 64
+                GROUP BY 1
+            )
+            SELECT t.user_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+                   CAST(e.n_cms AS BIGINT) AS n_cms
+            FROM top t JOIN est e USING (user_id)
         """,
         "user_event_entropy": """
             WITH c AS (

@@ -804,3 +804,89 @@ def embedding_pca(sf_dir: str, k: int = 8):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           batch_size=4096)
+
+
+def count_min_partials(ds, col: str, width: int = 64, depth: int = 4):
+    """Count–Min sketch build (Cormode & Muthukrishnan, J.Alg 2005): a
+    ``depth`` × ``width`` counter grid where row r increments cell
+    md5(key:r) % width. Each batch reduces to ≤ depth·width partial
+    rows via per-unique hashing + bincount, merged by one tiny groupby
+    sum — shuffle volume is independent of input size, and the grid is
+    the mergeable state (union = cell-wise add).
+
+    Hashing is md5 over the ``"{key}:{row}"`` string (first 8 hex
+    chars → int), the repo's deterministic-sampling law, so an SQL
+    oracle can recompute every cell exactly. Returns a Dataset of
+    (row, cell, n)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(vals, return_counts=True)
+        out_r, out_c, out_n = [], [], []
+        for r in range(depth):
+            cells = np.array(
+                [int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:8],
+                     16) % width for v in uniq], dtype=np.int64)
+            bc = np.bincount(cells, weights=counts, minlength=width)
+            nz = np.nonzero(bc)[0]
+            out_r.extend([r] * len(nz))
+            out_c.extend(nz.tolist())
+            out_n.extend(bc[nz].astype(np.int64).tolist())
+        return pa.table({
+            "row": pa.array(out_r, pa.int64()),
+            "cell": pa.array(out_c, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby(["row", "cell"]).aggregate(Sum("n", alias_name="n"))
+
+
+def cms_estimate(grid: dict, keys, width: int, depth: int):
+    """Point-frequency estimates from a built sketch: min over rows of
+    the key's cell counter. ``grid`` maps (row, cell) -> count."""
+    import hashlib
+
+    out = []
+    for k in keys:
+        est = min(
+            grid.get((r, int(hashlib.md5(f"{k}:{r}".encode())
+                             .hexdigest()[:8], 16) % width), 0)
+            for r in range(depth))
+        out.append(int(est))
+    return out
+
+
+def user_cms_estimates(sf_dir: str, width: int = 64, depth: int = 4,
+                       topn: int = 20):
+    """Count–Min estimates vs exact counts for the ``topn`` most active
+    users — the heavy-hitter frequency audit (CMS law: estimate ≥
+    truth, within εN with high probability; width=64 forces real
+    collisions so the gate exercises the min-over-rows reduction).
+
+    Scale shape: the sketch build is one bounded-partial groupby
+    (≤ depth·width rows cross the wire); exact counts reduce through
+    groupby(user).count; the top-``topn`` selection is a distributed
+    sort + limit; estimation reads the ≤ depth·width grid driver-side.
+    """
+    ds = _read(sf_dir, "events", ["user_id"])
+    grid_rows = count_min_partials(ds, "user_id", width, depth) \
+        .take_all()
+    grid = {(int(r["row"]), int(r["cell"])): int(r["n"])
+            for r in grid_rows}
+    exact = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_exact"))
+    top = exact.sort(["n_exact", "user_id"], descending=[True, False]) \
+        .limit(topn).take_all()
+    uids = [int(r["user_id"]) for r in top]
+    ests = cms_estimate(grid, uids, width, depth)
+    return pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "n_exact": pa.array([int(r["n_exact"]) for r in top],
+                            pa.int64()),
+        "n_cms": pa.array(ests, pa.int64()),
+    })

@@ -342,3 +342,42 @@ def test_embedding_pca_laws():
     assert np.allclose(piv.var(axis=0), ev, rtol=1e-3)
     # orthonormal loadings
     assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-10)
+
+
+def test_count_min_laws():
+    """CMS laws: (1) estimate >= truth for EVERY key; (2) estimate <=
+    truth + eps*N with eps = e/width (the Cormode-Muthukrishnan bound
+    holds in expectation per row; min over depth rows makes violations
+    on this fixed dataset vanishingly unlikely — checked exactly);
+    (3) the grid is blocking-insensitive: rebuilding from differently
+    sliced blocks yields the identical grid (mergeable state)."""
+    import math
+
+    import ray.data as rd
+
+    width, depth = 32, 4
+    vals = [i % 17 for i in range(400)] + [3] * 100 + [99] * 7
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    ds1 = rd.from_arrow([t.slice(i * 39, 39) for i in range(13)])
+    ds2 = rd.from_arrow([t.slice(0, 250), t.slice(250)])
+
+    g1 = {(int(r["row"]), int(r["cell"])): int(r["n"])
+          for r in sketches.count_min_partials(
+              ds1, "k", width, depth).take_all()}
+    g2 = {(int(r["row"]), int(r["cell"])): int(r["n"])
+          for r in sketches.count_min_partials(
+              ds2, "k", width, depth).take_all()}
+    assert g1 == g2
+
+    import collections
+    truth = collections.Counter(vals)
+    keys = sorted(truth)
+    ests = sketches.cms_estimate(g1, keys, width, depth)
+    n_total = len(vals)
+    eps = math.e / width
+    for k, est in zip(keys, ests):
+        assert est >= truth[k], k
+        assert est <= truth[k] + eps * n_total, k
+    # every row's counters sum to the total stream length
+    for r in range(depth):
+        assert sum(v for (rr, _), v in g1.items() if rr == r) == n_total
