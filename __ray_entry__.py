@@ -1019,6 +1019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_mad_by_priority": analysis.order_value_mad_by_priority,
         # quantity-weighted median price, weighted histogram selection
         "lineitem_weighted_median": analysis.lineitem_weighted_median,
+        # 2-D Pareto skyline (local-prune combiner + bounded merge)
+        "part_skyline": analysis.part_skyline,
         # grouped OLS regression (REGR_SLOPE family), moment partials
         "events_value_trend": analysis.events_value_trend,
         # per-user Shannon entropy of the event-type distribution
@@ -1189,6 +1191,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_hop_distance"],
         ).crawl_hop_distance(
             sf, dump=lambda t: _oracle_dump("crawl_hop_distance", t)),
+        # weighted shortest paths (Bellman-Ford frontier relaxation),
+        # SQL oracle = md5 weight recompute + cost-bounded recursive
+        # closure over the dumped edges + seeds
+        "crawl_weighted_sssp": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_weighted_sssp"],
+        ).crawl_weighted_sssp(
+            sf, dump=lambda t: _oracle_dump("crawl_weighted_sssp", t)),
         # host-level weighted link-graph collapse, SQL oracle =
         # SPLIT_PART host re-extraction over the dumped page edges
         "crawl_host_graph": lambda sf: __import__(
@@ -4022,6 +4032,18 @@ def oracle_sql() -> dict[str, str]:
                           JOIN mh USING (hour)), 6) AS mi_bits
             FROM tot
         """,
+        "part_skyline": """
+            SELECT p_partkey,
+                   p_retailprice,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
         "user_cms_estimates": """
             WITH rws AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
             ex AS (
@@ -4942,6 +4964,38 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM el) AS n_edges,
                    (SELECT count(*) FROM w JOIN el USING (lo, hi))
                        AS n_triangles
+        """,
+        "crawl_weighted_sssp": """
+            WITH RECURSIVE e AS (
+                SELECT a, b,
+                       1 + CAST(('0x' || substr(md5(a || '>' || b),
+                                 1, 8)) AS UBIGINT) % 9 AS w
+                FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_weighted_sssp/raw.parquet')
+                WHERE kind = 'e'
+            ),
+            nodes AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_weighted_sssp/raw.parquet')
+                WHERE kind = 'n'
+            ),
+            seeds AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_weighted_sssp/raw.parquet')
+                WHERE kind = 's'
+            ),
+            reach(node, d) AS (
+                SELECT node, CAST(0 AS HUGEINT) FROM seeds
+                UNION
+                SELECT e.b, r.d + e.w FROM reach r
+                JOIN e ON e.a = r.node WHERE r.d < 600
+            ),
+            best AS (
+                SELECT node, min(d) AS cost FROM reach GROUP BY node
+            )
+            SELECT n.node AS node,
+                   CAST(coalesce(b.cost, -1) AS BIGINT) AS cost
+            FROM nodes n LEFT JOIN best b ON b.node = n.node
         """,
         "crawl_clustering": """
             WITH el AS (SELECT u, v FROM read_parquet(

@@ -5270,6 +5270,87 @@ def events_type_transitions(sf_dir: str):
     return pa.Table.from_pandas(counts, preserve_index=False)
 
 
+def _skyline_2d(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D Pareto front (minimize price,
+    maximize size): p dominates q iff price ≤ AND size ≥ with at least
+    one strict. Sort-based O(n log n): at each distinct price, only the
+    group-max size can survive (a same-price larger size strictly
+    dominates), and it survives iff it strictly beats the best size
+    among strictly-cheaper points; exact (price, size) duplicates are
+    mutually non-dominating and all survive."""
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    # group-max size per distinct price (groups are contiguous; the
+    # first row of each group carries the max thanks to -size sort key)
+    new_grp = np.ones(len(p_s), dtype=bool)
+    new_grp[1:] = p_s[1:] != p_s[:-1]
+    gmax = np.maximum.accumulate(np.where(new_grp, s_s, -np.inf))
+    # best size among STRICTLY cheaper points = running max of previous
+    # groups' maxes
+    grp_id = np.cumsum(new_grp) - 1
+    grp_max = s_s[new_grp]          # max size of each group, in order
+    prev_best = np.full(len(grp_max), -np.inf)
+    if len(grp_max) > 1:
+        prev_best[1:] = np.maximum.accumulate(grp_max)[:-1]
+    keep_sorted = (s_s == gmax) & (s_s > prev_best[grp_id])
+    keep = np.zeros(len(price), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def part_skyline(sf_dir: str, collect_cap: int = 1_000_000):
+    """2-D skyline of the part table — the Pareto-optimal set on
+    (minimize p_retailprice, maximize p_size), the classic
+    multi-criteria shortlist operator (Börzsönyi et al., ICDE 2001).
+
+    Scale shape (local-prune-then-merge): a point dominated inside any
+    block is dominated globally, so a per-batch vectorized skyline is a
+    sound combiner — each block's survivors (the only rows that cross
+    the wire) are merged and the same kernel runs once more on the
+    union. The union is the data's Pareto-front envelope, typically
+    tiny; guarded loud by ``collect_cap`` for adversarial anti-
+    correlated data where the front IS the table."""
+    ds = _read(sf_dir, "part",
+               ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        price = batch.column("p_retailprice") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        size = batch.column("p_size") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(_skyline_2d(price, size)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+    n_cand = cand.count()
+    if n_cand > collect_cap:
+        raise ValueError(
+            f"part_skyline: {n_cand} local-skyline survivors exceed "
+            f"collect_cap={collect_cap} — the Pareto front itself is "
+            "driver-sized by assumption; partition the value space "
+            "for anti-correlated data")
+    import ray
+
+    blocks = [ray.get(r) for r in cand.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows > 0] or blocks[:1]
+    t = pa.concat_tables(blocks)
+    price = t.column("p_retailprice").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    size = t.column("p_size").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    final = t.filter(pa.array(_skyline_2d(price, size)))
+    idx = np.lexsort((final.column("p_partkey").to_numpy(
+        zero_copy_only=False),
+        final.column("p_retailprice").to_numpy(zero_copy_only=False)))
+    final = final.take(pa.array(idx, pa.int64()))
+    return pa.table({
+        "p_partkey": final.column("p_partkey").cast(pa.int64()),
+        "p_retailprice": final.column("p_retailprice")
+        .cast(pa.float64()),
+        "p_size": final.column("p_size").cast(pa.int64()),
+    })
+
+
 def grouped_weighted_median_distributed(ds, key_col: str, val_col: str,
                                         weight_col: str,
                                         bins: int = 4096,

@@ -1174,6 +1174,161 @@ def crawl_hop_distance(sf_dir: str, *, dump=None):
     return hop_distance(edges, nodes, seeds, dump=dump)
 
 
+def _edge_weights_md5(src, dst) -> np.ndarray:
+    """Deterministic integer edge weight in 1..9: the md5-hex law
+    (first 8 hex chars of md5('src>dst') → int, % 9, + 1) — the same
+    convention the sampling operators use, so an SQL oracle recomputes
+    every weight independently."""
+    import hashlib
+
+    return np.array(
+        [1 + int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:8],
+                 16) % 9
+         for a, b in zip(src, dst)], np.int64)
+
+
+def weighted_sssp(edges_ds, nodes_ds, seeds, *, max_iters: int = 64,
+                  dump=None):
+    """Single/multi-source WEIGHTED shortest paths over a directed
+    (src, dst) edge Dataset — distributed Bellman-Ford with the
+    changed-frontier optimization (only nodes whose cost improved last
+    round join onto the edge list), the weighted twin of
+    ``hop_distance``. Edge weights are the deterministic md5 law of
+    ``_edge_weights_md5`` (1..9), attached ONCE up front so each round
+    ships only (dst, cost) candidates. Every round = one hash join,
+    one groupby(dst).min, one left-outer apply; converges when no
+    cost improves (≤ longest shortest path in EDGES rounds — the
+    Bellman-Ford bound — guarded by ``max_iters``).
+
+    ``dump`` receives edges/nodes/seeds (same layout as hop_distance);
+    the SQL oracle recomputes the WEIGHTS THEMSELVES plus every
+    distance via a cost-bounded recursive closure. Returns
+    (node, cost:int64), cost = -1 where unreachable."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    seeds = sorted({str(s) for s in seeds})
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow")
+
+    def attach_w(t: pa.Table) -> pa.Table:
+        w = _edge_weights_md5(t.column("src").to_pylist(),
+                              t.column("dst").to_pylist())
+        return t.append_column("w", pa.array(w, pa.int64()))
+
+    edges = edges.map_batches(attach_w, batch_format="pyarrow") \
+        .materialize()
+    nodes = nodes_ds.map_batches(
+        _cast_str("node"), batch_format="pyarrow").materialize()
+
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(
+            edges.select_columns(["src", "dst"])))
+        nt = pa.concat_tables(ray_get_tables(nodes))
+        dump(pa.concat_tables([
+            pa.table({"kind": pa.array(["e"] * et.num_rows),
+                      "a": et.column("src"), "b": et.column("dst")}),
+            pa.table({"kind": pa.array(["n"] * nt.num_rows),
+                      "a": nt.column("node"), "b": nt.column("node")}),
+            pa.table({"kind": pa.array(["s"] * len(seeds)),
+                      "a": pa.array(seeds, pa.string()),
+                      "b": pa.array(seeds, pa.string())}),
+        ]))
+
+    n_edges = edges.count()
+    seed_set = set(seeds)
+
+    def init(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_pylist()
+        d = np.array([0 if u in seed_set else _HOP_INF for u in node],
+                     np.int64)
+        return pa.table({"node": batch.column("node"),
+                         "dist": pa.array(d),
+                         "changed": pa.array(
+                             (d == 0).astype(np.int64))})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    def apply_min(batch: pa.Table) -> pa.Table:
+        old = batch.column("dist")
+        cand = pc.coalesce(batch.column("cand"),
+                           pa.scalar(int(_HOP_INF), pa.int64()))
+        new = pc.min_element_wise(old, cand)
+        return pa.table({
+            "node": batch.column("node"),
+            "dist": new,
+            "changed": pc.cast(pc.less(new, old), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        frontier = labels.map_batches(
+            lambda t: t.filter(pc.equal(t.column("changed"), 1))
+                       .select(["node", "dist"]),
+            batch_format="pyarrow")
+        n = _pr_parts(n_edges, edges, labels)
+        cand = (
+            edges.join(frontier.rename_columns({"node": "src"}),
+                       "inner", n, on=("src",))
+            .map_batches(lambda t: pa.table({
+                "node": t.column("dst"),
+                "cand": pc.add(t.column("dist"), t.column("w"))}),
+                batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+        ).materialize()
+        if cand.count() == 0:
+            break
+        stepped = labels.select_columns(["node", "dist"]) \
+            .join(cand, "left_outer", n, on=("node",)) \
+            .map_batches(apply_min, batch_format="pyarrow") \
+            .materialize()
+        n_changed = stepped.sum("changed") or 0
+        labels = stepped
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"weighted_sssp did not converge within {max_iters} "
+            "rounds; raise max_iters")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "cost": pa.array(np.where(d >= _HOP_INF, np.int64(-1),
+                                      d).astype(np.int64)),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_weighted_sssp(sf_dir: str, *, dump=None):
+    """Query entry: weighted shortest-path cost from the seed set over
+    the crawl link graph with md5-law edge weights. Self-dump
+    SQL-gated: the oracle recomputes weights AND distances via a
+    cost-bounded recursive closure over the dumped edges + seeds.
+    Law (pytest): matches driver Dijkstra exactly; -1 exactly where
+    hop_distance is -1 (same reachability)."""
+    import tempfile
+
+    from ..functions import urlkit
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_sssp_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    seeds = [urlkit.canonicalize(u, u) or u for u in site.seed_urls()]
+    return weighted_sssp(edges, nodes, seeds, dump=dump)
+
+
 def coreness(edges_ds, nodes_ds, *, max_iters: int = 256,
              form: str = "auto",
              driver_max_edges: int = PAGERANK_DRIVER_MAX_EDGES):

@@ -341,3 +341,79 @@ def test_coreness_matches_naive_peeling():
             got = coreness(edges, nodes, form=form).to_pandas() \
                 .set_index("node")["coreness"].to_dict()
             assert got == want, (trial, form)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sssp_matches_dijkstra():
+    import heapq
+
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import (_edge_weights_md5,
+                                              weighted_sssp)
+
+    rng = np.random.default_rng(47)
+    n = 25
+    names = [f"n{i:03d}" for i in range(n)]
+    for trial in range(3):
+        m = int(rng.integers(15, 70))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        n_seeds = int(rng.integers(1, 4))
+        seed_idx = rng.choice(n, n_seeds, replace=False)
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([names[i] for i in src]),
+            "dst": pa.array([names[i] for i in dst])}))
+        nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
+        seeds = [names[i] for i in seed_idx]
+
+        # reference: driver Dijkstra with the same md5 weight law
+        w = _edge_weights_md5([names[i] for i in src],
+                              [names[i] for i in dst])
+        adj = {i: [] for i in range(n)}
+        for a, b, ww in zip(src, dst, w):
+            adj[a].append((b, int(ww)))
+        INF = float("inf")
+        dist = {i: INF for i in range(n)}
+        pq = []
+        for i in seed_idx:
+            dist[int(i)] = 0
+            heapq.heappush(pq, (0, int(i)))
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist[u]:
+                continue
+            for v, ww in adj[u]:
+                if d + ww < dist[v]:
+                    dist[v] = d + ww
+                    heapq.heappush(pq, (dist[v], v))
+        want = {names[i]: (-1 if dist[i] == INF else int(dist[i]))
+                for i in range(n)}
+
+        got = weighted_sssp(edges, nodes, seeds) \
+            .to_pandas().set_index("node")["cost"].to_dict()
+        assert got == want, trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sssp_reachability_matches_hops():
+    """cost == -1 exactly where hop_distance == -1, and cost >= hops
+    everywhere reachable (weights are >= 1)."""
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import hop_distance, weighted_sssp
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "a", "x"],
+        "dst": ["b", "c", "d", "d", "y"]}))
+    nodes = rd.from_arrow(pa.table(
+        {"node": ["a", "b", "c", "d", "x", "y", "z"]}))
+    hops = hop_distance(edges, nodes, ["a"], form="distributed") \
+        .to_pandas().set_index("node")["hops"]
+    cost = weighted_sssp(edges, nodes, ["a"]) \
+        .to_pandas().set_index("node")["cost"]
+    for node in hops.index:
+        if hops[node] == -1:
+            assert cost[node] == -1, node
+        else:
+            assert cost[node] >= hops[node], node
