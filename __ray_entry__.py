@@ -667,6 +667,23 @@ def _caption_pairs_batch(batch):
     })
 
 
+def _crawl_interleaved_pack(sf_dir: str):
+    """Interleaved text+media sequence packing over the crawl's span
+    payload (corpus.interleaved_pack): whitespace text tokens + a
+    64-token placeholder per media span, packed into 2048-token bins
+    in url order via the distributed prefix scan. Self-dump gated:
+    the documents parquet is copied to the oracle path and DuckDB
+    recomputes every cost and placement with unnest + window sums."""
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.corpus import interleaved_pack
+
+    res = _crawl("bfs")
+    _oracle_copy("crawl_interleaved_pack", res.docs_dir)
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "spans"])
+    return interleaved_pack(docs)
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl metrics rollup (the A8 monitor's aggregate view
     as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
@@ -1164,6 +1181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal caption mining: media span ↔ nearest preceding
         # text span, self-dump SQL-gated (correlated max-offset lookup)
         "crawl_caption_pairs": _crawl_caption_pairs,
+        # multimodal sequence packing over the interleaved spans
+        # (prefix-scan placement; 64-token media placeholders)
+        "crawl_interleaved_pack": _crawl_interleaved_pack,
         # triangle count over the crawl link graph (degree-ordered
         # wedge join), self-dump SQL-gated on the edge tables
         "crawl_triangles": lambda sf: __import__(
@@ -4407,6 +4427,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # caption mining: nearest preceding non-empty text span per
         # media span, recomputed with a correlated max-offset lookup
+        "crawl_interleaved_pack": r"""
+            WITH c AS (
+                SELECT url,
+                       CAST(coalesce(list_sum(list_transform(
+                           list_filter(spans, s -> s.kind = 'text'),
+                           s -> len(list_filter(string_split_regex(
+                               trim(lower(coalesce(s.text, ''))),
+                               '\s+'), x -> x <> '')))), 0)
+                           AS BIGINT) AS n_text_tokens,
+                       CAST(len(list_filter(spans,
+                           s -> s.media_ref IS NOT NULL
+                                AND s.media_ref <> ''))
+                           AS BIGINT) AS n_media
+                FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_interleaved_pack/**/*.parquet')
+            ),
+            t AS (
+                SELECT url, n_text_tokens, n_media,
+                       n_text_tokens + 64 * n_media AS n_tokens
+                FROM c
+            )
+            SELECT url, n_text_tokens, n_media,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY url
+                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY url
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
+                        AS BIGINT) AS first_bin,
+                   CAST(greatest(
+                        sum(n_tokens) OVER (ORDER BY url
+                            ROWS UNBOUNDED PRECEDING) - 1,
+                        sum(n_tokens) OVER (ORDER BY url
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 2048 AS BIGINT) AS last_bin
+            FROM t
+        """,
         "crawl_caption_pairs": """
             WITH sp AS (
                 SELECT url, unnest(spans) AS s FROM read_parquet(

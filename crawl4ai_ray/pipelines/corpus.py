@@ -599,6 +599,94 @@ def pack_sequences(sf_dir: str, capacity: int = 2048,
                                batch_size=None)
 
 
+def interleaved_pack(docs_ds, capacity: int = 2048,
+                     media_tokens: int = 64):
+    """Sequence packing for INTERLEAVED text+media documents — the
+    multimodal pre-training batching transform (MMC4/OBELICS-style
+    corpora): each document's token cost is its whitespace text tokens
+    plus a fixed ``media_tokens`` budget per media span (the
+    patch-token placeholder convention), and documents concatenate in
+    url order into fixed-``capacity`` bins. Emits per-doc placement
+    ``(url, n_text_tokens, n_media, n_tokens, start_offset, first_bin,
+    last_bin)``.
+
+    Scale shape — the same distributed prefix scan as
+    ``pack_sequences`` (two-pass exclusive cumsum over url-ranged
+    blocks): a distributed sort by url makes blocks url-ranged, pass 1
+    ships ONE (min-url, total) row per block to the driver, the driver
+    cumsums block bases, pass 2 broadcasts them and every block places
+    its rows locally. No shuffle beyond the sort; integer-exact."""
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        txt_t, med_n = [], []
+        for spans in batch.column("spans").to_pylist():
+            t = sum(len((s["text"] or "").lower().split())
+                    for s in spans if s["kind"] == "text")
+            m = sum(1 for s in spans if s["media_ref"])
+            txt_t.append(t)
+            med_n.append(m)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "n_text_tokens": pa.array(txt_t, pa.int64()),
+            "n_media": pa.array(med_n, pa.int64()),
+        })
+
+    counted = docs_ds.map_batches(counts, batch_format="pyarrow",
+                                  batch_size=8192) \
+        .sort("url").materialize()
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.string()),
+                             "tot": pa.array([], pa.int64())})
+        urls = batch.column("url").to_pylist()
+        tot = int(batch.column("n_text_tokens").to_numpy().sum()
+                  + media_tokens
+                  * batch.column("n_media").to_numpy().sum())
+        return pa.table({
+            "bid": pa.array([min(urls)], pa.string()),
+            "tot": pa.array([tot], pa.int64()),
+        })
+
+    blocks = sorted(
+        (r["bid"], r["tot"])
+        for r in counted.map_batches(block_partial,
+                                     batch_format="pyarrow",
+                                     batch_size=None).iter_rows())
+    bases = {}
+    run = 0
+    for bid, tot in blocks:
+        bases[bid] = run
+        run += tot
+    bref = ray.put(bases)
+
+    def place(batch: pa.Table, bref=bref) -> pa.Table:
+        bases = ray.get(bref)
+        df = batch.to_pandas().sort_values("url")
+        n = (df["n_text_tokens"].to_numpy(np.int64)
+             + media_tokens * df["n_media"].to_numpy(np.int64))
+        base = bases[str(df["url"].iloc[0])]
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        end = start + n
+        return pa.table({
+            "url": pa.array(df["url"].tolist(), pa.string()),
+            "n_text_tokens": pa.array(
+                df["n_text_tokens"].to_numpy(np.int64)),
+            "n_media": pa.array(df["n_media"].to_numpy(np.int64)),
+            "n_tokens": pa.array(n),
+            "start_offset": pa.array(start.astype(np.int64)),
+            "first_bin": pa.array((start // capacity)
+                                  .astype(np.int64)),
+            "last_bin": pa.array((np.maximum(end - 1, start)
+                                  // capacity).astype(np.int64)),
+        })
+
+    return counted.map_batches(place, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def shuffle_shards(sf_dir: str, n_shards: int = 8, seed: int = 7):
     """Deterministic training-shard export assignment — the
     write-training-shards transform: a seed-rotatable global hash

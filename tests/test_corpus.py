@@ -472,3 +472,48 @@ def test_mixture_rebalance_laws(ray_session):
             p = target / n[s]
             sigma = (n[s] * p * (1 - p)) ** 0.5
             assert abs(kept[s] - target) < 5 * sigma + 1
+
+
+def test_interleaved_pack_blocking_insensitive():
+    """Placement is a pure function of (url -> spans): rebuilding from
+    differently sliced blocks yields identical offsets/bins, and costs
+    obey n_tokens == n_text_tokens + 64*n_media with contiguous
+    start_offsets in url order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.corpus import interleaved_pack
+
+    def span(kind, text="", ref="", off=0):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(37):
+        spans = []
+        for j in range(int(rng.integers(0, 6))):
+            if rng.random() < 0.6:
+                spans.append(span("text",
+                                  " ".join(["w"] * int(
+                                      rng.integers(0, 9))), "", j))
+            else:
+                spans.append(span("image", "", f"img{i}_{j}", j))
+        rows.append({"url": f"http://x.test/p{i:03d}", "spans": spans})
+    t = pa.Table.from_pylist(rows)
+
+    a = interleaved_pack(rd.from_arrow(
+        [t.slice(i * 5, 5) for i in range(8)])).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    b = interleaved_pack(rd.from_arrow(
+        [t.slice(0, 20), t.slice(20)])).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["n_tokens"] ==
+            a["n_text_tokens"] + 64 * a["n_media"]).all()
+    # contiguous concatenation: next start == prev start + prev tokens
+    s = a["start_offset"].to_numpy()
+    n = a["n_tokens"].to_numpy()
+    assert (s[1:] == s[:-1] + n[:-1]).all()
+    assert s[0] == 0
