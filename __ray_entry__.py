@@ -1211,6 +1211,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_hop_distance"],
         ).crawl_hop_distance(
             sf, dump=lambda t: _oracle_dump("crawl_hop_distance", t)),
+        # deterministic random walks (DeepWalk sampling), SQL oracle =
+        # recursive-CTE replay of every walk via the md5 rank law
+        "crawl_random_walks": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_random_walks"],
+        ).crawl_random_walks(
+            sf, dump=lambda t: _oracle_dump("crawl_random_walks", t)),
         # weighted shortest paths (Bellman-Ford frontier relaxation),
         # SQL oracle = md5 weight recompute + cost-bounded recursive
         # closure over the dumped edges + seeds
@@ -5021,6 +5028,40 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM el) AS n_edges,
                    (SELECT count(*) FROM w JOIN el USING (lo, hi))
                        AS n_triangles
+        """,
+        "crawl_random_walks": """
+            WITH RECURSIVE el AS (
+                SELECT a AS src, b AS dst FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_random_walks/raw.parquet')
+                WHERE kind = 'e'
+            ),
+            nodes AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_random_walks/raw.parquet')
+                WHERE kind = 'n'
+            ),
+            deg AS (SELECT src, count(*) AS d FROM el GROUP BY 1),
+            rk AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY dst) - 1 AS r
+                FROM el
+            ),
+            walk(walker, step, node) AS (
+                SELECT node, 0, node FROM nodes
+                UNION ALL
+                SELECT w.walker, w.step + 1, rk.dst
+                FROM walk w
+                JOIN deg ON deg.src = w.node
+                JOIN rk ON rk.src = w.node
+                       AND rk.r = CAST(('0x' || substr(md5(
+                               w.walker || ':' ||
+                               CAST(w.step + 1 AS VARCHAR)), 1, 8))
+                               AS UBIGINT) % deg.d
+                WHERE w.step < 4
+            )
+            SELECT walker, CAST(step AS BIGINT) AS step, node
+            FROM walk
         """,
         "crawl_weighted_sssp": """
             WITH RECURSIVE e AS (

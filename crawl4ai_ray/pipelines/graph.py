@@ -1329,6 +1329,141 @@ def crawl_weighted_sssp(sf_dir: str, *, dump=None):
     return weighted_sssp(edges, nodes, seeds, dump=dump)
 
 
+def random_walks(edges_ds, nodes_ds, *, steps: int = 4, dump=None):
+    """Deterministic random-walk sampling over a directed (src, dst)
+    edge Dataset — the DeepWalk/node2vec corpus-generation primitive
+    (Perozzi et al., KDD 2014), made replayable: one walker starts at
+    every node and at step t moves to the out-neighbor ranked
+    md5('walker:t') % outdeg among its current node's distinct
+    out-neighbors in dst order (the repo's md5-hex law). Dead-end
+    walks stop. Returns the full trajectory table
+    (walker, step, node), step 0 = the start.
+
+    Scale shape: neighbor ranks and out-degrees are attached ONCE
+    (one groupby + one map_groups over per-src bounded groups); each
+    step is one hash join onto degrees (compute the rank, a per-row
+    md5 over the walker id — the hash IS the operator's randomness),
+    one composite-key hash join onto the ranked edge table, and the
+    trajectory accumulates as a lazy union of per-step Datasets. No
+    driver state beyond the loop counter.
+
+    ``dump`` receives edges + nodes; the SQL oracle replays EVERY
+    walk independently via a recursive CTE computing the same md5
+    ranks over the same dst-ordered neighbor numbering."""
+    import hashlib
+
+    import ray.data  # noqa: F401  (Dataset.union)
+    from ray.data.aggregate import Count
+
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow")
+    el = edges.groupby(["src", "dst"]) \
+        .aggregate(Count(alias_name="_m")) \
+        .select_columns(["src", "dst"]).materialize()
+    nodes = nodes_ds.map_batches(
+        _cast_str("node"), batch_format="pyarrow").materialize()
+
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(el))
+        nt = pa.concat_tables(ray_get_tables(nodes))
+        dump(pa.concat_tables([
+            pa.table({"kind": pa.array(["e"] * et.num_rows),
+                      "a": et.column("src"), "b": et.column("dst")}),
+            pa.table({"kind": pa.array(["n"] * nt.num_rows),
+                      "a": nt.column("node"), "b": nt.column("node")}),
+        ]))
+
+    deg = el.groupby("src").aggregate(Count(alias_name="outdeg")) \
+        .materialize()
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        ds_ = sorted(g.column("dst").to_pylist())
+        return pa.table({
+            "src": pa.array([g.column("src")[0].as_py()] * len(ds_),
+                            pa.string()),
+            "rank": pa.array(np.arange(len(ds_)), pa.int64()),
+            "dst": pa.array(ds_, pa.string()),
+        })
+
+    ranked = el.groupby("src").map_groups(
+        rank_group, batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda t: pa.table({"walker": t.column("node"),
+                            "node": t.column("node")}),
+        batch_format="pyarrow").materialize()
+    trail = [state.map_batches(
+        lambda t: pa.table({"walker": t.column("walker"),
+                            "step": pa.array(
+                                np.zeros(t.num_rows, np.int64)),
+                            "node": t.column("node")}),
+        batch_format="pyarrow")]
+
+    n_edges = el.count()
+    for t_step in range(1, steps + 1):
+        n = _pr_parts(n_edges, el, state)
+        with_deg = state.join(
+            deg.rename_columns({"src": "node"}), "inner", n,
+            on=("node",))
+
+        def pick(batch: pa.Table, t_step=t_step) -> pa.Table:
+            walkers = batch.column("walker").to_pylist()
+            d = batch.column("outdeg") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            r = np.array(
+                [int(hashlib.md5(f"{w}:{t_step}".encode())
+                     .hexdigest()[:8], 16) for w in walkers],
+                np.uint64).astype(np.int64) % d
+            return pa.table({
+                "walker": batch.column("walker"),
+                "node": batch.column("node"),
+                "rank": pa.array(r, pa.int64()),
+            })
+
+        moved = with_deg.map_batches(pick, batch_format="pyarrow") \
+            .join(ranked.rename_columns({"src": "node"}), "inner", n,
+                  on=("node", "rank")) \
+            .map_batches(lambda t: pa.table({
+                "walker": t.column("walker"),
+                "node": t.column("dst")}), batch_format="pyarrow") \
+            .materialize()
+        if moved.count() == 0:
+            break
+        state = moved
+        trail.append(state.map_batches(
+            lambda t, s=t_step: pa.table({
+                "walker": t.column("walker"),
+                "step": pa.array(np.full(t.num_rows, s, np.int64)),
+                "node": t.column("node")}),
+            batch_format="pyarrow"))
+
+    out = trail[0]
+    for part in trail[1:]:
+        out = out.union(part)
+    return out
+
+
+def crawl_random_walks(sf_dir: str, *, dump=None):
+    """Query entry: 4-step deterministic random walks from every node
+    of the crawl link graph. Self-dump SQL-gated: the oracle replays
+    every walk via a recursive CTE with the same md5 rank law over
+    the dumped distinct edges."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_walk_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    return random_walks(edges, nodes, dump=dump)
+
+
 def coreness(edges_ds, nodes_ds, *, max_iters: int = 256,
              form: str = "auto",
              driver_max_edges: int = PAGERANK_DRIVER_MAX_EDGES):
