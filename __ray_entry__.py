@@ -1044,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": analysis.user_event_entropy,
         # mutual information event_type × hour (bounded-cell histogram)
         "event_type_hour_mi": analysis.event_type_hour_mi,
+        # Welch two-sample t-test purchase vs error (moment partials)
+        "events_value_ttest": analysis.events_value_ttest,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4033,6 +4035,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(regr_intercept(value, epoch(ts) / 86400.0), 4)
                        AS intercept
             FROM events GROUP BY event_type
+        """,
+        "events_value_ttest": """
+            WITH g AS (
+                SELECT event_type, count(*) AS n, avg(value) AS m,
+                       var_samp(value) AS v
+                FROM events
+                WHERE event_type IN ('purchase', 'error')
+                GROUP BY 1
+            ),
+            a AS (SELECT * FROM g WHERE event_type = 'purchase'),
+            b AS (SELECT * FROM g WHERE event_type = 'error')
+            SELECT CAST(a.n AS BIGINT) AS n_a,
+                   CAST(b.n AS BIGINT) AS n_b,
+                   ROUND(a.m - b.m, 6) AS mean_diff,
+                   ROUND((a.m - b.m)
+                         / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+                   ROUND(pow(a.v / a.n + b.v / b.n, 2)
+                         / (pow(a.v / a.n, 2) / (a.n - 1)
+                            + pow(b.v / b.n, 2) / (b.n - 1)), 6)
+                       AS df_welch
+            FROM a, b
         """,
         "event_type_hour_mi": """
             WITH c AS (

@@ -5636,6 +5636,61 @@ def lineitem_var_by_flag(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_value_ttest(sf_dir: str, type_a: str = "purchase",
+                       type_b: str = "error"):
+    """Welch's two-sample t-test between two event types' value
+    distributions — the continuous-outcome significance audit next to
+    the categorical ``segment_priority_chisq``: t = (m_a − m_b) /
+    sqrt(v_a/n_a + v_b/n_b) with the Welch–Satterthwaite df. One
+    summary row.
+
+    Scale shape: the parallelizable-moments reduction ((n, Σx, Σx²)
+    partials per type through a per-batch combiner, one two-row
+    groupby), algebra on the driver — event volume never crosses the
+    wire. Same var_samp formula and 6dp ratio rounding as
+    ``lineitem_var_by_flag``."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array([type_a, type_b])))
+        x = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = ev.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sxx", alias_name="sxx")) \
+        .to_pandas().set_index("event_type")
+
+    def stats(t):
+        n = float(mom.loc[t, "n"])
+        m = mom.loc[t, "sx"] / n
+        v = (mom.loc[t, "sxx"] - mom.loc[t, "sx"] ** 2 / n) / (n - 1)
+        return n, m, v
+
+    na, ma, va = stats(type_a)
+    nb, mb, vb = stats(type_b)
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / np.sqrt(se2)
+    df_w = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                       + (vb / nb) ** 2 / (nb - 1))
+    return pa.table({
+        "n_a": pa.array([int(na)], pa.int64()),
+        "n_b": pa.array([int(nb)], pa.int64()),
+        "mean_diff": pa.array([round(float(ma - mb), 6)], pa.float64()),
+        "t_stat": pa.array([round(float(t_stat), 6)], pa.float64()),
+        "df_welch": pa.array([round(float(df_w), 6)], pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
