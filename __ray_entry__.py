@@ -1046,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_hour_mi": analysis.event_type_hour_mi,
         # Welch two-sample t-test purchase vs error (moment partials)
         "events_value_ttest": analysis.events_value_ttest,
+        # Mann-Whitney U via value-histogram prefix scan (no row ranks)
+        "events_value_mannwhitney": analysis.events_value_mannwhitney,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4056,6 +4058,42 @@ def oracle_sql() -> dict[str, str]:
                             + pow(b.v / b.n, 2) / (b.n - 1)), 6)
                        AS df_welch
             FROM a, b
+        """,
+        "events_value_mannwhitney": """
+            WITH e AS (
+                SELECT value, event_type FROM events
+                WHERE event_type IN ('purchase', 'error')
+            ),
+            g AS (
+                SELECT value,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS nb
+                FROM e GROUP BY 1
+            ),
+            c AS (
+                SELECT value, na, nb,
+                       sum(nb) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) - nb AS cumb
+                FROM g
+            ),
+            tot AS (
+                SELECT sum(na) AS n_a, sum(nb) AS n_b,
+                       sum(na + nb) AS n,
+                       sum(pow(na + nb, 3) - (na + nb)) AS ties,
+                       (SELECT sum(na * (cumb + 0.5 * nb)) FROM c)
+                           AS u_a
+                FROM g
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(u_a, 6) AS u_stat,
+                   ROUND((u_a - n_a * n_b / 2.0)
+                         / sqrt(n_a * n_b / 12.0
+                                * ((n + 1) - ties / (n * (n - 1.0)))),
+                         6) AS z_score
+            FROM tot
         """,
         "event_type_hour_mi": """
             WITH c AS (

@@ -5691,6 +5691,110 @@ def events_value_ttest(sf_dir: str, type_a: str = "purchase",
     })
 
 
+def events_value_mannwhitney(sf_dir: str, type_a: str = "purchase",
+                             type_b: str = "error"):
+    """Mann–Whitney U (Wilcoxon rank-sum) between two event types'
+    value distributions — the NONPARAMETRIC twin of
+    ``events_value_ttest``: U_a = Σ over pairs 1[x_a > x_b] +
+    ½·1[x_a = x_b], with the normal approximation z-score under the
+    exact tie correction. One summary row.
+
+    Scale shape: U is computed from the per-distinct-value group
+    histogram, never from ranks of individual rows — (value, n_a, n_b)
+    via ``sorted_keyed_sum`` (the high-cardinality sort + run-length
+    reduction), then ONE distributed exclusive prefix scan of n_b over
+    value order (the pack_sequences two-pass block-offset pattern)
+    turns each value's pair contribution n_a·(cumB(<v) + ½·n_b(v))
+    into a per-block local sum. Totals and the tie term Σ(t³−t) are
+    plain Dataset sums. All counts are integers (exact in float64);
+    U is exact to the half."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        m = pc.is_in(et, value_set=pa.array([type_a, type_b]))
+        batch = batch.filter(m)
+        et = batch.column("event_type").to_pylist()
+        return pa.table({
+            "value": batch.column("value").cast(pa.float64()),
+            "a": pa.array([1 if t == type_a else 0 for t in et],
+                          pa.int64()),
+            "b": pa.array([1 if t == type_b else 0 for t in et],
+                          pa.int64()),
+        })
+
+    g = sorted_keyed_sum(ev.map_batches(prep, batch_format="pyarrow",
+                                        batch_size=65536),
+                         "value", ["a", "b"])
+    g2 = g.sort("value").materialize()
+
+    na_tot = int(g2.sum("a") or 0)
+    nb_tot = int(g2.sum("b") or 0)
+    n_tot = na_tot + nb_tot
+
+    def tie_term(batch: pa.Table) -> pa.Table:
+        t = (batch.column("a").to_numpy(zero_copy_only=False)
+             + batch.column("b").to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pa.table({"_t3": pa.array([float((t ** 3 - t).sum())])})
+
+    ties = float(g2.map_batches(tie_term, batch_format="pyarrow",
+                                batch_size=None).sum("_t3") or 0.0)
+
+    # pass 1: per-block (min value, Σ n_b) partials -> driver cumsum.
+    # g2 rows are unique per value, so block-min keys are distinct.
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.float64()),
+                             "tb": pa.array([], pa.int64())})
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bid": pa.array([float(v.min())], pa.float64()),
+            "tb": pa.array([int(batch.column("b").to_numpy().sum())],
+                           pa.int64()),
+        })
+
+    blocks = sorted(
+        (r["bid"], r["tb"])
+        for r in g2.map_batches(block_partial, batch_format="pyarrow",
+                                batch_size=None).iter_rows())
+    bases = {}
+    run = 0
+    for bid, tb in blocks:
+        bases[bid] = run
+        run += tb
+    bref = ray.put(bases)
+
+    def contrib(batch: pa.Table, bref=bref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"_u": pa.array([], pa.float64())})
+        bases = ray.get(bref)
+        df = batch.to_pandas().sort_values("value")
+        base = bases[float(df["value"].iloc[0])]
+        nb = df["b"].to_numpy(np.float64)
+        na = df["a"].to_numpy(np.float64)
+        cumb = base + np.cumsum(nb) - nb
+        return pa.table({"_u": pa.array(
+            [float((na * (cumb + 0.5 * nb)).sum())])})
+
+    u_a = float(g2.map_batches(contrib, batch_format="pyarrow",
+                               batch_size=None).sum("_u") or 0.0)
+    mu = na_tot * nb_tot / 2.0
+    sigma = np.sqrt(na_tot * nb_tot / 12.0
+                    * ((n_tot + 1) - ties / (n_tot * (n_tot - 1.0))))
+    return pa.table({
+        "n_a": pa.array([na_tot], pa.int64()),
+        "n_b": pa.array([nb_tot], pa.int64()),
+        "u_stat": pa.array([round(u_a, 6)], pa.float64()),
+        "z_score": pa.array([round(float((u_a - mu) / sigma), 6)],
+                            pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then

@@ -668,3 +668,20 @@ def test_weighted_median_rejects_fractional_weights():
     ds = rd.from_arrow(t)
     with pytest.raises(ValueError, match="integral"):
         analysis.grouped_weighted_median_distributed(ds, "k", "v", "w")
+
+
+def test_mannwhitney_matches_bruteforce_pairs():
+    """U == Σ over (a, b) pairs of 1[a>b] + 0.5·1[a==b] — brute-force
+    pairwise on sf0.001 (the histogram-prefix-scan distributed form
+    must reproduce the O(n²) definition exactly)."""
+    from crawl4ai_ray.pipelines.analysis import events_value_mannwhitney
+
+    t = events_value_mannwhitney(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = df[df.event_type == "purchase"]["value"].to_numpy()
+    b = df[df.event_type == "error"]["value"].to_numpy()
+    u = float((a[:, None] > b[None, :]).sum()
+              + 0.5 * (a[:, None] == b[None, :]).sum())
+    assert t["u_stat"][0] == u
+    assert int(t["n_a"][0]) == len(a) and int(t["n_b"][0]) == len(b)
