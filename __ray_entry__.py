@@ -1048,6 +1048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ttest": analysis.events_value_ttest,
         # Mann-Whitney U via value-histogram prefix scan (no row ranks)
         "events_value_mannwhitney": analysis.events_value_mannwhitney,
+        # two-sample Kolmogorov-Smirnov D (double ECDF prefix scan)
+        "events_value_ks": analysis.events_value_ks,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4058,6 +4060,42 @@ def oracle_sql() -> dict[str, str]:
                             + pow(b.v / b.n, 2) / (b.n - 1)), 6)
                        AS df_welch
             FROM a, b
+        """,
+        "events_value_ks": """
+            WITH e AS (
+                SELECT value, event_type FROM events
+                WHERE event_type IN ('purchase', 'error')
+            ),
+            g AS (
+                SELECT value,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS nb
+                FROM e GROUP BY 1
+            ),
+            tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM g),
+            c AS (
+                SELECT value,
+                       sum(na) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS ca,
+                       sum(nb) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cb
+                FROM g
+            ),
+            gap AS (
+                SELECT c.value,
+                       abs(CAST(c.ca AS DOUBLE) / CAST(tot.n_a AS DOUBLE)
+                           - CAST(c.cb AS DOUBLE)
+                             / CAST(tot.n_b AS DOUBLE)) AS d
+                FROM c, tot
+            )
+            SELECT CAST(tot.n_a AS BIGINT) AS n_a,
+                   CAST(tot.n_b AS BIGINT) AS n_b,
+                   ROUND((SELECT max(d) FROM gap), 6) AS d_stat,
+                   (SELECT min(value) FROM gap
+                    WHERE d = (SELECT max(d) FROM gap)) AS at_value
+            FROM tot
         """,
         "events_value_mannwhitney": """
             WITH e AS (

@@ -5795,6 +5795,102 @@ def events_value_mannwhitney(sf_dir: str, type_a: str = "purchase",
     })
 
 
+def events_value_ks(sf_dir: str, type_a: str = "purchase",
+                    type_b: str = "error"):
+    """Two-sample Kolmogorov–Smirnov statistic between two event
+    types' value distributions — D = max over values of
+    |ECDF_a(v) − ECDF_b(v)| — the distribution-shift audit that
+    completes the test family (chi-square, Welch t, Mann–Whitney).
+    One summary row (n_a, n_b, d_stat, at the arg-max value).
+
+    Scale shape: identical skeleton to ``events_value_mannwhitney`` —
+    per-distinct-value (n_a, n_b) via sorted_keyed_sum, TWO exclusive
+    prefix-scan bases (one per group) shipped as one tiny row per
+    block, then each block computes its local max of the inclusive
+    ECDF gap; the global max and its lowest witnessing value reduce
+    over blocks. Counts are integers, the gap is one division each —
+    round(6) exact enough for the hash gate."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array([type_a, type_b]))
+        batch = batch.filter(m)
+        et = batch.column("event_type").to_pylist()
+        return pa.table({
+            "value": batch.column("value").cast(pa.float64()),
+            "a": pa.array([1 if t == type_a else 0 for t in et],
+                          pa.int64()),
+            "b": pa.array([1 if t == type_b else 0 for t in et],
+                          pa.int64()),
+        })
+
+    g2 = sorted_keyed_sum(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       batch_size=65536),
+        "value", ["a", "b"]).sort("value").materialize()
+
+    na_tot = int(g2.sum("a") or 0)
+    nb_tot = int(g2.sum("b") or 0)
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.float64()),
+                             "ta": pa.array([], pa.int64()),
+                             "tb": pa.array([], pa.int64())})
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bid": pa.array([float(v.min())], pa.float64()),
+            "ta": pa.array([int(batch.column("a").to_numpy().sum())],
+                           pa.int64()),
+            "tb": pa.array([int(batch.column("b").to_numpy().sum())],
+                           pa.int64()),
+        })
+
+    blocks = sorted(
+        (r["bid"], r["ta"], r["tb"])
+        for r in g2.map_batches(block_partial, batch_format="pyarrow",
+                                batch_size=None).iter_rows())
+    bases = {}
+    ra = rb = 0
+    for bid, ta, tb in blocks:
+        bases[bid] = (ra, rb)
+        ra += ta
+        rb += tb
+    bref = ray.put(bases)
+
+    def local_max(batch: pa.Table, bref=bref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.float64()),
+                             "at_value": pa.array([], pa.float64())})
+        bases = ray.get(bref)
+        df = batch.to_pandas().sort_values("value")
+        base_a, base_b = bases[float(df["value"].iloc[0])]
+        ca = base_a + np.cumsum(df["a"].to_numpy(np.float64))
+        cb = base_b + np.cumsum(df["b"].to_numpy(np.float64))
+        gap = np.abs(ca / na_tot - cb / nb_tot)
+        i = int(np.argmax(gap))    # first (lowest-value) max in block
+        return pa.table({
+            "d": pa.array([float(gap[i])], pa.float64()),
+            "at_value": pa.array([float(df["value"].iloc[i])],
+                                 pa.float64()),
+        })
+
+    rows = g2.map_batches(local_max, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    best = max(rows, key=lambda r: (r["d"], -r["at_value"]))
+    return pa.table({
+        "n_a": pa.array([na_tot], pa.int64()),
+        "n_b": pa.array([nb_tot], pa.int64()),
+        "d_stat": pa.array([round(float(best["d"]), 6)], pa.float64()),
+        "at_value": pa.array([float(best["at_value"])], pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then

@@ -685,3 +685,22 @@ def test_mannwhitney_matches_bruteforce_pairs():
               + 0.5 * (a[:, None] == b[None, :]).sum())
     assert t["u_stat"][0] == u
     assert int(t["n_a"][0]) == len(a) and int(t["n_b"][0]) == len(b)
+
+
+def test_ks_matches_bruteforce_ecdf():
+    """D == max over distinct values of |ECDF_a - ECDF_b| — brute-force
+    searchsorted ECDFs on sf0.001."""
+    from crawl4ai_ray.pipelines.analysis import events_value_ks
+
+    t = events_value_ks(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.sort(df[df.event_type == "purchase"]["value"].to_numpy())
+    b = np.sort(df[df.event_type == "error"]["value"].to_numpy())
+    vals = np.unique(np.concatenate([a, b]))
+    gap = np.abs(np.searchsorted(a, vals, side="right") / len(a)
+                 - np.searchsorted(b, vals, side="right") / len(b))
+    assert t["d_stat"][0] == round(float(gap.max()), 6)
+    # the reported witness value attains the max gap
+    i = np.searchsorted(vals, t["at_value"][0])
+    assert round(float(gap[i]), 6) == t["d_stat"][0]
