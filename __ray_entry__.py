@@ -1050,6 +1050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mannwhitney": analysis.events_value_mannwhitney,
         # two-sample Kolmogorov-Smirnov D (double ECDF prefix scan)
         "events_value_ks": analysis.events_value_ks,
+        # join-key fanout/skew audit via the count-of-counts histogram
+        "orders_fanout_audit": analysis.orders_fanout_audit,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4060,6 +4062,36 @@ def oracle_sql() -> dict[str, str]:
                             + pow(b.v / b.n, 2) / (b.n - 1)), 6)
                        AS df_welch
             FROM a, b
+        """,
+        "orders_fanout_audit": """
+            WITH c AS (
+                SELECT o_custkey, count(*) AS n
+                FROM orders GROUP BY 1
+            ),
+            h AS (SELECT n, count(*) AS k FROM c GROUP BY 1),
+            t AS (
+                SELECT count(*) AS n_keys, sum(n) AS n_rows,
+                       max(n) AS max_n
+                FROM c
+            ),
+            q AS (
+                SELECT n, sum(k) OVER (ORDER BY n
+                    ROWS UNBOUNDED PRECEDING) AS ck
+                FROM h
+            )
+            SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+                   CAST(t.n_rows AS BIGINT) AS n_rows,
+                   CAST(t.max_n AS BIGINT) AS max_fanout,
+                   CAST((SELECT min(n) FROM q
+                         WHERE ck >= ceil(0.5 * t.n_keys))
+                        AS BIGINT) AS p50_fanout,
+                   CAST((SELECT min(n) FROM q
+                         WHERE ck >= ceil(0.99 * t.n_keys))
+                        AS BIGINT) AS p99_fanout,
+                   ROUND(CAST(t.max_n AS DOUBLE)
+                         / (CAST(t.n_rows AS DOUBLE) / t.n_keys), 6)
+                       AS skew_factor
+            FROM t
         """,
         "events_value_ks": """
             WITH e AS (

@@ -5891,6 +5891,49 @@ def events_value_ks(sf_dir: str, type_a: str = "purchase",
     })
 
 
+def orders_fanout_audit(sf_dir: str):
+    """Join-key fanout / skew audit of orders.o_custkey — the
+    shuffle-safety check a 100 TB engine runs before keying an
+    exchange on a column: per-key multiplicities, their exact p50/p99
+    (smallest c with #keys(count ≤ c) ≥ ⌈q·n_keys⌉), the max, and the
+    max/mean skew factor. One summary row.
+
+    Scale shape: groupby(key).count is the operator's inherent
+    exchange; the COUNT-OF-COUNTS histogram (one more tiny groupby —
+    ≤ max-multiplicity rows) is the entire quantile state, so the
+    driver never sees a key. Integer-exact selection, one rounded
+    ratio."""
+    import math
+
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = ds.groupby("o_custkey").aggregate(
+        _Count(alias_name="n"))
+    hist = counts.groupby("n").aggregate(
+        _Count(alias_name="k")).to_pandas().sort_values("n")
+    ns = hist["n"].to_numpy(np.int64)
+    ks = hist["k"].to_numpy(np.int64)
+    n_keys = int(ks.sum())
+    n_rows = int((ns * ks).sum())
+    max_n = int(ns.max())
+    ck = np.cumsum(ks)
+
+    def q_at(q: float) -> int:
+        need = math.ceil(q * n_keys)
+        return int(ns[int(np.searchsorted(ck, need))])
+
+    skew = max_n / (n_rows / n_keys)
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "max_fanout": pa.array([max_n], pa.int64()),
+        "p50_fanout": pa.array([q_at(0.5)], pa.int64()),
+        "p99_fanout": pa.array([q_at(0.99)], pa.int64()),
+        "skew_factor": pa.array([round(float(skew), 6)], pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
