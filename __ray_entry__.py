@@ -1052,6 +1052,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ks": analysis.events_value_ks,
         # join-key fanout/skew audit via the count-of-counts histogram
         "orders_fanout_audit": analysis.orders_fanout_audit,
+        # Benford first-digit audit (9-cell combiner + chi-square)
+        "orders_benford_audit": analysis.orders_benford_audit,
+        # Theil-Sen robust slope over the daily revenue series
+        "events_daily_theilsen": analysis.events_daily_theilsen,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4062,6 +4066,48 @@ def oracle_sql() -> dict[str, str]:
                             + pow(b.v / b.n, 2) / (b.n - 1)), 6)
                        AS df_welch
             FROM a, b
+        """,
+        "orders_benford_audit": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice
+                            / pow(10, floor(log10(o_totalprice))))
+                            AS BIGINT) AS digit,
+                       count(*) AS n
+                FROM orders WHERE o_totalprice > 0 GROUP BY 1
+            ),
+            t AS (SELECT sum(n) AS total FROM c),
+            dg AS (SELECT digit FROM generate_series(1, 9) g(digit))
+            SELECT CAST(dg.digit AS BIGINT) AS digit,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                   ROUND(CAST(coalesce(c.n, 0) AS DOUBLE)
+                         / CAST(t.total AS DOUBLE), 6) AS share,
+                   ROUND(log10(1.0 + 1.0 / dg.digit), 6) AS benford,
+                   ROUND(pow(coalesce(c.n, 0)
+                             - CAST(t.total AS DOUBLE)
+                               * log10(1.0 + 1.0 / dg.digit), 2)
+                         / (CAST(t.total AS DOUBLE)
+                            * log10(1.0 + 1.0 / dg.digit)), 6)
+                       AS chi2_part
+            FROM dg LEFT JOIN c ON c.digit = dg.digit, t
+        """,
+        "events_daily_theilsen": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS DOUBLE) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            sl AS (
+                SELECT median((b.rev - a.rev) / (b.day - a.day))
+                    AS slope
+                FROM daily a JOIN daily b ON b.day > a.day
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)
+                       AS n_days,
+                   ROUND(sl.slope, 6) AS slope,
+                   ROUND((SELECT median(rev - sl.slope * day)
+                          FROM daily), 4) AS intercept
+            FROM sl
         """,
         "orders_fanout_audit": """
             WITH c AS (

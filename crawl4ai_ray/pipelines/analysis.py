@@ -5934,6 +5934,89 @@ def orders_fanout_audit(sf_dir: str):
     })
 
 
+def orders_benford_audit(sf_dir: str):
+    """Benford first-significant-digit audit of o_totalprice — the
+    fraud/synthetic-data fingerprint: observed digit shares vs the
+    Benford expectation log10(1 + 1/d), with each digit's chi-square
+    contribution. Nine rows.
+
+    Scale shape: digit = ⌊x / 10^⌊log10 x⌋⌋ is a stateless vectorized
+    map; a per-batch 9-cell combiner reduces every block, one tiny
+    groupby merges. The same float ops the oracle SQL spells out, so
+    digits agree exactly and the shares round-stable at 6dp."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_totalprice") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[x > 0]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x)))) \
+            .astype(np.int64)
+        bc = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(bc.astype(np.int64)),
+        })
+
+    agg = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("digit")
+    n = agg["n"].to_numpy(np.float64)
+    total = n.sum()
+    digits = agg["digit"].to_numpy(np.int64)
+    expected = np.log10(1.0 + 1.0 / digits)
+    share = n / total
+    chi = (n - total * expected) ** 2 / (total * expected)
+    return pa.table({
+        "digit": pa.array(digits),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "share": pa.array(np.round(share, 6), pa.float64()),
+        "benford": pa.array(np.round(expected, 6), pa.float64()),
+        "chi2_part": pa.array(np.round(chi, 6), pa.float64()),
+    })
+
+
+def events_daily_theilsen(sf_dir: str):
+    """Theil–Sen robust slope of the daily revenue series — the
+    median of all pairwise slopes (y_j − y_i)/(d_j − d_i), the
+    outlier-immune trend estimator next to the OLS
+    ``events_value_trend``. One summary row (n_days, slope,
+    intercept = median(y − slope·d)).
+
+    Scale shape: the heavy reduction is the daily aggregate (per-batch
+    combiner + one tiny groupby — the events_daily shape); the
+    pairwise-slope finisher runs on the BOUNDED daily series
+    driver-side (n_days² pairs; n_days is a calendar, not a data,
+    dimension — the events_daily_anomaly convention)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day")
+    d = daily["day"].to_numpy(np.float64)
+    y = daily["rev"].to_numpy(np.float64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = (y[j] - y[i]) / (d[j] - d[i])
+    slope = float(np.median(slopes))
+    intercept = float(np.median(y - slope * d))
+    return pa.table({
+        "n_days": pa.array([len(d)], pa.int64()),
+        "slope": pa.array([round(slope, 6)], pa.float64()),
+        "intercept": pa.array([round(intercept, 4)], pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
