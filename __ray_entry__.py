@@ -1056,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford_audit": analysis.orders_benford_audit,
         # Theil-Sen robust slope over the daily revenue series
         "events_daily_theilsen": analysis.events_daily_theilsen,
+        # CUSUM drift detection over the daily series (recursive CTE)
+        "events_daily_cusum": analysis.events_daily_cusum,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4108,6 +4110,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((SELECT median(rev - sl.slope * day)
                           FROM daily), 4) AS intercept
             FROM sl
+        """,
+        "events_daily_cusum": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            ranked AS (
+                SELECT day, rev,
+                       row_number() OVER (ORDER BY day) AS r
+                FROM daily
+            ),
+            mu AS (SELECT avg(rev) AS m FROM daily),
+            cusum(r, day, rev, sp, sn) AS (
+                SELECT ranked.r, ranked.day, ranked.rev,
+                       greatest(0, ranked.rev - mu.m),
+                       greatest(0, mu.m - ranked.rev)
+                FROM ranked, mu WHERE ranked.r = 1
+                UNION ALL
+                SELECT d.r, d.day, d.rev,
+                       greatest(0, c.sp + (d.rev - mu.m)),
+                       greatest(0, c.sn + (mu.m - d.rev))
+                FROM cusum c
+                JOIN ranked d ON d.r = c.r + 1, mu
+            )
+            SELECT day, ROUND(rev, 4) AS revenue,
+                   ROUND(sp, 4) AS cusum_pos,
+                   ROUND(sn, 4) AS cusum_neg
+            FROM cusum
         """,
         "orders_fanout_audit": """
             WITH c AS (

@@ -6017,6 +6017,51 @@ def events_daily_theilsen(sf_dir: str):
     })
 
 
+def events_daily_cusum(sf_dir: str):
+    """One-sided CUSUM change-point statistics over the daily revenue
+    series — S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)) and the mirrored
+    S⁻_t, the drift-detection recursion a monitoring pipeline runs on
+    its own aggregates (Page 1954). Per-day rows
+    (day, revenue, cusum_pos, cusum_neg).
+
+    Scale shape: the daily aggregate is the distributed reduction
+    (events_daily combiner shape); the CUSUM recursion is inherently
+    sequential and runs on the BOUNDED daily series driver-side (a
+    calendar dimension — the events_daily_anomaly convention). μ is
+    the series mean, so both engines derive every input identically."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = daily["rev"].to_numpy(np.float64)
+    mu = y.sum() / len(y)
+    pos = np.zeros(len(y))
+    neg = np.zeros(len(y))
+    sp = sn = 0.0
+    for idx, x in enumerate(y):
+        sp = max(0.0, sp + (x - mu))
+        sn = max(0.0, sn + (mu - x))
+        pos[idx] = sp
+        neg[idx] = sn
+    return pa.table({
+        "day": pa.array(daily["day"].to_numpy(np.int64)),
+        "revenue": pa.array(np.round(y, 4), pa.float64()),
+        "cusum_pos": pa.array(np.round(pos, 4), pa.float64()),
+        "cusum_neg": pa.array(np.round(neg, 4), pa.float64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
