@@ -1058,6 +1058,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_theilsen": analysis.events_daily_theilsen,
         # CUSUM drift detection over the daily series (recursive CTE)
         "events_daily_cusum": analysis.events_daily_cusum,
+        # exact join-cardinality audit from the two count tables
+        "orderkey_join_size_estimate":
+            analysis.orderkey_join_size_estimate,
+        # Neyman optimal stratified-sampling allocation (VAR_POP)
+        "events_neyman_allocation": analysis.events_neyman_allocation,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4110,6 +4115,57 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((SELECT median(rev - sl.slope * day)
                           FROM daily), 4) AS intercept
             FROM sl
+        """,
+        "orderkey_join_size_estimate": """
+            WITH a AS (
+                SELECT o_orderkey AS k, count(*) AS ca
+                FROM orders GROUP BY 1
+            ),
+            b AS (
+                SELECT l_orderkey AS k, count(*) AS cb
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (SELECT ca, cb FROM a JOIN b USING (k))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM a)
+                       AS n_keys_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b)
+                       AS n_keys_lineitem,
+                   CAST(count(*) AS BIGINT) AS n_common_keys,
+                   CAST(sum(ca * cb) AS BIGINT) AS join_rows
+            FROM j
+        """,
+        "events_neyman_allocation": """
+            WITH m AS (
+                SELECT event_type, count(*) AS n,
+                       sqrt(var_pop(value)) AS sigma
+                FROM events GROUP BY 1
+            ),
+            w AS (
+                SELECT event_type, n, sigma,
+                       1000.0 * n * sigma
+                           / (SELECT sum(n * sigma) FROM m) AS alloc
+                FROM m
+            ),
+            f AS (
+                SELECT *, floor(alloc) AS base,
+                       alloc - floor(alloc) AS frac
+                FROM w
+            ),
+            s AS (SELECT sum(base) AS tot FROM f),
+            r AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY frac DESC,
+                                          event_type) AS rk
+                FROM f
+            )
+            SELECT f.event_type,
+                   CAST(f.n AS BIGINT) AS n_rows,
+                   ROUND(f.sigma, 6) AS sigma,
+                   ROUND(f.alloc, 6) AS alloc_real,
+                   CAST(f.base + CASE WHEN r.rk <= 1000 - s.tot
+                                 THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc_n
+            FROM f JOIN r USING (event_type), s
         """,
         "events_daily_cusum": """
             WITH RECURSIVE daily AS (

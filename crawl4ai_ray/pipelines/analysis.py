@@ -6062,6 +6062,100 @@ def events_daily_cusum(sf_dir: str):
     })
 
 
+def orderkey_join_size_estimate(sf_dir: str):
+    """Exact join-cardinality audit for orders ⋈ lineitem on orderkey
+    — |A ⋈ B| = Σ_k c_A(k)·c_B(k), the number a planner must know
+    before keying a 100 TB exchange (here exact, because the count
+    tables ARE the sufficient statistic). One summary row with both
+    sides' key counts, the overlap, and the joined row count.
+
+    Scale shape: one groupby-count per side (each side's inherent
+    reduction), an inner join of the two COUNT tables (key-sized, not
+    row-sized), and a Σ c_a·c_b map-sum. The full join never runs."""
+    from ray.data.aggregate import Count as _Count
+
+    o = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .groupby("o_orderkey").aggregate(_Count(alias_name="ca")) \
+        .materialize()
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .groupby("l_orderkey").aggregate(_Count(alias_name="cb")) \
+        .materialize()
+    n_a = o.count()
+    n_b = li.count()
+    j = o.join(li.rename_columns({"l_orderkey": "o_orderkey"}),
+               "inner", _join_ray_parts(o, li),
+               on=("o_orderkey",))
+
+    def prod(batch: pa.Table) -> pa.Table:
+        p = batch.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) \
+            * batch.column("cb").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"rows": pa.array([int(p.sum())], pa.int64()),
+                         "keys": pa.array([batch.num_rows],
+                                          pa.int64())})
+
+    pr = j.map_batches(prod, batch_format="pyarrow",
+                       batch_size=None).materialize()
+    join_rows = int(pr.sum("rows") or 0)
+    n_common = int(pr.sum("keys") or 0)
+    return pa.table({
+        "n_keys_orders": pa.array([n_a], pa.int64()),
+        "n_keys_lineitem": pa.array([n_b], pa.int64()),
+        "n_common_keys": pa.array([n_common], pa.int64()),
+        "join_rows": pa.array([join_rows], pa.int64()),
+    })
+
+
+def events_neyman_allocation(sf_dir: str, budget: int = 1000):
+    """Neyman optimal stratified-sampling allocation over event types —
+    n_h = budget · N_h·σ_h / Σ N_i·σ_i, the sampling-design step before
+    a stratified draw (the repo's doc_stratified_sample executes such a
+    design). One row per stratum with N_h, σ_h, the real-valued
+    allocation and its largest-remainder integer rounding (which sums
+    exactly to the budget).
+
+    Scale shape: the ubiquitous (n, Σx, Σx²) moment combiner + one tiny
+    groupby; the allocation algebra runs on the bounded stratum table.
+    σ is population (VAR_POP) — the design-theory convention."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = ev.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sxx", alias_name="sxx")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = mom["n"].to_numpy(np.float64)
+    sigma = np.sqrt(mom["sxx"].to_numpy(np.float64) / n
+                    - (mom["sx"].to_numpy(np.float64) / n) ** 2)
+    w = n * sigma
+    alloc = budget * w / w.sum()
+    # largest-remainder rounding: floor, then +1 to the largest
+    # fractional parts (ties to the earlier stratum in type order)
+    base = np.floor(alloc).astype(np.int64)
+    short = budget - int(base.sum())
+    order = np.argsort(-(alloc - base), kind="stable")
+    base[order[:short]] += 1
+    return pa.table({
+        "event_type": pa.array(mom["event_type"].tolist(),
+                               pa.string()),
+        "n_rows": pa.array(mom["n"].to_numpy(np.int64)),
+        "sigma": pa.array(np.round(sigma, 6), pa.float64()),
+        "alloc_real": pa.array(np.round(alloc, 6), pa.float64()),
+        "alloc_n": pa.array(base, pa.int64()),
+    })
+
+
 def lineitem_skew_by_flag(sf_dir: str):
     """SKEWNESS / KURTOSIS aggregate shape — raw power-sum partials
     (n, Σx, Σx², Σx³, Σx⁴) per flag per block, one tiny groupby, then
