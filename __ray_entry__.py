@@ -1063,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.orderkey_join_size_estimate,
         # Neyman optimal stratified-sampling allocation (VAR_POP)
         "events_neyman_allocation": analysis.events_neyman_allocation,
+        # Zipf-law log-log slope of the top-100 term distribution
+        "corpus_zipf_slope": analysis.corpus_zipf_slope,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4166,6 +4168,25 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END AS BIGINT)
                        AS alloc_n
             FROM f JOIN r USING (event_type), s
+        """,
+        "corpus_zipf_slope": r"""
+            WITH c AS (
+                SELECT term, count(*) AS n FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)),
+                                                     '\s+')) AS term
+                    FROM documents
+                ) WHERE term <> '' GROUP BY term
+            ),
+            top AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, term)
+                    AS rnk
+                FROM c ORDER BY n DESC, term LIMIT 100
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   ROUND(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+                   ROUND(regr_intercept(ln(n), ln(rnk)), 4)
+                       AS zipf_intercept
+            FROM top
         """,
         "events_daily_cusum": """
             WITH RECURSIVE daily AS (

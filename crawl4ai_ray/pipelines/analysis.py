@@ -1827,6 +1827,37 @@ def corpus_top_terms(sf_dir: str, k: int = 50):
     )
 
 
+def corpus_zipf_slope(sf_dir: str, k: int = 100):
+    """Zipf-law fit of the corpus term distribution — OLS slope of
+    ln(frequency) on ln(rank) over the top-``k`` terms (natural text
+    runs near −1; synthetic or templated corpora flatten), the
+    corpus-health fingerprint next to TF-IDF and the vocab build. One
+    summary row.
+
+    Scale shape: term counts are the corpus_top_terms reduction
+    (Counter partials → groupby sum), the top-k selection is a
+    distributed sort + limit, and the log-log regression runs on the
+    bounded k-row table with the standard moment formula — the same
+    doubles DuckDB's regr_slope reduces to."""
+    top = corpus_top_terms(sf_dir, k=k).to_pandas()
+    n = top["n"].to_numpy(np.float64)
+    rank = np.arange(1, len(n) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(n)
+    m = len(x)
+    sx, sy = x.sum(), y.sum()
+    sxy = (x * y).sum()
+    sxx = (x * x).sum()
+    slope = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    intercept = sy / m - slope * sx / m
+    return pa.table({
+        "n_terms": pa.array([m], pa.int64()),
+        "zipf_slope": pa.array([round(float(slope), 6)], pa.float64()),
+        "zipf_intercept": pa.array([round(float(intercept), 4)],
+                                   pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # round-3 additions (session 5): lag/lead gaps, rollup subtotals,
 # above-group-average filter
