@@ -684,6 +684,55 @@ def _crawl_interleaved_pack(sf_dir: str):
     return interleaved_pack(docs)
 
 
+def _crawl_warc_roundtrip(sf_dir: str):
+    """WARC archive sink/source byte-fidelity gate
+    (sources/warckit.py): crawl → export one conversion-record
+    .warc.gz per block → re-read distributed → per-page payload
+    sha256. The ORIGINAL (url, markdown) table is dumped to the
+    oracle path, so DuckDB recomputes every digest and byte length
+    from the pre-archive text — a full roundtrip proof, and the
+    declared in-archive digest must agree (digest_ok law)."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_ray.sources.warckit import warc_export, warc_read
+
+    import ray
+
+    res = _crawl("bfs")
+    docs = rd.read_parquet(res.docs_dir, columns=["url", "markdown"])
+    blocks = [ray.get(r) for r in docs.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows > 0] or blocks[:1]
+    _oracle_dump("crawl_warc_roundtrip",
+                 pa.concat_tables(
+                     blocks, promote_options="permissive")
+                 .combine_chunks())
+    out = tempfile.mkdtemp(prefix="c4r_warc_")
+    warc_export(docs, out).materialize()      # consume the manifest
+    back = warc_read(out)
+
+    def digests(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        payloads = batch.column("payload").to_pylist()
+        declared = batch.column("declared_digest").to_pylist()
+        hexes = [hashlib.sha256(p).hexdigest() for p in payloads]
+        return pa.table({
+            "url": batch.column("url"),
+            "payload_sha256": pa.array(hexes, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads],
+                                pa.int64()),
+            "digest_ok": pa.array(
+                [d == f"sha256:{h}"
+                 for d, h in zip(declared, hexes)], pa.bool_()),
+        })
+
+    return back.map_batches(digests, batch_format="pyarrow") \
+        .sort("url")
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl metrics rollup (the A8 monitor's aggregate view
     as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
@@ -1205,6 +1254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal sequence packing over the interleaved spans
         # (prefix-scan placement; 64-token media placeholders)
         "crawl_interleaved_pack": _crawl_interleaved_pack,
+        # WARC archive export -> re-read -> sha256 roundtrip proof
+        "crawl_warc_roundtrip": _crawl_warc_roundtrip,
         # triangle count over the crawl link graph (degree-ordered
         # wedge join), self-dump SQL-gated on the edge tables
         "crawl_triangles": lambda sf: __import__(
@@ -4720,6 +4771,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # caption mining: nearest preceding non-empty text span per
         # media span, recomputed with a correlated max-offset lookup
+        "crawl_warc_roundtrip": """
+            SELECT url,
+                   sha256(coalesce(markdown, '')) AS payload_sha256,
+                   CAST(octet_length(encode(coalesce(markdown, '')))
+                        AS BIGINT) AS n_bytes,
+                   TRUE AS digest_ok
+            FROM read_parquet(
+                '/tmp/c4r_oracle/crawl_warc_roundtrip/raw.parquet')
+            ORDER BY url
+        """,
         "crawl_interleaved_pack": r"""
             WITH c AS (
                 SELECT url,
