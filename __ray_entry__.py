@@ -733,6 +733,60 @@ def _crawl_warc_roundtrip(sf_dir: str):
         .sort("url")
 
 
+def _crawl_wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard trainer handoff gate
+    (pipelines/export.py wds_export/wds_read): crawl → deterministic
+    tar shards ({key}.md + {key}.json, shuffle_shards md5 law) →
+    distributed re-read → per-page text sha256 + media-ref count. The
+    original (url, markdown, n media refs) table dumps to the oracle
+    path for a full byte-fidelity recompute in SQL."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.export import wds_export, wds_read
+
+    res = _crawl("bfs")
+    docs = rd.read_parquet(res.docs_dir,
+                           columns=["url", "markdown", "spans"])
+
+    def orig(batch: pa.Table) -> pa.Table:
+        n_refs = [sum(1 for s in sp if s["media_ref"])
+                  for sp in batch.column("spans").to_pylist()]
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "markdown": batch.column("markdown").cast(pa.string()),
+            "n_media_refs": pa.array(n_refs, pa.int64()),
+        })
+
+    ot = docs.map_batches(orig, batch_format="pyarrow")
+    blocks = [ray.get(r) for r in ot.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows > 0] or blocks[:1]
+    _oracle_dump("crawl_wds_roundtrip",
+                 pa.concat_tables(blocks, promote_options="permissive")
+                 .combine_chunks())
+    out = tempfile.mkdtemp(prefix="c4r_wds_")
+    wds_export(docs, out).materialize()
+    back = wds_read(out)
+
+    def digests(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "url": batch.column("url"),
+            "text_sha256": pa.array(
+                [hashlib.sha256(t.encode()).hexdigest()
+                 for t in texts], pa.string()),
+            "n_media_refs": batch.column("n_media_refs"),
+        })
+
+    return back.map_batches(digests, batch_format="pyarrow") \
+        .sort("url")
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl metrics rollup (the A8 monitor's aggregate view
     as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
@@ -1256,6 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_interleaved_pack": _crawl_interleaved_pack,
         # WARC archive export -> re-read -> sha256 roundtrip proof
         "crawl_warc_roundtrip": _crawl_warc_roundtrip,
+        # WebDataset tar shards -> re-read -> sha256 + media-ref proof
+        "crawl_wds_roundtrip": _crawl_wds_roundtrip,
         # triangle count over the crawl link graph (degree-ordered
         # wedge join), self-dump SQL-gated on the edge tables
         "crawl_triangles": lambda sf: __import__(
@@ -4771,6 +4827,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # caption mining: nearest preceding non-empty text span per
         # media span, recomputed with a correlated max-offset lookup
+        "crawl_wds_roundtrip": """
+            SELECT url,
+                   sha256(coalesce(markdown, '')) AS text_sha256,
+                   CAST(n_media_refs AS BIGINT) AS n_media_refs
+            FROM read_parquet(
+                '/tmp/c4r_oracle/crawl_wds_roundtrip/raw.parquet')
+            ORDER BY url
+        """,
         "crawl_warc_roundtrip": """
             SELECT url,
                    sha256(coalesce(markdown, '')) AS payload_sha256,

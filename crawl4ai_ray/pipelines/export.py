@@ -126,3 +126,118 @@ def read_tokenized_shard(out_dir: str, shard_id: int):
         binb = np.frombuffer(f.read(), np.uint32)
     toks = [binb[offsets[i]:offsets[i + 1]] for i in range(n)]
     return doc_ids, toks
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards — the multimodal trainer handoff format
+# ---------------------------------------------------------------------------
+
+
+def wds_export(docs_ds, out_dir: str, n_shards: int = 8,
+               url_col: str = "url", text_col: str = "markdown"):
+    """WebDataset-style tar shard export (the img2dataset/WebDataset
+    convention a multimodal loader streams): per document a
+    ``{key}.md`` text entry and a ``{key}.json`` metadata entry
+    (url + the interleaved spans' media refs when a ``spans`` column
+    is present), grouped into ``shard-K.tar`` files.
+
+    Determinism (the shuffle_shards md5 law): shard =
+    md5('url:0') % n_shards, key = md5(url)[:16], entries sorted by
+    key, tar mtime/uid/gid pinned to 0 — two runs or two engines
+    produce byte-identical tars.
+
+    Scale shape: ONE writer task per shard via
+    ``groupby(shard).map_groups`` (the Megatron-export parallelism;
+    size n_shards so a shard fits a worker). Returns the k-row
+    manifest (shard, file, n_docs, n_bytes)."""
+    import io
+    import json
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_spans = "spans" in docs_ds.schema().names
+    cols = [url_col, text_col] + (["spans"] if has_spans else [])
+    ds = docs_ds.select_columns(cols)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        sh = [int(hashlib.md5(f"{u}:0".encode()).hexdigest()[:8], 16)
+              % n_shards for u in urls]
+        return batch.append_column("shard",
+                                   pa.array(sh, pa.int64()))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        shard = int(g.column("shard")[0].as_py())
+        urls = g.column(url_col).to_pylist()
+        texts = g.column(text_col).to_pylist()
+        spans = g.column("spans").to_pylist() if has_spans \
+            else [None] * len(urls)
+        rows = sorted(
+            (hashlib.md5(u.encode()).hexdigest()[:16], u, t, sp)
+            for u, t, sp in zip(urls, texts, spans))
+        path = os.path.join(out_dir, f"shard-{shard:04d}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for key, u, t, sp in rows:
+                meta = {"url": u}
+                if sp is not None:
+                    meta["media_refs"] = [s["media_ref"] for s in sp
+                                          if s.get("media_ref")]
+                for name, payload in (
+                        (f"{key}.md", (t or "").encode()),
+                        (f"{key}.json",
+                         json.dumps(meta, sort_keys=True).encode())):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "file": pa.array([path], pa.string()),
+            "n_docs": pa.array([len(rows)], pa.int64()),
+            "n_bytes": pa.array([len(data)], pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("shard").map_groups(write_shard,
+                                     batch_format="pyarrow")
+
+
+def wds_read(in_dir: str):
+    """Read a wds_export directory back into a Dataset of
+    (key, url, text, n_media_refs) — distributed tar parsing inside
+    map_batches over read_binary_files."""
+    import io
+    import json
+    import tarfile
+
+    files = rd.read_binary_files(in_dir, file_extensions=["tar"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        keys, urls, texts, nrefs = [], [], [], []
+        for data in batch.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(data)) as tar:
+                members = {m.name: tar.extractfile(m).read()
+                           for m in tar.getmembers()}
+            for name, payload in members.items():
+                if not name.endswith(".json"):
+                    continue
+                key = name[:-5]
+                meta = json.loads(payload)
+                keys.append(key)
+                urls.append(meta["url"])
+                texts.append(members[f"{key}.md"].decode())
+                nrefs.append(len(meta.get("media_refs", [])))
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "n_media_refs": pa.array(nrefs, pa.int64()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow")

@@ -60,3 +60,26 @@ def test_export_is_deterministic(ray_session, tmp_path):
     fa = (tmp_path / "a" / a["file"][0].split("/")[-1]).read_bytes()
     fb = (tmp_path / "b" / b["file"][0].split("/")[-1]).read_bytes()
     assert fa == fb     # pinned mtime + derived IDs = byte-stable
+
+
+def test_wds_shards_deterministic_and_balanced(ray_session, tmp_path):
+    from crawl4ai_ray.pipelines.export import wds_export, wds_read
+
+    t = pa.table({
+        "url": [f"http://x.test/p{i:02d}" for i in range(40)],
+        "markdown": [f"doc {i}" for i in range(40)],
+    })
+    m1 = wds_export(rd.from_arrow(t), str(tmp_path / "a"),
+                    n_shards=4).to_pandas().sort_values("shard")
+    m2 = wds_export(rd.from_arrow(
+        [t.slice(0, 13), t.slice(13)]), str(tmp_path / "b"),
+        n_shards=4).to_pandas().sort_values("shard")
+    assert m1["n_docs"].sum() == 40
+    # blocking-insensitive AND byte-identical shard files
+    for s in m1["shard"]:
+        fa = (tmp_path / "a" / f"shard-{s:04d}.tar").read_bytes()
+        fb = (tmp_path / "b" / f"shard-{s:04d}.tar").read_bytes()
+        assert fa == fb, s
+    back = wds_read(str(tmp_path / "a")).to_pandas()
+    assert len(back) == 40
+    assert set(back["text"]) == {f"doc {i}" for i in range(40)}
