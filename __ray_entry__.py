@@ -787,6 +787,47 @@ def _crawl_wds_roundtrip(sf_dir: str):
         .sort("url")
 
 
+def _crawl_host_latency(sf_dir: str):
+    """Per-host fetch-latency percentiles (p50/p95 of fetch_ms) — the
+    crawl-ops SLO rollup, computed with the distributed histogram-
+    selection quantile machinery (grouped_median_distributed q=0.5 and
+    0.95) so no host's pages ever sit in one task. fetch_ms is runtime
+    telemetry (nondeterministic), so the gate is self-dump: the raw
+    (host, fetch_ms) table goes to the oracle path and DuckDB
+    recomputes both quantile_cont values from the same rows."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.analysis import (
+        grouped_median_distributed)
+
+    res = _crawl("bfs")
+    docs = rd.read_parquet(res.docs_dir, columns=["host", "fetch_ms"])
+    blocks = [ray.get(r) for r in docs.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows > 0] or blocks[:1]
+    _oracle_dump("crawl_host_latency",
+                 pa.concat_tables(blocks, promote_options="permissive")
+                 .combine_chunks())
+    p50 = grouped_median_distributed(docs, "host", "fetch_ms", q=0.5)
+    p95 = grouped_median_distributed(docs, "host", "fetch_ms", q=0.95)
+    m50 = {k: v for k, v in zip(p50.column("host").to_pylist(),
+                                p50.column("median").to_pylist())}
+    m95 = {k: v for k, v in zip(p95.column("host").to_pylist(),
+                                p95.column("median").to_pylist())}
+    n = {k: v for k, v in zip(p50.column("host").to_pylist(),
+                              p50.column("n").to_pylist())}
+    hosts = sorted(m50)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_pages": pa.array([int(n[h]) for h in hosts], pa.int64()),
+        "p50_ms": pa.array([round(float(m50[h]), 6) for h in hosts],
+                           pa.float64()),
+        "p95_ms": pa.array([round(float(m95[h]), 6) for h in hosts],
+                           pa.float64()),
+    })
+
+
 def _crawl_host_stats(sf_dir: str):
     """Per-host crawl metrics rollup (the A8 monitor's aggregate view
     as a Dataset query — SURVEY §7.4 'metrics rollup' shape): pages,
@@ -1168,6 +1209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_neyman_allocation": analysis.events_neyman_allocation,
         # Zipf-law log-log slope of the top-100 term distribution
         "corpus_zipf_slope": analysis.corpus_zipf_slope,
+        # PSI drift between stream halves (decile edges on the ref
+        # half via distributed quantile selection)
+        "events_value_psi": analysis.events_value_psi,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -1312,6 +1356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_roundtrip": _crawl_warc_roundtrip,
         # WebDataset tar shards -> re-read -> sha256 + media-ref proof
         "crawl_wds_roundtrip": _crawl_wds_roundtrip,
+        # per-host fetch-latency p50/p95 (histogram selection), self-
+        # dump gated: quantile_cont recompute over the raw telemetry
+        "crawl_host_latency": _crawl_host_latency,
         # triangle count over the crawl link graph (degree-ordered
         # wedge join), self-dump SQL-gated on the edge tables
         "crawl_triangles": lambda sf: __import__(
@@ -4276,6 +4323,51 @@ def oracle_sql() -> dict[str, str]:
                        AS alloc_n
             FROM f JOIN r USING (event_type), s
         """,
+        "events_value_psi": """
+            WITH d AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       value
+                FROM events
+            ),
+            bounds AS (SELECT (min(day) + max(day)) // 2 AS split
+                       FROM d),
+            ref AS (SELECT value FROM d, bounds WHERE day <= split),
+            cur AS (SELECT value FROM d, bounds WHERE day > split),
+            e AS (
+                SELECT unnest(quantile_cont(value,
+                    [0.1, 0.2, 0.3, 0.4, 0.5,
+                     0.6, 0.7, 0.8, 0.9])) AS edge
+                FROM ref
+            ),
+            rc AS (
+                SELECT (SELECT count(*) FROM e WHERE ref.value > edge)
+                           AS bin, count(*) AS n
+                FROM ref GROUP BY 1
+            ),
+            cc AS (
+                SELECT (SELECT count(*) FROM e WHERE cur.value > edge)
+                           AS bin, count(*) AS n
+                FROM cur GROUP BY 1
+            ),
+            b AS (
+                SELECT g.bin, coalesce(rc.n, 0) AS n_ref,
+                       coalesce(cc.n, 0) AS n_cur
+                FROM generate_series(0, 9) g(bin)
+                LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+            ),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM b)
+            SELECT CAST(b.bin AS BIGINT) AS bin,
+                   CAST(b.n_ref AS BIGINT) AS n_ref,
+                   CAST(b.n_cur AS BIGINT) AS n_cur,
+                   ROUND(CASE WHEN b.n_ref > 0 AND b.n_cur > 0 THEN
+                       (CAST(b.n_ref AS DOUBLE) / t.tr
+                        - CAST(b.n_cur AS DOUBLE) / t.tc)
+                       * ln((CAST(b.n_ref AS DOUBLE) / t.tr)
+                            / (CAST(b.n_cur AS DOUBLE) / t.tc))
+                       ELSE NULL END, 6) AS psi_part
+            FROM b, t
+        """,
         "corpus_zipf_slope": r"""
             WITH c AS (
                 SELECT term, count(*) AS n FROM (
@@ -4827,6 +4919,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # caption mining: nearest preceding non-empty text span per
         # media span, recomputed with a correlated max-offset lookup
+        "crawl_host_latency": """
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   ROUND(quantile_cont(fetch_ms, 0.5), 6) AS p50_ms,
+                   ROUND(quantile_cont(fetch_ms, 0.95), 6) AS p95_ms
+            FROM read_parquet(
+                '/tmp/c4r_oracle/crawl_host_latency/raw.parquet')
+            GROUP BY host ORDER BY host
+        """,
         "crawl_wds_roundtrip": """
             SELECT url,
                    sha256(coalesce(markdown, '')) AS text_sha256,

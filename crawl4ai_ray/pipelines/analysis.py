@@ -1827,6 +1827,93 @@ def corpus_top_terms(sf_dir: str, k: int = 50):
     )
 
 
+def events_value_psi(sf_dir: str):
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint calendar day) — the
+    ML-ops drift metric: decile edges fitted on the REFERENCE half,
+    both halves binned by them, PSI contribution
+    (p−q)·ln(p/q) per bin. Ten rows.
+
+    Scale shape: the split day is one (min, max) aggregate; the nine
+    decile edges come from the distributed histogram-selection
+    quantile (grouped_median_distributed, q = 0.1…0.9 — no task ever
+    holds the half); binning is a stateless searchsorted map with the
+    edges broadcast once, reduced by a ≤10-cell combiner. The strict
+    v > edge convention matches the SQL count(*) WHERE value > edge
+    exactly."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({
+            "day": pa.array(day),
+            "value": batch.column("value").cast(pa.float64()),
+        })
+
+    dv = ds.map_batches(prep, batch_format="pyarrow",
+                        batch_size=65536).materialize()
+    lo = dv.min("day")
+    hi = dv.max("day")
+    split = (int(lo) + int(hi)) // 2
+
+    def half(keep_ref: bool):
+        def f(batch: pa.Table, keep_ref=keep_ref) -> pa.Table:
+            d = batch.column("day").to_numpy(zero_copy_only=False)
+            m = d <= split if keep_ref else d > split
+            return pa.table({"k": pa.array(["x"] * int(m.sum()),
+                                           pa.string()),
+                             "value": batch.column("value")
+                             .filter(pa.array(m))})
+        return dv.map_batches(f, batch_format="pyarrow",
+                              batch_size=65536)
+
+    ref = half(True).materialize()
+    cur = half(False).materialize()
+    edges = np.array(sorted(
+        float(grouped_median_distributed(ref, "k", "value", q=q)
+              .column("median")[0].as_py())
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)))
+    eref = ray.put(edges)
+
+    def binned(which):
+        def f(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            e = _ray.get(eref)
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            b = np.searchsorted(e, v, side="left")  # == #edges < v
+            bc = np.bincount(b, minlength=10)
+            return pa.table({"bin": pa.array(np.arange(10), pa.int64()),
+                             "n": pa.array(bc.astype(np.int64))})
+        return which.map_batches(f, batch_format="pyarrow",
+                                 batch_size=65536) \
+            .groupby("bin").aggregate(Sum("n", alias_name="n")) \
+            .to_pandas().set_index("bin")["n"]
+
+    nr = binned(ref).reindex(range(10), fill_value=0) \
+        .to_numpy(np.int64)
+    nc = binned(cur).reindex(range(10), fill_value=0) \
+        .to_numpy(np.int64)
+    tr, tc = float(nr.sum()), float(nc.sum())
+    psi = np.full(10, np.nan)
+    ok = (nr > 0) & (nc > 0)
+    p = nr[ok] / tr
+    q = nc[ok] / tc
+    psi[ok] = (p - q) * np.log(p / q)
+    return pa.table({
+        "bin": pa.array(np.arange(10), pa.int64()),
+        "n_ref": pa.array(nr),
+        "n_cur": pa.array(nc),
+        "psi_part": pa.array(
+            [None if np.isnan(x) else round(float(x), 6)
+             for x in psi], pa.float64()),
+    })
+
+
 def corpus_zipf_slope(sf_dir: str, k: int = 100):
     """Zipf-law fit of the corpus term distribution — OLS slope of
     ln(frequency) on ln(rank) over the top-``k`` terms (natural text
