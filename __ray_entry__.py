@@ -1212,6 +1212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PSI drift between stream halves (decile edges on the ref
         # half via distributed quantile selection)
         "events_value_psi": analysis.events_value_psi,
+        # Spearman rank correlation via midrank prefix scan + joins
+        "lineitem_spearman": analysis.lineitem_spearman,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4322,6 +4324,33 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END AS BIGINT)
                        AS alloc_n
             FROM f JOIN r USING (event_type), s
+        """,
+        "lineitem_spearman": """
+            WITH r AS (
+                SELECT l_quantity AS x, l_extendedprice AS y
+                FROM lineitem
+            ),
+            gx AS (SELECT x AS v, count(*) AS c FROM r GROUP BY 1),
+            mx AS (
+                SELECT v, sum(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c + (c + 1) / 2.0
+                    AS mr
+                FROM gx
+            ),
+            gy AS (SELECT y AS v, count(*) AS c FROM r GROUP BY 1),
+            my AS (
+                SELECT v, sum(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - c + (c + 1) / 2.0
+                    AS mr
+                FROM gy
+            ),
+            j AS (
+                SELECT mx.mr AS rx, my.mr AS ry
+                FROM r JOIN mx ON mx.v = r.x JOIN my ON my.v = r.y
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   ROUND(corr(rx, ry), 6) AS spearman_rho
+            FROM j
         """,
         "events_value_psi": """
             WITH d AS (

@@ -1827,6 +1827,119 @@ def corpus_top_terms(sf_dir: str, k: int = 50):
     )
 
 
+def lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice — Pearson over MIDRANKS (exact tie handling), the
+    nonparametric twin of ``lineitem_corr_by_flag``. One summary row.
+
+    Scale shape: each column's midranks come from its per-distinct-
+    value histogram (sorted_keyed_sum) + ONE exclusive prefix scan
+    (midrank(v) = below(v) + (n_v + 1)/2 — the Mann-Whitney pattern);
+    ranks attach back to rows by two value-keyed hash joins, and the
+    correlation reduces through the standard moment combiner. No task
+    ever ranks the table."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def rank_table(col: str) -> "rd.Dataset":
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "v": batch.column(col).cast(pa.float64()),
+                "c": pa.array(np.ones(batch.num_rows, np.int64)),
+            })
+
+        g = sorted_keyed_sum(
+            li.map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536), "v", ["c"]) \
+            .sort("v").materialize()
+
+        def bp(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"bid": pa.array([], pa.float64()),
+                                 "tc": pa.array([], pa.int64())})
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bid": pa.array([float(v.min())], pa.float64()),
+                "tc": pa.array(
+                    [int(batch.column("c").to_numpy().sum())],
+                    pa.int64()),
+            })
+
+        blocks = sorted(
+            (r["bid"], r["tc"])
+            for r in g.map_batches(bp, batch_format="pyarrow",
+                                   batch_size=None).iter_rows())
+        bases = {}
+        run = 0
+        for bid, tc in blocks:
+            bases[bid] = run
+            run += tc
+        bref = ray.put(bases)
+
+        def midrank(batch: pa.Table, bref=bref) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"v": pa.array([], pa.float64()),
+                                 "mr": pa.array([], pa.float64())})
+            bases = ray.get(bref)
+            df = batch.to_pandas().sort_values("v")
+            c = df["c"].to_numpy(np.float64)
+            below = bases[float(df["v"].iloc[0])] \
+                + np.cumsum(c) - c
+            return pa.table({
+                "v": pa.array(df["v"].to_numpy(np.float64)),
+                "mr": pa.array(below + (c + 1) / 2.0, pa.float64()),
+            })
+
+        return g.map_batches(midrank, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    rx = rank_table("l_quantity").rename_columns(
+        {"v": "l_quantity", "mr": "rx"})
+    ry = rank_table("l_extendedprice").rename_columns(
+        {"v": "l_extendedprice", "mr": "ry"})
+
+    def to_f64(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_quantity": batch.column("l_quantity")
+            .cast(pa.float64()),
+            "l_extendedprice": batch.column("l_extendedprice")
+            .cast(pa.float64()),
+        })
+
+    rows = li.map_batches(to_f64, batch_format="pyarrow")
+    n_parts = _join_ray_parts(rows, rx)
+    j = rows.join(rx, "inner", n_parts, on=("l_quantity",)) \
+        .join(ry, "inner", n_parts, on=("l_extendedprice",))
+
+    def mom(batch: pa.Table) -> pa.Table:
+        x = batch.column("rx").to_numpy(zero_copy_only=False)
+        y = batch.column("ry").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_n": pa.array([batch.num_rows], pa.int64()),
+            "_sx": pa.array([float(x.sum())]),
+            "_sy": pa.array([float(y.sum())]),
+            "_sxx": pa.array([float((x * x).sum())]),
+            "_syy": pa.array([float((y * y).sum())]),
+            "_sxy": pa.array([float((x * y).sum())]),
+        })
+
+    m = j.map_batches(mom, batch_format="pyarrow",
+                      batch_size=65536)
+    n = float(m.sum("_n"))
+    sx, sy = m.sum("_sx"), m.sum("_sy")
+    sxx, syy, sxy = m.sum("_sxx"), m.sum("_syy"), m.sum("_sxy")
+    rho = (sxy - sx * sy / n) / np.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n))
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "spearman_rho": pa.array([round(float(rho), 6)],
+                                 pa.float64()),
+    })
+
+
 def events_value_psi(sf_dir: str):
     """Population Stability Index between the first and second half of
     the event stream (split at the midpoint calendar day) — the
