@@ -1214,6 +1214,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_psi": analysis.events_value_psi,
         # Spearman rank correlation via midrank prefix scan + joins
         "lineitem_spearman": analysis.lineitem_spearman,
+        # one-way ANOVA F across all event types (moment partials)
+        "events_value_anova": analysis.events_value_anova,
+        # Cramér's V normalized association (bounded-cell histogram)
+        "event_type_hour_cramersv": analysis.event_type_hour_cramersv,
+        # Kendall τ-b via joint-histogram suffix-sum double scan
+        "lineitem_kendall": analysis.lineitem_kendall,
+        # per-column uniqueness/key-candidate profile (run-length
+        # distinct reduction per pruned single-column read)
+        "orders_key_candidates": analysis.orders_key_candidates,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4351,6 +4360,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n,
                    ROUND(corr(rx, ry), 6) AS spearman_rho
             FROM j
+        """,
+        "events_value_anova": """
+            WITH g AS (
+                SELECT event_type, count(*) AS n, sum(value) AS sx,
+                       sum(value * value) AS sxx
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT count(*) AS k, sum(n) AS nn, sum(sx) AS grand,
+                       sum(sx * sx / n) AS wss, sum(sxx) AS tss
+                FROM g
+            )
+            SELECT CAST(k AS BIGINT) AS k_groups,
+                   CAST(nn AS BIGINT) AS n,
+                   ROUND(((wss - grand * grand / nn) / (k - 1))
+                         / ((tss - wss) / (nn - k)), 6) AS f_stat,
+                   ROUND((wss - grand * grand / nn)
+                         / (tss - grand * grand / nn), 6) AS eta_sq
+            FROM t
+        """,
+        "event_type_hour_cramersv": """
+            WITH c AS (
+                SELECT event_type, extract(hour FROM ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+            ct AS (SELECT hour, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            x AS (
+                SELECT sum(c.n * c.n * t.total / (rt.rn * ct.cn))
+                       - any_value(t.total) AS chi2
+                FROM c JOIN rt USING (event_type)
+                JOIN ct USING (hour), t
+            )
+            SELECT CAST(t.total AS BIGINT) AS n,
+                   CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_types,
+                   CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_hours,
+                   ROUND(x.chi2, 6) AS chi2,
+                   ROUND(sqrt(x.chi2 / (t.total *
+                       (least((SELECT count(*) FROM rt),
+                              (SELECT count(*) FROM ct)) - 1))), 6)
+                       AS cramers_v
+            FROM x, t
+        """,
+        "lineitem_kendall": """
+            WITH g AS (
+                SELECT l_quantity AS x, l_discount AS y,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT
+                    sum(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.n * b.n ELSE 0 END) AS conc,
+                    sum(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.n * b.n ELSE 0 END) AS disc
+                FROM g a, g b
+            ),
+            tx AS (SELECT sum(n * (n - 1) / 2) AS n1 FROM (
+                       SELECT x, sum(n) AS n FROM g GROUP BY 1)),
+            ty AS (SELECT sum(n * (n - 1) / 2) AS n2 FROM (
+                       SELECT y, sum(n) AS n FROM g GROUP BY 1)),
+            t AS (SELECT sum(n) AS nt FROM g)
+            SELECT CAST(t.nt AS BIGINT) AS n,
+                   CAST(pairs.conc AS BIGINT) AS concordant,
+                   CAST(pairs.disc AS BIGINT) AS discordant,
+                   ROUND((pairs.conc - pairs.disc) /
+                       sqrt((CAST(t.nt AS DOUBLE) * (t.nt - 1) / 2
+                             - tx.n1)
+                          * (CAST(t.nt AS DOUBLE) * (t.nt - 1) / 2
+                             - ty.n2)), 6) AS tau_b
+            FROM pairs, tx, ty, t
+        """,
+        "orders_key_candidates": """
+            WITH p AS (
+                SELECT 'o_orderkey' AS "column",
+                       count(*) AS n_rows,
+                       count(DISTINCT o_orderkey) AS n_distinct,
+                       count(*) - count(o_orderkey) AS n_null
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       count(DISTINCT o_custkey),
+                       count(*) - count(o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(DISTINCT o_orderstatus),
+                       count(*) - count(o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(DISTINCT o_totalprice),
+                       count(*) - count(o_totalprice) FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', count(*),
+                       count(DISTINCT o_orderdate),
+                       count(*) - count(o_orderdate) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(DISTINCT o_orderpriority),
+                       count(*) - count(o_orderpriority) FROM orders
+            )
+            SELECT "column",
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6)
+                       AS uniqueness,
+                   (n_distinct = n_rows AND n_null = 0) AS is_key
+            FROM p
         """,
         "events_value_psi": """
             WITH d AS (

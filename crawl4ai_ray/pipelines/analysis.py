@@ -8612,3 +8612,241 @@ def events_error_to_purchase(sf_dir: str):
     return ds.map_batches(pack, batch_format="pyarrow",
                           batch_size=65536) \
         .groupby("user_id").map_groups(nxt, batch_format="pandas")
+
+
+def events_value_anova(sf_dir: str):
+    """One-way ANOVA F-test of event value across ALL event types —
+    the k-group generalization of the two-sample ``events_value_ttest``
+    (reference surface: the dispatcher's per-strategy timing comparison
+    is a two-group eyeball; this is the principled k-group test). One
+    summary row: F = (SSB/(k−1)) / (SSW/(N−k)), plus eta² = SSB/SST
+    (the effect size). Only scale-free ratios are emitted — raw sums
+    of squares at 1e9 magnitude would sit outside float64's 6dp
+    agreement margin, the ratios are far inside it.
+
+    Scale shape: the parallelizable-moments reduction of
+    ``events_value_ttest`` widened to every group — (n, Σx, Σx²)
+    partials per type through a per-batch combiner, one k-row groupby,
+    algebra on the driver. Event volume never crosses the wire."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "_n": np.int64(1), "_sx": x, "_sxx": x * x})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = ev.map_batches(part, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_sx", alias_name="sx"),
+                   Sum("_sxx", alias_name="sxx")).to_pandas()
+
+    n = mom["n"].to_numpy(np.float64)
+    sx = mom["sx"].to_numpy(np.float64)
+    sxx = mom["sxx"].to_numpy(np.float64)
+    k = len(mom)
+    nn = n.sum()
+    grand = sx.sum()
+    ssb = float((sx * sx / n).sum() - grand * grand / nn)
+    sst = float(sxx.sum() - grand * grand / nn)
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    return pa.table({
+        "k_groups": pa.array([int(k)], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "f_stat": pa.array([round(float(f), 6)], pa.float64()),
+        "eta_sq": pa.array([round(ssb / sst, 6)], pa.float64()),
+    })
+
+
+def event_type_hour_cramersv(sf_dir: str, max_cells: int = 100_000):
+    """Cramér's V between event_type and hour-of-day — the NORMALIZED
+    strength-of-association twin of ``event_type_hour_mi`` (V =
+    sqrt(χ² / (N·(min(r,c)−1))), bounded [0,1] regardless of table
+    shape, so it is comparable across feature pairs the way raw χ²
+    is not). One summary row: N, table shape, χ², V.
+
+    Scale shape: identical to the MI op — every batch reduces to
+    ≤ n_types×24 joint cells via a per-batch combiner, one groupby
+    sums the partials (``max_cells`` loud-guard), χ² algebra on the
+    bounded cell table driver-side. χ² sums (observed−expected)²/
+    expected over ≤120 moderate-magnitude cells, far inside the 6dp
+    agreement margin."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": pc.hour(batch.column("ts"))
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"event_type_hour_cramersv: {len(cells)} joint cells "
+            f"exceed max_cells={max_cells}")
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    rt = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    ct = cells.groupby("hour")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    # chi2 over OBSERVED cells plus the zero-observed remainder:
+    # Σ_cells (o−e)²/e over all r×c cells = Σ o²/e − N (algebraic
+    # identity; zero-observed cells contribute e = Σe − N-covered,
+    # handled exactly by the identity, no dense grid needed)
+    chi2 = float((n * n * total / (rt * ct)).sum() - total)
+    r = cells["event_type"].nunique()
+    c = cells["hour"].nunique()
+    v = float(np.sqrt(chi2 / (total * (min(r, c) - 1))))
+    return pa.table({
+        "n": pa.array([int(total)], pa.int64()),
+        "n_types": pa.array([int(r)], pa.int64()),
+        "n_hours": pa.array([int(c)], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+    })
+
+
+def lineitem_kendall(sf_dir: str, max_cells: int = 1_000_000):
+    """Kendall's τ-b between l_quantity and l_discount — the
+    concordance-based rank correlation next to ``lineitem_spearman``,
+    exact under heavy ties: τ-b = (C − D) / sqrt((n₀−n₁)(n₀−n₂)) with
+    C/D the concordant/discordant pair counts and n₁/n₂ the x/y tie
+    terms. One summary row.
+
+    Scale shape: both columns have BOUNDED discrete domains (quantity
+    1–50, discount in cent steps), so the pair counting runs on the
+    joint histogram, never on row pairs — each batch reduces to its
+    (x, y, n) cells, one groupby sums them into a ≤ |X|·|Y| grid
+    (``max_cells`` loud-guard), and the driver counts concordances on
+    the grid with a vectorized suffix-sum double scan: O(|X|·|Y|)
+    instead of O(N²). All counts are integers — exact in float64 well
+    past this scale; only τ itself is rounded."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "x": batch.column("l_quantity")
+            .to_numpy(zero_copy_only=False).astype(np.float64),
+            "y": batch.column("l_discount")
+            .to_numpy(zero_copy_only=False).astype(np.float64)})
+        g = df.groupby(["x", "y"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = li.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["x", "y"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"lineitem_kendall: {len(cells)} joint cells exceed "
+            f"max_cells={max_cells}")
+
+    xs = np.sort(cells["x"].unique())
+    ys = np.sort(cells["y"].unique())
+    grid = np.zeros((len(xs), len(ys)), np.int64)
+    xi = np.searchsorted(xs, cells["x"].to_numpy(np.float64))
+    yi = np.searchsorted(ys, cells["y"].to_numpy(np.float64))
+    grid[xi, yi] = cells["n"].to_numpy(np.int64)
+
+    # gt[i,j] = Σ grid[i'>i, j'>j]; lt-in-y twin for discordant
+    suf = np.cumsum(np.cumsum(grid[::-1, ::-1], 0), 1)[::-1, ::-1]
+    gt_both = np.zeros_like(grid)
+    gt_both[:-1, :-1] = suf[1:, 1:]
+    pre_y = np.cumsum(np.cumsum(grid[::-1, :], 0), 1)[::-1, :]
+    gt_x_lt_y = np.zeros_like(grid)
+    gt_x_lt_y[:-1, 1:] = pre_y[1:, :-1]
+    conc = int((grid * gt_both).sum())
+    disc = int((grid * gt_x_lt_y).sum())
+
+    ntot = int(grid.sum())
+    n0 = ntot * (ntot - 1) // 2
+    tx = grid.sum(1)
+    ty = grid.sum(0)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    tau = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pa.table({
+        "n": pa.array([ntot], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tau_b": pa.array([round(float(tau), 6)], pa.float64()),
+    })
+
+
+def orders_key_candidates(sf_dir: str):
+    """Column-level uniqueness/key-candidate profile of the orders
+    table — the discovery side of data profiling (Metanome-style
+    unique-column detection) next to the value-level
+    ``orders_column_profile``: per column, exact distinct count, null
+    count, uniqueness ratio and the is-key verdict (distinct = rows
+    AND no nulls). One row per column.
+
+    Scale shape: each column profiles INDEPENDENTLY on a pruned
+    single-column read — per-batch run-length partials (value → 1)
+    through ``sorted_keyed_sum`` (the high-cardinality distinct
+    reduction that never ships raw rows twice), distinct = row count
+    of the reduced table, nulls from a per-batch counter. No
+    all-columns melt, no driver materialization; per-column cost is
+    one narrow shuffle of the reduced value table."""
+    import pyarrow.parquet as pq
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    path = f"{sf_dir}/orders.parquet"
+    cols = [f.name for f in pq.read_schema(path)]
+    out_col, out_rows, out_d, out_nul = [], [], [], []
+    for col in cols:
+        ds = rd.read_parquet(path, columns=[col])
+
+        def count_nulls(batch: pa.Table, col=col) -> pa.Table:
+            v = batch.column(col)
+            return pa.table({
+                "_n": pa.array([len(v)], pa.int64()),
+                "_nul": pa.array([v.null_count], pa.int64())})
+
+        tot = ds.map_batches(count_nulls, batch_format="pyarrow",
+                             batch_size=65536)
+        n_rows = int(tot.sum("_n") or 0)
+        n_null = int(tot.sum("_nul") or 0)
+
+        def to_kv(batch: pa.Table, col=col) -> pa.Table:
+            nn = batch.column(col).drop_null()
+            return pa.table({
+                "v": pc.cast(nn, pa.string()),
+                "c": pa.array(np.ones(len(nn), np.int64))})
+
+        reduced = sorted_keyed_sum(
+            ds.map_batches(to_kv, batch_format="pyarrow",
+                           batch_size=65536), "v", ["c"])
+        n_distinct = reduced.count()
+        out_col.append(col)
+        out_rows.append(n_rows)
+        out_d.append(int(n_distinct))
+        out_nul.append(n_null)
+
+    rows = np.asarray(out_rows, np.float64)
+    dis = np.asarray(out_d, np.float64)
+    nul = np.asarray(out_nul, np.int64)
+    return pa.table({
+        "column": pa.array(out_col, pa.string()),
+        "n_rows": pa.array(np.asarray(out_rows, np.int64)),
+        "n_distinct": pa.array(np.asarray(out_d, np.int64)),
+        "n_null": pa.array(nul),
+        "uniqueness": pa.array(np.round(dis / rows, 6), pa.float64()),
+        "is_key": pa.array((dis == rows) & (nul == 0)),
+    })
