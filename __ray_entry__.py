@@ -1383,6 +1383,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_clustering"],
         ).crawl_clustering(
             sf, dump=lambda t: _oracle_dump("crawl_clustering", t)),
+        # Adamic-Adar missing-link prediction (wedge-center weights,
+        # anti-join vs existing edges), SQL oracle = full recompute
+        # from the dumped lex edge table
+        "crawl_adamic_adar": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_adamic_adar"],
+        ).crawl_adamic_adar(
+            sf, dump=lambda t: _oracle_dump("crawl_adamic_adar", t)),
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -5784,6 +5792,32 @@ def oracle_sql() -> dict[str, str]:
                                    / (deg.degree * (deg.degree - 1.0))
                               ELSE 0.0 END, 6) AS clustering
             FROM deg LEFT JOIN tn USING (node)
+        """,
+        "crawl_adamic_adar": """
+            WITH el AS (SELECT u, v FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_adamic_adar/raw.parquet')),
+            d AS (SELECT u AS ctr, v AS nbr FROM el
+                  UNION ALL SELECT v, u FROM el),
+            deg AS (SELECT ctr, count(*) AS deg FROM d GROUP BY 1),
+            w AS (
+                SELECT a.nbr AS lo, b.nbr AS hi,
+                       1.0 / ln(deg.deg) AS w
+                FROM d a JOIN d b
+                     ON a.ctr = b.ctr AND a.nbr < b.nbr
+                JOIN deg ON deg.ctr = a.ctr
+            ),
+            s AS (
+                SELECT lo, hi, count(*) AS common_neighbors,
+                       ROUND(sum(w), 6) AS aa_score
+                FROM w GROUP BY 1, 2
+            )
+            SELECT s.lo AS u, s.hi AS v,
+                   CAST(s.common_neighbors AS BIGINT)
+                       AS common_neighbors,
+                   s.aa_score
+            FROM s LEFT JOIN el ON el.u = s.lo AND el.v = s.hi
+            WHERE el.u IS NULL
+            ORDER BY s.aa_score DESC, u, v LIMIT 20
         """,
         "crawl_media_density": """
             WITH per_doc AS (

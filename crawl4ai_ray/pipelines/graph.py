@@ -1952,3 +1952,144 @@ def crawl_reciprocity(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return edge_reciprocity(edges, dump=dump)
+
+
+def adamic_adar_topk(edges_ds, *, k: int = 20, dump=None,
+                     max_wedges_per_node: int = 2_000_000):
+    """Adamic–Adar link prediction over a directed (src, dst) edge
+    Dataset treated as an undirected simple graph — score(u, w) =
+    Σ_{v ∈ N(u)∩N(w)} 1/ln(deg(v)), the classic common-neighbor
+    predictor (Adamic & Adar, 2003; the "which links are missing"
+    counterpart of the existing triangle/clustering analytics — a
+    crawler uses it to prioritize probable-but-unseen links). Emits
+    the top-k NON-adjacent pairs by score with a deterministic
+    (rounded-score desc, lex) tie-break.
+
+    Shape: degrees via endpoint explode + groupby; wedges per CENTER
+    via map_groups over the both-direction adjacency (every neighbor
+    pair of v inherits weight 1/ln(deg(v)) — well-defined because a
+    wedge center has deg ≥ 2), one groupby sums pair scores, and the
+    lex edge table anti-joins out existing edges (left-outer + null
+    filter, the customers_without_orders pattern). Wedge emission is
+    the operator's inherent Σ deg² cost (Suri & Vassilvitskii's bound
+    does not apply — AA needs every wedge, not one per triangle);
+    ``max_wedges_per_node`` fails loud on hub groups instead of
+    silently emitting quadratic rows, the grouped_median convention.
+    Scores are ROUNDED to 6dp before ranking so the top-k cut agrees
+    with the oracle under float-sum reordering.
+
+    ``dump`` receives the lex undirected edge table (u < v) from which
+    SQL recomputes degree, wedges, scores and the anti-join fully
+    independently."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    n_edges = el.count()
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "v": pa.array([], pa.string()),
+                      "common_neighbors": pa.array([], pa.int64()),
+                      "aa_score": pa.array([], pa.float64())})
+    if n_edges == 0:
+        if dump is not None:
+            dump(pa.table({"u": pa.array([], pa.string()),
+                           "v": pa.array([], pa.string())}))
+        return empty
+    if dump is not None:
+        dump(pa.concat_tables(ray_get_tables(el))
+             .rename_columns(["u", "v"]))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").combine_chunks().cast(pa.string())
+        hi = t.column("hi").combine_chunks().cast(pa.string())
+        return pa.table({"ctr": pa.concat_arrays([lo, hi]),
+                         "nbr": pa.concat_arrays([hi, lo])})
+
+    adj = el.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+    deg = adj.groupby("ctr").aggregate(Count(alias_name="deg")) \
+        .materialize()
+
+    n = _pr_parts(n_edges, adj, deg)
+    j = adj.join(deg, "inner", n, on=("ctr",))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        vs = np.sort(np.asarray(g.column("nbr").to_pylist(),
+                                dtype=object))
+        m = len(vs)
+        if m < 2:
+            return pa.table({"lo": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.string()),
+                             "w": pa.array([], pa.float64())})
+        n_pairs = m * (m - 1) // 2
+        if n_pairs > max_wedges_per_node:
+            raise ValueError(
+                f"adamic_adar_topk: center {g.column('ctr')[0]} emits "
+                f"{n_pairs} wedges > max_wedges_per_node="
+                f"{max_wedges_per_node}; salt or cap hub adjacency")
+        w = 1.0 / np.log(float(g.column("deg")[0].as_py()))
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({
+            "lo": pa.array(vs[ia].tolist(), pa.string()),
+            "hi": pa.array(vs[ib].tolist(), pa.string()),
+            "w": pa.array(np.full(len(ia), w), pa.float64())})
+
+    scores = j.groupby("ctr").map_groups(wedges, batch_format="pyarrow") \
+        .groupby(["lo", "hi"]) \
+        .aggregate(Sum("w", alias_name="_s"),
+                   Count(alias_name="common_neighbors"))
+
+    mark = el.map_batches(
+        lambda t: t.append_column(
+            "_adj", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    cand = scores.join(mark, "left_outer", n, on=("lo", "hi"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t.column("_adj"))
+        t = t.filter(keep)
+        return pa.table({
+            "u": t.column("lo").cast(pa.string()),
+            "v": t.column("hi").cast(pa.string()),
+            "common_neighbors": t.column("common_neighbors")
+            .cast(pa.int64()),
+            "aa_score": pc.round(t.column("_s"), 6),
+        })
+
+    out = cand.map_batches(finish, batch_format="pyarrow") \
+        .sort(["aa_score", "u", "v"],
+              descending=[True, False, False]).limit(k)
+    return out
+
+
+def crawl_adamic_adar(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web, rank the top-20
+    missing links by Adamic–Adar score. Self-dump SQL-gated when
+    ``dump`` is set (lex edge table only; DuckDB recomputes degrees,
+    wedge scores and the anti-join from scratch)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_aa_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return adamic_adar_topk(edges, dump=dump)
