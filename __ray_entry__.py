@@ -1569,6 +1569,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus", fromlist=["corpus_vocab"],
         ).corpus_vocab(sf),
+        # multinomial Naive Bayes lang classifier: term-keyed train
+        # groupby + dense Laplace model + term-keyed scoring join;
+        # argmax over 4dp-rounded scores (cross-engine determinism)
+        "doc_lang_nb": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus", fromlist=["doc_lang_nb"],
+        ).doc_lang_nb(sf),
         # token-id encode: broadcast sorted vocab, one searchsorted
         # probe per batch, stateless explode (no shuffle)
         "doc_encode_ids": lambda sf: __import__(
@@ -3106,6 +3112,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY n DESC, term)
                         AS BIGINT) AS token_id
             FROM cnt
+        """,
+        # Naive Bayes: class-conditional counts + Laplace smoothing,
+        # argmax over 4dp-rounded log-scores, lang-asc tie-break
+        "doc_lang_nb": r"""
+            WITH tok AS (
+                SELECT doc_id, lang, term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY 1, 2, 3
+            ),
+            ctab AS (SELECT lang, term, sum(tf) AS c
+                     FROM tok GROUP BY 1, 2),
+            ctot AS (SELECT lang, sum(c) AS nl FROM ctab GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+            prior AS (
+                SELECT lang, ln(count(*) / CAST(
+                    (SELECT count(*) FROM documents) AS DOUBLE)) AS lp
+                FROM documents GROUP BY 1
+            ),
+            dense AS (
+                SELECT t.term, l.lang AS cand,
+                       ln((coalesce(c.c, 0) + 1)
+                          / CAST(ct.nl + v.v AS DOUBLE)) AS logp
+                FROM (SELECT DISTINCT term FROM tok) t
+                CROSS JOIN (SELECT DISTINCT lang FROM ctab) l
+                LEFT JOIN ctab c
+                     ON c.term = t.term AND c.lang = l.lang
+                JOIN ctot ct ON ct.lang = l.lang, vocab v
+            ),
+            sc AS (
+                SELECT tok.doc_id, tok.lang, d.cand,
+                       ROUND(sum(tok.tf * d.logp)
+                             + any_value(p.lp), 4) AS score
+                FROM tok JOIN dense d ON d.term = tok.term
+                JOIN prior p ON p.lang = d.cand
+                GROUP BY 1, 2, 3
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, cand) AS rk
+                FROM sc
+            )
+            SELECT b.doc_id, b.lang, b.cand AS pred_lang, b.score,
+                   ROUND(b.score - s2.score, 4) AS margin,
+                   (b.cand = b.lang) AS correct
+            FROM r b JOIN r s2
+                 ON s2.doc_id = b.doc_id AND s2.rk = 2
+            WHERE b.rk = 1
         """,
         # encode: every token position mapped through the vocab,
         # OOV -> 0; positions from the same split convention

@@ -1718,3 +1718,124 @@ def perplexity_buckets(sf_dir: str, k: int = 3):
             Sum("_n", alias_name="n_docs"),
             Min("_mn", alias_name="ppl_min"),
             Max("_mx", alias_name="ppl_max"))
+
+
+def doc_lang_nb(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained AND scored
+    distributed — the classic generative text classifier (add-one
+    Laplace smoothing over the corpus vocabulary, log-space scoring)
+    as a pure Ray Data pipeline: the model-training groupby and the
+    scoring join are both term-keyed shuffles, so neither the vocab
+    nor the corpus ever materializes driver-side. One row per doc:
+    actual lang, predicted lang, best score and the best-vs-runner-up
+    margin. With self-supervised labels (the docs' own ``lang``
+    column) this is the resubstitution audit a data pipeline runs
+    before trusting a learned filter.
+
+    Determinism across engines: per-(doc, lang) log-scores are ROUNDED
+    to 4dp BEFORE the argmax (ties broken by lang asc), so float-sum
+    reordering between Ray and the SQL oracle cannot flip the
+    prediction — the synthetic corpus shares vocabulary across langs,
+    which makes raw scores nearly tied by construction.
+
+    Scale shape: (1) per-batch Counter partials → groupby(lang, term)
+    = the class-conditional count table; (2) class totals, priors and
+    |V| are k-row / scalar aggregates; (3) a per-term map_groups emits
+    the DENSE (term, cand_lang, logp) table (k rows per term, Laplace
+    fill for unseen (term, lang)); (4) one term-keyed hash join ships
+    each doc's (term, tf) rows onto logp, and groupby(doc, cand) sums
+    — the document text crosses the wire exactly once, as token
+    counts."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_parts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import collections
+
+        ids, langs, terms, tfs = [], [], [], []
+        for did, lang, text in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("lang").to_pylist(),
+                                   batch.column("text").to_pylist()):
+            c = collections.Counter(_tokens(text))
+            for t, n in c.items():
+                ids.append(did)
+                langs.append(lang)
+                terms.append(t)
+                tfs.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tok = ds.map_batches(explode, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+    ctab = tok.groupby(["lang", "term"]) \
+        .aggregate(Sum("tf", alias_name="c")).materialize()
+    ctot = {r["lang"]: int(r["c"])
+            for r in ctab.groupby("lang")
+            .aggregate(Sum("c", alias_name="c")).iter_rows()}
+    vocab_n = ctab.groupby("term").aggregate(Count()).count()
+    nd = {r["lang"]: int(r["count()"])
+          for r in ds.groupby("lang").aggregate(Count()).iter_rows()}
+    n_docs = sum(nd.values())
+    langs = sorted(ctot)
+    priors = {l: float(np.log(nd[l] / n_docs)) for l in langs}
+
+    def dense(g: pa.Table, langs=tuple(langs)) -> pa.Table:
+        term = g.column("term")[0].as_py()
+        have = {r["lang"]: r["c"] for r in g.to_pylist()}
+        lp = [float(np.log((have.get(l, 0) + 1)
+                           / (ctot[l] + vocab_n))) for l in langs]
+        return pa.table({
+            "term": pa.array([term] * len(langs), pa.string()),
+            "cand": pa.array(list(langs), pa.string()),
+            "logp": pa.array(lp, pa.float64()),
+        })
+
+    dmodel = ctab.groupby("term").map_groups(
+        dense, batch_format="pyarrow").materialize()
+
+    n = _join_parts(tok, dmodel)
+    j = tok.join(dmodel, "inner", n, on=("term",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id")
+            .to_numpy(zero_copy_only=False),
+            "lang": batch.column("lang").to_pandas(),
+            "cand": batch.column("cand").to_pandas(),
+            "_s": batch.column("tf").to_numpy(zero_copy_only=False)
+            * batch.column("logp").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["doc_id", "lang", "cand"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sc = j.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby(["doc_id", "lang", "cand"]) \
+        .aggregate(Sum("_s", alias_name="s"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = np.round(
+            g["s"].to_numpy(np.float64)
+            + np.array([priors[c] for c in g["cand"]]), 4)
+        g = g.sort_values(["score", "cand"],
+                          ascending=[False, True]).reset_index(drop=True)
+        best, second = g.iloc[0], g.iloc[1]
+        return pd.DataFrame({
+            "doc_id": [int(best["doc_id"])],
+            "lang": [best["lang"]],
+            "pred_lang": [best["cand"]],
+            "score": [float(best["score"])],
+            "margin": [round(float(best["score"] - second["score"]), 4)],
+            "correct": [bool(best["cand"] == best["lang"])],
+        })
+
+    return sc.groupby("doc_id").map_groups(pick, batch_format="pandas")
