@@ -1220,6 +1220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_hour_cramersv": analysis.event_type_hour_cramersv,
         # Kendall τ-b via joint-histogram suffix-sum double scan
         "lineitem_kendall": analysis.lineitem_kendall,
+        # Kaplan-Meier customer-retention curve (censoring-aware
+        # churn): custkey span groupby -> timeline-bounded histogram
+        "customer_survival_km": analysis.customer_survival_km,
         # per-column uniqueness/key-candidate profile (run-length
         # distinct reduction per pruned single-column read)
         "orders_key_candidates": analysis.orders_key_candidates,
@@ -1731,6 +1734,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.classifier",
             fromlist=["quality_classifier_scores"],
         ).quality_classifier_scores(sf),
+        # L2 logistic regression via broadcast-weight gradient
+        # partials (rows-only; determinism / numpy-GD agreement /
+        # monotone-loss laws in tests/test_sketches.py)
+        "events_purchase_lr": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["events_purchase_lr"],
+        ).events_purchase_lr(sf),
         # PageRank over the BFS crawl's link graph (rows-only; numeric
         # oracle = driver power iteration, tests/test_graph.py)
         "crawl_pagerank": lambda sf: __import__(
@@ -4500,6 +4510,46 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(t.nt AS DOUBLE) * (t.nt - 1) / 2
                              - ty.n2)), 6) AS tau_b
             FROM pairs, tx, ty, t
+        """,
+        "customer_survival_km": """
+            WITH w AS (SELECT max(o_orderdate) AS t1 FROM orders),
+            u AS (
+                SELECT o_custkey, min(o_orderdate) AS f,
+                       max(o_orderdate) AS l
+                FROM orders GROUP BY 1
+            ),
+            d AS (
+                SELECT datediff('day', CAST(f AS DATE),
+                                CAST(l AS DATE)) AS dur,
+                       (l < t1 - INTERVAL 180 DAY) AS observed
+                FROM u, w
+            ),
+            g AS (
+                SELECT dur,
+                       count(*) FILTER (observed) AS d_n,
+                       count(*) FILTER (NOT observed) AS c_n
+                FROM d GROUP BY 1
+            ),
+            r AS (
+                SELECT dur, d_n,
+                       (SELECT count(*) FROM d)
+                       - sum(d_n + c_n) OVER (ORDER BY dur
+                             ROWS UNBOUNDED PRECEDING)
+                       + (d_n + c_n) AS n_risk
+                FROM g
+            ),
+            s AS (
+                SELECT dur, d_n, n_risk,
+                       exp(sum(ln(1 - CAST(d_n AS DOUBLE) / n_risk))
+                           OVER (ORDER BY dur
+                                 ROWS UNBOUNDED PRECEDING)) AS surv
+                FROM r WHERE d_n > 0
+            )
+            SELECT CAST(dur AS BIGINT) AS duration_days,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d_n AS BIGINT) AS n_events,
+                   ROUND(surv, 6) AS survival
+            FROM s
         """,
         "orders_key_candidates": """
             WITH p AS (

@@ -8850,3 +8850,83 @@ def orders_key_candidates(sf_dir: str):
         "uniqueness": pa.array(np.round(dis / rows, 6), pa.float64()),
         "is_key": pa.array((dis == rows) & (nul == 0)),
     })
+
+
+def customer_survival_km(sf_dir: str, censor_days: int = 180,
+                       max_keys: int = 100_000):
+    """Kaplan–Meier customer-retention survival curve — the censoring-aware
+    churn estimate (Kaplan & Meier 1958) next to the point-in-time
+    ``events_weekly_retention``: a customer's lifetime is first→last
+    ORDER DATE in calendar days; customers still ordering within
+    ``censor_days`` of the window end are right-CENSORED (their true
+    lifetime is unknown, they only attest "≥ t"), everyone else
+    churned at their last order day. S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over
+    churn times, with the standard convention that at a tied time
+    events precede censorings. One row per churn time: risk-set size,
+    churn count, survival.
+
+    Scale shape: per-customer (min, max) via ONE customer-keyed groupby (the
+    only full-volume shuffle); lifetimes then collapse to the
+    per-duration (churned, censored) histogram — bounded by the
+    TIMELINE, not the customer count (``max_keys`` loud-guard) — and the
+    suffix-sum risk sets + cumulative product run driver-side on that
+    bounded table."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "_f": ts, "_l": ts})
+        g = df.groupby("o_custkey", as_index=False) \
+            .agg(f=("_f", "min"), l=("_l", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    spans = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("o_custkey") \
+        .aggregate(Min("f", alias_name="f"), Max("l", alias_name="l")) \
+        .materialize()
+    t1 = int(spans.max("l"))
+    cutoff = t1 - censor_days * 86_400_000_000
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        last = batch.column("l").to_numpy(zero_copy_only=False)
+        dur = (last.astype("datetime64[us]").astype("datetime64[D]")
+               .astype(np.int64)
+               - f.astype("datetime64[us]").astype("datetime64[D]")
+               .astype(np.int64))
+        observed = last < cutoff
+        df = pd.DataFrame({
+            "dur": dur,
+            "d_n": observed.astype(np.int64),
+            "c_n": (~observed).astype(np.int64)})
+        g = df.groupby("dur", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = spans.map_batches(collapse, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby("dur") \
+        .aggregate(Sum("d_n", alias_name="d_n"),
+                   Sum("c_n", alias_name="c_n")).to_pandas()
+    if len(hist) > max_keys:
+        raise ValueError(
+            f"customer_survival_km: {len(hist)} distinct durations "
+            f"exceed max_keys={max_keys}")
+    hist = hist.sort_values("dur").reset_index(drop=True)
+    leave = (hist["d_n"] + hist["c_n"]).to_numpy(np.int64)
+    total = int(leave.sum())
+    n_risk = total - np.concatenate(([0], np.cumsum(leave)[:-1]))
+    d = hist["d_n"].to_numpy(np.int64)
+    surv = np.cumprod(np.where(d > 0, 1.0 - d / n_risk, 1.0))
+    keep = d > 0
+    return pa.table({
+        "duration_days": pa.array(
+            hist["dur"].to_numpy(np.int64)[keep], pa.int64()),
+        "n_risk": pa.array(n_risk[keep], pa.int64()),
+        "n_events": pa.array(d[keep], pa.int64()),
+        "survival": pa.array(np.round(surv[keep], 6), pa.float64()),
+    })

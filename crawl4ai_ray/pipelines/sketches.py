@@ -890,3 +890,128 @@ def user_cms_estimates(sf_dir: str, width: int = 64, depth: int = 4,
                             pa.int64()),
         "n_cms": pa.array(ests, pa.int64()),
     })
+
+
+def logreg_fit(sf_dir: str, lr: float = 0.5, iters: int = 40,
+               l2: float = 1e-3):
+    """Distributed full-batch logistic regression (L2-regularized
+    gradient descent) predicting ``event_type == 'purchase'`` from
+    standardized event value + hour-of-day — the learned-filter
+    training loop next to ``kmeans_fit``: every iteration is one
+    broadcast of the weight vector + one ``map_batches`` pass whose
+    per-block partial is (d+1 gradient floats, loss, n), reduced
+    driver-side. The event volume crosses the wire ZERO times; per
+    iteration the driver sees blocks × (d+2) floats.
+
+    Deterministic: features standardized by exact distributed moments,
+    zero-init weights, fixed lr/iters — no RNG anywhere. The pytest
+    law gate (tests/test_sketches.py) checks bitwise-stable re-runs,
+    agreement with a single-process numpy GD at 1e-6, and monotone
+    loss decrease (convexity + small lr).
+
+    Returns (w, mu, sd, losses): weights [intercept, value_z,
+    hour_frac], the standardization constants, and the per-iteration
+    mean log-loss trace."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"]) \
+        .materialize()
+
+    def mom(batch: pa.Table) -> pa.Table:
+        x = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"_n": pa.array([len(x)], pa.int64()),
+                         "_s": pa.array([float(x.sum())]),
+                         "_ss": pa.array([float((x * x).sum())])})
+
+    m = ds.map_batches(mom, batch_format="pyarrow", batch_size=65536)
+    n_tot = float(m.sum("_n"))
+    s, ss = float(m.sum("_s")), float(m.sum("_ss"))
+    mu = s / n_tot
+    sd = float(np.sqrt(ss / n_tot - mu * mu))
+
+    def features(batch: pa.Table) -> tuple:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        h = pc.hour(batch.column("ts")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.column_stack([
+            np.ones(len(v)), (v - mu) / sd, h / 23.0])
+        y = (batch.column("event_type").to_pandas()
+             .to_numpy(object) == "purchase").astype(np.float64)
+        return x, y
+
+    w = np.zeros(3)
+    losses = []
+    for _ in range(iters):
+        wref = ray.put(w)
+
+        def grad_part(batch: pa.Table, wref=wref) -> pa.Table:
+            wv = ray.get(wref)
+            x, y = features(batch)
+            z = x @ wv
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = x.T @ (p - y)
+            loss = float((np.logaddexp(0.0, z) - y * z).sum())
+            return pa.table({
+                "g": pa.array([g.tobytes()], pa.large_binary()),
+                "loss": pa.array([loss]),
+                "n": pa.array([len(y)], pa.int64())})
+
+        parts = ds.map_batches(grad_part, batch_format="pyarrow",
+                               batch_size=65536).take_all()
+        g = np.zeros(3)
+        loss = 0.0
+        n = 0
+        for r in parts:
+            g += np.frombuffer(r["g"], dtype=np.float64)
+            loss += r["loss"]
+            n += r["n"]
+        reg = l2 * np.concatenate(([0.0], w[1:]))
+        w = w - lr * (g / n + reg)
+        losses.append(loss / n)
+    return w, mu, sd, losses
+
+
+def events_purchase_lr(sf_dir: str, lr: float = 0.5, iters: int = 40):
+    """Query surface: the fitted coefficient table + resubstitution
+    accuracy/log-loss of the purchase classifier. Rows-only oracle
+    (iterative optimization is not SQL-expressible); determinism,
+    numpy-GD agreement and monotone-loss laws are pytest-gated."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    w, mu, sd, losses = logreg_fit(sf_dir, lr=lr, iters=iters)
+    wref = ray.put((w, mu, sd))
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv, m_, s_ = ray.get(wref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        h = pc.hour(batch.column("ts")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.column_stack([np.ones(len(v)), (v - m_) / s_, h / 23.0])
+        y = (batch.column("event_type").to_pandas()
+             .to_numpy(object) == "purchase").astype(np.float64)
+        z = x @ wv
+        pred = (z > 0).astype(np.float64)
+        return pa.table({
+            "_n": pa.array([len(y)], pa.int64()),
+            "_ok": pa.array([float((pred == y).sum())]),
+            "_loss": pa.array(
+                [float((np.logaddexp(0.0, z) - y * z).sum())])})
+
+    agg = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=65536)
+    n = float(agg.sum("_n"))
+    acc = float(agg.sum("_ok")) / n
+    ll = float(agg.sum("_loss")) / n
+    return pa.table({
+        "feature": pa.array(["intercept", "value_z", "hour_frac"],
+                            pa.string()),
+        "coef": pa.array(np.round(w, 6), pa.float64()),
+        "n": pa.array([int(n)] * 3, pa.int64()),
+        "train_accuracy": pa.array([round(acc, 6)] * 3, pa.float64()),
+        "train_log_loss": pa.array([round(ll, 6)] * 3, pa.float64()),
+    })

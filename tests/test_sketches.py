@@ -381,3 +381,57 @@ def test_count_min_laws():
     # every row's counters sum to the total stream length
     for r in range(depth):
         assert sum(v for (rr, _), v in g1.items() if rr == r) == n_total
+
+
+# ---------------------------------------------------------------- logreg
+
+def _numpy_logreg(sf_dir, lr=0.5, iters=12, l2=1e-3):
+    """Single-process reference GD with the identical feature build,
+    init, learning rate and regularization."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "value", "ts"])
+    v = t.column("value").to_numpy()
+    ts = t.column("ts").to_numpy().astype("datetime64[us]")
+    h = ((ts.astype("datetime64[h]").astype(np.int64)) % 24) \
+        .astype(np.float64)
+    mu = v.mean()
+    sd = np.sqrt((v * v).mean() - mu * mu)
+    x = np.column_stack([np.ones(len(v)), (v - mu) / sd, h / 23.0])
+    y = (t.column("event_type").to_pylist() == np.array("purchase")) \
+        .astype(np.float64)
+    w = np.zeros(3)
+    losses = []
+    for _ in range(iters):
+        z = x @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = x.T @ (p - y)
+        reg = l2 * np.concatenate(([0.0], w[1:]))
+        w = w - lr * (g / len(y) + reg)
+        losses.append(float((np.logaddexp(0.0, z) - y * z).mean()))
+    return w, losses
+
+
+def test_logreg_deterministic_and_matches_numpy():
+    w1, mu1, sd1, losses1 = sketches.logreg_fit(SF, iters=12)
+    w2, mu2, sd2, losses2 = sketches.logreg_fit(SF, iters=12)
+    assert np.array_equal(w1, w2) and mu1 == mu2 and sd1 == sd2
+    assert losses1 == losses2
+
+    wref, lref = _numpy_logreg(SF, iters=12)
+    assert np.allclose(w1, wref, atol=1e-6), (w1, wref)
+    assert np.allclose(losses1, lref, atol=1e-6)
+
+
+def test_logreg_loss_monotone_and_query_surface():
+    w, _, _, losses = sketches.logreg_fit(SF, iters=12)
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), \
+        losses
+    out = sketches.events_purchase_lr(SF, iters=12).to_pandas()
+    assert list(out["feature"]) == ["intercept", "value_z",
+                                    "hour_frac"]
+    assert np.allclose(out["coef"].to_numpy(),
+                       np.round(w, 6))
+    assert 0.0 <= out["train_accuracy"].iloc[0] <= 1.0
+    assert out["train_log_loss"].iloc[0] > 0.0
