@@ -1226,6 +1226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-column uniqueness/key-candidate profile (run-length
         # distinct reduction per pruned single-column read)
         "orders_key_candidates": analysis.orders_key_candidates,
+        # Holt double exponential smoothing on the bounded daily
+        # series (recursive-CTE oracle, the CUSUM convention)
+        "events_daily_holt": analysis.events_daily_holt,
+        # keyword-in-context concordance (stateless explode)
+        "doc_kwic": analysis.doc_kwic,
+        # pairwise cosine of nation segment distributions
+        # (bounded 25x5 histogram + driver algebra)
+        "nation_segment_similarity": analysis.nation_segment_similarity,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4510,6 +4518,86 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(t.nt AS DOUBLE) * (t.nt - 1) / 2
                              - ty.n2)), 6) AS tau_b
             FROM pairs, tx, ty, t
+        """,
+        "events_daily_holt": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            ranked AS (
+                SELECT day, rev,
+                       row_number() OVER (ORDER BY day) AS r
+                FROM daily
+            ),
+            holt(r, day, rev, l, b) AS (
+                SELECT r, day, rev, rev,
+                       (SELECT rev FROM ranked WHERE r = 2) - rev
+                FROM ranked WHERE r = 1
+                UNION ALL
+                SELECT d.r, d.day, d.rev,
+                       0.3 * d.rev + (1 - 0.3) * (h.l + h.b),
+                       0.1 * ((0.3 * d.rev + (1 - 0.3) * (h.l + h.b))
+                              - h.l) + (1 - 0.1) * h.b
+                FROM holt h JOIN ranked d ON d.r = h.r + 1
+            )
+            SELECT day, ROUND(rev, 4) AS revenue,
+                   ROUND(l, 4) AS level,
+                   ROUND(b, 4) AS trend,
+                   ROUND(lag(l) OVER w + lag(b) OVER w, 4) AS fitted
+            FROM holt
+            WINDOW w AS (ORDER BY r)
+        """,
+        "doc_kwic": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1)) AS x
+                FROM d
+            )
+            SELECT doc_id, CAST(x AS BIGINT) AS pos,
+                   coalesce(array_to_string(
+                       toks[CASE WHEN x >= 2 THEN CAST(x - 1 AS INTEGER)
+                                 ELSE 1 END : CAST(x AS INTEGER)],
+                       ' '), '') AS left_ctx,
+                   coalesce(array_to_string(
+                       toks[CAST(x + 2 AS INTEGER)
+                            : CAST(x + 3 AS INTEGER)], ' '), '')
+                       AS right_ctx
+            FROM idx
+            WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "nation_segment_similarity": """
+            WITH h AS (
+                SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+                       count(*) AS cnt
+                FROM customer c
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                GROUP BY 1, 2
+            ),
+            nrm AS (
+                SELECT nation,
+                       sqrt(sum(CAST(cnt AS DOUBLE) * cnt)) AS nn
+                FROM h GROUP BY 1
+            ),
+            dots AS (
+                SELECT a.nation AS nation_a, b.nation AS nation_b,
+                       sum(CAST(a.cnt AS DOUBLE) * b.cnt) AS dp
+                FROM h a JOIN h b
+                     ON a.seg = b.seg AND a.nation < b.nation
+                GROUP BY 1, 2
+            )
+            SELECT d.nation_a, d.nation_b,
+                   ROUND(d.dp / (na.nn * nb.nn), 6) AS cosine
+            FROM dots d
+            JOIN nrm na ON na.nation = d.nation_a
+            JOIN nrm nb ON nb.nation = d.nation_b
         """,
         "customer_survival_km": """
             WITH w AS (SELECT max(o_orderdate) AS t1 FROM orders),

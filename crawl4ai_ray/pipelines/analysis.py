@@ -8930,3 +8930,144 @@ def customer_survival_km(sf_dir: str, censor_days: int = 180,
         "n_events": pa.array(d[keep], pa.int64()),
         "survival": pa.array(np.round(surv[keep], 6), pa.float64()),
     })
+
+
+def events_daily_holt(sf_dir: str, alpha: float = 0.3,
+                      beta: float = 0.1):
+    """Holt linear (double) exponential smoothing over the daily
+    revenue series — the trend-aware forecasting recursion next to
+    ``events_daily_cusum``: level lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁),
+    trend bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁,
+    b₁ = x₂ − x₁ (Holt 1957). Per-day rows with the one-step-ahead
+    fitted value fₜ = lₜ₋₁ + bₜ₋₁ (null on the first day).
+
+    Scale shape: the daily aggregate is the distributed reduction
+    (events_daily combiner); the smoothing recursion is inherently
+    sequential and runs on the BOUNDED calendar series driver-side.
+    Smoothing factors are written as α and (1 − α) in BOTH engines so
+    the doubles agree bit-for-bit; the recursion is contractive, so
+    the 1e-12 daily-sum noise never reaches the 4dp rounding."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = daily["rev"].to_numpy(np.float64)
+    n = len(y)
+    level = np.zeros(n)
+    trend = np.zeros(n)
+    fitted = np.full(n, np.nan)
+    lv = y[0]
+    bv = y[1] - y[0]
+    level[0], trend[0] = lv, bv
+    for t in range(1, n):
+        fitted[t] = lv + bv
+        l_new = alpha * y[t] + (1 - alpha) * (lv + bv)
+        bv = beta * (l_new - lv) + (1 - beta) * bv
+        lv = l_new
+        level[t], trend[t] = lv, bv
+    return pa.table({
+        "day": pa.array(daily["day"].to_numpy(np.int64)),
+        "revenue": pa.array(np.round(y, 4), pa.float64()),
+        "level": pa.array(np.round(level, 4), pa.float64()),
+        "trend": pa.array(np.round(trend, 4), pa.float64()),
+        "fitted": pa.array(np.round(fitted, 4), pa.float64()),
+    })
+
+
+def doc_kwic(sf_dir: str, keyword: str = "join", width: int = 2):
+    """Keyword-in-context concordance — every occurrence of
+    ``keyword`` in the corpus with up to ``width`` tokens of context
+    on each side, the corpus-linguistics inspection surface next to
+    the aggregate term statistics (one row per occurrence: doc, 0-based
+    token position, left/right context strings).
+
+    Scale shape: a stateless ``map_batches`` explode (the corpus
+    tokenization convention, lower + whitespace split) — no shuffle at
+    all; output is bounded by keyword frequency, not corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, lefts, rights = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = (text or "").lower().split()
+            for i, t in enumerate(toks):
+                if t == keyword:
+                    ids.append(did)
+                    poss.append(i)
+                    lefts.append(" ".join(toks[max(0, i - width):i]))
+                    rights.append(" ".join(toks[i + 1:i + 1 + width]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "left_ctx": pa.array(lefts, pa.string()),
+            "right_ctx": pa.array(rights, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def nation_segment_similarity(sf_dir: str):
+    """Pairwise cosine similarity between nations' customer-segment
+    distributions — "which markets look alike", the
+    distribution-similarity audit a mixture-rebalance pipeline runs
+    before pooling sources. One row per unordered nation pair (lex
+    a < b) with the cosine of their segment-count vectors.
+
+    Scale shape: the customer table reduces to the BOUNDED
+    nation × segment histogram (≤ 25×5 cells) via a per-batch combiner
+    + one groupby; the nation-name lookup is a 25-row broadcast and
+    the 300-pair cosine algebra runs driver-side on the bounded
+    table."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int),
+                     nat["n_name"]))
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nk": batch.column("c_nationkey")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "seg": batch.column("c_mktsegment").to_pandas()})
+        g = df.groupby(["nk", "seg"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = cust.map_batches(part, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby(["nk", "seg"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    piv = cells.pivot_table(index="nk", columns="seg", values="n",
+                            fill_value=0, aggfunc="sum")
+    keys = sorted(piv.index)
+    m = piv.loc[keys].to_numpy(np.float64)
+    norm = np.sqrt((m * m).sum(axis=1))
+    sim = (m @ m.T) / (norm[:, None] * norm[None, :])
+    rows_a, rows_b, cos = [], [], []
+    nms = [names[int(k)] for k in keys]
+    order = np.argsort(np.asarray(nms, dtype=object))
+    for ii in range(len(keys)):
+        for jj in range(ii + 1, len(keys)):
+            a, b = order[ii], order[jj]
+            rows_a.append(nms[a])
+            rows_b.append(nms[b])
+            cos.append(round(float(sim[a, b]), 6))
+    return pa.table({
+        "nation_a": pa.array(rows_a, pa.string()),
+        "nation_b": pa.array(rows_b, pa.string()),
+        "cosine": pa.array(cos, pa.float64()),
+    })
