@@ -1234,6 +1234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise cosine of nation segment distributions
         # (bounded 25x5 histogram + driver algebra)
         "nation_segment_similarity": analysis.nation_segment_similarity,
+        # month-of-year seasonal revenue index (12-cell combiner)
+        "orders_seasonal_index": analysis.orders_seasonal_index,
+        # standardized Pearson residuals per contingency cell
+        "event_type_hour_residuals": analysis.event_type_hour_residuals,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4572,6 +4576,40 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "orders_seasonal_index": """
+            WITH m AS (
+                SELECT extract(month FROM o_orderdate) AS month,
+                       count(*) AS n, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT sum(rev) AS tot FROM m)
+            SELECT CAST(m.month AS BIGINT) AS month,
+                   CAST(m.n AS BIGINT) AS n_orders,
+                   ROUND(m.rev, 2) AS revenue,
+                   ROUND(12.0 * m.rev / t.tot, 6) AS seasonal_index
+            FROM m, t
+        """,
+        "event_type_hour_residuals": """
+            WITH c AS (
+                SELECT event_type, extract(hour FROM ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+            ct AS (SELECT hour, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT c.event_type, CAST(c.hour AS BIGINT) AS hour,
+                   CAST(c.n AS BIGINT) AS observed,
+                   ROUND(rt.rn * ct.cn / CAST(t.total AS DOUBLE), 6)
+                       AS expected,
+                   ROUND((c.n - rt.rn * ct.cn
+                          / CAST(t.total AS DOUBLE))
+                         / sqrt(rt.rn * ct.cn
+                                / CAST(t.total AS DOUBLE)), 6)
+                       AS residual
+            FROM c JOIN rt USING (event_type)
+            JOIN ct USING (hour), t
         """,
         "nation_segment_similarity": """
             WITH h AS (

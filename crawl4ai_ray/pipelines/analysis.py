@@ -9071,3 +9071,88 @@ def nation_segment_similarity(sf_dir: str):
         "nation_b": pa.array(rows_b, pa.string()),
         "cosine": pa.array(cos, pa.float64()),
     })
+
+
+def orders_seasonal_index(sf_dir: str):
+    """Month-of-year seasonal index of order revenue — index_m =
+    12 · revenue_m / revenue_total, the classical-decomposition
+    seasonal factor (ratio-to-moving-average simplified to
+    ratio-to-grand-mean over a whole-year panel). One row per calendar
+    month with order count, revenue and the index.
+
+    Scale shape: a 12-cell histogram combiner — every batch reduces to
+    ≤ 12 (month, n, rev) partials, one groupby sums them, the index
+    algebra is driver-side on 12 rows."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        mo = pc.month(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"month": mo, "_n": np.int64(1), "_rev": v})
+        g = df.groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("month") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_rev", alias_name="rev")).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    tot = float(m["rev"].sum())
+    return pa.table({
+        "month": pa.array(m["month"].to_numpy(np.int64)),
+        "n_orders": pa.array(m["n"].to_numpy(np.int64)),
+        "revenue": pa.array(
+            np.round(m["rev"].to_numpy(np.float64), 2), pa.float64()),
+        "seasonal_index": pa.array(
+            np.round(12.0 * m["rev"].to_numpy(np.float64) / tot, 6),
+            pa.float64()),
+    })
+
+
+def event_type_hour_residuals(sf_dir: str, max_cells: int = 100_000):
+    """Standardized Pearson residuals of the event_type × hour
+    contingency table — (observed − expected)/√expected per OBSERVED
+    cell, the drill-down that says WHICH cells drive the association
+    the ``event_type_hour_cramersv`` summary reports (|residual| > 2
+    ≈ a significant cell). One row per observed cell.
+
+    Scale shape: the same bounded-cell histogram combiner as the
+    χ²/V/MI family; expected counts and residuals are driver-side
+    algebra on ≤ n_types×24 cells (``max_cells`` loud-guard)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": pc.hour(batch.column("ts"))
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"event_type_hour_residuals: {len(cells)} cells exceed "
+            f"max_cells={max_cells}")
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    rt = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    ct = cells.groupby("hour")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    exp = rt * ct / total
+    res = (n - exp) / np.sqrt(exp)
+    return pa.table({
+        "event_type": pa.array(cells["event_type"], pa.string()),
+        "hour": pa.array(cells["hour"].to_numpy(np.int64)),
+        "observed": pa.array(n.astype(np.int64)),
+        "expected": pa.array(np.round(exp, 6), pa.float64()),
+        "residual": pa.array(np.round(res, 6), pa.float64()),
+    })
