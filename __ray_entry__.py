@@ -1238,6 +1238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_seasonal_index": analysis.orders_seasonal_index,
         # standardized Pearson residuals per contingency cell
         "event_type_hour_residuals": analysis.event_type_hour_residuals,
+        # exponential MLE + KS goodness-of-fit on order interarrivals
+        # (per-customer gaps -> integer-day histogram prefix scan)
+        "orders_interarrival_expfit": analysis.orders_interarrival_expfit,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4576,6 +4579,38 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "orders_interarrival_expfit": """
+            WITH d AS (
+                SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt
+                FROM orders
+            ),
+            gp AS (
+                SELECT datediff('day',
+                    lag(dt) OVER (PARTITION BY o_custkey
+                                  ORDER BY dt), dt) AS gap
+                FROM d
+            ),
+            h AS (SELECT gap, count(*) AS n FROM gp
+                  WHERE gap IS NOT NULL GROUP BY 1),
+            t AS (SELECT sum(n) AS total,
+                         sum(CAST(gap AS DOUBLE) * n) AS s
+                  FROM h),
+            e AS (
+                SELECT h.gap, h.n,
+                       sum(h.n) OVER (ORDER BY h.gap
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM h
+            )
+            SELECT CAST(t.total AS BIGINT) AS n_gaps,
+                   ROUND(t.total / t.s, 6) AS lambda,
+                   ROUND(max(greatest(
+                       abs(e.cum / CAST(t.total AS DOUBLE)
+                           - (1 - exp(-(t.total / t.s) * e.gap))),
+                       abs((e.cum - e.n) / CAST(t.total AS DOUBLE)
+                           - (1 - exp(-(t.total / t.s) * e.gap))))),
+                       6) AS ks_d
+            FROM e, t GROUP BY t.total, t.s
         """,
         "orders_seasonal_index": """
             WITH m AS (

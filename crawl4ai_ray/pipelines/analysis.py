@@ -9156,3 +9156,56 @@ def event_type_hour_residuals(sf_dir: str, max_cells: int = 100_000):
         "expected": pa.array(np.round(exp, 6), pa.float64()),
         "residual": pa.array(np.round(res, 6), pa.float64()),
     })
+
+
+def orders_interarrival_expfit(sf_dir: str, max_keys: int = 100_000):
+    """Exponential fit + goodness-of-fit of customer order
+    interarrival times — λ̂ = 1/mean(gap) (the MLE) and the
+    Kolmogorov–Smirnov D between the pooled gap ECDF and Exp(λ̂), the
+    "is demand memoryless" audit behind queueing assumptions. One
+    summary row (n_gaps, lambda, ks_d).
+
+    Scale shape: gaps form per customer inside bounded ``map_groups``
+    groups (a customer's order count); the pooled gap distribution
+    then collapses to its integer-day HISTOGRAM (timeline-bounded,
+    ``max_keys`` loud-guard), and both the mean and the exact ECDF
+    sup-distance run on the histogram prefix scan driver-side — the
+    Mann-Whitney/KS convention: no per-row ranks ever ship."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["o_orderdate"].to_numpy()
+                    .astype("datetime64[D]").astype(np.int64))
+        if len(d) < 2:
+            return pd.DataFrame({"gap": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        df = pd.DataFrame({"gap": np.diff(d)})
+        out = df.groupby("gap", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = ds.groupby("o_custkey") \
+        .map_groups(gaps, batch_format="pandas") \
+        .groupby("gap").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    if len(hist) > max_keys:
+        raise ValueError(
+            f"orders_interarrival_expfit: {len(hist)} distinct gaps "
+            f"exceed max_keys={max_keys}")
+    hist = hist.sort_values("gap").reset_index(drop=True)
+    g = hist["gap"].to_numpy(np.float64)
+    n = hist["n"].to_numpy(np.float64)
+    total = n.sum()
+    lam = total / float((g * n).sum())
+    cum = np.cumsum(n)
+    fe_hi = cum / total                    # ECDF at gap (right limit)
+    fe_lo = (cum - n) / total              # ECDF just below gap
+    fx = 1.0 - np.exp(-lam * g)
+    ks = float(np.maximum(np.abs(fe_hi - fx),
+                          np.abs(fe_lo - fx)).max())
+    return pa.table({
+        "n_gaps": pa.array([int(total)], pa.int64()),
+        "lambda": pa.array([round(lam, 6)], pa.float64()),
+        "ks_d": pa.array([round(ks, 6)], pa.float64()),
+    })
