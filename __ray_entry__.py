@@ -1241,6 +1241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exponential MLE + KS goodness-of-fit on order interarrivals
         # (per-customer gaps -> integer-day histogram prefix scan)
         "orders_interarrival_expfit": analysis.orders_interarrival_expfit,
+        # per-type Fano factor over hourly buckets (timeline-bounded
+        # histogram; empty buckets enter via the global bucket count)
+        "events_type_burstiness": analysis.events_type_burstiness,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4579,6 +4582,31 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "events_type_burstiness": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(datediff('hour',
+                            TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT)
+                           AS bucket,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            w AS (SELECT CAST(max(bucket) - min(bucket) + 1 AS DOUBLE)
+                         AS nb
+                  FROM c),
+            m AS (
+                SELECT event_type, sum(n) AS s,
+                       sum(CAST(n AS DOUBLE) * n) AS ss
+                FROM c GROUP BY 1
+            )
+            SELECT m.event_type,
+                   CAST(m.s AS BIGINT) AS n_events,
+                   ROUND(m.s / w.nb, 6) AS mean_per_hour,
+                   ROUND((m.ss / w.nb - (m.s / w.nb) * (m.s / w.nb))
+                         / (m.s / w.nb), 6) AS fano_factor
+            FROM m, w
         """,
         "orders_interarrival_expfit": """
             WITH d AS (

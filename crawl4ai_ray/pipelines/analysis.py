@@ -9209,3 +9209,58 @@ def orders_interarrival_expfit(sf_dir: str, max_keys: int = 100_000):
         "lambda": pa.array([round(lam, 6)], pa.float64()),
         "ks_d": pa.array([round(ks, 6)], pa.float64()),
     })
+
+
+def events_type_burstiness(sf_dir: str, max_cells: int = 1_000_000):
+    """Per-type burstiness of the event stream — the Fano factor
+    F = Var/Mean of each type's per-hour arrival counts over the full
+    observation window (F ≈ 1 = Poisson, F > 1 = bursty), the
+    dispersion audit that complements the memorylessness test
+    ``orders_interarrival_expfit``. One row per event type.
+
+    Scale shape: events reduce to the (type, hour-bucket) count
+    histogram — TIMELINE-bounded (``max_cells`` loud-guard) — and the
+    empty buckets every type silently has enter the moments as exact
+    zeros via the global bucket count B: Var_pop = Σx²/B − (Σx/B)²
+    needs only the observed cells plus B. Driver sees cells, never
+    events."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        hb = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "bucket": hb})
+        g = df.groupby(["event_type", "bucket"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "bucket"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"events_type_burstiness: {len(cells)} cells exceed "
+            f"max_cells={max_cells}")
+    b0 = int(cells["bucket"].min())
+    b1 = int(cells["bucket"].max())
+    nb = float(b1 - b0 + 1)
+    out = []
+    for et, g in cells.groupby("event_type"):
+        x = g["n"].to_numpy(np.float64)
+        s, ss = x.sum(), (x * x).sum()
+        mean = s / nb
+        var = ss / nb - mean * mean
+        out.append((et, int(s), mean, var / mean))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([o[0] for o in out], pa.string()),
+        "n_events": pa.array([o[1] for o in out], pa.int64()),
+        "mean_per_hour": pa.array(
+            [round(o[2], 6) for o in out], pa.float64()),
+        "fano_factor": pa.array(
+            [round(o[3], 6) for o in out], pa.float64()),
+    })
