@@ -1244,6 +1244,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type Fano factor over hourly buckets (timeline-bounded
         # histogram; empty buckets enter via the global bucket count)
         "events_type_burstiness": analysis.events_type_burstiness,
+        # Laspeyres/Paasche YoY price-volume revenue bridge per part
+        # type (gated dimension broadcast + (type,year) combiner)
+        "revenue_price_volume_decomp":
+            analysis.revenue_price_volume_decomp,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4582,6 +4586,30 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "revenue_price_volume_decomp": """
+            WITH g AS (
+                SELECT p.p_type,
+                       extract(year FROM l.l_shipdate) AS year,
+                       sum(l.l_quantity) AS q,
+                       sum(l.l_extendedprice * (1 - l.l_discount))
+                           AS r
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE extract(year FROM l.l_shipdate) IN (1996, 1997)
+                GROUP BY 1, 2
+            ),
+            y0 AS (SELECT p_type, q, r FROM g WHERE year = 1996),
+            y1 AS (SELECT p_type, q, r FROM g WHERE year = 1997)
+            SELECT y0.p_type,
+                   ROUND(y0.q, 2) AS q0,
+                   ROUND(y1.q, 2) AS q1,
+                   ROUND((y1.r - y0.r) / y0.r, 6) AS pct_total,
+                   ROUND((y0.r / y0.q) * (y1.q - y0.q) / y0.r, 6)
+                       AS pct_volume,
+                   ROUND(y1.q * (y1.r / y1.q - y0.r / y0.q) / y0.r, 6)
+                       AS pct_price
+            FROM y0 JOIN y1 USING (p_type)
         """,
         "events_type_burstiness": """
             WITH c AS (

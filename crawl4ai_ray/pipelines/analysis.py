@@ -9264,3 +9264,114 @@ def events_type_burstiness(sf_dir: str, max_cells: int = 1_000_000):
         "fano_factor": pa.array(
             [round(o[3], 6) for o in out], pa.float64()),
     })
+
+
+def revenue_price_volume_decomp(sf_dir: str, year0: int = 1996,
+                                year1: int = 1997, form: str = "auto",
+                                broadcast_limit: int = BROADCAST_LIMIT):
+    """Laspeyres/Paasche price–volume decomposition of the
+    year-over-year revenue change per part type — ΔR/R₀ splits exactly
+    into a volume effect P₀·(Q₁−Q₀)/R₀ (quantity change at old prices)
+    and a price effect Q₁·(P₁−P₀)/R₀ (price change at new volumes),
+    the index-number identity behind every "was it price or demand"
+    revenue bridge. One row per type present in both years; only
+    scale-free percentage effects are emitted (raw currency deltas
+    would sit at the edge of the 6dp agreement margin).
+
+    Scale shape: the ``revenue_by_part_type`` gated-dimension pattern —
+    partkey→type broadcast (sorted searchsorted probe) at or below
+    ``broadcast_limit``, native join above it; per-batch (type, year)
+    combiner partials so the final groupby carries ≤ types×2 rows per
+    batch; the decomposition algebra runs driver-side on the bounded
+    (type, year) table."""
+    import ray
+
+    from .dedup import _join_parts
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    if form == "auto":
+        form = "broadcast" if part_ds.count() <= broadcast_limit \
+            else "join"
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def _partial(types, yr, qty, rev) -> pa.Table:
+        df = pd.DataFrame({"p_type": types, "year": yr,
+                           "_q": qty, "_r": rev})
+        df = df[(df["year"] == year0) | (df["year"] == year1)]
+        g = df.groupby(["p_type", "year"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    if form == "broadcast":
+        part = part_ds.to_pandas()
+        codes, vocab = pd.factorize(part["p_type"])
+        vocab = np.asarray(vocab, dtype=object)
+        ref = ray.put(_sorted_probe_arrays(
+            part["p_partkey"].to_numpy(np.int64),
+            codes.astype(np.int32)))
+
+        def probe(batch: pa.Table, ref=ref, vocab=vocab) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            keys = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            code = _probe_sorted(sk, sv, keys, -1)
+            types = np.where(code >= 0,
+                             vocab[np.maximum(code, 0)], "")
+            yr = pc.year(batch.column("l_shipdate")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            q = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount") \
+                .to_numpy(zero_copy_only=False)
+            return _partial(types, yr, q, ep * (1.0 - dc))
+
+        partials = li.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        joined = li.join(part_ds, join_type="inner", on=("l_partkey",),
+                         right_on=("p_partkey",),
+                         num_partitions=_join_parts(li, part_ds))
+
+        def jpartial(batch: pa.Table) -> pa.Table:
+            yr = pc.year(batch.column("l_shipdate")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            q = batch.column("l_quantity") \
+                .to_numpy(zero_copy_only=False)
+            ep = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount") \
+                .to_numpy(zero_copy_only=False)
+            return _partial(batch.column("p_type").to_pandas(), yr,
+                            q, ep * (1.0 - dc))
+
+        partials = joined.map_batches(jpartial, batch_format="pyarrow",
+                                      batch_size=65536)
+
+    agg = partials.groupby(["p_type", "year"]) \
+        .aggregate(Sum("_q", alias_name="q"),
+                   Sum("_r", alias_name="r")).to_pandas()
+    y0 = agg[agg["year"] == year0].set_index("p_type")
+    y1 = agg[agg["year"] == year1].set_index("p_type")
+    both = sorted(set(y0.index) & set(y1.index))
+    rows = []
+    for t in both:
+        q0, r0 = float(y0.loc[t, "q"]), float(y0.loc[t, "r"])
+        q1, r1 = float(y1.loc[t, "q"]), float(y1.loc[t, "r"])
+        p0, p1 = r0 / q0, r1 / q1
+        rows.append((t, q0, q1,
+                     round((r1 - r0) / r0, 6),
+                     round(p0 * (q1 - q0) / r0, 6),
+                     round(q1 * (p1 - p0) / r0, 6)))
+    return pa.table({
+        "p_type": pa.array([r[0] for r in rows], pa.string()),
+        "q0": pa.array([round(r[1], 2) for r in rows], pa.float64()),
+        "q1": pa.array([round(r[2], 2) for r in rows], pa.float64()),
+        "pct_total": pa.array([r[3] for r in rows], pa.float64()),
+        "pct_volume": pa.array([r[4] for r in rows], pa.float64()),
+        "pct_price": pa.array([r[5] for r in rows], pa.float64()),
+    })

@@ -704,3 +704,11 @@ def test_ks_matches_bruteforce_ecdf():
     # the reported witness value attains the max gap
     i = np.searchsorted(vals, t["at_value"][0])
     assert round(float(gap[i]), 6) == t["d_stat"][0]
+
+
+def test_price_volume_decomp_join_fallback():
+    a = _norm(analysis.revenue_price_volume_decomp(SF).to_pandas())
+    b = _norm(analysis.revenue_price_volume_decomp(
+        SF, broadcast_limit=0).to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
