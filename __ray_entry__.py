@@ -1248,6 +1248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # type (gated dimension broadcast + (type,year) combiner)
         "revenue_price_volume_decomp":
             analysis.revenue_price_volume_decomp,
+        # empirical-Bayes Beta shrinkage of per-user purchase rates
+        # (user-keyed combiner + scalar prior moments)
+        "user_conversion_shrinkage": analysis.user_conversion_shrinkage,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4586,6 +4589,39 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "user_conversion_shrinkage": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS k
+                FROM events GROUP BY 1
+            ),
+            mom AS (
+                SELECT count(*) AS c,
+                       sum(CAST(k AS DOUBLE) / n) AS s,
+                       sum((CAST(k AS DOUBLE) / n)
+                           * (CAST(k AS DOUBLE) / n)) AS ss
+                FROM u
+            ),
+            pr AS (
+                SELECT (s / c) AS m,
+                       (ss / c - (s / c) * (s / c)) AS v
+                FROM mom
+            ),
+            ab AS (
+                SELECT m * (m * (1 - m) / v - 1) AS alpha,
+                       (1 - m) * (m * (1 - m) / v - 1) AS beta
+                FROM pr
+            )
+            SELECT u.user_id,
+                   CAST(u.n AS BIGINT) AS n_events,
+                   CAST(u.k AS BIGINT) AS n_purchases,
+                   ROUND(CAST(u.k AS DOUBLE) / u.n, 6) AS raw_rate,
+                   ROUND((u.k + ab.alpha)
+                         / (u.n + ab.alpha + ab.beta), 6)
+                       AS shrunk_rate
+            FROM u, ab
         """,
         "revenue_price_volume_decomp": """
             WITH g AS (

@@ -9375,3 +9375,70 @@ def revenue_price_volume_decomp(sf_dir: str, year0: int = 1996,
         "pct_volume": pa.array([r[4] for r in rows], pa.float64()),
         "pct_price": pa.array([r[5] for r in rows], pa.float64()),
     })
+
+
+def user_conversion_shrinkage(sf_dir: str):
+    """Empirical-Bayes shrinkage of per-user purchase rates — fit a
+    Beta prior to the population of raw rates by method of moments
+    (α = m·c, β = (1−m)·c, c = m(1−m)/v − 1) and report each user's
+    posterior-mean rate (k+α)/(n+α+β), the James–Stein-flavored fix
+    for "this user is 2/2 = 100% converting" small-sample noise. One
+    row per user with raw and shrunk rates.
+
+    Scale shape: per-user (n, k) via ONE user-keyed groupby combiner
+    (the only full-volume shuffle); the prior moments reduce over the
+    user-keyed RATE table through scalar map-sums; α/β then ride into
+    a stateless final map. Nothing driver-side but four scalars."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False),
+            "_n": np.int64(1),
+            "_k": (et == "purchase").astype(np.int64)})
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = ds.map_batches(part, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("user_id") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_k", alias_name="k")).materialize()
+
+    def mom(batch: pa.Table) -> pa.Table:
+        r = batch.column("k").to_numpy(zero_copy_only=False) \
+            / batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_c": pa.array([batch.num_rows], pa.int64()),
+            "_s": pa.array([float(r.sum())]),
+            "_ss": pa.array([float((r * r).sum())])})
+
+    m = per_user.map_batches(mom, batch_format="pyarrow",
+                             batch_size=65536)
+    cnt = float(m.sum("_c"))
+    s, ss = float(m.sum("_s")), float(m.sum("_ss"))
+    mean = s / cnt
+    var = ss / cnt - mean * mean
+    common = mean * (1 - mean) / var - 1
+    alpha = mean * common
+    beta = (1 - mean) * common
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k = batch.column("k").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_events": batch.column("n").cast(pa.int64()),
+            "n_purchases": batch.column("k").cast(pa.int64()),
+            "raw_rate": pa.array(np.round(k / n, 6), pa.float64()),
+            "shrunk_rate": pa.array(
+                np.round((k + alpha) / (n + alpha + beta), 6),
+                pa.float64()),
+        })
+
+    return per_user.map_batches(finish, batch_format="pyarrow",
+                                batch_size=65536)
