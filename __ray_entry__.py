@@ -1272,6 +1272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_numbers": analysis.event_numbers,
         "exact_dedup": dedup.exact_dedup,
         "exact_dedup_survivors": lambda sf: dedup.exact_dedup_survivors(sf),
+        # duplicate-cluster size histogram (count-of-counts dedup audit)
+        "doc_dup_cluster_sizes": dedup.dup_cluster_sizes,
         # similarity search
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         # contrastive mining: broadcast anchors, per-batch matmul +
@@ -4589,6 +4591,23 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "doc_dup_cluster_sizes": """
+            WITH c AS (
+                SELECT md5(substr(text, 1, 64)) AS k,
+                       count(*) AS cluster_size
+                FROM documents GROUP BY 1
+            ),
+            h AS (
+                SELECT cluster_size, count(*) AS n_clusters
+                FROM c GROUP BY 1
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+                   CAST((cluster_size - 1) * n_clusters AS BIGINT)
+                       AS n_removed
+            FROM h
         """,
         "user_conversion_shrinkage": """
             WITH u AS (

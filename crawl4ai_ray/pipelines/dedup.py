@@ -1391,3 +1391,49 @@ def exact_dedup_incremental(sf_dir: str, split_id: int = 400,
         "content_md5", ["doc_id"], key_type=pa.string(), how="min")
     return first.select_columns(["doc_id", "content_md5"]) \
         .sort("doc_id")
+
+
+def dup_cluster_sizes(sf_dir: str, prefix_len: int = 64):
+    """Duplicate-cluster size histogram — how many exact-dup clusters
+    have 1, 2, 3… members, the count-of-counts audit of the corpus's
+    duplication structure (the dedup twin of ``orders_fanout_audit``:
+    it says up front how much ``exact_dedup_survivors`` will remove
+    and whether one mega-cluster dominates the shuffle). One row per
+    cluster size plus the implied removal count.
+
+    Scale shape: the ``exact_dedup`` md5-key combiner + groupby gives
+    (key, dup_count); a second combiner + groupby over dup_count
+    collapses that to the ≤ max-cluster-size histogram — count-of-
+    counts is bounded by the LARGEST cluster, not the corpus."""
+    from ray.data.aggregate import Sum as _Sum
+
+    clusters = exact_dedup(sf_dir, prefix_len=prefix_len)
+
+    def part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "cluster_size": batch.column("dup_count")
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("cluster_size", as_index=False).size() \
+            .rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = clusters.map_batches(part, batch_format="pyarrow",
+                                batch_size=65536) \
+        .groupby("cluster_size") \
+        .aggregate(_Sum("_n", alias_name="n_clusters"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cs = batch.column("cluster_size") \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        nc = batch.column("n_clusters") \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "cluster_size": pa.array(cs, pa.int64()),
+            "n_clusters": pa.array(nc, pa.int64()),
+            "n_docs": pa.array(cs * nc, pa.int64()),
+            "n_removed": pa.array((cs - 1) * nc, pa.int64()),
+        })
+
+    return hist.map_batches(finish, batch_format="pyarrow")
