@@ -1251,6 +1251,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # empirical-Bayes Beta shrinkage of per-user purchase rates
         # (user-keyed combiner + scalar prior moments)
         "user_conversion_shrinkage": analysis.user_conversion_shrinkage,
+        # cross-correlation of two daily series at lags 0..7
+        # (timeline-bounded double combiner, driver lag alignment)
+        "events_daily_ccf": analysis.events_daily_ccf,
+        # entropy rate of the event-type Markov chain (|types|^2
+        # transition matrix from per-user pair emission)
+        "events_markov_entropy": analysis.events_markov_entropy,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4591,6 +4597,73 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "events_daily_ccf": """
+            WITH d AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN value ELSE 0 END) AS rev,
+                       sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS err
+                FROM events GROUP BY 1
+            ),
+            lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+            j AS (
+                SELECT lags.lag, CAST(a.err AS DOUBLE) AS x,
+                       b.rev AS y
+                FROM lags
+                JOIN d a ON true
+                JOIN d b ON b.day = a.day + lags.lag
+            ),
+            m AS (
+                SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM j GROUP BY 1
+            )
+            SELECT CAST(lag AS BIGINT) AS lag_days,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   ROUND((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n)
+                                * (syy - sy * sy / n)), 6) AS ccf
+            FROM m
+        """,
+        "events_markov_entropy": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            p AS (
+                SELECT a.event_type AS f, b.event_type AS t,
+                       count(*) AS n
+                FROM s a JOIN s b
+                     ON b.user_id = a.user_id AND b.rn = a.rn + 1
+                GROUP BY 1, 2
+            ),
+            r AS (SELECT f, sum(n) AS m FROM p GROUP BY 1),
+            tt AS (SELECT sum(n) AS total FROM p),
+            er AS (
+                SELECT sum((r.m / CAST(tt.total AS DOUBLE))
+                           * (p.n / CAST(r.m AS DOUBLE))
+                           * log2(p.n / CAST(r.m AS DOUBLE))) AS hr
+                FROM p JOIN r USING (f), tt
+            ),
+            em AS (
+                SELECT sum((r.m / CAST(tt.total AS DOUBLE))
+                           * log2(r.m / CAST(tt.total AS DOUBLE)))
+                       AS hm
+                FROM r, tt
+            )
+            SELECT CAST(tt.total AS BIGINT) AS n_transitions,
+                   CAST((SELECT count(*) FROM r) AS BIGINT)
+                       AS n_states,
+                   ROUND(-er.hr, 6) AS entropy_rate_bits,
+                   ROUND(-em.hm, 6) AS marginal_entropy_bits,
+                   ROUND(1 - er.hr / em.hm, 6) AS predictability_gain
+            FROM er, em, tt
         """,
         "doc_dup_cluster_sizes": """
             WITH c AS (

@@ -9442,3 +9442,118 @@ def user_conversion_shrinkage(sf_dir: str):
 
     return per_user.map_batches(finish, batch_format="pyarrow",
                                 batch_size=65536)
+
+
+def events_daily_ccf(sf_dir: str, max_lag: int = 7):
+    """Cross-correlation function between two daily series from the
+    event stream — purchase revenue vs error count, at lags 0…
+    ``max_lag`` (does today's error volume co-move with purchase
+    revenue k days later?) — the lead/lag diagnostic next to the
+    single-series ``events_value_autocorr``. One row per lag with
+    Pearson r over the overlapping day pairs (x leads by ``lag``).
+
+    Scale shape: events reduce to TWO timeline-bounded daily series
+    through one combiner + groupby; the lag alignment and the ≤
+    max_lag+1 correlations run driver-side on the bounded calendar
+    table (the CUSUM/Holt convention)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "day": days,
+            "_rev": np.where(et == "purchase", v, 0.0),
+            "_err": (et == "error").astype(np.int64)})
+        g = df.groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day") \
+        .aggregate(Sum("_rev", alias_name="rev"),
+                   Sum("_err", alias_name="err")).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    day = daily["day"].to_numpy(np.int64)
+    rev = daily["rev"].to_numpy(np.float64)
+    err = daily["err"].to_numpy(np.float64)
+    pos = {d: i for i, d in enumerate(day)}
+    out_lag, out_n, out_r = [], [], []
+    for lag in range(max_lag + 1):
+        xs, ys = [], []
+        for i, d in enumerate(day):
+            j = pos.get(d + lag)
+            if j is not None:
+                xs.append(err[i])
+                ys.append(rev[j])
+        x = np.asarray(xs)
+        y = np.asarray(ys)
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        cov = (x * y).sum() - sx * sy / n
+        vx = (x * x).sum() - sx * sx / n
+        vy = (y * y).sum() - sy * sy / n
+        out_lag.append(lag)
+        out_n.append(n)
+        out_r.append(round(float(cov / np.sqrt(vx * vy)), 6))
+    return pa.table({
+        "lag_days": pa.array(out_lag, pa.int64()),
+        "n_pairs": pa.array(out_n, pa.int64()),
+        "ccf": pa.array(out_r, pa.float64()),
+    })
+
+
+def events_markov_entropy(sf_dir: str):
+    """Entropy rate of the event-type Markov chain — H =
+    −Σᵢ πᵢ Σⱼ Pᵢⱼ log₂ Pᵢⱼ with π the empirical source-state
+    frequency, the predictability summary of the
+    ``events_type_transitions`` matrix (0 bits = deterministic
+    behavior, log₂|types| = uniform). One summary row with the
+    conditional entropy rate, the marginal entropy of the source
+    states, and the ratio (how much the past type tells you).
+
+    Scale shape: rides the transitions op's bounded machinery —
+    per-user pair emission in ``map_groups``, one |types|²-sized
+    groupby, entropy algebra on the tiny matrix driver-side."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "c": []})
+        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        df["c"] = np.int64(1)
+        return df.groupby(["from_type", "to_type"],
+                          as_index=False)["c"].sum()
+
+    counts = ds.groupby("user_id") \
+        .map_groups(pairs, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("c", alias_name="n")).to_pandas()
+    n = counts["n"].to_numpy(np.float64)
+    total = n.sum()
+    row = counts.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    p_cond = n / row
+    pi = row / total
+    h_rate = float(-(pi * p_cond * np.log2(p_cond)).sum())
+    marg = counts.groupby("from_type")["n"].sum() \
+        .to_numpy(np.float64) / total
+    h_marg = float(-(marg * np.log2(marg)).sum())
+    return pa.table({
+        "n_transitions": pa.array([int(total)], pa.int64()),
+        "n_states": pa.array([counts["from_type"].nunique()],
+                             pa.int64()),
+        "entropy_rate_bits": pa.array([round(h_rate, 6)],
+                                      pa.float64()),
+        "marginal_entropy_bits": pa.array([round(h_marg, 6)],
+                                          pa.float64()),
+        "predictability_gain": pa.array(
+            [round(1.0 - h_rate / h_marg, 6)], pa.float64()),
+    })
