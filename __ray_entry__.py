@@ -1257,6 +1257,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entropy rate of the event-type Markov chain (|types|^2
         # transition matrix from per-user pair emission)
         "events_markov_entropy": analysis.events_markov_entropy,
+        # Hill tail-index over the k largest order values
+        # (distributed local-top-k combiner, no full sort)
+        "orders_hill_tail_index": analysis.orders_hill_tail_index,
+        # per-lang type-token ratio + hapax share (term-table scalars)
+        "corpus_lexical_richness": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["corpus_lexical_richness"],
+        ).corpus_lexical_richness(sf),
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4597,6 +4605,44 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "orders_hill_tail_index": """
+            WITH top AS (
+                SELECT o_totalprice AS v FROM orders
+                ORDER BY v DESC LIMIT 501
+            ),
+            r AS (
+                SELECT v, row_number() OVER (ORDER BY v DESC) AS rn
+                FROM top
+            ),
+            thr AS (SELECT v AS xk1 FROM r WHERE rn = 501)
+            SELECT CAST(500 AS BIGINT) AS k,
+                   ROUND(thr.xk1, 2) AS threshold,
+                   ROUND(500 / (SELECT sum(ln(r.v / thr.xk1))
+                                FROM r, thr WHERE r.rn <= 500), 6)
+                       AS hill_alpha
+            FROM thr
+        """,
+        "corpus_lexical_richness": r"""
+            WITH t AS (
+                SELECT lang, term, count(*) AS n FROM (
+                    SELECT lang,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS types,
+                   CAST(sum(n) AS BIGINT) AS tokens,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapaxes,
+                   ROUND(count(*) / CAST(sum(n) AS DOUBLE), 6)
+                       AS type_token_ratio,
+                   ROUND(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS hapax_share
+            FROM t GROUP BY 1
         """,
         "events_daily_ccf": """
             WITH d AS (

@@ -9557,3 +9557,38 @@ def events_markov_entropy(sf_dir: str):
         "predictability_gain": pa.array(
             [round(1.0 - h_rate / h_marg, 6)], pa.float64()),
     })
+
+
+def orders_hill_tail_index(sf_dir: str, k: int = 500):
+    """Hill estimator of the order-value tail index — α̂ =
+    k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest values (Hill 1975), the
+    heavy-tail audit behind "can we trust the mean": α ≤ 2 means
+    infinite variance, α ≤ 1 infinite mean. One summary row with the
+    threshold x₍ₖ₊₁₎ and α̂.
+
+    Scale shape: the statistic only needs the global top k+1 order
+    statistics, so it rides the distributed TOP-K pattern (per-batch
+    local top-(k+1) combiner, one small sort over blocks×(k+1) rows);
+    the log-ratio algebra is driver-side on k values. No full sort,
+    no full shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice") \
+            .to_numpy(zero_copy_only=False)
+        if len(v) > k + 1:
+            v = np.partition(v, len(v) - (k + 1))[-(k + 1):]
+        return pa.table({"v": pa.array(v, pa.float64())})
+
+    top = ds.map_batches(local_top, batch_format="pyarrow",
+                         batch_size=65536) \
+        .sort("v", descending=True).limit(k + 1).to_pandas()
+    v = top["v"].to_numpy(np.float64)
+    xk1 = float(v[k])
+    logs = np.log(v[:k] / xk1)
+    alpha = k / float(logs.sum())
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "threshold": pa.array([round(xk1, 2)], pa.float64()),
+        "hill_alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })

@@ -1839,3 +1839,75 @@ def doc_lang_nb(sf_dir: str):
         })
 
     return sc.groupby("doc_id").map_groups(pick, batch_format="pandas")
+
+
+def corpus_lexical_richness(sf_dir: str):
+    """Corpus lexical-richness profile per language — type-token ratio
+    and hapax-legomena share (types seen exactly once / types), the
+    vocabulary-growth health check a corpus curator reads next to the
+    Zipf slope (a scraped-boilerplate corpus has few hapaxes; an
+    OCR-noise corpus has too many). One row per lang.
+
+    Scale shape: per-batch Counter partials keyed (lang, term) →
+    ``sorted_keyed_sum`` exact fold → per-lang scalar reductions over
+    the term table (types, hapaxes, tokens are all one groupby of the
+    TERM-sized table, never the corpus)."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for lang, text in zip(batch.column("lang").to_pylist(),
+                              batch.column("text").to_pylist()):
+            for t in _tokens(text):
+                c[(lang, t)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            # tab separator: tokens are whitespace-split so they can
+            # never contain one (NUL would be truncated by the sort
+            # boundary sampling's C-string handling)
+            "k": pa.array([f"{l}\t{t}" for l, t in keys],
+                          pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    terms = sorted_keyed_sum(
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       batch_size=None), "k", ["n"],
+        key_type=pa.string())
+
+    def split(batch: pa.Table) -> pa.Table:
+        ks = batch.column("k").to_pylist()
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        langs = [k.split("\t", 1)[0] for k in ks]
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "tokens": pa.array(n, pa.int64()),
+            "hapax": pa.array((n == 1).astype(np.int64)),
+        })
+
+    g = terms.map_batches(split, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("lang") \
+        .aggregate(_Count(alias_name="types"),
+                   _Sum("tokens", alias_name="tokens"),
+                   _Sum("hapax", alias_name="hapaxes")).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    ty = g["types"].to_numpy(np.int64)
+    tok = g["tokens"].to_numpy(np.int64)
+    hp = g["hapaxes"].to_numpy(np.int64)
+    return pa.table({
+        "lang": pa.array(g["lang"], pa.string()),
+        "types": pa.array(ty, pa.int64()),
+        "tokens": pa.array(tok, pa.int64()),
+        "hapaxes": pa.array(hp, pa.int64()),
+        "type_token_ratio": pa.array(
+            np.round(ty / tok, 6), pa.float64()),
+        "hapax_share": pa.array(np.round(hp / ty, 6), pa.float64()),
+    })
