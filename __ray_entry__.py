@@ -1260,11 +1260,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Hill tail-index over the k largest order values
         # (distributed local-top-k combiner, no full sort)
         "orders_hill_tail_index": analysis.orders_hill_tail_index,
+        # single best mean-shift changepoint (binary segmentation,
+        # prefix-sum split scan on the bounded daily series)
+        "events_daily_changepoint": analysis.events_daily_changepoint,
         # per-lang type-token ratio + hapax share (term-table scalars)
         "corpus_lexical_richness": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus",
             fromlist=["corpus_lexical_richness"],
         ).corpus_lexical_richness(sf),
+        # pairwise Jensen-Shannon divergence between lang term
+        # distributions (vocab-bounded probability matrix)
+        "lang_jsd_matrix": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["lang_jsd_matrix"],
+        ).lang_jsd_matrix(sf),
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4606,6 +4615,49 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
         """,
+        "events_daily_changepoint": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            o AS (
+                SELECT day, rev,
+                       row_number() OVER (ORDER BY day) AS r
+                FROM daily
+            ),
+            p AS (
+                SELECT day, r,
+                       sum(rev) OVER (ORDER BY r) AS s1,
+                       sum(rev * rev) OVER (ORDER BY r) AS ss1,
+                       lead(day) OVER (ORDER BY r) AS nd
+                FROM o
+            ),
+            t AS (SELECT max(r) AS n, sum(rev) AS ts,
+                         sum(rev * rev) AS tss
+                  FROM o),
+            c AS (
+                SELECT p.day, p.nd, p.r AS n1, t.n - p.r AS n2,
+                       p.s1 / p.r AS m1,
+                       (t.ts - p.s1) / (t.n - p.r) AS m2,
+                       (p.ss1 - p.s1 * p.s1 / p.r)
+                       + ((t.tss - p.ss1)
+                          - (t.ts - p.s1) * (t.ts - p.s1)
+                            / (t.n - p.r)) AS cost,
+                       t.tss - t.ts * t.ts / t.n AS ssef
+                FROM p, t WHERE p.r < t.n
+            ),
+            b AS (SELECT * FROM c
+                  ORDER BY ROUND(cost, 6), day LIMIT 1)
+            SELECT CAST(nd AS BIGINT) AS split_day,
+                   CAST(n1 AS BIGINT) AS n_before,
+                   CAST(n2 AS BIGINT) AS n_after,
+                   ROUND(m1, 4) AS mean_before,
+                   ROUND(m2, 4) AS mean_after,
+                   ROUND(ssef - cost, 4) AS sse_reduction
+            FROM b
+        """,
         "orders_hill_tail_index": """
             WITH top AS (
                 SELECT o_totalprice AS v FROM orders
@@ -4643,6 +4695,40 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "lang_jsd_matrix": r"""
+            WITH t AS (
+                SELECT lang, term, count(*) AS n FROM (
+                    SELECT lang,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY 1, 2
+            ),
+            tot AS (SELECT lang, sum(n) AS s FROM t GROUP BY 1),
+            d AS (
+                SELECT tm.term, l.lang,
+                       coalesce(t.n, 0) / CAST(tot.s AS DOUBLE) AS p
+                FROM (SELECT DISTINCT term FROM t) tm
+                CROSS JOIN (SELECT DISTINCT lang FROM t) l
+                JOIN tot ON tot.lang = l.lang
+                LEFT JOIN t ON t.term = tm.term AND t.lang = l.lang
+            ),
+            j AS (
+                SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       a.p AS pa_, b.p AS pb_
+                FROM d a JOIN d b
+                     ON a.term = b.term AND a.lang < b.lang
+            )
+            SELECT lang_a, lang_b,
+                   ROUND(sum(
+                       CASE WHEN pa_ > 0 THEN
+                           0.5 * pa_ * log2(2 * pa_ / (pa_ + pb_))
+                       ELSE 0 END
+                       + CASE WHEN pb_ > 0 THEN
+                           0.5 * pb_ * log2(2 * pb_ / (pa_ + pb_))
+                       ELSE 0 END), 6) AS jsd_bits
+            FROM j GROUP BY 1, 2
         """,
         "events_daily_ccf": """
             WITH d AS (

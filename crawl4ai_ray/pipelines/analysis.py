@@ -9592,3 +9592,62 @@ def orders_hill_tail_index(sf_dir: str, k: int = 500):
         "threshold": pa.array([round(xk1, 2)], pa.float64()),
         "hill_alpha": pa.array([round(alpha, 6)], pa.float64()),
     })
+
+
+def events_daily_changepoint(sf_dir: str):
+    """Single best mean-shift changepoint in the daily revenue series
+    by binary segmentation — split the series at the t minimizing
+    SSE(left) + SSE(right) (equivalently maximizing the two-segment
+    cost reduction; the first step of the PELT/binary-segmentation
+    family). One summary row: the split day (first day of the right
+    segment), segment means and the SSE reduction vs the unsplit
+    series. Earliest day wins cost ties (both engines scan in day
+    order).
+
+    Scale shape: the daily aggregate is the distributed reduction; the
+    O(days) split scan runs driver-side on the bounded calendar series
+    via prefix sums — SSE(prefix) = ss₁..t − s₁..t²/t needs no second
+    pass."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    day = daily["day"].to_numpy(np.int64)
+    y = daily["rev"].to_numpy(np.float64)
+    n = len(y)
+    ps = np.cumsum(y)
+    pss = np.cumsum(y * y)
+    tot_s, tot_ss = ps[-1], pss[-1]
+    sse_full = tot_ss - tot_s * tot_s / n
+    # split after index t (left = 0..t, right = t+1..n-1), t in 0..n-2
+    t = np.arange(n - 1)
+    n1 = (t + 1).astype(np.float64)
+    n2 = n - n1
+    s1 = ps[t]
+    s2 = tot_s - s1
+    ss1 = pss[t]
+    ss2 = tot_ss - ss1
+    cost = (ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)
+    best = int(np.argmin(np.round(cost, 6)))
+    return pa.table({
+        "split_day": pa.array([int(day[best + 1])], pa.int64()),
+        "n_before": pa.array([best + 1], pa.int64()),
+        "n_after": pa.array([n - best - 1], pa.int64()),
+        "mean_before": pa.array(
+            [round(float(s1[best] / n1[best]), 4)], pa.float64()),
+        "mean_after": pa.array(
+            [round(float(s2[best] / n2[best]), 4)], pa.float64()),
+        "sse_reduction": pa.array(
+            [round(float(sse_full - cost[best]), 4)], pa.float64()),
+    })

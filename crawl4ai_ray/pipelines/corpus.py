@@ -1911,3 +1911,70 @@ def corpus_lexical_richness(sf_dir: str):
             np.round(ty / tok, 6), pa.float64()),
         "hapax_share": pa.array(np.round(hp / ty, 6), pa.float64()),
     })
+
+
+def lang_jsd_matrix(sf_dir: str, max_cells: int = 1_000_000):
+    """Pairwise Jensen–Shannon divergence (bits) between languages'
+    term distributions — the symmetric, bounded [0,1] distribution
+    distance a mixture curator reads next to the cosine similarity:
+    JSD(p,q) = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2 (no smoothing needed —
+    a term absent from both sides never enters). One row per unordered
+    lang pair (lex a < b).
+
+    Scale shape: the ``corpus_lexical_richness`` (lang, term) count
+    reduction (Counter partials → sortagg exact fold); the divergence
+    algebra runs driver-side on the VOCAB × langs probability matrix
+    (``max_cells`` loud-guard — vocab-bounded, not corpus-bounded)."""
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for lang, text in zip(batch.column("lang").to_pylist(),
+                              batch.column("text").to_pylist()):
+            for t in _tokens(text):
+                c[(lang, t)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "k": pa.array([f"{l}\t{t}" for l, t in keys], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    terms = sorted_keyed_sum(
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       batch_size=None), "k", ["n"],
+        key_type=pa.string()).to_pandas()
+    if len(terms) > max_cells:
+        raise ValueError(
+            f"lang_jsd_matrix: {len(terms)} (lang, term) cells exceed "
+            f"max_cells={max_cells}")
+    parts = terms["k"].str.split("\t", n=1, expand=True)
+    terms = pd.DataFrame({"lang": parts[0], "term": parts[1],
+                          "n": terms["n"].to_numpy(np.float64)})
+    piv = terms.pivot_table(index="term", columns="lang", values="n",
+                            fill_value=0.0, aggfunc="sum")
+    langs = sorted(piv.columns)
+    m = piv[langs].to_numpy(np.float64)
+    p = m / m.sum(axis=0)[None, :]
+    rows_a, rows_b, jsd = [], [], []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            pa_, pb_ = p[:, i], p[:, j]
+            mm = pa_ + pb_
+            mask_a = pa_ > 0
+            mask_b = pb_ > 0
+            d = (0.5 * pa_[mask_a]
+                 * np.log2(2 * pa_[mask_a] / mm[mask_a])).sum() \
+                + (0.5 * pb_[mask_b]
+                   * np.log2(2 * pb_[mask_b] / mm[mask_b])).sum()
+            rows_a.append(langs[i])
+            rows_b.append(langs[j])
+            jsd.append(round(float(d), 6))
+    return pa.table({
+        "lang_a": pa.array(rows_a, pa.string()),
+        "lang_b": pa.array(rows_b, pa.string()),
+        "jsd_bits": pa.array(jsd, pa.float64()),
+    })
