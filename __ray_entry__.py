@@ -1263,6 +1263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single best mean-shift changepoint (binary segmentation,
         # prefix-sum split scan on the bounded daily series)
         "events_daily_changepoint": analysis.events_daily_changepoint,
+        # G-test (likelihood ratio) on the same contingency family
+        "event_type_hour_gtest": analysis.event_type_hour_gtest,
+        # Wald-Wolfowitz runs test on the daily series median split
+        "events_daily_runs_test": analysis.events_daily_runs_test,
+        # lognormal MLE + KS over the doc length histogram
+        "doc_length_lognormal_fit": analysis.doc_length_lognormal_fit,
         # per-lang type-token ratio + hapax share (term-table scalars)
         "corpus_lexical_richness": lambda sf: __import__(
             "crawl4ai_ray.pipelines.corpus",
@@ -4614,6 +4620,116 @@ def oracle_sql() -> dict[str, str]:
                        AS right_ctx
             FROM idx
             WHERE toks[CAST(x AS INTEGER) + 1] = 'join'
+        """,
+        "event_type_hour_gtest": """
+            WITH c AS (
+                SELECT event_type, extract(hour FROM ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+            ct AS (SELECT hour, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT CAST(any_value(t.total) AS BIGINT) AS n,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT)
+                       AS df,
+                   ROUND(2.0 * sum(c.n * ln(c.n * t.total
+                       / (CAST(rt.rn AS DOUBLE) * ct.cn))), 6)
+                       AS g_stat
+            FROM c JOIN rt USING (event_type)
+            JOIN ct USING (hour), t
+        """,
+        "events_daily_runs_test": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       ROUND(sum(value), 4) AS rev
+                FROM events GROUP BY 1
+            ),
+            med AS (SELECT median(rev) AS m FROM daily),
+            s AS (
+                SELECT day, (rev > med.m) AS side
+                FROM daily, med WHERE rev <> med.m
+            ),
+            chg AS (
+                SELECT side, lag(side) OVER (ORDER BY day) AS prev
+                FROM s
+            ),
+            agg AS (
+                SELECT sum(CASE WHEN side THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN side THEN 0 ELSE 1 END) AS n2,
+                       1 + sum(CASE WHEN prev IS NOT NULL
+                                    AND side <> prev
+                               THEN 1 ELSE 0 END) AS runs
+                FROM chg
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   CAST(runs AS BIGINT) AS n_runs,
+                   ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6)
+                       AS expected_runs,
+                   ROUND((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                         / sqrt(2.0 * n1 * n2
+                                * (2.0 * n1 * n2 - n1 - n2)
+                                / ((n1 + n2) * (n1 + n2)
+                                   * (n1 + n2 - 1.0))), 6) AS z_stat
+            FROM agg
+        """,
+        "doc_length_lognormal_fit": """
+            WITH h AS (
+                SELECT CAST(n_chars AS DOUBLE) AS v,
+                       count(*) AS c
+                FROM documents GROUP BY 1
+            ),
+            t AS (
+                SELECT sum(c) AS total,
+                       sum(ln(v) * c) / sum(c) AS mu,
+                       sqrt(sum(ln(v) * ln(v) * c) / sum(c)
+                            - (sum(ln(v) * c) / sum(c))
+                              * (sum(ln(v) * c) / sum(c))) AS sd
+                FROM h
+            ),
+            e AS (
+                SELECT h.v, h.c,
+                       sum(h.c) OVER (ORDER BY h.v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       (ln(h.v) - t.mu) / t.sd AS z
+                FROM h, t
+            ),
+            p AS (
+                SELECT v, c, cum, z, abs(z) AS az,
+                       1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+                FROM e
+            ),
+            f AS (
+                SELECT v, c, cum,
+                       CASE WHEN z >= 0
+                            THEN 1.0 - exp(-az * az / 2.0)
+                                 / sqrt(2.0 * pi())
+                                 * (tt * (0.319381530
+                                    + tt * (-0.356563782
+                                    + tt * (1.781477937
+                                    + tt * (-1.821255978
+                                    + tt * 1.330274429)))))
+                            ELSE exp(-az * az / 2.0)
+                                 / sqrt(2.0 * pi())
+                                 * (tt * (0.319381530
+                                    + tt * (-0.356563782
+                                    + tt * (1.781477937
+                                    + tt * (-1.821255978
+                                    + tt * 1.330274429)))))
+                       END AS fx
+                FROM p
+            )
+            SELECT CAST(any_value(t.total) AS BIGINT) AS n_docs,
+                   ROUND(any_value(t.mu), 6) AS mu_log,
+                   ROUND(any_value(t.sd), 6) AS sigma_log,
+                   ROUND(max(greatest(
+                       abs(f.cum / t.total - f.fx),
+                       abs((f.cum - f.c) / CAST(t.total AS DOUBLE)
+                           - f.fx))), 6) AS ks_d
+            FROM f, t
         """,
         "events_daily_changepoint": """
             WITH daily AS (

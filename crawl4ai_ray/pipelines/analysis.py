@@ -9651,3 +9651,151 @@ def events_daily_changepoint(sf_dir: str):
         "sse_reduction": pa.array(
             [round(float(sse_full - cost[best]), 4)], pa.float64()),
     })
+
+
+def event_type_hour_gtest(sf_dir: str, max_cells: int = 100_000):
+    """G-test (likelihood-ratio) of event_type × hour independence —
+    G = 2·Σ o·ln(o/e), the information-theoretic twin of the Pearson
+    χ² (G = 2N·ln2·MI, so this closes the association-test family:
+    χ², V, MI, residuals, G all over one contingency). One summary
+    row.
+
+    Scale shape: the same bounded-cell histogram combiner as the rest
+    of the family; only observed cells enter (o = 0 terms vanish), so
+    the driver-side algebra needs no dense grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": pc.hour(batch.column("ts"))
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"event_type_hour_gtest: {len(cells)} cells exceed "
+            f"max_cells={max_cells}")
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    rt = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    ct = cells.groupby("hour")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    g_stat = float(2.0 * (n * np.log(n * total / (rt * ct))).sum())
+    r = cells["event_type"].nunique()
+    c = cells["hour"].nunique()
+    return pa.table({
+        "n": pa.array([int(total)], pa.int64()),
+        "df": pa.array([(r - 1) * (c - 1)], pa.int64()),
+        "g_stat": pa.array([round(g_stat, 6)], pa.float64()),
+    })
+
+
+def events_daily_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test on the daily revenue series — are
+    above-median and below-median days randomly interleaved, or do
+    they clump (trend/regime) or alternate (overdifferencing)? One
+    summary row: run count, above/below counts, expected runs and the
+    z-statistic under the null.
+
+    Scale shape: daily aggregate = the distributed reduction; the
+    median split (exact, midpoint-of-middle-two convention) and the
+    O(days) run count scan run driver-side on the bounded calendar
+    series. Days equal to the median are dropped (the standard
+    convention)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = daily["rev"].to_numpy(np.float64)
+    med = float(np.median(np.round(y, 4)))
+    yr = np.round(y, 4)
+    side = yr[yr != med] > med
+    n1 = int(side.sum())
+    n2 = int(len(side) - n1)
+    runs = int(1 + (side[1:] != side[:-1]).sum()) if len(side) else 0
+    mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1.0)))
+    z = (runs - mu) / np.sqrt(var)
+    return pa.table({
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "n_runs": pa.array([runs], pa.int64()),
+        "expected_runs": pa.array([round(mu, 6)], pa.float64()),
+        "z_stat": pa.array([round(float(z), 6)], pa.float64()),
+    })
+
+
+def doc_length_lognormal_fit(sf_dir: str):
+    """Lognormal fit + goodness-of-fit of the document length
+    distribution — μ̂, σ̂ = moments of ln(n_chars) (the MLE) and the
+    KS D between the length ECDF and LogN(μ̂, σ̂²), the "are my docs
+    the usual web-length shape" audit (web document lengths are
+    famously lognormal-ish). One summary row.
+
+    Scale shape: ln-moments reduce through scalar map-sums; the exact
+    ECDF sup-distance runs on the length HISTOGRAM (n_chars is
+    integer, value-bounded) via the same prefix-scan convention as
+    ``orders_interarrival_expfit``. Φ is the Abramowitz–Stegun
+    26.2.17 polynomial (|err| < 7.5e-8), written IDENTICALLY in both
+    engines (DuckDB has no erf) — the shared approximation error
+    cancels in the comparison."""
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "c": pa.array(np.ones(len(v), np.int64))})
+
+    hist = sorted_keyed_sum(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       batch_size=65536), "v", ["c"]) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    v = hist["v"].to_numpy(np.float64)
+    c = hist["c"].to_numpy(np.float64)
+    total = c.sum()
+    lv = np.log(v)
+    mu = float((lv * c).sum() / total)
+    sd = float(np.sqrt((lv * lv * c).sum() / total - mu * mu))
+    cum = np.cumsum(c)
+    fe_hi = cum / total
+    fe_lo = (cum - c) / total
+    z = (lv - mu) / sd
+    az = np.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    pdf = np.exp(-az * az / 2.0) / np.sqrt(2.0 * np.pi)
+    poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+               + t * (-1.821255978 + t * 1.330274429))))
+    upper = pdf * poly                     # 1 - Phi(|z|)
+    fx = np.where(z >= 0, 1.0 - upper, upper)
+    ks = float(np.maximum(np.abs(fe_hi - fx),
+                          np.abs(fe_lo - fx)).max())
+    return pa.table({
+        "n_docs": pa.array([int(total)], pa.int64()),
+        "mu_log": pa.array([round(mu, 6)], pa.float64()),
+        "sigma_log": pa.array([round(sd, 6)], pa.float64()),
+        "ks_d": pa.array([round(ks, 6)], pa.float64()),
+    })
