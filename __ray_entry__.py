@@ -1280,6 +1280,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.corpus",
             fromlist=["lang_jsd_matrix"],
         ).lang_jsd_matrix(sf),
+        # Church-Gale CF/DF burstiness of the top-CF terms
+        "corpus_term_burstiness": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["corpus_term_burstiness"],
+        ).corpus_term_burstiness(sf),
+        # two-proportion z-test of purchase share between halves
+        "events_halves_proportion_ztest":
+            analysis.events_halves_proportion_ztest,
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -1797,6 +1805,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_purchase_lr"],
         ).events_purchase_lr(sf),
+        # per-doc zlib compression ratio (rows-only: DuckDB has no
+        # zlib; determinism/bounds/repetition-relation laws in
+        # tests/test_corpus.py)
+        "doc_compress_ratio": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["doc_compress_ratio"],
+        ).doc_compress_ratio(sf),
         # PageRank over the BFS crawl's link graph (rows-only; numeric
         # oracle = driver power iteration, tests/test_graph.py)
         "crawl_pagerank": lambda sf: __import__(
@@ -4811,6 +4826,59 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "corpus_term_burstiness": r"""
+            WITH t AS (
+                SELECT doc_id, term, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT term, sum(tf) AS cf, count(*) AS df
+                FROM t GROUP BY 1
+            )
+            SELECT term, CAST(cf AS BIGINT) AS cf,
+                   CAST(df AS BIGINT) AS df,
+                   ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+            FROM g ORDER BY cf DESC, term LIMIT 20
+        """,
+        "events_halves_proportion_ztest": """
+            WITH d AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       event_type
+                FROM events
+            ),
+            b AS (SELECT (min(day) + max(day)) // 2 AS split FROM d),
+            m AS (
+                SELECT (d.day > b.split) AS half, count(*) AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS k
+                FROM d, b GROUP BY 1
+            ),
+            w AS (
+                SELECT
+                    max(CASE WHEN NOT half THEN n END) AS n1,
+                    max(CASE WHEN NOT half THEN k END) AS k1,
+                    max(CASE WHEN half THEN n END) AS n2,
+                    max(CASE WHEN half THEN k END) AS k2
+                FROM m
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_first,
+                   CAST(n2 AS BIGINT) AS n_second,
+                   ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS p_first,
+                   ROUND(CAST(k2 AS DOUBLE) / n2, 6) AS p_second,
+                   ROUND((CAST(k1 AS DOUBLE) / n1
+                          - CAST(k2 AS DOUBLE) / n2)
+                         / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                                * (1 - CAST(k1 + k2 AS DOUBLE)
+                                       / (n1 + n2))
+                                * (1.0 / n1 + 1.0 / n2)), 6)
+                       AS z_stat
+            FROM w
         """,
         "lang_jsd_matrix": r"""
             WITH t AS (

@@ -9799,3 +9799,58 @@ def doc_length_lognormal_fit(sf_dir: str):
         "sigma_log": pa.array([round(sd, 6)], pa.float64()),
         "ks_d": pa.array([round(ks, 6)], pa.float64()),
     })
+
+
+def events_halves_proportion_ztest(sf_dir: str):
+    """Two-proportion z-test of the purchase share between the first
+    and second half of the event stream (split at the midpoint
+    calendar day, the PSI convention) — did the conversion mix drift?
+    One summary row: both proportions, the pooled z and the absolute
+    difference.
+
+    Scale shape: the events reduce to four counters (n, purchases per
+    half) through one combiner + a two-row groupby; z algebra is
+    driver-side scalars."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day_range(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"_mn": pa.array([int(d.min())], pa.int64()),
+                         "_mx": pa.array([int(d.max())], pa.int64())})
+
+    rng = ds.map_batches(day_range, batch_format="pyarrow",
+                         batch_size=65536)
+    split = (int(rng.min("_mn")) + int(rng.max("_mx"))) // 2
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        half = (d > split).astype(np.int64)
+        df = pd.DataFrame({
+            "half": half, "_n": np.int64(1),
+            "_k": (et == "purchase").astype(np.int64)})
+        g = df.groupby("half", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("half") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_k", alias_name="k")).to_pandas() \
+        .set_index("half")
+    n1, k1 = float(m.loc[0, "n"]), float(m.loc[0, "k"])
+    n2, k2 = float(m.loc[1, "n"]), float(m.loc[1, "k"])
+    p1, p2 = k1 / n1, k2 / n2
+    pp = (k1 + k2) / (n1 + n2)
+    z = (p1 - p2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    return pa.table({
+        "n_first": pa.array([int(n1)], pa.int64()),
+        "n_second": pa.array([int(n2)], pa.int64()),
+        "p_first": pa.array([round(p1, 6)], pa.float64()),
+        "p_second": pa.array([round(p2, 6)], pa.float64()),
+        "z_stat": pa.array([round(float(z), 6)], pa.float64()),
+    })

@@ -1978,3 +1978,86 @@ def lang_jsd_matrix(sf_dir: str, max_cells: int = 1_000_000):
         "lang_b": pa.array(rows_b, pa.string()),
         "jsd_bits": pa.array(jsd, pa.float64()),
     })
+
+
+def corpus_term_burstiness(sf_dir: str, top_k: int = 20):
+    """Church–Gale term burstiness for the top-k corpus terms — for
+    each term, collection frequency CF, document frequency DF and
+    burstiness CF/DF (mean occurrences per containing doc): function
+    words sit near 1, topical/boilerplate terms burst ≫ 1 (Church &
+    Gale 1995), the repeated-template smell test on a scraped corpus.
+    One row per top-CF term (ties broken lexically).
+
+    Scale shape: the postings explode emits final (term, tf) partials
+    with DF=1 markers per (term, doc) inside the map stage; ONE
+    term-keyed groupby folds CF and DF; the top-k cut is a bounded
+    sort of the TERM table."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import collections
+
+        terms, cfs, dfs = [], [], []
+        for text in batch.column("text").to_pylist():
+            c = collections.Counter(_tokens(text))
+            for t, n in c.items():
+                terms.append(t)
+                cfs.append(n)
+                dfs.append(1)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cf": pa.array(cfs, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+        })
+
+    g = ds.map_batches(explode, batch_format="pyarrow",
+                       batch_size=None) \
+        .groupby("term") \
+        .aggregate(_Sum("cf", alias_name="cf"),
+                   _Sum("df", alias_name="df")) \
+        .sort(["cf", "term"], descending=[True, False]) \
+        .limit(top_k).to_pandas()
+    cf = g["cf"].to_numpy(np.int64)
+    df = g["df"].to_numpy(np.int64)
+    return pa.table({
+        "term": pa.array(g["term"], pa.string()),
+        "cf": pa.array(cf, pa.int64()),
+        "df": pa.array(df, pa.int64()),
+        "burstiness": pa.array(np.round(cf / df, 6), pa.float64()),
+    })
+
+
+def doc_compress_ratio(sf_dir: str, level: int = 6):
+    """Per-document zlib compression ratio — compressed/raw bytes at
+    a fixed level, the classic repetition/quality signal (a Gopher-
+    style filter drops docs that compress too well = templated spam,
+    or too poorly = random noise). One row per doc. Rows-only for the
+    driver (DuckDB has no zlib); determinism + bound laws + the
+    monotone relation to the repetition stats are pytest-gated
+    (tests/test_corpus.py).
+
+    Scale shape: a stateless ``map_batches`` over pruned (doc_id,
+    text) — embarrassingly parallel, CPU-bound, zero shuffle; exactly
+    the stage shape the actor-pool fetch/parse stages use."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_r, out_raw = [], []
+        for text in batch.column("text").to_pylist():
+            raw = (text or "").encode("utf-8")
+            comp = zlib.compress(raw, level)
+            out_raw.append(len(raw))
+            out_r.append(round(len(comp) / max(len(raw), 1), 6))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_bytes": pa.array(out_raw, pa.int64()),
+            "compress_ratio": pa.array(out_r, pa.float64()),
+        })
+
+    return ds.map_batches(ratio, batch_format="pyarrow",
+                          batch_size=65536)

@@ -517,3 +517,26 @@ def test_interleaved_pack_blocking_insensitive():
     n = a["n_tokens"].to_numpy()
     assert (s[1:] == s[:-1] + n[:-1]).all()
     assert s[0] == 0
+
+
+def test_compress_ratio_laws(ray_session):
+    import zlib
+
+    df = _pd(corpus.doc_compress_ratio(SF)).set_index("doc_id")
+    df2 = _pd(corpus.doc_compress_ratio(SF)).set_index("doc_id")
+    assert df.sort_index().equals(df2.sort_index())  # deterministic
+    assert (df["compress_ratio"] > 0).all()
+    # text compresses; ratio stays below 1 for real documents
+    assert (df.loc[df["raw_bytes"] > 100, "compress_ratio"] < 1).all()
+    # spot-check three docs against a direct zlib call
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 3").fetchall()
+    for did, text in rows:
+        raw = text.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert df.loc[did, "compress_ratio"] == want
+    # highly repetitive text compresses better than the median doc
+    rep = zlib.compress(("spam " * 200).encode(), 6)
+    assert len(rep) / 1000 < df["compress_ratio"].median()
