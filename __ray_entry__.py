@@ -1288,6 +1288,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-proportion z-test of purchase share between halves
         "events_halves_proportion_ztest":
             analysis.events_halves_proportion_ztest,
+        # arithmetic/geometric/harmonic mean per priority
+        "order_value_means_by_priority":
+            analysis.order_value_means_by_priority,
+        # Heaps-law vocabulary growth curve (prefix-scan offsets +
+        # term-table first-position histogram)
+        "corpus_vocab_growth": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["corpus_vocab_growth"],
+        ).corpus_vocab_growth(sf),
         # deterministic 80/10/10 split by doc_id hash
         "doc_train_split": analysis.doc_train_split,
         # winsorized grouped mean (p05/p95 clip), selection quantiles
@@ -4826,6 +4835,63 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "order_value_means_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   ROUND(sum(o_totalprice) / count(*), 4)
+                       AS mean_value,
+                   ROUND(exp(sum(ln(o_totalprice)) / count(*)), 4)
+                       AS geomean_value,
+                   ROUND(count(*) / sum(1.0 / o_totalprice), 4)
+                       AS harmean_value
+            FROM orders GROUP BY 1
+        """,
+        "corpus_vocab_growth": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+')
+                           AS toks
+                FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id,
+                       len(list_filter(toks, t -> t <> '')) AS n
+                FROM d
+            ),
+            off AS (
+                SELECT doc_id,
+                       sum(n) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n AS start
+                FROM cnt
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1)) AS x
+                FROM d
+            ),
+            pos AS (
+                SELECT doc_id, toks[CAST(x AS INTEGER) + 1] AS term,
+                       CAST(x AS BIGINT) AS x
+                FROM idx
+            ),
+            g AS (
+                SELECT pos.term, min(off.start + pos.x) AS fp
+                FROM pos JOIN off USING (doc_id)
+                WHERE pos.term <> '' GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS total FROM cnt),
+            ks AS (
+                SELECT DISTINCT t FROM (
+                    SELECT CAST(pow(2, k) AS BIGINT) AS t
+                    FROM generate_series(0, 62) gs(k), tot
+                    WHERE pow(2, k) <= tot.total
+                    UNION ALL SELECT total FROM tot)
+            )
+            SELECT CAST(ks.t AS BIGINT) AS n_tokens_seen,
+                   CAST((SELECT count(*) FROM g WHERE g.fp < ks.t)
+                        AS BIGINT) AS n_types
+            FROM ks
         """,
         "corpus_term_burstiness": r"""
             WITH t AS (

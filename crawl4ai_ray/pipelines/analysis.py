@@ -9854,3 +9854,49 @@ def events_halves_proportion_ztest(sf_dir: str):
         "p_second": pa.array([round(p2, 6)], pa.float64()),
         "z_stat": pa.array([round(float(z), 6)], pa.float64()),
     })
+
+
+def order_value_means_by_priority(sf_dir: str):
+    """Arithmetic, geometric and harmonic mean order value per
+    priority — the Pythagorean-means triple (AM ≥ GM ≥ HM, with the
+    gaps measuring spread) that finishes the aggregate family next to
+    median/MAD/trimmed/winsorized: GM = exp(mean ln x), HM =
+    n/Σ(1/x). One row per priority.
+
+    Scale shape: one combiner pass reduces each batch to per-priority
+    (n, Σx, Σln x, Σ1/x) partials; a k-row groupby and driver algebra
+    finish."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority")
+            .to_pandas(),
+            "_n": np.int64(1), "_s": v, "_l": np.log(v),
+            "_r": 1.0 / v})
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Sum("_l", alias_name="l"),
+                   Sum("_r", alias_name="r")).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    return pa.table({
+        "o_orderpriority": pa.array(m["o_orderpriority"], pa.string()),
+        "n_orders": pa.array(m["n"].to_numpy(np.int64)),
+        "mean_value": pa.array(
+            np.round(m["s"].to_numpy(np.float64) / n, 4),
+            pa.float64()),
+        "geomean_value": pa.array(
+            np.round(np.exp(m["l"].to_numpy(np.float64) / n), 4),
+            pa.float64()),
+        "harmean_value": pa.array(
+            np.round(n / m["r"].to_numpy(np.float64), 4),
+            pa.float64()),
+    })

@@ -2061,3 +2061,79 @@ def doc_compress_ratio(sf_dir: str, level: int = 6):
 
     return ds.map_batches(ratio, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def corpus_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law empirically) — distinct
+    types seen within the first N tokens of the doc_id-ordered token
+    stream, at N = 1, 2, 4, … and the full stream, the curve whose
+    slope says whether more data still buys vocabulary. One row per
+    threshold.
+
+    Scale shape: global token offsets come from the
+    ``pack_sequences`` distributed prefix scan (block partials →
+    driver cumsum → broadcast bases, no shuffle); each doc emits its
+    terms' FIRST within-doc positions (a per-doc property), one
+    doc-keyed join attaches the doc's start offset, and
+    groupby(term).min gives each type's first global position. The
+    curve itself is a ≤64-bucket histogram of those positions —
+    term-table-sized reductions throughout, never the token stream."""
+    from ray.data.aggregate import Min as _Min
+
+    from .dedup import _join_parts
+
+    packed = pack_sequences(sf_dir).materialize()
+    offsets = packed.select_columns(["doc_id", "start_offset"]) \
+        .materialize()
+    total = int(packed.sum("n_tokens"))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_pos(batch: pa.Table) -> pa.Table:
+        docs, terms, poss = [], [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            seen = {}
+            for i, t in enumerate(_tokens(text)):
+                if t not in seen:
+                    seen[t] = i
+            for t, i in seen.items():
+                docs.append(d)
+                terms.append(t)
+                poss.append(i)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "pos": pa.array(poss, pa.int64()),
+        })
+
+    fp = ds.map_batches(first_pos, batch_format="pyarrow",
+                        batch_size=None)
+    j = fp.join(offsets, "inner", _join_parts(fp, offsets),
+                on=("doc_id",))
+
+    def glob(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch.column("term").cast(pa.string()),
+            "gp": pa.array(
+                batch.column("pos").to_numpy(zero_copy_only=False)
+                + batch.column("start_offset")
+                .to_numpy(zero_copy_only=False), pa.int64()),
+        })
+
+    firsts = j.map_batches(glob, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("term").aggregate(_Min("gp", alias_name="fp")) \
+        .to_pandas()
+    fps = np.sort(firsts["fp"].to_numpy(np.int64))
+    thr = []
+    k = 0
+    while (1 << k) <= total:
+        thr.append(1 << k)
+        k += 1
+    if not thr or thr[-1] != total:
+        thr.append(total)
+    n_types = np.searchsorted(fps, np.asarray(thr), side="left")
+    return pa.table({
+        "n_tokens_seen": pa.array(thr, pa.int64()),
+        "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+    })
