@@ -1291,6 +1291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arithmetic/geometric/harmonic mean per priority
         "order_value_means_by_priority":
             analysis.order_value_means_by_priority,
+        # Brown-Forsythe variance-equality W (median-centered Levene)
+        "events_levene_test": analysis.events_levene_test,
+        # Mood's median test chi2 (k x above/below contingency)
+        "events_median_test": analysis.events_median_test,
         # Heaps-law vocabulary growth curve (prefix-scan offsets +
         # term-table first-position histogram)
         "corpus_vocab_growth": lambda sf: __import__(
@@ -4835,6 +4839,56 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_levene_test": """
+            WITH med AS (
+                SELECT event_type, median(value) AS md
+                FROM events GROUP BY 1
+            ),
+            z AS (
+                SELECT e.event_type, abs(e.value - med.md) AS z
+                FROM events e JOIN med USING (event_type)
+            ),
+            g AS (
+                SELECT event_type, count(*) AS n, sum(z) AS s,
+                       sum(z * z) AS ss
+                FROM z GROUP BY 1
+            ),
+            t AS (SELECT sum(n) AS nn, count(*) AS k, sum(s) AS st
+                  FROM g)
+            SELECT CAST(t.k AS BIGINT) AS k_groups,
+                   CAST(t.nn AS BIGINT) AS n,
+                   ROUND(((t.nn - t.k) / CAST(t.k - 1 AS DOUBLE))
+                       * (SELECT sum(n * (s / n - t.st / t.nn)
+                                     * (s / n - t.st / t.nn)) FROM g)
+                       / (SELECT sum(ss - s * s / n) FROM g), 6)
+                       AS w_stat
+            FROM t
+        """,
+        "events_median_test": """
+            WITH gm AS (SELECT median(value) AS m FROM events),
+            c AS (
+                SELECT event_type,
+                       sum(CASE WHEN value > gm.m THEN 1 ELSE 0 END)
+                           AS a,
+                       sum(CASE WHEN value < gm.m THEN 1 ELSE 0 END)
+                           AS b
+                FROM events, gm WHERE value <> gm.m GROUP BY 1
+            ),
+            t AS (SELECT sum(a) AS ra, sum(b) AS rb,
+                         sum(a + b) AS nn, count(*) AS k
+                  FROM c)
+            SELECT CAST(t.k AS BIGINT) AS k_groups,
+                   CAST(t.nn AS BIGINT) AS n,
+                   ROUND((SELECT sum(
+                       (a - (a + b) * t.ra / CAST(t.nn AS DOUBLE))
+                       * (a - (a + b) * t.ra / CAST(t.nn AS DOUBLE))
+                       / ((a + b) * t.ra / CAST(t.nn AS DOUBLE))
+                       + (b - (a + b) * t.rb / CAST(t.nn AS DOUBLE))
+                       * (b - (a + b) * t.rb / CAST(t.nn AS DOUBLE))
+                       / ((a + b) * t.rb / CAST(t.nn AS DOUBLE)))
+                       FROM c), 6) AS chi2
+            FROM t
         """,
         "order_value_means_by_priority": """
             SELECT o_orderpriority,

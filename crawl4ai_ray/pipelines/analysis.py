@@ -9900,3 +9900,113 @@ def order_value_means_by_priority(sf_dir: str):
             np.round(n / m["r"].to_numpy(np.float64), 4),
             pa.float64()),
     })
+
+
+def events_levene_test(sf_dir: str):
+    """Brown–Forsythe (median-centered Levene) test of variance
+    equality across event types — W = ((N−k)/(k−1)) ·
+    Σnⱼ(z̄ⱼ−z̄)² / ΣΣ(z−z̄ⱼ)² with z = |x − medianⱼ|, the robust
+    "are the spreads equal" companion to ``events_value_anova`` (which
+    assumes they are). One summary row.
+
+    Scale shape: per-type medians via the distributed two-pass
+    histogram selection (``grouped_median_distributed``, never a
+    whole group in one task), broadcast into a vectorized |x−med|
+    combiner pass, and the ANOVA-on-deviations algebra from k-row
+    moment partials driver-side."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    med = grouped_median_distributed(ds, "event_type", "value")
+    med_map = {k: float(v) for k, v in
+               zip(med.column("event_type").to_pylist(),
+                   med.column("median").to_pylist())}
+    mref = ray.put(med_map)
+
+    def part(batch: pa.Table, mref=mref) -> pa.Table:
+        mm = ray.get(mref)
+        et = batch.column("event_type").to_pandas()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        meds = et.map(mm).to_numpy(np.float64)
+        z = np.abs(v - meds)
+        df = pd.DataFrame({"event_type": et, "_n": np.int64(1),
+                           "_s": z, "_ss": z * z})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Sum("_ss", alias_name="ss")).to_pandas()
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    ss = m["ss"].to_numpy(np.float64)
+    k = len(m)
+    nn = n.sum()
+    gm = s.sum() / nn
+    num = float((n * (s / n - gm) ** 2).sum())
+    den = float((ss - s * s / n).sum())
+    w = ((nn - k) / (k - 1.0)) * num / den
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "w_stat": pa.array([round(w, 6)], pa.float64()),
+    })
+
+
+def events_median_test(sf_dir: str):
+    """Mood's median test across event types — the χ² on the
+    type × (above/below grand median) contingency, the fully
+    nonparametric location test that completes the family (ANOVA =
+    means, Kruskal-ish MW = two-sample ranks, this = k-sample signs).
+    One summary row; values equal to the grand median are excluded
+    (the standard convention).
+
+    Scale shape: the grand median via the SAME distributed histogram
+    selection (constant grouping key — no per-task group
+    materialization), then a k×2 contingency combiner and driver χ²."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "value": batch.column("value").cast(pa.float64())})
+
+    gm_t = grouped_median_distributed(
+        ds.map_batches(const_key, batch_format="pyarrow",
+                       batch_size=65536), "_g", "value")
+    gmed = float(gm_t.column("median")[0].as_py())
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pandas()
+        keep = v != gmed
+        df = pd.DataFrame({
+            "event_type": et[keep],
+            "_a": (v[keep] > gmed).astype(np.int64),
+            "_b": (v[keep] < gmed).astype(np.int64)})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("event_type") \
+        .aggregate(Sum("_a", alias_name="a"),
+                   Sum("_b", alias_name="b")).to_pandas()
+    a = m["a"].to_numpy(np.float64)
+    b = m["b"].to_numpy(np.float64)
+    nn = a.sum() + b.sum()
+    ra = a.sum()
+    rb = b.sum()
+    nj = a + b
+    ea = nj * ra / nn
+    eb = nj * rb / nn
+    chi2 = float(((a - ea) ** 2 / ea).sum()
+                 + ((b - eb) ** 2 / eb).sum())
+    return pa.table({
+        "k_groups": pa.array([len(m)], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+    })
