@@ -1291,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # arithmetic/geometric/harmonic mean per priority
         "order_value_means_by_priority":
             analysis.order_value_means_by_priority,
+        # Kruskal-Wallis H via the midrank-histogram prefix scan
+        "events_kruskal_wallis": analysis.events_kruskal_wallis,
         # Brown-Forsythe variance-equality W (median-centered Levene)
         "events_levene_test": analysis.events_levene_test,
         # Mood's median test chi2 (k x above/below contingency)
@@ -4839,6 +4841,39 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_kruskal_wallis": """
+            WITH g AS (
+                SELECT value, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            v AS (SELECT value, sum(c) AS tot FROM g GROUP BY 1),
+            m AS (
+                SELECT value,
+                       sum(tot) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) - tot
+                       + (tot + 1) / 2.0 AS mid
+                FROM v
+            ),
+            r AS (
+                SELECT g.event_type, sum(g.c) AS nj,
+                       sum(g.c * m.mid) AS rj
+                FROM g JOIN m USING (value) GROUP BY 1
+            ),
+            t AS (SELECT sum(nj) AS nn FROM r),
+            tie AS (SELECT sum(CAST(tot AS DOUBLE) * tot * tot - tot)
+                           AS t3
+                    FROM v)
+            SELECT CAST((SELECT count(*) FROM r) AS BIGINT)
+                       AS k_groups,
+                   CAST(t.nn AS BIGINT) AS n,
+                   ROUND(((12.0 / (t.nn * (t.nn + 1.0)))
+                          * (SELECT sum(rj * rj / nj) FROM r)
+                          - 3.0 * (t.nn + 1.0))
+                         / (1.0 - tie.t3
+                            / (CAST(t.nn AS DOUBLE) * t.nn * t.nn
+                               - t.nn)), 6) AS h_stat
+            FROM t, tie
         """,
         "events_levene_test": """
             WITH med AS (

@@ -10010,3 +10010,97 @@ def events_median_test(sf_dir: str):
         "n": pa.array([int(nn)], pa.int64()),
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
     })
+
+
+def events_kruskal_wallis(sf_dir: str):
+    """Kruskal–Wallis H across all event types' value distributions —
+    the k-sample rank generalization of ``events_value_mannwhitney``
+    (and the nonparametric twin of ``events_value_anova``): H =
+    (12/(N(N+1))) Σ nⱼ R̄ⱼ² − 3(N+1), tie-corrected by
+    1 − Σ(t³−t)/(N³−N). One summary row.
+
+    Scale shape: ranks NEVER attach to rows — the per-distinct-value
+    (value, per-type count) histogram from ``sorted_keyed_sum`` plus
+    ONE distributed exclusive prefix scan gives every value's midrank
+    (the Mann-Whitney/Spearman pattern), and Σ ranks per type is a
+    weighted sum over the histogram. Tie term rides the same table."""
+    import ray
+
+    from ..functions.sortagg import sorted_keyed_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    types = sorted(r["event_type"] for r in
+                   ds.groupby("event_type").count().iter_rows())
+    t_idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        cols = {"value": batch.column("value").cast(pa.float64())}
+        for t, i in t_idx.items():
+            cols[f"c{i}"] = pa.array((et == t).astype(np.int64))
+        return pa.table(cols)
+
+    cnames = [f"c{i}" for i in range(k)]
+    g = sorted_keyed_sum(ds.map_batches(prep, batch_format="pyarrow",
+                                        batch_size=65536),
+                         "value", cnames) \
+        .sort("value").materialize()
+
+    # block partials -> exclusive prefix of total counts (midranks)
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bid": pa.array([], pa.float64()),
+                             "tc": pa.array([], pa.int64())})
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        tot = np.zeros(batch.num_rows, np.int64)
+        for c in cnames:
+            tot += batch.column(c).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bid": pa.array([float(v.min())], pa.float64()),
+            "tc": pa.array([int(tot.sum())], pa.int64())})
+
+    blocks = sorted(
+        (r["bid"], r["tc"])
+        for r in g.map_batches(block_partial, batch_format="pyarrow",
+                               batch_size=None).iter_rows())
+    bases = {}
+    run = 0
+    for bid, tc in blocks:
+        bases[bid] = run
+        run += tc
+    bref = ray.put(bases)
+
+    def rank_partial(batch: pa.Table, bref=bref) -> pa.Table:
+        if batch.num_rows == 0:
+            out = {f"r{i}": pa.array([], pa.float64())
+                   for i in range(k)}
+            out["_t3"] = pa.array([], pa.float64())
+            return pa.table(out)
+        bases = ray.get(bref)
+        df = batch.to_pandas().sort_values("value")
+        cs = np.column_stack([df[c].to_numpy(np.float64)
+                              for c in cnames])
+        tot = cs.sum(axis=1)
+        below = bases[float(df["value"].iloc[0])] \
+            + np.cumsum(tot) - tot
+        mid = below + (tot + 1) / 2.0
+        out = {f"r{i}": pa.array([float((cs[:, i] * mid).sum())])
+               for i in range(k)}
+        out["_t3"] = pa.array([float((tot ** 3 - tot).sum())])
+        return pa.table(out)
+
+    parts = g.map_batches(rank_partial, batch_format="pyarrow",
+                          batch_size=None)
+    rsum = np.array([float(parts.sum(f"r{i}")) for i in range(k)])
+    ties = float(parts.sum("_t3") or 0.0)
+    ncnt = np.array([float(g.sum(c) or 0.0) for c in cnames])
+    nn = ncnt.sum()
+    h = (12.0 / (nn * (nn + 1.0))) \
+        * float((rsum * rsum / ncnt).sum()) - 3.0 * (nn + 1.0)
+    corr = 1.0 - ties / (nn ** 3 - nn)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n": pa.array([int(nn)], pa.int64()),
+        "h_stat": pa.array([round(h / corr, 6)], pa.float64()),
+    })
