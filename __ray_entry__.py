@@ -1293,6 +1293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analysis.order_value_means_by_priority,
         # Kruskal-Wallis H via the midrank-histogram prefix scan
         "events_kruskal_wallis": analysis.events_kruskal_wallis,
+        # Cochran-Armitage ordered trend of purchase share by hour
+        "events_hour_trend_test": analysis.events_hour_trend_test,
+        # local-maxima peak days with neighbor prominence
+        "events_daily_peaks": analysis.events_daily_peaks,
         # Brown-Forsythe variance-equality W (median-centered Levene)
         "events_levene_test": analysis.events_levene_test,
         # Mood's median test chi2 (k x above/below contingency)
@@ -1473,6 +1477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_adamic_adar"],
         ).crawl_adamic_adar(
             sf, dump=lambda t: _oracle_dump("crawl_adamic_adar", t)),
+        # URL-shape profile per host (path-segment histogram), SQL
+        # re-derives segments from raw URLs in the dump
+        "crawl_url_patterns": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.crawl",
+            fromlist=["crawl_url_patterns"],
+        ).crawl_url_patterns(
+            sf, dump=lambda t: _oracle_dump("crawl_url_patterns", t)),
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -4841,6 +4852,66 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_hour_trend_test": """
+            WITH h AS (
+                SELECT extract(hour FROM ts) AS hour,
+                       count(*) AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS k
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT sum(n) AS nn, sum(k) AS kk,
+                       sum(k * hour) AS ks, sum(n * hour) AS ns,
+                       sum(n * hour * hour) AS nss
+                FROM h
+            )
+            SELECT CAST(nn AS BIGINT) AS n,
+                   ROUND(CAST(kk AS DOUBLE) / nn, 6) AS p_overall,
+                   ROUND((ks - (CAST(kk AS DOUBLE) / nn) * ns)
+                         / sqrt((CAST(kk AS DOUBLE) / nn)
+                                * (1 - CAST(kk AS DOUBLE) / nn)
+                                * (nss - CAST(ns AS DOUBLE) * ns
+                                   / nn)), 6) AS z_trend
+            FROM t
+        """,
+        "events_daily_peaks": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       ROUND(sum(value), 4) AS rev
+                FROM events GROUP BY 1
+            ),
+            w AS (
+                SELECT day, rev,
+                       lag(rev) OVER (ORDER BY day) AS prv,
+                       lead(rev) OVER (ORDER BY day) AS nxt
+                FROM daily
+            )
+            SELECT day, rev AS revenue,
+                   ROUND(rev - greatest(prv, nxt), 4) AS prominence
+            FROM w
+            WHERE prv IS NOT NULL AND nxt IS NOT NULL
+              AND rev > prv AND rev > nxt
+        """,
+        "crawl_url_patterns": """
+            WITH d AS (
+                SELECT url, host, depth FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_url_patterns/raw.parquet')
+            ),
+            seg AS (
+                SELECT host, depth,
+                       len(list_filter(string_split(
+                           regexp_replace(url,
+                               '^[a-z]+://[^/]*/?', ''), '/'),
+                           p -> p <> '')) AS n_segments
+                FROM d
+            )
+            SELECT host, CAST(n_segments AS BIGINT) AS n_segments,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(max(depth) AS BIGINT) AS max_depth
+            FROM seg GROUP BY 1, 2
         """,
         "events_kruskal_wallis": """
             WITH g AS (

@@ -10104,3 +10104,87 @@ def events_kruskal_wallis(sf_dir: str):
         "n": pa.array([int(nn)], pa.int64()),
         "h_stat": pa.array([round(h / corr, 6)], pa.float64()),
     })
+
+
+def events_hour_trend_test(sf_dir: str):
+    """Cochran–Armitage trend test of purchase share across the
+    ordered hour-of-day — is conversion drifting monotonically through
+    the day, not just varying (the ordered-alternative sharpening of
+    the contingency χ²)? z = Σkᵢsᵢ − p̂Σnᵢsᵢ over
+    √(p̂(1−p̂)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)), scores sᵢ = hour. One summary
+    row.
+
+    Scale shape: the 24-cell (hour, n, purchases) histogram combiner;
+    driver-side scalar algebra."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        df = pd.DataFrame({
+            "hour": pc.hour(batch.column("ts"))
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "_n": np.int64(1),
+            "_k": (et == "purchase").astype(np.int64)})
+        g = df.groupby("hour", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("hour") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_k", alias_name="k")).to_pandas()
+    s = m["hour"].to_numpy(np.float64)
+    n = m["n"].to_numpy(np.float64)
+    kk = m["k"].to_numpy(np.float64)
+    nn = n.sum()
+    p = kk.sum() / nn
+    num = float((kk * s).sum()) - p * float((n * s).sum())
+    den = np.sqrt(p * (1 - p)
+                  * (float((n * s * s).sum())
+                     - float((n * s).sum()) ** 2 / nn))
+    return pa.table({
+        "n": pa.array([int(nn)], pa.int64()),
+        "p_overall": pa.array([round(float(p), 6)], pa.float64()),
+        "z_trend": pa.array([round(num / den, 6)], pa.float64()),
+    })
+
+
+def events_daily_peaks(sf_dir: str):
+    """Local maxima of the daily revenue series — days strictly above
+    both calendar neighbors (the minimal peak-detection primitive
+    under every alerting rule; endpoints can't be peaks). One row per
+    peak day with its prominence over the higher neighbor.
+
+    Scale shape: daily aggregate = the distributed reduction; the
+    neighbor comparison is a lag/lead scan on the bounded calendar
+    series driver-side."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = np.round(daily["rev"].to_numpy(np.float64), 4)
+    day = daily["day"].to_numpy(np.int64)
+    if len(y) < 3:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64()),
+                         "prominence": pa.array([], pa.float64())})
+    mid = np.arange(1, len(y) - 1)
+    is_peak = (y[mid] > y[mid - 1]) & (y[mid] > y[mid + 1])
+    pk = mid[is_peak]
+    prom = y[pk] - np.maximum(y[pk - 1], y[pk + 1])
+    return pa.table({
+        "day": pa.array(day[pk], pa.int64()),
+        "revenue": pa.array(y[pk], pa.float64()),
+        "prominence": pa.array(np.round(prom, 4), pa.float64()),
+    })

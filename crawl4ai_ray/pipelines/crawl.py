@@ -2317,3 +2317,67 @@ class CrawlEngine:
         res.wall_sec = time.perf_counter() - t_start
         seen.kill()
         return res
+
+
+def crawl_url_patterns(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web and profile the URL
+    shapes per host — (host, path-segment count) → URL count + max
+    crawl depth, the frontier-hygiene audit (a runaway calendar or
+    faceted-navigation trap shows up as ever-deeper segment counts
+    long before it fills the frontier). Self-dump SQL-gated when
+    ``dump`` is set: the dump carries only (url, host, depth) rows and
+    DuckDB re-derives the segment counts from the raw URLs with its
+    own string machinery.
+
+    Scale shape: a stateless pruned-column ``map_batches`` over the
+    crawl's documents parquet (url/host/depth only) + one bounded
+    groupby — host × segment-count cells."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_urlpat_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    docs = rd.read_parquet(res.docs_dir,
+                           columns=["url", "host", "depth"])
+    if dump is not None:
+        import ray
+
+        want = pa.schema([("url", pa.string()), ("host", pa.string()),
+                          ("depth", pa.int64())])
+        parts = []
+        for r in docs.to_arrow_refs():
+            t = ray.get(r)
+            if t.num_rows:
+                parts.append(
+                    t.select(["url", "host", "depth"]).cast(want))
+        dump(pa.concat_tables(parts))
+
+    def seg(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        segs = []
+        for u in urls:
+            rest = u.split("://", 1)[-1]
+            path = rest.split("/", 1)[1] if "/" in rest else ""
+            segs.append(len([p for p in path.split("/") if p]))
+        return pa.table({
+            "host": batch.column("host").cast(pa.string()),
+            "n_segments": pa.array(segs, pa.int64()),
+            "depth": batch.column("depth").cast(pa.int64()),
+        })
+
+    return docs.map_batches(seg, batch_format="pyarrow",
+                            batch_size=65536) \
+        .groupby(["host", "n_segments"]) \
+        .aggregate(Count(alias_name="n_urls"),
+                   Max("depth", alias_name="max_depth"))
