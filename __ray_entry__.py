@@ -1297,6 +1297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_trend_test": analysis.events_hour_trend_test,
         # local-maxima peak days with neighbor prominence
         "events_daily_peaks": analysis.events_daily_peaks,
+        # Gopher + C4 quality rules as per-rule columns (stateless)
+        "doc_filter_rules": analysis.doc_filter_rules,
         # Brown-Forsythe variance-equality W (median-centered Levene)
         "events_levene_test": analysis.events_levene_test,
         # Mood's median test chi2 (k x above/below contingency)
@@ -4852,6 +4854,61 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "doc_filter_rules": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(
+                           trim(lower(text)), '\s+'),
+                           x -> x <> '') AS words
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, text, words,
+                       len(words) AS wc,
+                       list_aggregate(list_transform(words,
+                           x -> len(x)), 'sum')
+                           / CAST(greatest(len(words), 1) AS DOUBLE)
+                           AS mwl,
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '[a-z]')))
+                           / CAST(greatest(len(words), 1) AS DOUBLE)
+                           AS alpha,
+                       len(list_filter(
+                           ['the', 'and', 'a', 'of', 'to', 'in'],
+                           st -> list_contains(words, st)))
+                           AS stop_hits,
+                       len(list_filter(string_split(text, '.'),
+                           x -> trim(x) <> '')) AS n_sent,
+                       list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '') AS lines
+                FROM w
+            ),
+            t AS (
+                SELECT doc_id, wc, mwl, alpha, stop_hits, n_sent,
+                       len(list_filter(lines,
+                           l -> regexp_matches(rtrim(l),
+                                               '[.!?"]$')))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE)
+                           AS term_ratio,
+                       lower(text) AS low, text
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(wc AS BIGINT) AS word_count,
+                   ROUND(mwl, 4) AS mean_word_len,
+                   ROUND(alpha, 6) AS alpha_ratio,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(n_sent AS BIGINT) AS n_sentences,
+                   ROUND(term_ratio, 6) AS term_punct_line_ratio,
+                   (wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+                    AND alpha >= 0.8 AND stop_hits >= 2)
+                       AS keep_gopher,
+                   (n_sent >= 3
+                    AND strpos(low, 'javascript') = 0
+                    AND strpos(low, 'lorem ipsum') = 0
+                    AND strpos(text, '{') = 0) AS keep_c4
+            FROM t
         """,
         "events_hour_trend_test": """
             WITH h AS (

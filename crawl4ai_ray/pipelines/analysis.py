@@ -10188,3 +10188,80 @@ def events_daily_peaks(sf_dir: str):
         "revenue": pa.array(y[pk], pa.float64()),
         "prominence": pa.array(np.round(prom, 4), pa.float64()),
     })
+
+
+def doc_filter_rules(sf_dir: str):
+    """Explicit Gopher + C4 quality-rule battery per document — the
+    canonical training-data filters (Rae et al. 2021 §A1.1; Raffel
+    et al. 2020 §2.2) as per-rule columns, not a composite score (the
+    composite lives in ``doc_quality``): a curator needs to see WHICH
+    rule fired before trusting a drop. One row per doc with the raw
+    signals, each rule verdict and the two keep flags.
+
+    Rules (on the whitespace-token convention): Gopher = word count in
+    [50, 100k], mean word length in [3, 10], ≥80% words containing a
+    letter, ≥2 distinct function words present; C4 = ≥3 sentences, no
+    'javascript'/'lorem ipsum', no '{'. Terminal-punctuation line
+    ratio is emitted as a signal (single-line synthetic docs make it
+    degenerate, but the machinery is the real one).
+
+    Scale shape: one stateless pruned-column ``map_batches`` — the
+    same embarrassingly-parallel stage shape as ``doc_quality``; zero
+    shuffle."""
+    STOPS = ("the", "and", "a", "of", "to", "in")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               ["doc_id", "word_count", "mean_word_len",
+                "alpha_ratio", "stop_hits", "n_sentences",
+                "term_punct_line_ratio", "keep_gopher", "keep_c4"]}
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            t = text or ""
+            low = t.lower()
+            words = low.split()
+            wc = len(words)
+            mwl = sum(len(w) for w in words) / max(wc, 1)
+            alpha = sum(1 for w in words
+                        if any("a" <= c <= "z" for c in w)) \
+                / max(wc, 1)
+            stop_hits = sum(1 for s in STOPS if s in words)
+            n_sent = len([s for s in t.split(".") if s.strip()])
+            lines = [ln for ln in t.split("\n") if ln.strip()]
+            term = sum(1 for ln in lines
+                       if ln.rstrip()[-1:] in '.!?"') \
+                / max(len(lines), 1)
+            out["doc_id"].append(did)
+            out["word_count"].append(wc)
+            # half-away-from-zero: word-length sums divide by powers
+            # of two, landing EXACTLY on .xxx5 midpoints where
+            # banker's rounding diverges from DuckDB ROUND
+            out["mean_word_len"].append(
+                float(np.floor(mwl * 1e4 + 0.5) / 1e4))
+            out["alpha_ratio"].append(round(alpha, 6))
+            out["stop_hits"].append(stop_hits)
+            out["n_sentences"].append(n_sent)
+            out["term_punct_line_ratio"].append(round(term, 6))
+            out["keep_gopher"].append(
+                50 <= wc <= 100_000 and 3.0 <= mwl <= 10.0
+                and alpha >= 0.8 and stop_hits >= 2)
+            out["keep_c4"].append(
+                n_sent >= 3 and "javascript" not in low
+                and "lorem ipsum" not in low and "{" not in t)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "word_count": pa.array(out["word_count"], pa.int64()),
+            "mean_word_len": pa.array(out["mean_word_len"],
+                                      pa.float64()),
+            "alpha_ratio": pa.array(out["alpha_ratio"], pa.float64()),
+            "stop_hits": pa.array(out["stop_hits"], pa.int64()),
+            "n_sentences": pa.array(out["n_sentences"], pa.int64()),
+            "term_punct_line_ratio": pa.array(
+                out["term_punct_line_ratio"], pa.float64()),
+            "keep_gopher": pa.array(out["keep_gopher"]),
+            "keep_c4": pa.array(out["keep_c4"]),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow",
+                          batch_size=65536)
