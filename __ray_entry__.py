@@ -1299,6 +1299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_peaks": analysis.events_daily_peaks,
         # Gopher + C4 quality rules as per-rule columns (stateless)
         "doc_filter_rules": analysis.doc_filter_rules,
+        # exact-dup rate attributed per source (key,source combiner)
+        "doc_dup_rate_by_source": dedup.dup_rate_by_source,
+        # DAU/WAU/MAU + stickiness over the (user, day) pair table
+        "events_active_users": analysis.events_active_users,
         # Brown-Forsythe variance-equality W (median-centered Levene)
         "events_levene_test": analysis.events_levene_test,
         # Mood's median test chi2 (k x above/below contingency)
@@ -4854,6 +4858,50 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "doc_dup_rate_by_source": """
+            WITH k AS (
+                SELECT doc_id, source,
+                       md5(substr(text, 1, 64)) AS kk
+                FROM documents
+            ),
+            f AS (SELECT kk, min(doc_id) AS first_id
+                  FROM k GROUP BY 1),
+            c AS (
+                SELECT k.source, count(*) AS n_docs,
+                       sum(CASE WHEN k.doc_id <> f.first_id
+                                THEN 1 ELSE 0 END) AS n_dups
+                FROM k JOIN f USING (kk) GROUP BY 1
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_dups AS BIGINT) AS n_dups,
+                   ROUND(CAST(n_dups AS DOUBLE) / n_docs, 6)
+                       AS dup_rate
+            FROM c
+        """,
+        "events_active_users": """
+            WITH pu AS (
+                SELECT DISTINCT user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM pu)
+            SELECT d.day,
+                   CAST((SELECT count(DISTINCT user_id) FROM pu
+                         WHERE pu.day = d.day) AS BIGINT) AS dau,
+                   CAST((SELECT count(DISTINCT user_id) FROM pu
+                         WHERE pu.day > d.day - 7
+                           AND pu.day <= d.day) AS BIGINT) AS wau,
+                   CAST((SELECT count(DISTINCT user_id) FROM pu
+                         WHERE pu.day > d.day - 28
+                           AND pu.day <= d.day) AS BIGINT) AS mau,
+                   ROUND(CAST((SELECT count(DISTINCT user_id) FROM pu
+                               WHERE pu.day = d.day) AS DOUBLE)
+                         / (SELECT count(DISTINCT user_id) FROM pu
+                            WHERE pu.day > d.day - 28
+                              AND pu.day <= d.day), 6) AS stickiness
+            FROM days d
         """,
         "doc_filter_rules": r"""
             WITH w AS (

@@ -10265,3 +10265,55 @@ def doc_filter_rules(sf_dir: str):
 
     return ds.map_batches(rules, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def events_active_users(sf_dir: str):
+    """DAU / WAU / MAU + stickiness — daily distinct users, the
+    trailing 7- and 28-day distinct-user windows ending each day, and
+    DAU/MAU stickiness, the product-analytics headline series. One
+    row per day.
+
+    Scale shape: events reduce to the distinct (user, day) pair table
+    via one groupby (the only full-volume shuffle); the trailing
+    windows then count distinct users over a day-bounded pair table
+    driver-side — bounded by users × timeline-days, the same envelope
+    as ``events_sliding_distinct_users`` (which gates this shape's
+    distributed form); the windows here are two sorted-array sweeps,
+    not a rescan per day."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False),
+            "day": d}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pu = ds.map_batches(pairs, batch_format="pyarrow",
+                        batch_size=65536) \
+        .groupby(["user_id", "day"]).aggregate(_Count()) \
+        .select_columns(["user_id", "day"]).to_pandas()
+    days = np.sort(pu["day"].unique())
+    user = pu["user_id"].to_numpy(np.int64)
+    day = pu["day"].to_numpy(np.int64)
+    out_dau, out_wau, out_mau = [], [], []
+    for d0 in days:
+        out_dau.append(len(np.unique(user[day == d0])))
+        out_wau.append(len(np.unique(user[(day > d0 - 7)
+                                          & (day <= d0)])))
+        out_mau.append(len(np.unique(user[(day > d0 - 28)
+                                          & (day <= d0)])))
+    dau = np.asarray(out_dau, np.float64)
+    mau = np.asarray(out_mau, np.float64)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "dau": pa.array(np.asarray(out_dau, np.int64)),
+        "wau": pa.array(np.asarray(out_wau, np.int64)),
+        "mau": pa.array(np.asarray(out_mau, np.int64)),
+        "stickiness": pa.array(np.round(dau / mau, 6), pa.float64()),
+    })

@@ -1437,3 +1437,83 @@ def dup_cluster_sizes(sf_dir: str, prefix_len: int = 64):
         })
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_rate_by_source(sf_dir: str, prefix_len: int = 64):
+    """Exact-duplicate rate per source — which feed is polluting the
+    corpus: per source, docs, duplicate docs (non-first members of an
+    md5 cluster, the ``exact_dedup_survivors`` removal set) and the
+    rate. One row per source.
+
+    Scale shape: the ``exact_dedup`` combiner extended with the
+    per-(key, source) count + min-doc marker; duplicates attribute to
+    their OWN source (a cross-source clone counts against the source
+    holding the later copy, keeping Σ removed = global removals);
+    one groupby over keys, one over sources."""
+    from ray.data.aggregate import Min, Sum as _Sum
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = [hashlib.md5((t or "")[:prefix_len].encode("utf-8"))
+                .hexdigest()
+                for t in batch.column("text").to_pylist()]
+        df = pd.DataFrame({
+            "k": keys,
+            "source": batch.column("source").to_pandas(),
+            "doc_id": batch.column("doc_id").to_pylist()})
+        g = df.groupby(["k", "source"], as_index=False).agg(
+            _n=("doc_id", "size"), _min=("doc_id", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_ks = rd.read_parquet(_doc_path(sf_dir),
+                             columns=["doc_id", "text", "source"]) \
+        .map_batches(key_partial, batch_format="pyarrow",
+                     batch_size=65536) \
+        .groupby(["k", "source"]) \
+        .aggregate(_Sum("_n", alias_name="n"),
+                   Min("_min", alias_name="mn")).materialize()
+
+    # global first doc per key (min over sources)
+    firsts = per_ks.groupby("k").aggregate(
+        Min("mn", alias_name="first_id"))
+
+    j = per_ks.join(firsts, "inner",
+                    _join_parts(per_ks, firsts), on=("k",))
+
+    def attribute(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        mn = batch.column("mn").to_numpy(zero_copy_only=False)
+        first = batch.column("first_id").to_numpy(zero_copy_only=False)
+        # docs removed from this (key, source) cell: all but the
+        # global first (which lives in the cell whose min == first)
+        removed = n - (mn == first).astype(np.int64)
+        return pa.table({
+            "source": batch.column("source").cast(pa.string()),
+            "_docs": pa.array(n.astype("int64")),
+            "_removed": pa.array(removed.astype("int64")),
+        })
+
+    g = j.map_batches(attribute, batch_format="pyarrow",
+                      batch_size=65536) \
+        .groupby("source") \
+        .aggregate(_Sum("_docs", alias_name="n_docs"),
+                   _Sum("_removed", alias_name="n_dups"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        r = batch.column("n_dups").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        return pa.table({
+            "source": batch.column("source").cast(pa.string()),
+            "n_docs": batch.column("n_docs").cast(pa.int64()),
+            "n_dups": batch.column("n_dups").cast(pa.int64()),
+            "dup_rate": pa.array(np.round(r / d, 6), pa.float64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
