@@ -1490,6 +1490,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["crawl_url_patterns"],
         ).crawl_url_patterns(
             sf, dump=lambda t: _oracle_dump("crawl_url_patterns", t)),
+        # rich-club coefficient curve (edge-min-degree histogram),
+        # SQL recomputes from the dumped lex edge table
+        "crawl_rich_club": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_rich_club"],
+        ).crawl_rich_club(
+            sf, dump=lambda t: _oracle_dump("crawl_rich_club", t)),
+        # Wilson 95% score interval on per-type user reach
+        "events_conversion_wilson": analysis.events_conversion_wilson,
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -4858,6 +4867,69 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "crawl_rich_club": """
+            WITH el AS (SELECT u, v FROM read_parquet(
+                     '/tmp/c4r_oracle/crawl_rich_club/raw.parquet')),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM el
+                    UNION ALL SELECT v FROM el) GROUP BY 1
+            ),
+            em AS (
+                SELECT least(du.deg, dv.deg) AS md
+                FROM el JOIN deg du ON du.node = el.u
+                JOIN deg dv ON dv.node = el.v
+            ),
+            ks AS (
+                SELECT unnest(generate_series(0,
+                    (SELECT max(deg) FROM deg) - 1)) AS k
+            ),
+            cur AS (
+                SELECT ks.k,
+                       (SELECT count(*) FROM deg
+                        WHERE deg > ks.k) AS nk,
+                       (SELECT count(*) FROM em
+                        WHERE md > ks.k) AS ek
+                FROM ks
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(nk AS BIGINT) AS n_nodes,
+                   CAST(ek AS BIGINT) AS n_edges,
+                   ROUND(2.0 * ek / (nk * (nk - 1.0)), 6) AS phi
+            FROM cur WHERE nk >= 2
+        """,
+        "events_conversion_wilson": """
+            WITH t AS (SELECT count(DISTINCT user_id) AS n
+                       FROM events),
+            r AS (
+                SELECT event_type, count(DISTINCT user_id) AS k
+                FROM events GROUP BY 1
+            ),
+            w AS (
+                SELECT r.event_type, r.k,
+                       CAST(r.k AS DOUBLE) / t.n AS p,
+                       CAST(t.n AS DOUBLE) AS n
+                FROM r, t
+            )
+            SELECT event_type,
+                   CAST(k AS BIGINT) AS n_users_reached,
+                   ROUND(p, 6) AS reach,
+                   ROUND((p + 1.959964 * 1.959964 / (2 * n))
+                         / (1.0 + 1.959964 * 1.959964 / n)
+                         - (1.959964
+                            / (1.0 + 1.959964 * 1.959964 / n))
+                           * sqrt(p * (1 - p) / n
+                                  + 1.959964 * 1.959964
+                                    / (4 * n * n)), 6) AS wilson_lo,
+                   ROUND((p + 1.959964 * 1.959964 / (2 * n))
+                         / (1.0 + 1.959964 * 1.959964 / n)
+                         + (1.959964
+                            / (1.0 + 1.959964 * 1.959964 / n))
+                           * sqrt(p * (1 - p) / n
+                                  + 1.959964 * 1.959964
+                                    / (4 * n * n)), 6) AS wilson_hi
+            FROM w
         """,
         "doc_dup_rate_by_source": """
             WITH k AS (

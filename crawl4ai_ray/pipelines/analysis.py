@@ -10317,3 +10317,47 @@ def events_active_users(sf_dir: str):
         "mau": pa.array(np.asarray(out_mau, np.int64)),
         "stickiness": pa.array(np.round(dau / mau, 6), pa.float64()),
     })
+
+
+def events_conversion_wilson(sf_dir: str, z: float = 1.959964):
+    """Per-type user-reach with Wilson 95% score intervals — for each
+    event type, the share of ALL users who performed it at least once,
+    with the Wilson interval (the right small-sample CI for
+    proportions; never leaves [0,1], unlike the Wald interval). One
+    row per type.
+
+    Scale shape: reach reduces to the distinct (type, user) pair table
+    via one groupby combiner; the CI algebra is k-row driver-side."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_users = ds.groupby("user_id").count().count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    m = ds.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby(["event_type", "user_id"]).aggregate(_Count()) \
+        .groupby("event_type").aggregate(_Count()).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    k = m["count()"].to_numpy(np.float64)
+    n = float(n_users)
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * np.sqrt(p * (1 - p) / n
+                                 + z * z / (4 * n * n))
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "n_users_reached": pa.array(k.astype(np.int64)),
+        "reach": pa.array(np.round(p, 6), pa.float64()),
+        "wilson_lo": pa.array(np.round(center - half, 6),
+                              pa.float64()),
+        "wilson_hi": pa.array(np.round(center + half, 6),
+                              pa.float64()),
+    })

@@ -2093,3 +2093,114 @@ def crawl_adamic_adar(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return adamic_adar_topk(edges, dump=dump)
+
+
+def rich_club(edges_ds, *, dump=None):
+    """Rich-club coefficient curve over the undirected crawl graph —
+    φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) for each degree threshold k:
+    do the hubs preferentially link to each other (φ → 1) or only to
+    the periphery (Colizza et al., 2006)? One row per threshold k
+    with a non-empty >k node set of ≥2 nodes.
+
+    Shape: degrees via endpoint explode + groupby; each edge carries
+    min(deg(u), deg(v)) — an edge survives threshold k iff that min
+    exceeds k — so ONE pass over the edge table yields the
+    edges-per-threshold histogram (cumulated from the top), and the
+    node side is the degree histogram's suffix. Driver algebra runs
+    on the DEGREE-bounded threshold table, never on edges.
+
+    ``dump`` receives the lex edge table; SQL recomputes degrees and
+    the curve from scratch."""
+    from ray.data.aggregate import Count
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    n_edges = el.count()
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n_nodes": pa.array([], pa.int64()),
+                      "n_edges": pa.array([], pa.int64()),
+                      "phi": pa.array([], pa.float64())})
+    if n_edges == 0:
+        if dump is not None:
+            dump(pa.table({"u": pa.array([], pa.string()),
+                           "v": pa.array([], pa.string())}))
+        return empty
+    if dump is not None:
+        dump(pa.concat_tables(ray_get_tables(el))
+             .rename_columns(["u", "v"]))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("lo").combine_chunks().cast(pa.string()),
+             t.column("hi").combine_chunks().cast(pa.string())])})
+
+    deg = (el.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))) \
+        .materialize()
+
+    n = _pr_parts(n_edges, el, deg)
+    j = el.join(deg.rename_columns({"node": "lo", "deg": "dl"}),
+                "inner", n, on=("lo",))
+    j = j.join(deg.rename_columns({"node": "hi", "deg": "dh"}),
+               "inner", n, on=("hi",))
+
+    def edge_min(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False)
+        dh = t.column("dh").to_numpy(zero_copy_only=False)
+        return pa.table({"md": pa.array(np.minimum(dl, dh),
+                                        pa.int64())})
+
+    ehist = j.map_batches(edge_min, batch_format="pyarrow") \
+        .groupby("md").aggregate(Count(alias_name="ne")) \
+        .to_pandas()
+    dhist = deg.groupby("deg").aggregate(Count(alias_name="nn")) \
+        .to_pandas()
+    md = ehist["md"].to_numpy(np.int64)
+    ne = ehist["ne"].to_numpy(np.int64)
+    dv = dhist["deg"].to_numpy(np.int64)
+    nn = dhist["nn"].to_numpy(np.int64)
+    max_k = int(dv.max())
+    rows = []
+    for k in range(0, max_k):
+        nk = int(nn[dv > k].sum())
+        if nk < 2:
+            break
+        ek = int(ne[md > k].sum())
+        phi = 2.0 * ek / (nk * (nk - 1.0))
+        rows.append((k, nk, ek, round(phi, 6)))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+        "phi": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def crawl_rich_club(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web, emit the rich-club
+    coefficient curve. Self-dump SQL-gated when ``dump`` is set."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_rc_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return rich_club(edges, dump=dump)
