@@ -1499,6 +1499,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, dump=lambda t: _oracle_dump("crawl_rich_club", t)),
         # Wilson 95% score interval on per-type user reach
         "events_conversion_wilson": analysis.events_conversion_wilson,
+        # day-N retention from each user's first activity day
+        "events_retention_curve": analysis.events_retention_curve,
+        # Clauset-style power-law alpha over the degree histogram
+        "crawl_degree_powerlaw": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_degree_powerlaw"],
+        ).crawl_degree_powerlaw(
+            sf, dump=lambda t: _oracle_dump("crawl_degree_powerlaw",
+                                            t)),
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -4867,6 +4876,42 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_retention_curve": """
+            WITH pu AS (
+                SELECT DISTINCT user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events
+            ),
+            f AS (SELECT user_id, min(day) AS first_day
+                  FROM pu GROUP BY 1),
+            t AS (SELECT count(*) AS n_users FROM f),
+            h AS (
+                SELECT pu.day - f.first_day AS off,
+                       count(*) AS n_active
+                FROM pu JOIN f USING (user_id) GROUP BY 1
+            )
+            SELECT CAST(off AS BIGINT) AS offset_days,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   ROUND(CAST(n_active AS DOUBLE) / t.n_users, 6)
+                       AS retention
+            FROM h, t
+        """,
+        "crawl_degree_powerlaw": """
+            WITH el AS (SELECT u, v FROM read_parquet(
+                 '/tmp/c4r_oracle/crawl_degree_powerlaw/raw.parquet')),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM el
+                    UNION ALL SELECT v FROM el) GROUP BY 1
+            ),
+            tail AS (SELECT deg FROM deg WHERE deg >= 2)
+            SELECT CAST(2 AS BIGINT) AS d_min,
+                   CAST(count(*) AS BIGINT) AS n_tail,
+                   ROUND(1.0 + count(*)
+                         / sum(ln(deg / 1.5)), 6) AS alpha
+            FROM tail
         """,
         "crawl_rich_club": """
             WITH el AS (SELECT u, v FROM read_parquet(

@@ -10361,3 +10361,62 @@ def events_conversion_wilson(sf_dir: str, z: float = 1.959964):
         "wilson_hi": pa.array(np.round(center + half, 6),
                               pa.float64()),
     })
+
+
+def events_retention_curve(sf_dir: str):
+    """Classic day-N retention — the share of all users active exactly
+    N days after their FIRST activity day, for every offset N seen in
+    the data (the curve a growth team reads before any cohort
+    breakdown; ``events_weekly_retention`` is its calendar-cohort
+    cousin). One row per offset.
+
+    Scale shape: the distinct (user, day) pair table (one groupby);
+    per-user first day via a second user-keyed groupby; one join back
+    onto the pairs turns each activity into its offset, and a bounded
+    offset histogram finishes. All shuffles are user- or
+    offset-keyed."""
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    from .dedup import _join_parts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False),
+            "day": d}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pu = ds.map_batches(pairs, batch_format="pyarrow",
+                        batch_size=65536) \
+        .groupby(["user_id", "day"]).aggregate(_Count()) \
+        .select_columns(["user_id", "day"]).materialize()
+    firsts = pu.groupby("user_id") \
+        .aggregate(_Min("day", alias_name="first_day")).materialize()
+    n_users = firsts.count()
+
+    j = pu.join(firsts, "inner", _join_parts(pu, firsts),
+                on=("user_id",))
+
+    def offs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "offset": pa.array(
+                batch.column("day").to_numpy(zero_copy_only=False)
+                - batch.column("first_day")
+                .to_numpy(zero_copy_only=False), pa.int64())})
+
+    hist = j.map_batches(offs, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby("offset").aggregate(_Count(alias_name="n_active")) \
+        .to_pandas().sort_values("offset").reset_index(drop=True)
+    return pa.table({
+        "offset_days": pa.array(hist["offset"].to_numpy(np.int64)),
+        "n_active": pa.array(hist["n_active"].to_numpy(np.int64)),
+        "retention": pa.array(
+            np.round(hist["n_active"].to_numpy(np.float64)
+                     / float(n_users), 6), pa.float64()),
+    })

@@ -2204,3 +2204,72 @@ def crawl_rich_club(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return rich_club(edges, dump=dump)
+
+
+def degree_powerlaw(edges_ds, *, dump=None, d_min: int = 2):
+    """Discrete power-law MLE over the undirected degree distribution
+    — α̂ = 1 + n / Σ ln(d / (d_min − ½)) over degrees ≥ ``d_min``
+    (Clauset, Shalizi & Newman 2009 eq. 3.7), the scale-free-ness
+    summary of the crawl graph. One summary row (n tail nodes, d_min,
+    alpha).
+
+    Shape: degrees via endpoint explode + groupby; the MLE reduces
+    over the DEGREE HISTOGRAM (Σ c_d · ln(...)), never per node.
+    ``dump`` receives the lex edge table; SQL recomputes everything."""
+    from ray.data.aggregate import Count
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pa.table({"lo": pa.array(lo.tolist(), pa.string()),
+                         "hi": pa.array(hi.tolist(), pa.string())})
+
+    el = (edges_ds.map_batches(undirect, batch_format="pyarrow")
+          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+          .select_columns(["lo", "hi"])).materialize()
+    if dump is not None:
+        dump(pa.concat_tables(ray_get_tables(el))
+             .rename_columns(["u", "v"]))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("lo").combine_chunks().cast(pa.string()),
+             t.column("hi").combine_chunks().cast(pa.string())])})
+
+    dhist = (el.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="deg"))) \
+        .groupby("deg").aggregate(Count(alias_name="c")).to_pandas()
+    dv = dhist["deg"].to_numpy(np.float64)
+    c = dhist["c"].to_numpy(np.float64)
+    tail = dv >= d_min
+    n = float(c[tail].sum())
+    s = float((c[tail] * np.log(dv[tail] / (d_min - 0.5))).sum())
+    alpha = 1.0 + n / s
+    return pa.table({
+        "d_min": pa.array([d_min], pa.int64()),
+        "n_tail": pa.array([int(n)], pa.int64()),
+        "alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+def crawl_degree_powerlaw(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web, fit the degree
+    power law. Self-dump SQL-gated when ``dump`` is set."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_pl_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, _nodes = edges_from_docs(res.docs_dir)
+    return degree_powerlaw(edges, dump=dump)
