@@ -1508,6 +1508,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).crawl_degree_powerlaw(
             sf, dump=lambda t: _oracle_dump("crawl_degree_powerlaw",
                                             t)),
+        # seasonal-naive forecast scored with MAE/RMSE/MAPE/MASE
+        "events_forecast_accuracy": analysis.events_forecast_accuracy,
+        # Gini concentration of crawled pages across hosts
+        "crawl_host_gini": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.crawl",
+            fromlist=["crawl_host_gini"],
+        ).crawl_host_gini(
+            sf, dump=lambda t: _oracle_dump("crawl_host_gini", t)),
         # weakly connected components (min-label propagation), SQL
         # oracle = recursive reachability closure over the dumped edges
         "crawl_components": lambda sf: __import__(
@@ -4876,6 +4884,47 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_forecast_accuracy": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            e AS (
+                SELECT a.rev - b.rev AS err, a.rev AS actual
+                FROM daily a JOIN daily b ON b.day = a.day - 7
+            ),
+            s AS (
+                SELECT avg(abs(a.rev - b.rev)) AS scale
+                FROM daily a JOIN daily b ON b.day = a.day - 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                   ROUND(avg(abs(err)), 4) AS mae,
+                   ROUND(sqrt(avg(err * err)), 4) AS rmse,
+                   ROUND(avg(abs(err) / actual), 6) AS mape,
+                   ROUND(avg(abs(err)) / s.scale, 6) AS mase
+            FROM e, s GROUP BY s.scale
+        """,
+        "crawl_host_gini": """
+            WITH d AS (
+                SELECT host, n_pages FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_host_gini/raw.parquet')
+            ),
+            r AS (
+                SELECT n_pages,
+                       row_number() OVER (ORDER BY n_pages, host)
+                           AS i
+                FROM d
+            ),
+            t AS (SELECT count(*) AS n, sum(n_pages) AS tot FROM d)
+            SELECT CAST(t.n AS BIGINT) AS n_hosts,
+                   CAST(t.tot AS BIGINT) AS n_pages,
+                   ROUND(2.0 * sum(r.i * r.n_pages)
+                         / (t.n * CAST(t.tot AS DOUBLE))
+                         - (t.n + 1.0) / t.n, 6) AS gini
+            FROM r, t GROUP BY t.n, t.tot
         """,
         "events_retention_curve": """
             WITH pu AS (

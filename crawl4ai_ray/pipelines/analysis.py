@@ -10420,3 +10420,58 @@ def events_retention_curve(sf_dir: str):
             np.round(hist["n_active"].to_numpy(np.float64)
                      / float(n_users), 6), pa.float64()),
     })
+
+
+def events_forecast_accuracy(sf_dir: str, season: int = 7):
+    """Forecast-accuracy metrics of the seasonal-naive baseline on
+    daily revenue — ŷ_t = y_{t−7}, scored with MAE, RMSE, MAPE and
+    MASE (error scaled by the naive |y_t − y_{t−1}| mean — Hyndman &
+    Koehler 2006; MASE < 1 beats the one-step naive), the metric
+    battery every forecasting pipeline reports. One summary row over
+    the days with a 7-day-old ancestor.
+
+    Scale shape: the daily aggregate is the distributed reduction;
+    the lag alignment and the four error sums run on the bounded
+    calendar series driver-side (the CCF convention)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    day = daily["day"].to_numpy(np.int64)
+    y = daily["rev"].to_numpy(np.float64)
+    pos = {d: i for i, d in enumerate(day)}
+    e, a = [], []
+    for i, d in enumerate(day):
+        j = pos.get(d - season)
+        if j is not None:
+            e.append(y[i] - y[j])
+            a.append(y[i])
+    e = np.asarray(e)
+    a = np.asarray(a)
+    d1 = []
+    for i, d in enumerate(day):
+        j = pos.get(d - 1)
+        if j is not None:
+            d1.append(abs(y[i] - y[j]))
+    scale = float(np.mean(d1))
+    mae = float(np.abs(e).mean())
+    rmse = float(np.sqrt((e * e).mean()))
+    mape = float((np.abs(e) / a).mean())
+    return pa.table({
+        "n_scored": pa.array([len(e)], pa.int64()),
+        "mae": pa.array([round(mae, 4)], pa.float64()),
+        "rmse": pa.array([round(rmse, 4)], pa.float64()),
+        "mape": pa.array([round(mape, 6)], pa.float64()),
+        "mase": pa.array([round(mae / scale, 6)], pa.float64()),
+    })

@@ -2381,3 +2381,50 @@ def crawl_url_patterns(sf_dir: str, *, dump=None):
         .groupby(["host", "n_segments"]) \
         .aggregate(Count(alias_name="n_urls"),
                    Max("depth", alias_name="max_depth"))
+
+
+def crawl_host_gini(sf_dir: str, *, dump=None):
+    """Query entry: BFS-crawl the synthetic web and measure the Gini
+    concentration of pages across hosts — the frontier-skew headline
+    (Gini → 1 = one host dominates the crawl, the politeness
+    scheduler's worst case). One summary row. Self-dump SQL-gated
+    when ``dump`` is set: the dump is the per-host page-count table
+    and DuckDB recomputes the exact sorted-formula Gini
+    G = (2·Σᵢ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over counts sorted ascending
+    (ties broken by host for a deterministic permutation — G is
+    tie-order-invariant, the tiebreak just pins both engines to the
+    same sum order)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_hgini_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    counts = rd.read_parquet(res.docs_dir, columns=["host"]) \
+        .groupby("host").aggregate(Count(alias_name="n_pages")) \
+        .to_pandas().sort_values(["n_pages", "host"]) \
+        .reset_index(drop=True)
+    if dump is not None:
+        dump(pa.table({
+            "host": pa.array(counts["host"], pa.string()),
+            "n_pages": pa.array(counts["n_pages"].to_numpy("int64"),
+                                pa.int64())}))
+    x = counts["n_pages"].to_numpy(np.float64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    gini = float(2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n)
+    return pa.table({
+        "n_hosts": pa.array([n], pa.int64()),
+        "n_pages": pa.array([int(x.sum())], pa.int64()),
+        "gini": pa.array([round(gini, 6)], pa.float64()),
+    })
