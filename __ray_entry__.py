@@ -1510,6 +1510,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             t)),
         # seasonal-naive forecast scored with MAE/RMSE/MAPE/MASE
         "events_forecast_accuracy": analysis.events_forecast_accuracy,
+        # NB classifier confusion matrix (k x k rollup of doc_lang_nb)
+        "doc_lang_confusion": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["doc_lang_confusion"],
+        ).doc_lang_confusion(sf),
+        # Tukey-fence outlier counts per market segment
+        "customer_balance_outliers": analysis.customer_balance_outliers,
         # Gini concentration of crawled pages across hosts
         "crawl_host_gini": lambda sf: __import__(
             "crawl4ai_ray.pipelines.crawl",
@@ -4885,6 +4892,33 @@ def oracle_sql() -> dict[str, str]:
                        AS hapax_share
             FROM t GROUP BY 1
         """,
+        "customer_balance_outliers": """
+            WITH q AS (
+                SELECT c_mktsegment,
+                       quantile_cont(c_acctbal, 0.25) AS q1,
+                       quantile_cont(c_acctbal, 0.75) AS q3,
+                       count(*) AS n
+                FROM customer GROUP BY 1
+            ),
+            f AS (
+                SELECT c_mktsegment, n,
+                       q1 - 1.5 * (q3 - q1) AS lo,
+                       q3 + 1.5 * (q3 - q1) AS hi
+                FROM q
+            )
+            SELECT f.c_mktsegment,
+                   CAST(f.n AS BIGINT) AS n_customers,
+                   ROUND(f.lo, 6) AS fence_low,
+                   ROUND(f.hi, 6) AS fence_high,
+                   CAST(sum(CASE WHEN c.c_acctbal < f.lo
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_low_outliers,
+                   CAST(sum(CASE WHEN c.c_acctbal > f.hi
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high_outliers
+            FROM customer c JOIN f USING (c_mktsegment)
+            GROUP BY 1, 2, 3, 4
+        """,
         "events_forecast_accuracy": """
             WITH daily AS (
                 SELECT CAST(datediff('day', DATE '1970-01-01',
@@ -5668,6 +5702,65 @@ def oracle_sql() -> dict[str, str]:
             FROM dots d
             JOIN nrm na ON na.nation = d.nation_a
             JOIN nrm nb ON nb.nation = d.nation_b
+        """,
+        "doc_lang_confusion": r"""
+            WITH tok AS (
+                SELECT doc_id, lang, term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS term
+                    FROM documents)
+                WHERE term <> '' GROUP BY 1, 2, 3
+            ),
+            ctab AS (SELECT lang, term, sum(tf) AS c
+                     FROM tok GROUP BY 1, 2),
+            ctot AS (SELECT lang, sum(c) AS nl FROM ctab GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+            prior AS (
+                SELECT lang, ln(count(*) / CAST(
+                    (SELECT count(*) FROM documents) AS DOUBLE)) AS lp
+                FROM documents GROUP BY 1
+            ),
+            dense AS (
+                SELECT t.term, l.lang AS cand,
+                       ln((coalesce(c.c, 0) + 1)
+                          / CAST(ct.nl + v.v AS DOUBLE)) AS logp
+                FROM (SELECT DISTINCT term FROM tok) t
+                CROSS JOIN (SELECT DISTINCT lang FROM ctab) l
+                LEFT JOIN ctab c
+                     ON c.term = t.term AND c.lang = l.lang
+                JOIN ctot ct ON ct.lang = l.lang, vocab v
+            ),
+            sc AS (
+                SELECT tok.doc_id, tok.lang, d.cand,
+                       ROUND(sum(tok.tf * d.logp)
+                             + any_value(p.lp), 4) AS score
+                FROM tok JOIN dense d ON d.term = tok.term
+                JOIN prior p ON p.lang = d.cand
+                GROUP BY 1, 2, 3
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, cand) AS rk
+                FROM sc
+            ),
+            pred AS (
+                SELECT b.doc_id, b.lang, b.cand AS pred_lang
+                FROM r b WHERE b.rk = 1
+            ),
+            cm AS (
+                SELECT lang, pred_lang, count(*) AS n
+                FROM pred GROUP BY 1, 2
+            ),
+            rt AS (SELECT lang, sum(n) AS tot FROM cm GROUP BY 1)
+            SELECT cm.lang, cm.pred_lang,
+                   CAST(cm.n AS BIGINT) AS n,
+                   ROUND(CAST(cm.n AS DOUBLE) / rt.tot, 6)
+                       AS share_of_actual
+            FROM cm JOIN rt USING (lang)
         """,
         "customer_survival_km": """
             WITH w AS (SELECT max(o_orderdate) AS t1 FROM orders),

@@ -10475,3 +10475,69 @@ def events_forecast_accuracy(sf_dir: str, season: int = 7):
         "mape": pa.array([round(mape, 6)], pa.float64()),
         "mase": pa.array([round(mae / scale, 6)], pa.float64()),
     })
+
+
+def customer_balance_outliers(sf_dir: str):
+    """Tukey-fence outlier audit of customer account balances per
+    market segment — counts outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR],
+    the boxplot rule every data-profiling pass runs. One row per
+    segment with the fences and the outlier counts.
+
+    Scale shape: Q1/Q3 via the distributed histogram-selection
+    quantile machinery (``grouped_median_distributed`` with q=0.25 /
+    0.75 — no task holds a group); the fence counts are one combiner
+    pass with the 5-row fence table broadcast."""
+    import ray
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    q1 = grouped_median_distributed(ds, "c_mktsegment", "c_acctbal",
+                                    q=0.25)
+    q3 = grouped_median_distributed(ds, "c_mktsegment", "c_acctbal",
+                                    q=0.75)
+    f = {}
+    for k, v in zip(q1.column("c_mktsegment").to_pylist(),
+                    q1.column("median").to_pylist()):
+        f[k] = [float(v), None]
+    for k, v in zip(q3.column("c_mktsegment").to_pylist(),
+                    q3.column("median").to_pylist()):
+        f[k][1] = float(v)
+    fences = {k: (a - 1.5 * (b - a_b), b + 1.5 * (b - a_b))
+              for k, (a, b) in f.items()
+              for a_b in [a]}
+    fref = ray.put(fences)
+
+    def part(batch: pa.Table, fref=fref) -> pa.Table:
+        fn = ray.get(fref)
+        seg = batch.column("c_mktsegment").to_pandas()
+        v = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        lo = seg.map(lambda s: fn[s][0]).to_numpy(np.float64)
+        hi = seg.map(lambda s: fn[s][1]).to_numpy(np.float64)
+        df = pd.DataFrame({
+            "c_mktsegment": seg, "_n": np.int64(1),
+            "_lo": (v < lo).astype(np.int64),
+            "_hi": (v > hi).astype(np.int64)})
+        g = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("c_mktsegment") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_lo", alias_name="n_low"),
+                   Sum("_hi", alias_name="n_high")).to_pandas() \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    lo = np.array([fences[s][0] for s in m["c_mktsegment"]])
+    hi = np.array([fences[s][1] for s in m["c_mktsegment"]])
+
+    # fences carry <= 5 decimal digits (quartile interpolation of
+    # 2-decimal data), so 6dp rounding is the identity on the true
+    # value — 4dp would sit ON the .xxxx5 midpoint where one-ulp
+    # engine differences flip the rounded digit
+    return pa.table({
+        "c_mktsegment": pa.array(m["c_mktsegment"], pa.string()),
+        "n_customers": pa.array(m["n"].to_numpy("int64")),
+        "fence_low": pa.array(np.round(lo, 6), pa.float64()),
+        "fence_high": pa.array(np.round(hi, 6), pa.float64()),
+        "n_low_outliers": pa.array(m["n_low"].to_numpy("int64")),
+        "n_high_outliers": pa.array(m["n_high"].to_numpy("int64")),
+    })

@@ -2137,3 +2137,39 @@ def corpus_vocab_growth(sf_dir: str):
         "n_tokens_seen": pa.array(thr, pa.int64()),
         "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
     })
+
+
+def doc_lang_confusion(sf_dir: str):
+    """Aggregated confusion matrix of the Naive Bayes language
+    classifier — (actual, predicted) → count + within-actual share,
+    the model-evaluation rollup of the per-doc ``doc_lang_nb`` (the
+    synthetic corpus shares vocabulary across langs, so the off-
+    diagonal mass IS the story). One row per observed (actual,
+    predicted) pair.
+
+    Scale shape: rides the full distributed NB pipeline, then one
+    bounded k×k groupby over its per-doc output."""
+    from ray.data.aggregate import Count as _Count
+
+    preds = doc_lang_nb(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang").cast(pa.string()),
+            "pred_lang": batch.column("pred_lang").cast(pa.string()),
+        })
+
+    g = preds.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby(["lang", "pred_lang"]) \
+        .aggregate(_Count(alias_name="n")).to_pandas()
+    row_tot = g.groupby("lang")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    return pa.table({
+        "lang": pa.array(g["lang"], pa.string()),
+        "pred_lang": pa.array(g["pred_lang"], pa.string()),
+        "n": pa.array(g["n"].to_numpy("int64"), pa.int64()),
+        "share_of_actual": pa.array(
+            np.round(g["n"].to_numpy(np.float64) / row_tot, 6),
+            pa.float64()),
+    })
