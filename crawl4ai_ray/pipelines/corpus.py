@@ -1813,32 +1813,55 @@ def doc_lang_nb(sf_dir: str):
             "cand": batch.column("cand").to_pandas(),
             "_s": batch.column("tf").to_numpy(zero_copy_only=False)
             * batch.column("logp").to_numpy(zero_copy_only=False)})
-        g = df.groupby(["doc_id", "lang", "cand"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pivot the candidate dimension into COLUMNS right here: the
+        # shuffle then carries one row per (doc, lang) with k score
+        # columns, and the argmax is a stateless vectorized pass —
+        # no k-row-group map_groups (5000 tiny pandas groups cost
+        # ~15 s at sf0.1; this shape costs none)
+        piv = df.pivot_table(index=["doc_id", "lang"],
+                             columns="cand", values="_s",
+                             aggfunc="sum", fill_value=0.0)
+        piv = piv.reindex(columns=list(langs), fill_value=0.0)
+        piv.columns = [f"s_{c}" for c in piv.columns]
+        return pa.Table.from_pandas(piv.reset_index(),
+                                    preserve_index=False)
 
+    scols = [f"s_{c}" for c in langs]
     sc = j.map_batches(partial, batch_format="pyarrow",
                        batch_size=65536) \
-        .groupby(["doc_id", "lang", "cand"]) \
-        .aggregate(Sum("_s", alias_name="s"))
+        .groupby(["doc_id", "lang"]) \
+        .aggregate(*[Sum(c, alias_name=c) for c in scols])
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["score"] = np.round(
-            g["s"].to_numpy(np.float64)
-            + np.array([priors[c] for c in g["cand"]]), 4)
-        g = g.sort_values(["score", "cand"],
-                          ascending=[False, True]).reset_index(drop=True)
-        best, second = g.iloc[0], g.iloc[1]
-        return pd.DataFrame({
-            "doc_id": [int(best["doc_id"])],
-            "lang": [best["lang"]],
-            "pred_lang": [best["cand"]],
-            "score": [float(best["score"])],
-            "margin": [round(float(best["score"] - second["score"]), 4)],
-            "correct": [bool(best["cand"] == best["lang"])],
+    lang_arr = np.asarray(langs, dtype=object)
+    prior_vec = np.array([priors[c] for c in langs])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        s = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False)
+             for c in scols]) + prior_vec[None, :]
+        s = np.round(s, 4)
+        # argmax with lang-asc tie-break: np.argmax takes the FIRST
+        # max and columns are lang-sorted
+        best_i = np.argmax(s, axis=1)
+        rows = np.arange(len(s))
+        best = s[rows, best_i]
+        s2 = s.copy()
+        s2[rows, best_i] = -np.inf
+        second = s2.max(axis=1)
+        actual = batch.column("lang").to_pandas().to_numpy(object)
+        pred = lang_arr[best_i]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": pa.array(actual, pa.string()),
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+            "score": pa.array(best, pa.float64()),
+            "margin": pa.array(np.round(best - second, 4),
+                               pa.float64()),
+            "correct": pa.array(pred == actual),
         })
 
-    return sc.groupby("doc_id").map_groups(pick, batch_format="pandas")
+    return sc.map_batches(pick, batch_format="pyarrow",
+                          batch_size=65536)
 
 
 def corpus_lexical_richness(sf_dir: str):
