@@ -1517,6 +1517,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).doc_lang_confusion(sf),
         # Tukey-fence outlier counts per market segment
         "customer_balance_outliers": analysis.customer_balance_outliers,
+        # source x lang mixture chi2 / V (bounded-cell histogram)
+        "doc_source_lang_mix": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["source_lang_mix"],
+        ).source_lang_mix(sf),
         # Gini concentration of crawled pages across hosts
         "crawl_host_gini": lambda sf: __import__(
             "crawl4ai_ray.pipelines.crawl",
@@ -4891,6 +4896,32 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "doc_source_lang_mix": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            rt AS (SELECT source, sum(n) AS rn FROM c GROUP BY 1),
+            ct AS (SELECT lang, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            x AS (
+                SELECT sum(c.n * c.n * t.total / (rt.rn * ct.cn))
+                       - any_value(t.total) AS chi2
+                FROM c JOIN rt USING (source)
+                JOIN ct USING (lang), t
+            )
+            SELECT CAST(t.total AS BIGINT) AS n_docs,
+                   CAST((SELECT count(*) FROM rt) AS BIGINT)
+                       AS n_sources,
+                   CAST((SELECT count(*) FROM ct) AS BIGINT)
+                       AS n_langs,
+                   ROUND(x.chi2, 6) AS chi2,
+                   ROUND(sqrt(x.chi2 / (t.total *
+                       (least((SELECT count(*) FROM rt),
+                              (SELECT count(*) FROM ct)) - 1))), 6)
+                       AS cramers_v
+            FROM x, t
         """,
         "customer_balance_outliers": """
             WITH q AS (

@@ -2196,3 +2196,52 @@ def doc_lang_confusion(sf_dir: str):
             np.round(g["n"].to_numpy(np.float64) / row_tot, 6),
             pa.float64()),
     })
+
+
+def source_lang_mix(sf_dir: str, max_cells: int = 1_000_000):
+    """Source × language mixture audit — the contingency χ² and
+    Cramér's V over (source, lang), the "did one feed change its
+    language mix" drift check a corpus curator runs per ingest. One
+    summary row (the per-cell drill-down is ``doc_dup_rate_by_source``'s
+    sibling and derivable from the same cells).
+
+    Scale shape: the bounded-cell histogram combiner (sources ×
+    langs), χ² via the Σo²/e − N identity driver-side."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pandas(),
+            "lang": batch.column("lang").to_pandas()})
+        g = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["source", "lang"]) \
+        .aggregate(_Sum("n", alias_name="n")).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"source_lang_mix: {len(cells)} cells exceed "
+            f"max_cells={max_cells}")
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    rt = cells.groupby("source")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    ct = cells.groupby("lang")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    chi2 = float((n * n * total / (rt * ct)).sum() - total)
+    r = cells["source"].nunique()
+    c = cells["lang"].nunique()
+    v = float(np.sqrt(chi2 / (total * (min(r, c) - 1))))
+    return pa.table({
+        "n_docs": pa.array([int(total)], pa.int64()),
+        "n_sources": pa.array([int(r)], pa.int64()),
+        "n_langs": pa.array([int(c)], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+    })
