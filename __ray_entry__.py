@@ -1522,6 +1522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.corpus",
             fromlist=["source_lang_mix"],
         ).source_lang_mix(sf),
+        # daily Shannon entropy of the type mix (timeline histogram)
+        "events_daily_entropy": analysis.events_daily_entropy,
+        # ISO-weekday revenue index (7-cell combiner)
+        "orders_weekday_index": analysis.orders_weekday_index,
         # Gini concentration of crawled pages across hosts
         "crawl_host_gini": lambda sf: __import__(
             "crawl4ai_ray.pipelines.crawl",
@@ -4896,6 +4900,34 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_daily_entropy": """
+            WITH c AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT day, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.day,
+                   CAST(any_value(t.tot) AS BIGINT) AS n_events,
+                   ROUND(-sum((c.n / CAST(t.tot AS DOUBLE))
+                              * log2(c.n / CAST(t.tot AS DOUBLE))),
+                         6) AS entropy_bits
+            FROM c JOIN t USING (day) GROUP BY 1
+        """,
+        "orders_weekday_index": """
+            WITH m AS (
+                SELECT isodow(o_orderdate) AS weekday,
+                       count(*) AS n, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT sum(rev) AS tot FROM m)
+            SELECT CAST(m.weekday AS BIGINT) AS weekday,
+                   CAST(m.n AS BIGINT) AS n_orders,
+                   ROUND(m.rev, 2) AS revenue,
+                   ROUND(7.0 * m.rev / t.tot, 6) AS weekday_index
+            FROM m, t
         """,
         "doc_source_lang_mix": """
             WITH c AS (

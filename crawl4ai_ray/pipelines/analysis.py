@@ -10541,3 +10541,80 @@ def customer_balance_outliers(sf_dir: str):
         "n_low_outliers": pa.array(m["n_low"].to_numpy("int64")),
         "n_high_outliers": pa.array(m["n_high"].to_numpy("int64")),
     })
+
+
+def events_daily_entropy(sf_dir: str):
+    """Daily Shannon entropy of the event-type mix — the
+    composition-drift series (entropy collapse = one type took over
+    that day, e.g. an error storm), next to the volume-based
+    ``events_daily_anomaly``. One row per day, entropy in bits.
+
+    Scale shape: the (day, type) histogram combiner — timeline ×
+    k cells — then per-day entropy driver-side on the bounded
+    table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "day": d,
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.int64(1)})
+        g = df.groupby(["day", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["day", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    tot = cells.groupby("day")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    p = cells["n"].to_numpy(np.float64) / tot
+    cells["_h"] = -p * np.log2(p)
+    g = cells.groupby("day", as_index=False).agg(
+        n_events=("n", "sum"), entropy_bits=("_h", "sum")) \
+        .sort_values("day").reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(g["day"].to_numpy(np.int64)),
+        "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+        "entropy_bits": pa.array(
+            np.round(g["entropy_bits"].to_numpy(np.float64), 6),
+            pa.float64()),
+    })
+
+
+def orders_weekday_index(sf_dir: str):
+    """Day-of-week revenue index — 7·revenue_d/revenue_total per ISO
+    weekday, the weekly-cycle factor next to the month-of-year
+    ``orders_seasonal_index``. One row per weekday (1 = Monday).
+
+    Scale shape: a 7-cell histogram combiner; driver algebra."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"weekday": dow, "_n": np.int64(1),
+                           "_rev": v})
+        g = df.groupby("weekday", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("weekday") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_rev", alias_name="rev")).to_pandas() \
+        .sort_values("weekday").reset_index(drop=True)
+    tot = float(m["rev"].sum())
+    return pa.table({
+        "weekday": pa.array(m["weekday"].to_numpy(np.int64)),
+        "n_orders": pa.array(m["n"].to_numpy(np.int64)),
+        "revenue": pa.array(
+            np.round(m["rev"].to_numpy(np.float64), 2), pa.float64()),
+        "weekday_index": pa.array(
+            np.round(7.0 * m["rev"].to_numpy(np.float64) / tot, 6),
+            pa.float64()),
+    })
