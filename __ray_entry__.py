@@ -1526,6 +1526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_entropy": analysis.events_daily_entropy,
         # ISO-weekday revenue index (7-cell combiner)
         "orders_weekday_index": analysis.orders_weekday_index,
+        # per-day type composition shares (stacked-area table)
+        "events_type_share_timeline":
+            analysis.events_type_share_timeline,
+        # order-status mix per year
+        "orders_status_mix_by_year": analysis.orders_status_mix_by_year,
+        # per-label embedding L2-norm stats (vectors never shuffle)
+        "embedding_norm_stats": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.similarity",
+            fromlist=["embedding_norm_stats"],
+        ).embedding_norm_stats(sf),
         # Gini concentration of crawled pages across hosts
         "crawl_host_gini": lambda sf: __import__(
             "crawl4ai_ray.pipelines.crawl",
@@ -4900,6 +4910,52 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6)
                        AS hapax_share
             FROM t GROUP BY 1
+        """,
+        "events_type_share_timeline": """
+            WITH c AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT day, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.day, c.event_type,
+                   CAST(c.n AS BIGINT) AS n,
+                   ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS share
+            FROM c JOIN t USING (day)
+        """,
+        "orders_status_mix_by_year": """
+            WITH c AS (
+                SELECT extract(year FROM o_orderdate) AS year,
+                       o_orderstatus, count(*) AS n
+                FROM orders GROUP BY 1, 2
+            ),
+            t AS (SELECT year, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT CAST(c.year AS BIGINT) AS year, c.o_orderstatus,
+                   CAST(c.n AS BIGINT) AS n_orders,
+                   ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS share
+            FROM c JOIN t USING (year)
+        """,
+        "embedding_norm_stats": """
+            WITH nrm AS (
+                SELECT label,
+                       sqrt(list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * x), 'sum')) AS v
+                FROM embeddings
+            ),
+            g AS (
+                SELECT label, count(*) AS n, sum(v) AS s,
+                       sum(v * v) AS ss, min(v) AS mn, max(v) AS mx
+                FROM nrm GROUP BY 1
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND(s / n, 6) AS mean_norm,
+                   ROUND(sqrt(greatest(ss / n - (s / n) * (s / n),
+                                       0.0)), 6) AS std_norm,
+                   ROUND(mn, 6) AS min_norm,
+                   ROUND(mx, 6) AS max_norm
+            FROM g
         """,
         "events_daily_entropy": """
             WITH c AS (

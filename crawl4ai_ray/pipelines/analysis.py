@@ -10618,3 +10618,77 @@ def orders_weekday_index(sf_dir: str):
             np.round(7.0 * m["rev"].to_numpy(np.float64) / tot, 6),
             pa.float64()),
     })
+
+
+def events_type_share_timeline(sf_dir: str):
+    """Per-day event-type composition — (day, type) → count and
+    within-day share, the stacked-area table behind the
+    ``events_daily_entropy`` summary. One row per (day, type).
+
+    Scale shape: the same timeline × k histogram combiner; shares
+    driver-side on the bounded cell table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "day": d,
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": np.int64(1)})
+        g = df.groupby(["day", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["day", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    tot = cells.groupby("day")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    return pa.table({
+        "day": pa.array(cells["day"].to_numpy(np.int64)),
+        "event_type": pa.array(cells["event_type"], pa.string()),
+        "n": pa.array(cells["n"].to_numpy(np.int64)),
+        "share": pa.array(
+            np.round(cells["n"].to_numpy(np.float64) / tot, 6),
+            pa.float64()),
+    })
+
+
+def orders_status_mix_by_year(sf_dir: str):
+    """Order-status composition per year — (year, status) → count and
+    within-year share, the fulfillment-health trend. One row per
+    (year, status).
+
+    Scale shape: years × statuses histogram combiner; shares
+    driver-side."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "year": y,
+            "o_orderstatus": batch.column("o_orderstatus")
+            .to_pandas(),
+            "n": np.int64(1)})
+        g = df.groupby(["year", "o_orderstatus"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["year", "o_orderstatus"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    tot = cells.groupby("year")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    return pa.table({
+        "year": pa.array(cells["year"].to_numpy(np.int64)),
+        "o_orderstatus": pa.array(cells["o_orderstatus"],
+                                  pa.string()),
+        "n_orders": pa.array(cells["n"].to_numpy(np.int64)),
+        "share": pa.array(
+            np.round(cells["n"].to_numpy(np.float64) / tot, 6),
+            pa.float64()),
+    })

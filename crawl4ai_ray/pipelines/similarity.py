@@ -1138,3 +1138,59 @@ def contrastive_mining(sf_dir: str, *, query_mod: int = 100, k: int = 3):
     return (partials.groupby(["query_id", "kind"])
             .map_groups(finish, batch_format="pandas")
             .sort(["query_id", "kind", "rnk"]))
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Per-label L2-norm statistics of the embedding vectors — n,
+    mean/std of ‖v‖ and the min/max, the collapsed-embedding audit
+    (a tight norm distribution per label is what contrastive training
+    expects; outliers flag bad rows before any ANN index is built).
+    One row per label.
+
+    Scale shape: each batch reduces to per-label (n, Σ‖v‖, Σ‖v‖²,
+    min, max) via vectorized numpy on the stacked vectors; one k-row
+    groupby; driver algebra. The vectors never shuffle."""
+    import pandas as pd
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum
+
+    from .sketches import _stack_embeddings
+
+    ds = rd.read_parquet(_emb_path(sf_dir),
+                         columns=["label", "embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        df = pd.DataFrame({
+            "label": batch.column("label")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "_n": np.int64(1), "_s": nrm, "_ss": nrm * nrm,
+            "_mn": nrm, "_mx": nrm})
+        g = df.groupby("label", as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum"), _ss=("_ss", "sum"),
+            _mn=("_mn", "min"), _mx=("_mx", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(part, batch_format="pyarrow",
+                       batch_size=4096) \
+        .groupby("label") \
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Sum("_ss", alias_name="ss"),
+                   _Min("_mn", alias_name="mn"),
+                   _Max("_mx", alias_name="mx")).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    mean = m["s"].to_numpy(np.float64) / n
+    var = m["ss"].to_numpy(np.float64) / n - mean * mean
+    return pa.table({
+        "label": pa.array(m["label"].to_numpy(np.int64)),
+        "n": pa.array(m["n"].to_numpy(np.int64)),
+        "mean_norm": pa.array(np.round(mean, 6), pa.float64()),
+        "std_norm": pa.array(np.round(np.sqrt(np.maximum(var, 0.0)),
+                                      6), pa.float64()),
+        "min_norm": pa.array(
+            np.round(m["mn"].to_numpy(np.float64), 6), pa.float64()),
+        "max_norm": pa.array(
+            np.round(m["mx"].to_numpy(np.float64), 6), pa.float64()),
+    })
