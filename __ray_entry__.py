@@ -974,6 +974,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from crawl4ai_ray.pipelines import analysis, dedup, similarity
 
     q = {
+        # --- session-11 additions, front-loaded for the driver's
+        # prefix sweep (all four DuckDB-oracled) ---
+        # OLS regression diagnostics: top Cook's-distance rows per flag
+        # (six-moment combiner + broadcast fit + per-batch top-k)
+        "lineitem_cooks_distance": analysis.lineitem_cooks_distance,
+        # daily-count correlogram, lags 1..10 (per-day count combiner)
+        "events_acf_table": analysis.events_acf_table,
+        # functional-dependency audit over a bounded candidate list
+        "orders_fd_audit": analysis.orders_fd_audit,
+        # distributed Poisson bootstrap: 95% CI for mean doc length
+        # per lang (deterministic md5 weight stream, |langs|xR cells)
+        "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -1975,6 +1987,174 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_cooks_distance": """
+            WITH m AS (
+                SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+                       sum(l_quantity) AS sx,
+                       sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_quantity * l_extendedprice) AS sxy,
+                       sum(l_extendedprice * l_extendedprice) AS syy
+                FROM lineitem GROUP BY 1
+            ),
+            fit AS (
+                SELECT l_returnflag, n, sx / n AS xbar,
+                       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+                       (sy - (n * sxy - sx * sy)
+                             / (n * sxx - sx * sx) * sx) / n AS a,
+                       sxx - sx * sx / n AS sxxc,
+                       ((syy - sy * sy / n)
+                        - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * (sxy - sx * sy / n)) / (n - 2) AS s2
+                FROM m
+            ),
+            d AS (
+                SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+                       (l.l_extendedprice
+                        - (f.a + f.b * l.l_quantity)) AS e,
+                       1.0 / f.n
+                       + (l.l_quantity - f.xbar)
+                         * (l.l_quantity - f.xbar) / f.sxxc AS h,
+                       f.s2
+                FROM lineitem l JOIN fit f USING (l_returnflag)
+            ),
+            rk AS (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       (e * e) / (2.0 * s2)
+                       * h / ((1.0 - h) * (1.0 - h)) AS cooks_d,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY (e * e) / (2.0 * s2)
+                                    * h / ((1.0 - h) * (1.0 - h)) DESC,
+                                    l_orderkey, l_linenumber) AS rk
+                FROM d
+            )
+            SELECT l_returnflag, l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   ROUND(cooks_d, 6) AS cooks_d,
+                   CAST(rk AS BIGINT) AS rk
+            FROM rk WHERE rk <= 20
+        """,
+        "events_acf_table": """
+            WITH d AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM events GROUP BY 1
+            ),
+            i AS (SELECT row_number() OVER (ORDER BY day) AS idx, v
+                  FROM d),
+            st AS (SELECT avg(v) AS mu FROM i),
+            dn AS (SELECT sum((v - mu) * (v - mu)) AS den FROM i, st)
+            SELECT CAST(r.k AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   ROUND(sum((a.v - st.mu) * (b.v - st.mu))
+                         / any_value(dn.den), 6) AS acf
+            FROM range(1, 11) r(k)
+            JOIN i a ON TRUE
+            JOIN i b ON a.idx = b.idx + r.k, st, dn
+            GROUP BY r.k
+        """,
+        "orders_fd_audit": """
+            WITH cand(tbl, lhs, rhs) AS (
+                VALUES ('orders', 'o_orderkey', 'o_custkey'),
+                       ('orders', 'o_custkey', 'o_orderpriority'),
+                       ('lineitem', 'l_orderkey', 'l_returnflag'),
+                       ('lineitem', 'l_partkey', 'l_suppkey'),
+                       ('part', 'p_name', 'p_type'),
+                       ('part', 'p_brand', 'p_type'),
+                       ('customer', 'c_nationkey', 'c_mktsegment'),
+                       ('nation', 'n_nationkey', 'n_regionkey')
+            ),
+            pairs AS (
+                SELECT 'orders' AS tbl, 'o_orderkey' AS lhs,
+                       'o_custkey' AS rhs,
+                       CAST(o_orderkey AS VARCHAR) AS a,
+                       CAST(o_custkey AS VARCHAR) AS b FROM orders
+                UNION ALL
+                SELECT 'orders', 'o_custkey', 'o_orderpriority',
+                       CAST(o_custkey AS VARCHAR), o_orderpriority
+                FROM orders
+                UNION ALL
+                SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+                       CAST(l_orderkey AS VARCHAR), l_returnflag
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+                       CAST(l_partkey AS VARCHAR),
+                       CAST(l_suppkey AS VARCHAR) FROM lineitem
+                UNION ALL
+                SELECT 'part', 'p_name', 'p_type', p_name, p_type
+                FROM part
+                UNION ALL
+                SELECT 'part', 'p_brand', 'p_type', p_brand, p_type
+                FROM part
+                UNION ALL
+                SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+                       CAST(c_nationkey AS VARCHAR), c_mktsegment
+                FROM customer
+                UNION ALL
+                SELECT 'nation', 'n_nationkey', 'n_regionkey',
+                       CAST(n_nationkey AS VARCHAR),
+                       CAST(n_regionkey AS VARCHAR) FROM nation
+            ),
+            dd AS (SELECT DISTINCT tbl, lhs, rhs, a, b FROM pairs),
+            g AS (
+                SELECT tbl, lhs, rhs,
+                       count(DISTINCT a) AS n_lhs,
+                       count(*) AS n_pairs
+                FROM dd GROUP BY 1, 2, 3
+            )
+            SELECT tbl, lhs, rhs, n_lhs, n_pairs,
+                   n_pairs - n_lhs AS n_extra,
+                   (n_pairs = n_lhs) AS holds
+            FROM g
+        """,
+        "doc_bootstrap_ci": """
+            WITH h AS (
+                SELECT lang, CAST(n_chars AS DOUBLE) AS nch,
+                       CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) AS h32
+                FROM documents
+            ),
+            w AS (
+                SELECT lang, nch, r.r,
+                       ((h32 * (2 * CAST(r.r AS UBIGINT) + 1))
+                        % 4294967296) / 4294967296.0 AS u
+                FROM h CROSS JOIN range(0, 200) r(r)
+            ),
+            pw AS (
+                SELECT lang, nch, r,
+                       CASE WHEN u < 0.36787944117144233 THEN 0.0
+                            WHEN u < 0.7357588823428847 THEN 1.0
+                            WHEN u < 0.9196986029286058 THEN 2.0
+                            WHEN u < 0.9810118431238463 THEN 3.0
+                            WHEN u < 0.9963401531726563 THEN 4.0
+                            WHEN u < 0.9994058151824183 THEN 5.0
+                            WHEN u < 0.999916758850712 THEN 6.0
+                            WHEN u < 0.9999897508033253 THEN 7.0
+                            ELSE 8.0 END AS wt
+                FROM w
+            ),
+            rm AS (
+                SELECT lang, r,
+                       sum(wt * nch) / sum(wt) AS mean_r
+                FROM pw GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT lang, count(*) AS n_docs,
+                       sum(CAST(n_chars AS DOUBLE)) AS sx
+                FROM documents GROUP BY 1
+            )
+            SELECT rm.lang, CAST(any_value(base.n_docs) AS BIGINT)
+                       AS n_docs,
+                   ROUND(any_value(base.sx) / any_value(base.n_docs),
+                         4) AS mean_chars,
+                   ROUND(quantile_cont(mean_r, 0.025), 4) AS ci_lo,
+                   ROUND(quantile_cont(mean_r, 0.975), 4) AS ci_hi,
+                   CAST(count(*) AS BIGINT) AS n_reps
+            FROM rm JOIN base USING (lang) GROUP BY rm.lang
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -10692,3 +10692,276 @@ def orders_status_mix_by_year(sf_dir: str):
             np.round(cells["n"].to_numpy(np.float64) / tot, 6),
             pa.float64()),
     })
+
+
+def lineitem_cooks_distance(sf_dir: str, top_k: int = 20):
+    """Per-returnflag OLS regression diagnostics: Cook's distance of
+    every lineitem under price ~ quantity, top-``top_k`` influential
+    rows per flag — the classic "which rows bend the fit" audit
+    (reference-adjacent: the quality/outlier filters family).
+
+    Scale shape: pass 1 is a six-moment combiner (n, Σx, Σy, Σx²,
+    Σxy, Σy²) per flag — the exchange is |flags| rows; the fit
+    (slope, intercept, SSE via the closed form
+    SSE = Syy_c − b·Sxy_c) happens driver-side on that tiny table and
+    broadcasts via closure. Pass 2 is stateless per-row math plus a
+    per-batch top-k combiner, so the driver's final sort sees at most
+    blocks × flags × k candidate rows, never the table."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "f": batch.column("l_returnflag").to_pandas(),
+            "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y, "syy": y * y})
+        g = df.groupby("f", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = li.map_batches(moments, batch_format="pyarrow",
+                       batch_size=65536) \
+        .groupby("f") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"),
+                   Sum("syy", alias_name="syy")).to_pandas()
+    fit = {}
+    for _, r in m.iterrows():
+        n, sx, sy = float(r["n"]), float(r["sx"]), float(r["sy"])
+        sxx, sxy, syy = float(r["sxx"]), float(r["sxy"]), \
+            float(r["syy"])
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        sxxc = sxx - sx * sx / n
+        s2 = ((syy - sy * sy / n) - b * (sxy - sx * sy / n)) / (n - 2)
+        fit[str(r["f"])] = (a, b, sx / n, sxxc, n, s2)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pandas().to_numpy()
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber") \
+            .to_numpy(zero_copy_only=False)
+        keep = []
+        for flag, (a, b, xbar, sxxc, n, s2) in fit.items():
+            sel = np.flatnonzero(flags == flag)
+            if not len(sel):
+                continue
+            e = y[sel] - (a + b * x[sel])
+            h = 1.0 / n + (x[sel] - xbar) ** 2 / sxxc
+            d = (e * e) / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h))
+            top = sel[np.argsort(-d)[:top_k]]
+            dd = (y[top] - (a + b * x[top])) ** 2 / (2.0 * s2) \
+                * (1.0 / n + (x[top] - xbar) ** 2 / sxxc) \
+                / ((1.0 - (1.0 / n + (x[top] - xbar) ** 2
+                           / sxxc)) ** 2)
+            keep.append(pd.DataFrame({
+                "l_returnflag": flags[top], "l_orderkey": ok[top],
+                "l_linenumber": ln[top].astype(np.int64),
+                "cooks_d": dd}))
+        if not keep:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "l_orderkey": pa.array([], pa.int64()),
+                             "l_linenumber": pa.array([], pa.int64()),
+                             "cooks_d": pa.array([], pa.float64())})
+        return pa.Table.from_pandas(pd.concat(keep),
+                                    preserve_index=False)
+
+    cand = li.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    cand = cand.sort_values(
+        ["l_returnflag", "cooks_d", "l_orderkey", "l_linenumber"],
+        ascending=[True, False, True, True])
+    cand["rk"] = cand.groupby("l_returnflag").cumcount() + 1
+    out = cand[cand["rk"] <= top_k].reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "l_orderkey": pa.array(out["l_orderkey"].to_numpy(np.int64)),
+        "l_linenumber": pa.array(
+            out["l_linenumber"].to_numpy(np.int64)),
+        "cooks_d": pa.array(
+            np.round(out["cooks_d"].to_numpy(np.float64), 6)),
+        "rk": pa.array(out["rk"].to_numpy(np.int64)),
+    })
+
+
+def events_acf_table(sf_dir: str, max_lag: int = 10):
+    """Autocorrelation function of the daily event-count series at lags
+    1..``max_lag`` — the full correlogram next to the existing lag-1
+    diagnostic (events_value_autocorr). Standard biased estimator:
+    r_k = Σ_{t>k}(x_t−μ)(x_{t−k}−μ) / Σ(x_t−μ)².
+
+    Scale shape: the event volume reduces through the same per-day
+    count combiner as events_daily (exchange = |days| rows); the
+    correlogram itself is driver math over the timeline-bounded daily
+    vector. Daily counts are exact ints so μ and the denominator are
+    reproducible doubles."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        df = pd.DataFrame({"day": np.datetime_as_string(d),
+                           "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby("day", as_index=False).sum(),
+            preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas()
+    daily = daily.sort_values("day")
+    v = daily["n"].to_numpy(np.float64)
+    mu = float(v.sum()) / len(v)        # integer sum: exact double
+    c = v - mu
+    den = float((c * c).sum())
+    ks, acf, npairs = [], [], []
+    for k in range(1, max_lag + 1):
+        ks.append(k)
+        acf.append(np.round(float((c[k:] * c[:-k]).sum()) / den, 6))
+        npairs.append(len(v) - k)
+    return pa.table({
+        "k": pa.array(np.array(ks, np.int64)),
+        "n_pairs": pa.array(np.array(npairs, np.int64)),
+        "acf": pa.array(np.array(acf, np.float64)),
+    })
+
+
+# (table, lhs, rhs) functional-dependency candidates audited by
+# orders_fd_audit — a bounded, documented probe list, not a search.
+FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_name", "p_type"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+]
+
+
+def orders_fd_audit(sf_dir: str):
+    """Functional-dependency audit: for each candidate A→B in
+    ``FD_CANDIDATES``, does every A value map to exactly one B? The
+    data-profiling primitive behind key discovery and denormalization
+    checks (complements orders_key_candidates, which profiles single
+    columns).
+
+    Scale shape, per candidate: local per-block (A,B) dedup inside
+    map_batches, ONE groupby on A counting distinct partners, then a
+    per-block partial (groups, violations) combiner — the driver sees
+    blocks×2 numbers. No distinct-pair table ever materializes."""
+    rows = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        ds = _read(sf_dir, tbl, [lhs, rhs])
+
+        def dedup(batch: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            df = pd.DataFrame({
+                "a": batch.column(lhs).to_pandas(),
+                "b": batch.column(rhs).to_pandas()})
+            return pa.Table.from_pandas(df.drop_duplicates(),
+                                        preserve_index=False)
+
+        def partners(batch: pa.Table) -> pa.Table:
+            cnt = batch.column("count()").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "n_lhs": pa.array([len(cnt)], pa.int64()),
+                "viol": pa.array([int((cnt - 1).sum())], pa.int64())})
+
+        part = ds.map_batches(dedup, batch_format="pyarrow",
+                              batch_size=65536) \
+            .groupby(["a", "b"]).count() \
+            .groupby("a").count() \
+            .map_batches(partners, batch_format="pyarrow") \
+            .to_pandas()
+        n_lhs = int(part["n_lhs"].sum())
+        viol = int(part["viol"].sum())
+        rows.append((tbl, lhs, rhs, n_lhs, n_lhs + viol, viol,
+                     viol == 0))
+    df = pd.DataFrame(rows, columns=[
+        "tbl", "lhs", "rhs", "n_lhs", "n_pairs", "n_extra", "holds"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Poisson(1) CDF thresholds shared verbatim with the doc_bootstrap_ci
+# SQL oracle — u < cum[k] ⇒ weight k (searchsorted side='right'), tail
+# capped at weight 8 (P ≈ 1e-5).
+POISSON1_CDF = np.array([
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253])
+
+
+def doc_bootstrap_ci(sf_dir: str, n_reps: int = 200):
+    """Distributed Poisson bootstrap (Chamandy et al. style): a 95% CI
+    for the mean document length per lang without resampling — each
+    (doc, replicate) pair draws a Poisson(1) weight from a
+    deterministic md5 stream, so every worker computes its replicate
+    partials independently and the exchange is |langs|×R cells. This
+    is THE bootstrap shape that scales: no replicate ever sees the
+    corpus, and the driver only quantiles R replicate means per lang.
+
+    Determinism: u_{d,r} = (h32(doc_id)·(2r+1) mod 2³²)/2³² with h32 =
+    first 8 md5 hex digits — the same Weyl-style stream the SQL oracle
+    replays — and the Poisson inverse-CDF thresholds are the shared
+    ``POISSON1_CDF`` literals."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    mults = (2 * np.arange(n_reps, dtype=np.uint64) + 1)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pandas().to_numpy()
+        nch = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        h32 = np.array([
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+            for i in ids], dtype=np.uint64)
+        u = ((h32[:, None] * mults[None, :]) & np.uint64(0xFFFFFFFF)) \
+            .astype(np.float64) / 4294967296.0
+        w = np.searchsorted(POISSON1_CDF, u, side="right") \
+            .astype(np.float64)
+        out = []
+        for lang in np.unique(langs):
+            sel = langs == lang
+            ws, wn = w[sel], w[sel] * nch[sel][:, None]
+            out.append(pd.DataFrame({
+                "lang": lang,
+                "r": np.arange(n_reps, dtype=np.int64),
+                "sw": ws.sum(axis=0), "swx": wn.sum(axis=0),
+                "n": np.int64(sel.sum()),
+                "sx": float(nch[sel].sum())}))
+        return pa.Table.from_pandas(pd.concat(out),
+                                    preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["lang", "r"]) \
+        .aggregate(Sum("sw", alias_name="sw"),
+                   Sum("swx", alias_name="swx"),
+                   Sum("n", alias_name="n"),
+                   Sum("sx", alias_name="sx")).to_pandas()
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        means = (g["swx"] / g["sw"]).to_numpy(np.float64)
+        lo, hi = np.quantile(means, [0.025, 0.975])
+        n = int(g["n"].iloc[0])     # every replicate row carries the
+        sx = float(g["sx"].iloc[0])  # same per-lang doc partials
+        rows.append((str(lang), n, np.round(sx / n, 4),
+                     np.round(lo, 4), np.round(hi, 4),
+                     len(means)))
+    df = pd.DataFrame(rows, columns=[
+        "lang", "n_docs", "mean_chars", "ci_lo", "ci_hi", "n_reps"])
+    df["n_reps"] = df["n_reps"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
