@@ -986,6 +986,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # blocked Jaro-Winkler fuzzy self-join on distinct part names
+        # (blocking predicate is part of the contract; JW verified
+        # bit-identical to DuckDB's)
+        "part_jaro_pairs": lambda sf: dedup.jaro_name_join(sf),
+        # hypergeometric term over-representation per lang (lgamma
+        # association order shared with the oracle)
+        "lang_term_enrichment": analysis.lang_term_enrichment,
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -2034,6 +2041,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "part_jaro_pairs": """
+            WITH d AS (
+                SELECT DISTINCT p_name,
+                       regexp_extract(p_name, '[^ ]+$') AS block
+                FROM part
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   ROUND(jaro_winkler_similarity(a.p_name, b.p_name),
+                         6) AS jw
+            FROM d a JOIN d b
+              ON a.block = b.block AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        """,
+        "lang_term_enrichment": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS term
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, term, CAST(count(*) AS DOUBLE) AS k
+                FROM tok WHERE term <> '' GROUP BY 1, 2
+            ),
+            kt AS (SELECT term, sum(k) AS kk FROM c GROUP BY 1),
+            nl AS (SELECT lang, sum(k) AS n FROM c GROUP BY 1),
+            tot AS (SELECT sum(k) AS nn FROM c),
+            sc AS (
+                SELECT c.lang, c.term, c.k,
+                       -(((lgamma(kk + 1) - lgamma(k + 1)
+                           - lgamma(kk - k + 1))
+                          + (lgamma(nn - kk + 1) - lgamma(n - k + 1)
+                             - lgamma(nn - kk - (n - k) + 1)))
+                         - (lgamma(nn + 1) - lgamma(n + 1)
+                            - lgamma(nn - n + 1))) / ln(10) AS score
+                FROM c JOIN kt USING (term) JOIN nl USING (lang), tot
+                WHERE c.k >= 20
+            )
+            SELECT lang, term, CAST(k AS BIGINT) AS k,
+                   ROUND(score, 6) AS neg_log10_pmf
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY score DESC, term) AS rk
+                  FROM sc)
+            WHERE rk <= 5
         """,
         "events_acf_table": """
             WITH d AS (

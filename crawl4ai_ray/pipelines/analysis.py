@@ -10965,3 +10965,94 @@ def doc_bootstrap_ci(sf_dir: str, n_reps: int = 200):
         "lang", "n_docs", "mean_chars", "ci_lo", "ci_hi", "n_reps"])
     df["n_reps"] = df["n_reps"].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lang_term_enrichment(sf_dir: str, top_k: int = 5,
+                         min_count: int = 20):
+    """Hypergeometric term-enrichment per lang: for every term with
+    in-lang count ≥ ``min_count``, the −log₁₀ hypergeometric PMF of
+    drawing exactly k occurrences in the lang's n tokens given the
+    term's corpus total K out of N — the standard over-representation
+    score (GO-enrichment shape) applied to corpus vocabulary; top
+    ``top_k`` terms per lang.
+
+    Scale shape: per-batch Counter partials keyed by lang (exchange =
+    distinct (lang, term) cells) → groupby(lang, term) → groupby(term)
+    map_groups so each term's corpus total K is computed in-group with
+    the ≤|langs| member cells; lang totals broadcast via closure.
+    Scoring uses the same lgamma association order as the SQL oracle,
+    so the doubles are bit-identical and the per-lang ranking agrees."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for lang, text in zip(batch.column("lang").to_pylist(),
+                              batch.column("text").to_pylist()):
+            for term in (text or "").lower().split():
+                c[(lang, term)] += 1
+        langs, terms = zip(*c.keys()) if c else ((), ())
+        return pa.table({
+            "lang": pa.array(list(langs), pa.string()),
+            "term": pa.array(list(terms), pa.string()),
+            "k": pa.array(list(c.values()), pa.int64())})
+
+    cells = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=8192) \
+        .groupby(["lang", "term"]) \
+        .aggregate(Sum("k", alias_name="k"))
+    totals = cells.groupby("lang") \
+        .aggregate(Sum("k", alias_name="n")).to_pandas()
+    n_by_lang = {str(r["lang"]): float(r["n"])
+                 for _, r in totals.iterrows()}
+    nn = float(totals["n"].sum())
+    lg = math.lgamma
+    ln10 = math.log(10.0)
+
+    def score(group: pa.Table) -> pa.Table:
+        ks = group.column("k").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        kk = float(ks.sum())        # corpus total for this term
+        langs = group.column("lang").to_pylist()
+        out_l, out_t, out_k, out_s = [], [], [], []
+        for lang, k, term in zip(langs, ks,
+                                 group.column("term").to_pylist()):
+            if k < min_count:
+                continue
+            n = n_by_lang[lang]
+            a = lg(kk + 1) - lg(k + 1) - lg(kk - k + 1)
+            b = lg(nn - kk + 1) - lg(n - k + 1) \
+                - lg(nn - kk - (n - k) + 1)
+            c = lg(nn + 1) - lg(n + 1) - lg(nn - n + 1)
+            out_l.append(lang)
+            out_t.append(term)
+            out_k.append(int(k))
+            out_s.append(-(a + b - c) / ln10)
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "k": pa.array(out_k, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["lang", "score", "term"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(top_k),
+                                    preserve_index=False)
+
+    cand = cells.groupby("term") \
+        .map_groups(score, batch_format="pyarrow") \
+        .map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas()
+    cand = cand.sort_values(["lang", "score", "term"],
+                            ascending=[True, False, True])
+    out = cand.groupby("lang").head(top_k).reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "k": pa.array(out["k"].to_numpy(np.int64)),
+        "neg_log10_pmf": pa.array(
+            np.round(out["score"].to_numpy(np.float64), 6)),
+    })

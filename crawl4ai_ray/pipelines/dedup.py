@@ -1517,3 +1517,94 @@ def dup_rate_by_source(sf_dir: str, prefix_len: int = 64):
         })
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity, verified bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` over the full part-name pair matrix and
+    the classic adversarial cases (empty strings, transposition-only,
+    window-0 shorts): standard Jaro with window max(|a|,|b|)/2 − 1,
+    Winkler boost p=0.1 over the ≤4-char common prefix when
+    jaro > 0.7, and 0.0 whenever either side is empty."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(la, lb) // 2 - 1
+    if win < 0:
+        win = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - win), min(lb, i + win + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j > 0.7:
+        lp = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            lp += 1
+        j = j + lp * 0.1 * (1.0 - j)
+    return j
+
+
+def jaro_name_join(sf_dir: str, *, threshold: float = 0.85,
+                   table: str = "part", str_col: str = "p_name"):
+    """Blocked Jaro-Winkler similarity self-join over the DISTINCT
+    values of ``str_col``: pairs sharing their last whitespace token
+    (the head noun — the blocking key) with similarity ≥ ``threshold``.
+    The fuzzy-join complement to ``edit_distance_join``: JW has no
+    complete deletion-neighborhood scheme (it is not a metric), so the
+    blocking predicate is PART OF THE OPERATOR CONTRACT and the SQL
+    oracle applies the identical block — document-scale recall beyond
+    the block is explicitly out of scope.
+
+    Scale shape: per-block local dedup + ONE groupby collapses the
+    value column to its distinct domain; a second groupby on the block
+    key runs the O(k²) in-block scoring with k = block size (bounded
+    by the value-domain structure, not the row count). Row volume
+    never reaches the pair stage."""
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet",
+                         columns=[str_col])
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        names = pd.unique(batch.column(str_col).to_pandas())
+        blocks = [n.rsplit(" ", 1)[-1] for n in names]
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "block": pa.array(blocks, pa.string())})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        names = sorted(group.column("name").to_pylist())
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                s = _jaro_winkler(names[i], names[j])
+                if s >= threshold:
+                    a_out.append(names[i])
+                    b_out.append(names[j])
+                    s_out.append(round(s, 6))
+        return pa.table({"name_a": pa.array(a_out, pa.string()),
+                         "name_b": pa.array(b_out, pa.string()),
+                         "jw": pa.array(s_out, pa.float64())})
+
+    return (ds.map_batches(dedup_block, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["name", "block"]).count()
+            .groupby("block").map_groups(pairs, batch_format="pyarrow"))
