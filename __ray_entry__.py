@@ -1930,6 +1930,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": lambda sf: __import__(
             "crawl4ai_ray.pipelines.graph", fromlist=["crawl_kcore"],
         ).crawl_kcore(sf),
+        # approximate betweenness centrality: multi-pivot BSP Brandes
+        # (rows-only; exact pivot-replay oracle in tests/test_graph.py)
+        "crawl_betweenness": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_betweenness"],
+        ).crawl_betweenness(sf),
+        # DBSCAN over embeddings: blocked ε-pairs + degree groupby +
+        # Pregel min-label cores (rows-only; brute-force oracle in
+        # tests/test_similarity_distributed.py)
+        "embedding_dbscan": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.similarity",
+            fromlist=["embedding_dbscan"],
+        ).embedding_dbscan(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
     # no driver sweep has sampled yet front-loaded — then the

@@ -2273,3 +2273,229 @@ def crawl_degree_powerlaw(sf_dir: str, *, dump=None):
         .run(site.seed_urls())
     edges, _nodes = edges_from_docs(res.docs_dir)
     return degree_powerlaw(edges, dump=dump)
+
+
+def select_pivots_md5(nodes_ds, k: int) -> list:
+    """Deterministic pivot sample for approximate betweenness: the k
+    nodes with the LOWEST md5 hex of their url — the repo's standard
+    hash-sampling law, so any re-run (and the pytest oracle) derives
+    the identical pivot set. Scale shape: per-block local top-k
+    combiner, driver sees blocks×k candidate rows."""
+    import hashlib
+
+    def local_k(t: pa.Table) -> pa.Table:
+        urls = t.column("node").to_pylist()
+        hs = sorted((hashlib.md5(u.encode()).hexdigest(), u)
+                    for u in urls)[:k]
+        return pa.table({
+            "h": pa.array([h for h, _ in hs], pa.string()),
+            "node": pa.array([u for _, u in hs], pa.string())})
+
+    cand = nodes_ds.map_batches(local_k,
+                                batch_format="pyarrow").to_pandas()
+    return cand.sort_values("h")["node"].head(k).tolist()
+
+
+def betweenness(edges_ds, nodes_ds, pivots, *, max_iters: int = 64):
+    """Approximate betweenness centrality: exact Brandes dependency
+    accumulation (Brandes, J. Math. Sociol. 2001) restricted to a
+    pivot source set (the Bader/Riondato-style sampling estimator) —
+    the restriction IS the contract, so the result is deterministic
+    and the pytest oracle replays the identical pivot set exactly.
+
+    Distributed shape — all |pivots| BFS trees advance in the SAME
+    level-synchronous BSP rounds, state keyed (pivot, node):
+
+    - forward round L: frontier (dist == L) joins edges on src,
+      ``groupby(pivot, dst).sum(sigma)`` accumulates shortest-path
+      counts; anti-join vs settled state admits level-L+1 rows.
+    - backward round L (descending): level-L nodes emit
+      (1 + delta)/sigma along reversed edges,
+      ``groupby(pivot, src).sum`` collects, and level-L−1 rows fold
+      delta += sigma × Σratio — the Brandes recurrence as one hash
+      join + one groupby per level, nothing driver-resident.
+
+    Sigma counts are integer-exact in float64; delta is float (sum
+    order varies ~1e-12), so the query rounds and the oracle compares
+    at 1e-9. Returns (node, btw) — Brandes delta summed over pivots,
+    endpoints excluded; unreached or pivot-only nodes score 0."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .select_columns(["src", "dst"]).materialize()   # simple graph
+    nodes = nodes_ds.map_batches(
+        _cast_str("node"), batch_format="pyarrow").materialize()
+    pivots = sorted({str(p) for p in pivots})
+
+    state = rd.from_arrow(pa.table({
+        "p": pa.array(pivots, pa.string()),
+        "node": pa.array(pivots, pa.string()),
+        "dist": pa.array([0] * len(pivots), pa.int64()),
+        "sigma": pa.array([1.0] * len(pivots), pa.float64()),
+    })).materialize()
+    n_edges = edges.count()
+
+    def _at_level(t: pa.Table, lvl: int) -> pa.Table:
+        return t.filter(pc.equal(t.column("dist"),
+                                 pa.scalar(lvl, pa.int64())))
+
+    max_level = 0
+    for lvl in range(max_iters):
+        frontier = state.map_batches(
+            lambda t, lvl=lvl: (lambda f: pa.table({
+                "p": f.column("p"), "src": f.column("node"),
+                "fsig": f.column("sigma")}))(_at_level(t, lvl)),
+            batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        n = _pr_parts(n_edges, edges, state)
+        cand = (edges.join(frontier, "inner", n, on=("src",))
+                .groupby(["p", "dst"])
+                .aggregate(_Sum("fsig", alias_name="add_sig"))
+                .rename_columns({"dst": "node"})).materialize()
+        if cand.count() == 0:
+            break       # frontier has no out-edges anywhere
+        # admit only (p, node) cells not yet settled
+        seen = state.map_batches(lambda t: pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "_seen": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        def admit(t: pa.Table, lvl=lvl) -> pa.Table:
+            t = t.filter(pc.is_null(t.column("_seen")))
+            return pa.table({
+                "p": t.column("p"), "node": t.column("node"),
+                "dist": pa.array(np.full(t.num_rows, lvl + 1,
+                                         np.int64)),
+                "sigma": t.column("add_sig")})
+
+        fresh = (cand.join(seen, "left_outer",
+                           _pr_parts(n_edges, cand, seen),
+                           on=("p", "node"))
+                 .map_batches(admit,
+                              batch_format="pyarrow")).materialize()
+        if fresh.count() == 0:
+            break
+        max_level = lvl + 1
+        state = state.union(fresh).materialize()
+    else:
+        raise RuntimeError(
+            f"betweenness forward BFS exceeded {max_iters} levels")
+
+    # backward Brandes sweep; delta starts 0 everywhere
+    state = state.map_batches(
+        lambda t: t.append_column(
+            "delta", pa.array(np.zeros(t.num_rows, np.float64))),
+        batch_format="pyarrow").materialize()
+    for lvl in range(max_level, 0, -1):
+        wtab = state.map_batches(
+            lambda t, lvl=lvl: (lambda f: pa.table({
+                "p": f.column("p"), "dst": f.column("node"),
+                "ratio": pc.divide(
+                    pc.add(f.column("delta"), pa.scalar(1.0)),
+                    f.column("sigma"))}))(_at_level(t, lvl)),
+            batch_format="pyarrow")
+        contrib = (edges.join(wtab, "inner",
+                              _pr_parts(n_edges, edges, state),
+                              on=("dst",))
+                   .groupby(["p", "src"])
+                   .aggregate(_Sum("ratio", alias_name="sr"))
+                   .rename_columns({"src": "node"}))
+
+        def fold(t: pa.Table, lvl=lvl) -> pa.Table:
+            sr = pc.coalesce(t.column("sr"),
+                             pa.scalar(0.0, pa.float64()))
+            at_prev = pc.equal(t.column("dist"),
+                               pa.scalar(lvl - 1, pa.int64()))
+            add = pc.if_else(at_prev,
+                             pc.multiply(t.column("sigma"), sr),
+                             pa.scalar(0.0, pa.float64()))
+            return pa.table({
+                "p": t.column("p"), "node": t.column("node"),
+                "dist": t.column("dist"), "sigma": t.column("sigma"),
+                "delta": pc.add(t.column("delta"), add)})
+
+        state = (state.join(contrib, "left_outer",
+                            _pr_parts(n_edges, state, contrib),
+                            on=("p", "node"))
+                 .map_batches(fold, batch_format="pyarrow")) \
+            .materialize()
+
+    scores = (state.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(
+            t.column("node"), t.column("p")))),
+        batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Sum("delta", alias_name="btw")))
+    # nodes never reached from any pivot score 0
+    n = _pr_parts(n_edges, nodes, scores)
+    return (nodes.join(scores, "left_outer", n, on=("node",))
+            .map_batches(lambda t: pa.table({
+                "node": t.column("node"),
+                "btw": pc.round(pc.coalesce(
+                    t.column("btw"), pa.scalar(0.0, pa.float64())),
+                    ndigits=6)}), batch_format="pyarrow"))
+
+
+def betweenness_numpy(edges: list, nodes: list, pivots: list) -> dict:
+    """Driver oracle: textbook Brandes from the given pivot set over a
+    (src, dst) edge list (duplicates collapse — same simple-graph law
+    as the distributed form). Returns {node: btw}."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    btw = {v: 0.0 for v in nodes}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = []
+        preds = defaultdict(list)
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                btw[w] += delta[w]
+    return btw
+
+
+def crawl_betweenness(sf_dir: str, *, n_pivots: int = 8):
+    """Query entry: approximate betweenness centrality of the crawled
+    link graph from the md5-lowest pivot set — which pages sit on the
+    most shortest paths (the "bridge" ranking PageRank misses).
+    Rows-only for the driver; the numerical oracle replays the exact
+    pivot-restricted Brandes driver-side (tests/test_graph.py)."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_btw_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    edges = edges.materialize()
+    nodes = nodes.materialize()
+    pivots = select_pivots_md5(nodes, n_pivots)
+    return betweenness(edges, nodes, pivots) \
+        .sort(["btw", "node"], descending=[True, False])

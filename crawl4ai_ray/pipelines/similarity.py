@@ -1194,3 +1194,169 @@ def embedding_norm_stats(sf_dir: str):
         "max_norm": pa.array(
             np.round(m["mx"].to_numpy(np.float64), 6), pa.float64()),
     })
+
+
+def embedding_dbscan(sf_dir: str, *, threshold: float = 0.32,
+                     min_pts: int = 4, chunk_rows: int = 2048):
+    """Density-based clustering (DBSCAN, Ester et al. KDD 1996) over
+    the embedding table with cosine similarity ≥ ``threshold`` as the
+    ε-neighborhood — the training-data "coherent semantic cluster vs
+    noise" splitter next to k-means (which forces every point into a
+    cluster).
+
+    Composition of verified primitives, all distributed:
+
+    - ε-pairs: the exact blocked self-join of ``cosine_near_pairs``
+      (bounded 2×chunk per task; swap in the LSH-bucketed variant for
+      the corpus-scale high-threshold path);
+    - core points: neighbor-degree ≥ ``min_pts`` via one groupby over
+      the symmetrized pair list (self excluded);
+    - clusters: Pregel min-label components over CORE-CORE edges
+      (``dedup.propagate_min_labels``) — cluster id = min core vec_id;
+    - border points: non-core with ≥ 1 core neighbor take the MIN core
+      neighbor's label (the deterministic tie-break; textbook DBSCAN
+      leaves border assignment order-dependent), remaining points are
+      noise (cluster −1).
+
+    Determinism: every stage is exact; the pytest oracle replays the
+    same rules brute-force driver-side (tests/test_similarity_distributed.py)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .dedup import propagate_min_labels
+
+    pairs = cosine_near_pairs(sf_dir, threshold=threshold,
+                              chunk_rows=chunk_rows) \
+        .select_columns(["vec_a", "vec_b"]).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("vec_a").to_numpy()
+        b = t.column("vec_b").to_numpy()
+        return pa.table({"v": np.concatenate([a, b]),
+                         "nb": np.concatenate([b, a])})
+
+    nbrs = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    deg = nbrs.groupby("v").aggregate(Count(alias_name="deg"))
+    core = deg.map_batches(
+        lambda t: pa.table({"vec_id": t.filter(pc.greater_equal(
+            t.column("deg"), pa.scalar(min_pts, pa.int64())))
+            .column("v")}), batch_format="pyarrow").materialize()
+
+    ids = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id"])
+    # core flag joins: mark both endpoints of every neighbor edge.
+    # partition count via graph._pr_parts — collapses to 1 for small
+    # sides (Ray 2.49 empty-hash-partition join workaround)
+    from .graph import _pr_parts
+    # the SMALLER join side gates the partition count: a small side
+    # leaves hash partitions empty and trips the Ray 2.49 zero-column
+    # partition join bug (see graph._pr_parts)
+    n_small = min(nbrs.count(), max(core.count(), 1))
+    flag = core.map_batches(
+        lambda t: pa.table({"v": t.column("vec_id"),
+                            "_core": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+    n = _pr_parts(n_small, nbrs, flag)
+    marked = (nbrs.join(flag, "left_outer", n, on=("v",))
+              .join(flag.rename_columns({"v": "nb",
+                                         "_core": "_nbcore"}),
+                    "left_outer", n, on=("nb",))).materialize()
+
+    cc_edges = marked.map_batches(
+        lambda t: (lambda f: pa.table({
+            "doc_a": f.column("v"), "doc_b": f.column("nb")}))(
+            t.filter(pc.and_kleene(
+                pc.equal(pc.coalesce(t.column("_core"),
+                                     pa.scalar(0, pa.int64())), 1),
+                pc.equal(pc.coalesce(t.column("_nbcore"),
+                                     pa.scalar(0, pa.int64())), 1)))),
+        batch_format="pyarrow")
+    core_labels = propagate_min_labels(cc_edges, core.map_batches(
+        lambda t: pa.table({"doc_id": t.column("vec_id")}),
+        batch_format="pyarrow")) \
+        .rename_columns({"node": "vec_id", "label": "cluster"}) \
+        .materialize()
+
+    # border: non-core nodes adopt the min CORE-neighbor's cluster
+    core_cl = core_labels.rename_columns({"vec_id": "nb",
+                                          "cluster": "_nbcl"})
+    border = (marked.map_batches(
+        lambda t: t.filter(pc.and_kleene(
+            pc.is_null(t.column("_core")),
+            pc.equal(pc.coalesce(t.column("_nbcore"),
+                                 pa.scalar(0, pa.int64())), 1)))
+        .select(["v", "nb"]), batch_format="pyarrow")
+        .join(core_cl, "inner", n, on=("nb",))
+        .groupby("v").aggregate(Min("_nbcl", alias_name="cluster"))
+        .rename_columns({"v": "vec_id"})).materialize()
+
+    def finish_core(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": t.column("cluster"),
+            "role": pa.array(["core"] * t.num_rows, pa.string())})
+
+    def finish_border(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": t.column("cluster"),
+            "role": pa.array(["border"] * t.num_rows, pa.string())})
+
+    labeled = core_labels.map_batches(
+        finish_core, batch_format="pyarrow").union(
+        border.map_batches(finish_border, batch_format="pyarrow")) \
+        .materialize()
+    seen = labeled.map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "_has": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    noise = (ids.join(seen, "left_outer",
+                      _pr_parts(n_small, ids, seen), on=("vec_id",))
+             .map_batches(lambda t: (lambda f: pa.table({
+                 "vec_id": f.column("vec_id"),
+                 "cluster": pa.array(np.full(f.num_rows, -1,
+                                             np.int64)),
+                 "role": pa.array(["noise"] * f.num_rows,
+                                  pa.string())}))(
+                 t.filter(pc.is_null(t.column("_has")))),
+                 batch_format="pyarrow"))
+    return labeled.union(noise).sort(["vec_id"])
+
+
+def embedding_dbscan_numpy(vecs: "np.ndarray", ids: "np.ndarray", *,
+                           threshold: float = 0.32,
+                           min_pts: int = 4) -> "pd.DataFrame":
+    """Driver oracle for ``embedding_dbscan``: brute-force n² cosine,
+    same core/border/noise and min-label laws."""
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = m @ m.T
+    np.fill_diagonal(cos, -1.0)
+    adj = cos >= threshold
+    deg = adj.sum(axis=1)
+    is_core = deg >= min_pts
+    # components over core-core edges via repeated min-label
+    label = np.where(is_core, ids, np.int64(1 << 62))
+    core_adj = adj & is_core[:, None] & is_core[None, :]
+    for _ in range(len(ids)):
+        nb_min = np.where(
+            core_adj.any(axis=1),
+            np.min(np.where(core_adj, label[None, :].repeat(
+                len(ids), 0), np.int64(1 << 62)), axis=1),
+            np.int64(1 << 62))
+        new = np.minimum(label, nb_min)
+        if (new == label).all():
+            break
+        label = new
+    rows = []
+    for i, vid in enumerate(ids):
+        if is_core[i]:
+            rows.append((int(vid), int(label[i]), "core"))
+        else:
+            core_nb = adj[i] & is_core
+            if core_nb.any():
+                rows.append((int(vid),
+                             int(label[core_nb].min()), "border"))
+            else:
+                rows.append((int(vid), -1, "noise"))
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "role"])

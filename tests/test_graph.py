@@ -417,3 +417,67 @@ def test_weighted_sssp_reachability_matches_hops():
             assert cost[node] == -1, node
         else:
             assert cost[node] >= hops[node], node
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_betweenness_matches_brandes_oracle():
+    """Multi-pivot BSP Brandes == textbook driver Brandes from the
+    SAME md5-lowest pivot set, on a crafted graph with branching
+    shortest paths (sigma > 1) plus the crawl graph itself."""
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import (
+        betweenness, betweenness_numpy, select_pivots_md5)
+
+    # diamond + tail: two equal-length paths a->b->d / a->c->d then
+    # d->e, plus a disconnected island x->y
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "a", "b", "c", "d", "x"],
+        "dst": ["b", "c", "d", "d", "e", "y"]}))
+    names = ["a", "b", "c", "d", "e", "x", "y"]
+    nodes = rd.from_arrow(pa.table({"node": names}))
+    pivots = select_pivots_md5(nodes.materialize(), 4)
+    got = betweenness(edges, nodes, pivots) \
+        .to_pandas().set_index("node")["btw"].to_dict()
+    want = betweenness_numpy(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("x", "y")], names, pivots)
+    for v in names:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_betweenness_query():
+    """Query entry runs end-to-end and matches the driver Brandes
+    replay over the same crawl's edges and pivots."""
+    import tempfile
+
+    from crawl4ai_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawl4ai_ray.pipelines.graph import (
+        betweenness_numpy, crawl_betweenness, edges_from_docs,
+        select_pivots_md5)
+    from crawl4ai_ray.sources.synthetic_web import (
+        SiteConfig, SyntheticWeb)
+
+    got_t = crawl_betweenness("/root/testdata/sf0.001").to_pandas()
+    got = dict(zip(got_t["node"], got_t["btw"]))
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out = tempfile.mkdtemp(prefix="c4r_btw_oracle_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=out,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={
+        "site_cfg": site_cfg.__dict__}).run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    edges = edges.materialize()
+    nodes = nodes.materialize()
+    ep = edges.to_pandas().drop_duplicates()
+    all_nodes = nodes.to_pandas()["node"].tolist()
+    pivots = select_pivots_md5(nodes, 8)
+    want = betweenness_numpy(
+        list(zip(ep["src"], ep["dst"])), all_nodes, pivots)
+    assert len(got) == len(all_nodes)
+    for v in all_nodes:
+        assert abs(got[v] - want[v]) < 1e-6, v
+    assert sum(1 for v in got.values() if v > 0) >= 5

@@ -214,3 +214,29 @@ def test_contrastive_mining_laws(ray_session):
         order = np.lexsort((ids, -cs))[:len(g)]
         assert list(g["vec_id"]) == list(ids[order])
         assert np.allclose(g["cos"].to_numpy(), cs[order])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dbscan_matches_bruteforce():
+    """Distributed DBSCAN (blocked ε-pairs + degree groupby + Pregel
+    min-label cores + min-core-neighbor borders) == the driver n²
+    oracle with identical deterministic laws, at two (ε, min_pts)
+    settings."""
+    tb = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.array(tb.column("embedding").to_pylist(), np.float64)
+    ids = np.array(tb.column("vec_id").to_pylist(), np.int64)
+    for th, mp in [(0.32, 4), (0.34, 3)]:
+        got = _df(similarity.embedding_dbscan(
+            SF, threshold=th, min_pts=mp)) \
+            .sort_values("vec_id").reset_index(drop=True)
+        got["cluster"] = got["cluster"].astype(np.int64)
+        want = similarity.embedding_dbscan_numpy(
+            vecs, ids, threshold=th, min_pts=mp) \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert got[["vec_id", "cluster", "role"]].equals(want), \
+            (th, mp)
+        # density law: every cluster has >= 1 core; noise has no
+        # core neighbor by construction
+        cl = got[got.cluster >= 0]
+        assert (cl.groupby("cluster")["role"]
+                .apply(lambda r: (r == "core").any())).all()
