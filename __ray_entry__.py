@@ -993,6 +993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hypergeometric term over-representation per lang (lgamma
         # association order shared with the oracle)
         "lang_term_enrichment": analysis.lang_term_enrichment,
+        # CUME_DIST window via the histogram-rank form (exact ties)
+        "lineitem_cume_dist": analysis.lineitem_cume_dist,
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -1943,6 +1945,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.similarity",
             fromlist=["embedding_dbscan"],
         ).embedding_dbscan(sf),
+        # diagonal-covariance GMM via distributed EM: MAP component +
+        # responsibility per vector (rows-only; EM monotonicity law +
+        # numpy-replay oracle in tests/test_sketches.py)
+        "embedding_gmm": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["gmm_assignments"],
+        ).gmm_assignments(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
     # no driver sweep has sampled yet front-loaded — then the
@@ -2100,6 +2109,18 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term) AS rk
                   FROM sc)
             WHERE rk <= 5
+        """,
+        "lineitem_cume_dist": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   CUME_DIST() OVER w AS cume_dist,
+                   CAST(count(*) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_quantity
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+                       AS n_at_or_below
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         """,
         "events_acf_table": """
             WITH d AS (

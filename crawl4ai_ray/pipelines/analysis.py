@@ -11056,3 +11056,83 @@ def lang_term_enrichment(sf_dir: str, top_k: int = 5,
         "neg_log10_pmf": pa.array(
             np.round(out["score"].to_numpy(np.float64), 6)),
     })
+
+
+def lineitem_cume_dist(sf_dir: str, max_domain: int = 4_000_000):
+    """CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY
+    l_quantity) per lineitem — the remaining ranking-window shape next
+    to RANK/DENSE_RANK/PERCENT_RANK (lineitem_rank_stats). CUME_DIST =
+    rows-at-or-below / partition rows, exact under ties by definition.
+
+    Scale shape: identical histogram-rank form as lineitem_rank_stats
+    — the bounded (partition, value) histogram is the whole window
+    state (combiner-fed groupby, driver rank maps ≤ ``max_domain``
+    rows, ray.put broadcast, one searchsorted probe per row). The
+    emitted double divides the same two exact ints DuckDB divides, so
+    no rounding step is needed."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": batch.column("l_returnflag").to_pandas(),
+            "q": batch.column("l_quantity")
+                 .to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["f", "q"], as_index=False).size() \
+            .rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cdf = li.map_batches(hist, batch_format="pyarrow",
+                         batch_size=65536) \
+        .groupby(["f", "q"]).aggregate(Sum("_n", alias_name="_n")) \
+        .to_pandas()
+    if len(cdf) > max_domain:
+        raise ValueError(
+            f"lineitem_cume_dist: (partition, value) domain "
+            f"{len(cdf)} exceeds max_domain={max_domain}; use the "
+            f"sort + prefix-scan form instead")
+
+    vocab = sorted(cdf["f"].unique().tolist())
+    keys, cd_v, le_v = [], [], []
+    for code, flag in enumerate(vocab):
+        part = cdf[cdf["f"] == flag].sort_values("q", ascending=True)
+        cnts = part["_n"].to_numpy(np.int64)
+        n_part = int(cnts.sum())
+        at_or_below = np.cumsum(cnts)
+        cd = at_or_below.astype(np.float64) / float(n_part)
+        qint = part["q"].to_numpy(np.float64).astype(np.int64)
+        keys.append(code * (1 << 20) + qint)
+        cd_v.append(cd)
+        le_v.append(at_or_below)
+    skeys = np.concatenate(keys)
+    order = np.argsort(skeys)
+    ref = ray.put((skeys[order], np.concatenate(cd_v)[order],
+                   np.concatenate(le_v)[order]))
+    vocab_arr = np.array(vocab, dtype=object)
+
+    def assign(batch: pa.Table, ref=ref, vocab=vocab_arr) -> pa.Table:
+        import ray as _ray
+
+        sk, cd, le = _ray.get(ref)
+        flags = batch.column("l_returnflag").to_pandas().to_numpy()
+        code = np.zeros(len(flags), np.int64)
+        for i, name in enumerate(vocab):
+            code[flags == name] = i
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        key = code * (1 << 20) + qty.astype(np.int64)
+        idx = np.searchsorted(sk, key)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_quantity": batch.column("l_quantity"),
+            "cume_dist": pa.array(cd[idx]),
+            "n_at_or_below": pa.array(le[idx]),
+        })
+
+    return li.map_batches(assign, batch_format="pyarrow",
+                          batch_size=65536)

@@ -1015,3 +1015,169 @@ def events_purchase_lr(sf_dir: str, lr: float = 0.5, iters: int = 40):
         "train_accuracy": pa.array([round(acc, 6)] * 3, pa.float64()),
         "train_log_loss": pa.array([round(ll, 6)] * 3, pa.float64()),
     })
+
+
+def gmm_fit(sf_dir: str, k: int = 5, max_iters: int = 30,
+            tol: float = 1e-7, var_floor: float = 1e-6):
+    """Distributed EM for a diagonal-covariance Gaussian mixture over
+    the embeddings table — the SOFT-clustering twin of ``kmeans_fit``
+    (Dempster et al. 1977; the map-reduce EM shape of Chu et al.,
+    NIPS 2006: sufficient statistics are sums over rows, so each batch
+    emits k×(2d+2) partial numbers and the driver M-step reduces a
+    k-row table; shuffle volume independent of n).
+
+    Per iteration: (weights, means, vars) broadcast via ``ray.put``
+    once; each batch computes log-responsibilities with one vectorized
+    logsumexp and emits per-component partials (Σr, Σr·x, Σr·x²,
+    per-batch loglik). Deterministic init: means = the k lowest
+    vec_ids (kmeans_fit's law), variance = per-dim global moments
+    (one combiner pass), weights uniform. Convergence = relative
+    loglik improvement < ``tol``; EM guarantees the per-iteration
+    loglik sequence is non-decreasing (pytest law).
+
+    Returns (weights (k,), means (k,d), vars (k,d), logliks list)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(k).take_all()
+    means = np.stack([np.asarray(r["embedding"], np.float64)
+                      for r in first])
+    d = means.shape[1]
+
+    def mom(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([x.sum(axis=0).tobytes()],
+                           pa.large_binary()),
+            "sx2": pa.array([(x * x).sum(axis=0).tobytes()],
+                            pa.large_binary())})
+
+    mrows = ds.map_batches(mom, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    n_tot = sum(r["n"] for r in mrows)
+    sx = np.sum([np.frombuffer(r["sx"], np.float64) for r in mrows],
+                axis=0)
+    sx2 = np.sum([np.frombuffer(r["sx2"], np.float64) for r in mrows],
+                 axis=0)
+    gvar = np.maximum(sx2 / n_tot - (sx / n_tot) ** 2, var_floor)
+    vars_ = np.tile(gvar, (k, 1))
+    weights = np.full(k, 1.0 / k)
+    logliks: list = []
+
+    for _ in range(max_iters):
+        params_ref = ray.put((weights, means, vars_))
+
+        def estep(batch: pa.Table) -> pa.Table:
+            w, mu, vr = ray.get(params_ref)  # noqa: B023
+            x = _stack_embeddings(batch)
+            # log N(x | mu_j, diag(vr_j)) row-vectorized over j
+            lp = np.empty((len(x), len(w)))
+            for j in range(len(w)):
+                z = (x - mu[j]) ** 2 / vr[j]
+                lp[:, j] = (np.log(w[j])
+                            - 0.5 * (np.log(2 * np.pi * vr[j]).sum()
+                                     + z.sum(axis=1)))
+            m = lp.max(axis=1, keepdims=True)
+            lse = m[:, 0] + np.log(np.exp(lp - m).sum(axis=1))
+            r = np.exp(lp - lse[:, None])        # responsibilities
+            return pa.table({
+                "comp": pa.array(np.arange(len(w)), pa.int64()),
+                "sr": pa.array(r.sum(axis=0)),
+                "srx": pa.array([(r[:, j:j + 1] * x).sum(axis=0)
+                                 .tobytes() for j in range(len(w))],
+                                pa.large_binary()),
+                "srx2": pa.array([(r[:, j:j + 1] * x * x).sum(axis=0)
+                                  .tobytes() for j in range(len(w))],
+                                 pa.large_binary()),
+                "ll": pa.array(np.full(len(w), lse.sum() / len(w)))})
+
+        parts = ds.map_batches(estep, batch_format="pyarrow",
+                               batch_size=4096).take_all()
+        sr = np.zeros(k)
+        srx = np.zeros((k, d))
+        srx2 = np.zeros((k, d))
+        ll = 0.0
+        for r in parts:
+            j = r["comp"]
+            sr[j] += r["sr"]
+            srx[j] += np.frombuffer(r["srx"], np.float64)
+            srx2[j] += np.frombuffer(r["srx2"], np.float64)
+            ll += r["ll"]
+        logliks.append(ll)
+        weights = sr / sr.sum()
+        means = srx / sr[:, None]
+        vars_ = np.maximum(srx2 / sr[:, None] - means ** 2, var_floor)
+        if len(logliks) >= 2 and \
+                abs(logliks[-1] - logliks[-2]) \
+                <= tol * abs(logliks[-2]):
+            break
+    return weights, means, vars_, logliks
+
+
+def gmm_assignments(sf_dir: str, k: int = 5, max_iters: int = 30):
+    """Query surface: per-vector MAP component + max responsibility
+    (rounded 6) under the fitted mixture — deterministic. Rows-only
+    for the driver; pytest gates the EM loglik monotonicity law and
+    byte-agreement of assignments with a driver numpy EM replay
+    (tests/test_sketches.py)."""
+    import ray
+
+    weights, means, vars_, _ = gmm_fit(sf_dir, k=k,
+                                       max_iters=max_iters)
+    ref = ray.put((weights, means, vars_))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        w, mu, vr = ray.get(ref)
+        x = _stack_embeddings(batch)
+        lp = np.empty((len(x), len(w)))
+        for j in range(len(w)):
+            z = (x - mu[j]) ** 2 / vr[j]
+            lp[:, j] = (np.log(w[j])
+                        - 0.5 * (np.log(2 * np.pi * vr[j]).sum()
+                                 + z.sum(axis=1)))
+        m = lp.max(axis=1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(lp - m).sum(axis=1))
+        r = np.exp(lp - lse[:, None])
+        comp = lp.argmax(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "comp": pa.array(comp.astype(np.int64)),
+            "resp": pa.array(
+                np.round(r[np.arange(len(x)), comp], 6))})
+
+    return ds.map_batches(label, batch_format="pyarrow",
+                          batch_size=4096).sort("vec_id")
+
+
+def gmm_fit_numpy(vecs: np.ndarray, k: int = 5, max_iters: int = 30,
+                  tol: float = 1e-7, var_floor: float = 1e-6):
+    """Driver oracle: same EM with the same deterministic init over an
+    in-memory matrix (vecs must be sorted by vec_id)."""
+    means = vecs[:k].copy()
+    gvar = np.maximum(vecs.var(axis=0), var_floor)
+    vars_ = np.tile(gvar, (k, 1))
+    weights = np.full(k, 1.0 / k)
+    logliks = []
+    for _ in range(max_iters):
+        lp = np.empty((len(vecs), k))
+        for j in range(k):
+            z = (vecs - means[j]) ** 2 / vars_[j]
+            lp[:, j] = (np.log(weights[j])
+                        - 0.5 * (np.log(2 * np.pi * vars_[j]).sum()
+                                 + z.sum(axis=1)))
+        m = lp.max(axis=1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(lp - m).sum(axis=1))
+        r = np.exp(lp - lse[:, None])
+        logliks.append(float(lse.sum()))
+        sr = r.sum(axis=0)
+        weights = sr / sr.sum()
+        means = (r.T @ vecs) / sr[:, None]
+        ex2 = (r.T @ (vecs * vecs)) / sr[:, None]
+        vars_ = np.maximum(ex2 - means ** 2, var_floor)
+        if len(logliks) >= 2 and \
+                abs(logliks[-1] - logliks[-2]) \
+                <= tol * abs(logliks[-2]):
+            break
+    return weights, means, vars_, logliks

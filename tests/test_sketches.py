@@ -435,3 +435,35 @@ def test_logreg_loss_monotone_and_query_surface():
                        np.round(w, 6))
     assert 0.0 <= out["train_accuracy"].iloc[0] <= 1.0
     assert out["train_log_loss"].iloc[0] > 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gmm_em_laws_and_replay():
+    """EM loglik is non-decreasing (the EM guarantee); the distributed
+    fit matches a driver numpy replay with the same deterministic init
+    (rtol 1e-8 — float sum order is the only difference); MAP
+    assignments agree exactly."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    w, mu, vr, lls = sketches.gmm_fit(sf, max_iters=12)
+    assert all(b >= a - 1e-9 * abs(a) for a, b in zip(lls, lls[1:]))
+    tb = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    vecs = np.array(tb.column("embedding").to_pylist(), np.float64)
+    w2, mu2, vr2, lls2 = sketches.gmm_fit_numpy(vecs, max_iters=12)
+    assert np.allclose(lls, lls2, rtol=1e-8)
+    assert np.allclose(w, w2, atol=1e-9)
+    assert np.allclose(mu, mu2, atol=1e-7)
+
+    out = sketches.gmm_assignments(sf, max_iters=12).to_pandas()
+    assert len(out) == len(vecs)
+    k = len(w2)
+    lp = np.empty((len(vecs), k))
+    for j in range(k):
+        z = (vecs - mu2[j]) ** 2 / vr2[j]
+        lp[:, j] = (np.log(w2[j])
+                    - 0.5 * (np.log(2 * np.pi * vr2[j]).sum()
+                             + z.sum(axis=1)))
+    assert (out.sort_values("vec_id")["comp"].to_numpy()
+            == lp.argmax(axis=1)).all()
+    assert ((out["resp"] >= 0) & (out["resp"] <= 1)).all()
