@@ -995,6 +995,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_term_enrichment": analysis.lang_term_enrichment,
         # CUME_DIST window via the histogram-rank form (exact ties)
         "lineitem_cume_dist": analysis.lineitem_cume_dist,
+        # Holt-Winters additive seasonal smoothing (recursive-CTE
+        # oracle carrying the seasonal ring as a LIST column)
+        "events_daily_holt_winters":
+            analysis.events_daily_holt_winters,
+        # classical additive decomposition: centered-MA trend +
+        # weekday seasonal + residual
+        "events_daily_decompose": analysis.events_daily_decompose,
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -1952,6 +1959,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["gmm_assignments"],
         ).gmm_assignments(sf),
+        # isotonic (PAV) calibration of P(purchase | value bin)
+        # (rows-only; monotone/mean-preservation/pooling laws +
+        # DuckDB-histogram PAV replay in tests/test_sketches.py)
+        "events_isotonic_calibration": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["events_isotonic_calibration"],
+        ).events_isotonic_calibration(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
     # no driver sweep has sampled yet front-loaded — then the
@@ -2109,6 +2123,90 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term) AS rk
                   FROM sc)
             WHERE rk <= 5
+        """,
+        "events_daily_decompose": """
+            WITH daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            w AS (
+                SELECT day, rev,
+                       sum(rev) OVER win / 7 AS trend,
+                       count(*) OVER win AS wn
+                FROM daily
+                WINDOW win AS (ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING)
+            ),
+            d AS (
+                SELECT day, rev, trend,
+                       ((day + 3) % 7) + 1 AS weekday,
+                       rev - trend AS det
+                FROM w WHERE wn = 7
+            ),
+            s AS (
+                SELECT weekday, sum(det) / count(*) AS seas
+                FROM d GROUP BY 1
+            )
+            SELECT d.day, CAST(d.weekday AS BIGINT) AS weekday,
+                   ROUND(d.rev, 4) AS revenue,
+                   ROUND(d.trend, 4) AS trend,
+                   ROUND(s.seas, 4) AS seasonal,
+                   ROUND(d.det - s.seas, 4) AS residual
+            FROM d JOIN s USING (weekday)
+        """,
+        "events_daily_holt_winters": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(value) AS rev
+                FROM events GROUP BY 1
+            ),
+            ranked AS (
+                SELECT day, rev,
+                       row_number() OVER (ORDER BY day) AS r
+                FROM daily
+            ),
+            init AS (
+                SELECT (SELECT sum(rev) FROM ranked WHERE r <= 7) / 7
+                           AS f1,
+                       (SELECT sum(rev) FROM ranked
+                        WHERE r > 7 AND r <= 14) / 7 AS f2,
+                       (SELECT list(rev - (SELECT sum(rev) FROM ranked
+                                           WHERE r <= 7) / 7
+                                    ORDER BY r)
+                        FROM ranked WHERE r <= 7) AS s0
+            ),
+            hw(r, day, rev, l, b, s, snew, fitted) AS (
+                SELECT CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS DOUBLE),
+                       f1, (f2 - f1) / 7, s0,
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+                FROM init
+                UNION ALL
+                SELECT d.r, d.day, d.rev,
+                       0.3 * (d.rev - h.s[1])
+                           + (1 - 0.3) * (h.l + h.b),
+                       0.05 * ((0.3 * (d.rev - h.s[1])
+                                + (1 - 0.3) * (h.l + h.b)) - h.l)
+                           + (1 - 0.05) * h.b,
+                       list_append(h.s[2:7],
+                           0.2 * (d.rev - (0.3 * (d.rev - h.s[1])
+                                  + (1 - 0.3) * (h.l + h.b)))
+                           + (1 - 0.2) * h.s[1]),
+                       0.2 * (d.rev - (0.3 * (d.rev - h.s[1])
+                              + (1 - 0.3) * (h.l + h.b)))
+                           + (1 - 0.2) * h.s[1],
+                       h.l + h.b + h.s[1]
+                FROM hw h JOIN ranked d ON d.r = h.r + 1
+            )
+            SELECT day, ROUND(rev, 4) AS revenue,
+                   ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+                   ROUND(snew, 4) AS seasonal,
+                   ROUND(fitted, 4) AS fitted
+            FROM hw WHERE r >= 8
         """,
         "lineitem_cume_dist": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

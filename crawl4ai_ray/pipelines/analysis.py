@@ -11136,3 +11136,126 @@ def lineitem_cume_dist(sf_dir: str, max_domain: int = 4_000_000):
 
     return li.map_batches(assign, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def events_daily_holt_winters(sf_dir: str, alpha: float = 0.3,
+                              beta: float = 0.05, gamma: float = 0.2,
+                              period: int = 7):
+    """Holt-Winters ADDITIVE seasonal smoothing (triple exponential;
+    Winters 1960) over the daily revenue series — the seasonal upgrade
+    of ``events_daily_holt``: level lₜ = α(xₜ−sₜ₋ₘ) + (1−α)(lₜ₋₁+bₜ₋₁),
+    trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, seasonal sₜ = γ(xₜ−lₜ) +
+    (1−γ)sₜ₋ₘ with m = ``period``. Standard init over the first two
+    seasons: l = mean(season 1), b = (mean(season 2) − mean(season 1))/m,
+    sᵢ = xᵢ − mean(season 1). One-step-ahead fit fₜ = lₜ₋₁+bₜ₋₁+sₜ₋ₘ.
+
+    Scale shape: the daily aggregate is the events_daily combiner
+    reduction; the recursion is inherently sequential over the BOUNDED
+    calendar series driver-side. The SQL oracle replays the identical
+    recursion as a recursive CTE carrying the m-element seasonal ring
+    as a LIST column, with every smoothing expression written in the
+    same association order, so the doubles agree to well below the
+    4dp rounding (the recursion is contractive)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = daily["rev"].to_numpy(np.float64)
+    m = period
+    n = len(y)
+    if n < 2 * m:
+        raise ValueError("events_daily_holt_winters needs >= 2 "
+                         f"seasons ({2 * m} days), got {n}")
+    f1 = float(y[:m].sum()) / m
+    f2 = float(y[m:2 * m].sum()) / m
+    lv = f1
+    bv = (f2 - f1) / m
+    s = [float(y[i]) - f1 for i in range(m)]
+    rows = []
+    for t in range(m, n):
+        fitted = lv + bv + s[0]
+        l_new = alpha * (y[t] - s[0]) + (1 - alpha) * (lv + bv)
+        b_new = beta * (l_new - lv) + (1 - beta) * bv
+        s_new = gamma * (y[t] - l_new) + (1 - gamma) * s[0]
+        s = s[1:] + [s_new]
+        lv, bv = l_new, b_new
+        rows.append((int(daily["day"].iloc[t]),
+                     np.round(y[t], 4), np.round(lv, 4),
+                     np.round(bv, 4), np.round(s_new, 4),
+                     np.round(fitted, 4)))
+    df = pd.DataFrame(rows, columns=[
+        "day", "revenue", "level", "trend", "seasonal", "fitted"])
+    df["day"] = df["day"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def events_daily_decompose(sf_dir: str, window: int = 7):
+    """Classical additive time-series decomposition of the daily
+    revenue series (Kendall/Stuart textbook form; the STL-lite
+    complement to events_daily_holt_winters): trend = CENTERED
+    ``window``-day moving average (full windows only), detrended =
+    rev − trend, seasonal = per-ISO-weekday mean of the detrended
+    series, residual = detrended − seasonal. Rows limited to days with
+    a full trend window, matching the SQL oracle's COUNT(*)-over-
+    window guard.
+
+    Scale shape: the daily aggregate is the events_daily combiner
+    reduction; the decomposition is exact window math over the
+    BOUNDED calendar series driver-side. Weekday means divide the
+    same exact sums in both engines; output rounds to 4dp."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()) \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": days, "v": v})
+        g = df.groupby("day", as_index=False).agg(rev=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("day").aggregate(Sum("rev", alias_name="rev")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    y = daily["rev"].to_numpy(np.float64)
+    days = daily["day"].to_numpy(np.int64)
+    n = len(y)
+    half = window // 2
+    # centered moving average over ROW positions (the oracle's
+    # ROWS BETWEEN half PRECEDING AND half FOLLOWING with a full-
+    # window count guard)
+    trend = np.full(n, np.nan)
+    for i in range(half, n - half):
+        trend[i] = y[i - half:i + half + 1].sum() / window
+    keep = ~np.isnan(trend)
+    det = y - trend
+    # ISO weekday: 1970-01-01 was a Thursday (isodow 4)
+    dow = ((days + 3) % 7) + 1
+    srows = pd.DataFrame({"dow": dow[keep], "det": det[keep]})
+    smap = srows.groupby("dow")["det"].agg(["sum", "count"])
+    seasonal_by_dow = (smap["sum"] / smap["count"]).to_dict()
+    out = pd.DataFrame({
+        "day": days[keep],
+        "weekday": dow[keep],
+        "revenue": np.round(y[keep], 4),
+        "trend": np.round(trend[keep], 4),
+        "seasonal": np.round(
+            np.array([seasonal_by_dow[d] for d in dow[keep]]), 4),
+        "residual": np.round(
+            det[keep]
+            - np.array([seasonal_by_dow[d] for d in dow[keep]]), 4),
+    })
+    out["weekday"] = out["weekday"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1181,3 +1181,71 @@ def gmm_fit_numpy(vecs: np.ndarray, k: int = 5, max_iters: int = 30,
                 <= tol * abs(logliks[-2]):
             break
     return weights, means, vars_, logliks
+
+
+def pav_isotonic(rates: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Pool-Adjacent-Violators (Ayer et al. 1955): the weighted
+    non-decreasing fit to ``rates`` (already sorted by x). Returns the
+    fitted value per input position. O(n) stack form — exact, no
+    iteration-to-convergence."""
+    vals: list = []      # (mean, weight, n_positions) blocks
+    for r, w in zip(rates.astype(np.float64),
+                    weights.astype(np.float64)):
+        vals.append([r, w, 1])
+        while len(vals) >= 2 and vals[-2][0] >= vals[-1][0]:
+            m2, w2, c2 = vals.pop()
+            m1, w1, c1 = vals.pop()
+            vals.append([(m1 * w1 + m2 * w2) / (w1 + w2),
+                         w1 + w2, c1 + c2])
+    out = np.empty(len(rates))
+    i = 0
+    for m, _w, c in vals:
+        out[i:i + c] = m
+        i += c
+    return out
+
+
+def events_isotonic_calibration(sf_dir: str, bin_width: float = 10.0):
+    """Isotonic (monotone) calibration of P(purchase | value): bin the
+    value axis, reduce each bin's (purchases, events) distributedly,
+    then fit the weighted non-decreasing rate curve with PAV — the
+    classifier-calibration primitive (Zadrozny & Elkan, KDD 2002)
+    next to the logistic model (events_purchase_lr).
+
+    Scale shape: one bounded-histogram combiner groupby (bins =
+    value_range / bin_width cells, data-independent); PAV runs
+    driver-side over the sorted bin table — O(bins), exact, no
+    convergence loop. Rows-only for the driver; pytest gates
+    monotonicity, weighted-mean preservation, block-pooling means and
+    a driver PAV replay (tests/test_sketches.py)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        y = (batch.column("event_type").to_pandas()
+             .to_numpy() == "purchase").astype(np.int64)
+        b = np.floor(v / bin_width).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "y": y, "n": np.int64(1)})
+        g = df.groupby("bin", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    hist = ds.map_batches(part, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("bin").aggregate(_Sum("y", alias_name="y"),
+                                  _Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    y = hist["y"].to_numpy(np.float64)
+    n = hist["n"].to_numpy(np.float64)
+    raw = y / n
+    iso = pav_isotonic(raw, n)
+    return pa.table({
+        "bin_lo": pa.array(hist["bin"].to_numpy(np.int64)
+                           * bin_width, pa.float64()),
+        "n_events": pa.array(hist["n"].to_numpy(np.int64)),
+        "n_purchases": pa.array(hist["y"].to_numpy(np.int64)),
+        "rate_raw": pa.array(np.round(raw, 6)),
+        "rate_iso": pa.array(np.round(iso, 6)),
+    })

@@ -467,3 +467,40 @@ def test_gmm_em_laws_and_replay():
     assert (out.sort_values("vec_id")["comp"].to_numpy()
             == lp.argmax(axis=1)).all()
     assert ((out["resp"] >= 0) & (out["resp"] <= 1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_isotonic_calibration_laws():
+    """PAV output is non-decreasing, preserves the weighted mean,
+    every pooled block's value is the weighted mean of its members,
+    and the distributed pipeline matches a DuckDB-histogram + driver
+    PAV replay exactly."""
+    sf = "/root/testdata/sf0.01"
+    out = sketches.events_isotonic_calibration(sf).to_pandas() \
+        .sort_values("bin_lo").reset_index(drop=True)
+    iso = out["rate_iso"].to_numpy()
+    n = out["n_events"].to_numpy(np.float64)
+    raw = out["n_purchases"].to_numpy(np.float64) / n
+    assert (np.diff(iso) >= -1e-12).all()
+    assert abs((iso * n).sum() - (raw * n).sum()) < 1e-6 * n.sum()
+
+    con = duckdb.connect()
+    hist = con.execute(f"""
+        SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               sum(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS y,
+               count(*) AS n
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    want = sketches.pav_isotonic(
+        hist["y"].to_numpy(np.float64) / hist["n"].to_numpy(np.float64),
+        hist["n"].to_numpy(np.float64))
+    assert np.allclose(iso, np.round(want, 6), atol=1e-9)
+    # block-pooling law: equal consecutive iso values average to the
+    # same pooled mean as their raw members
+    blocks = np.flatnonzero(np.diff(iso) > 1e-12)
+    starts = np.concatenate(([0], blocks + 1))
+    ends = np.concatenate((blocks + 1, [len(iso)]))
+    for a, b in zip(starts, ends):
+        pooled = (raw[a:b] * n[a:b]).sum() / n[a:b].sum()
+        assert abs(pooled - iso[a:b].mean()) < 1e-6
