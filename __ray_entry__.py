@@ -1002,6 +1002,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classical additive decomposition: centered-MA trend +
         # weekday seasonal + residual
         "events_daily_decompose": analysis.events_daily_decompose,
+        # pivot-sampled harmonic centrality (BSP multi-pivot BFS),
+        # SQL oracle = recursive per-pivot distance replay over the
+        # dumped edges + the same sum(1/d) aggregation
+        "crawl_harmonic_centrality": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_harmonic_centrality"],
+        ).crawl_harmonic_centrality(
+            sf, dump=lambda t: _oracle_dump(
+                "crawl_harmonic_centrality", t)),
         # relational operators (groupby/aggregate, broadcast join, filter,
         # sort, limit, window-shaped daily aggregate)
         "q1_pricing_summary": analysis.q1_pricing_summary,
@@ -2123,6 +2132,43 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term) AS rk
                   FROM sc)
             WHERE rk <= 5
+        """,
+        "crawl_harmonic_centrality": """
+            WITH RECURSIVE e AS (
+                SELECT a, b FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_harmonic_centrality/raw.parquet')
+                WHERE kind = 'e'
+            ),
+            nodes AS (
+                SELECT a AS node FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_harmonic_centrality/raw.parquet')
+                WHERE kind = 'n'
+            ),
+            piv AS (
+                SELECT a AS p FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_harmonic_centrality/raw.parquet')
+                WHERE kind = 's'
+            ),
+            reach(p, node, d) AS (
+                SELECT p, p, 0 FROM piv
+                UNION
+                SELECT r.p, e.b, r.d + 1 FROM reach r
+                JOIN e ON e.a = r.node WHERE r.d < 32
+            ),
+            best AS (
+                SELECT p, node, min(d) AS d FROM reach GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT node, sum(1.0 / d) AS h, count(*) AS nr,
+                       min(d) AS mn, max(d) AS mx
+                FROM best WHERE p <> node GROUP BY 1
+            )
+            SELECT n.node,
+                   ROUND(coalesce(a.h, 0.0), 6) AS harmonic,
+                   CAST(coalesce(a.nr, 0) AS BIGINT) AS n_reached,
+                   CAST(coalesce(a.mn, -1) AS BIGINT) AS min_hop,
+                   CAST(coalesce(a.mx, -1) AS BIGINT) AS max_hop
+            FROM nodes n LEFT JOIN agg a USING (node)
         """,
         "events_daily_decompose": """
             WITH daily AS (

@@ -2499,3 +2499,169 @@ def crawl_betweenness(sf_dir: str, *, n_pivots: int = 8):
     pivots = select_pivots_md5(nodes, n_pivots)
     return betweenness(edges, nodes, pivots) \
         .sort(["btw", "node"], descending=[True, False])
+
+
+def multi_pivot_hops(edges_ds, nodes_ds, pivots, *,
+                     max_iters: int = 64):
+    """Per-(pivot, node) BFS hop distances from every pivot at once —
+    the shared forward phase of the pivot-sampled centralities
+    (betweenness above, harmonic below): all |pivots| BFS trees
+    advance in the same level-synchronous BSP rounds; each round is
+    one hash join (frontier × edges on src), one
+    ``groupby(pivot, dst)`` dedup and one anti-join vs settled cells.
+    Returns a Dataset (p, node, dist) of REACHED cells only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    edges = edges_ds.map_batches(
+        _cast_str("src", "dst"), batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .select_columns(["src", "dst"]).materialize()
+    pivots = sorted({str(p) for p in pivots})
+    state = rd.from_arrow(pa.table({
+        "p": pa.array(pivots, pa.string()),
+        "node": pa.array(pivots, pa.string()),
+        "dist": pa.array([0] * len(pivots), pa.int64()),
+    })).materialize()
+    n_edges = edges.count()
+
+    def _at_level(t: pa.Table, lvl: int) -> pa.Table:
+        return t.filter(pc.equal(t.column("dist"),
+                                 pa.scalar(lvl, pa.int64())))
+
+    for lvl in range(max_iters):
+        frontier = state.map_batches(
+            lambda t, lvl=lvl: (lambda f: pa.table({
+                "p": f.column("p"),
+                "src": f.column("node")}))(_at_level(t, lvl)),
+            batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        n = _pr_parts(n_edges, edges, state)
+        cand = (edges.join(frontier, "inner", n, on=("src",))
+                .groupby(["p", "dst"])
+                .aggregate(_Count(alias_name="_c"))
+                .rename_columns({"dst": "node"})).materialize()
+        if cand.count() == 0:
+            break
+        seen = state.map_batches(lambda t: pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "_seen": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+
+        def admit(t: pa.Table, lvl=lvl) -> pa.Table:
+            t = t.filter(pc.is_null(t.column("_seen")))
+            return pa.table({
+                "p": t.column("p"), "node": t.column("node"),
+                "dist": pa.array(np.full(t.num_rows, lvl + 1,
+                                         np.int64))})
+
+        fresh = (cand.join(seen, "left_outer",
+                           _pr_parts(n_edges, cand, seen),
+                           on=("p", "node"))
+                 .map_batches(admit,
+                              batch_format="pyarrow")).materialize()
+        if fresh.count() == 0:
+            break
+        state = state.union(fresh).materialize()
+    else:
+        raise RuntimeError(
+            f"multi_pivot_hops exceeded {max_iters} levels")
+    return state
+
+
+def harmonic_centrality(edges_ds, nodes_ds, pivots, *, dump=None):
+    """Pivot-sampled harmonic centrality (Boldi & Vigna 2014 framing):
+    H(v) = Σ_{p ∈ pivots, p ≠ v, d(p,v) < ∞} 1/d(p,v) over directed
+    BFS distances FROM the pivots — the centrality that handles
+    disconnected graphs where closeness breaks. Exact on the pivot
+    restriction, so fully SQL-oracle-able: ``dump`` receives
+    edges/nodes/pivots and the oracle replays every distance with a
+    (pivot, node)-keyed recursive closure, then the same 1/d
+    aggregation. Also emits n_reached / min_hop / max_hop per node.
+
+    Scale shape: ``multi_pivot_hops`` BSP forward phase + ONE
+    groupby(node) aggregation; nothing driver-resident."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import (Count as _Count, Max as _Max,
+                                    Min as _Min, Sum as _Sum)
+
+    nodes = nodes_ds.map_batches(
+        _cast_str("node"), batch_format="pyarrow").materialize()
+    pivots = sorted({str(p) for p in pivots})
+    if dump is not None:
+        et = pa.concat_tables(ray_get_tables(
+            edges_ds.map_batches(_cast_str("src", "dst"),
+                                 batch_format="pyarrow")))
+        nt = pa.concat_tables(ray_get_tables(nodes))
+        dump(pa.concat_tables([
+            pa.table({"kind": pa.array(["e"] * et.num_rows),
+                      "a": et.column("src"), "b": et.column("dst")}),
+            pa.table({"kind": pa.array(["n"] * nt.num_rows),
+                      "a": nt.column("node"), "b": nt.column("node")}),
+            pa.table({"kind": pa.array(["s"] * len(pivots)),
+                      "a": pa.array(pivots, pa.string()),
+                      "b": pa.array(pivots, pa.string())}),
+        ]))
+
+    hops = multi_pivot_hops(edges_ds, nodes, pivots)
+
+    def inv(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t.column("p"),
+                                        t.column("node"))))
+        d = t.column("dist").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "node": t.column("node"),
+            "inv_d": pa.array(1.0 / d),
+            "dist": t.column("dist")})
+
+    agg = (hops.map_batches(inv, batch_format="pyarrow")
+           .groupby("node")
+           .aggregate(_Sum("inv_d", alias_name="h"),
+                      _Count(alias_name="nr"),
+                      _Min("dist", alias_name="mn"),
+                      _Max("dist", alias_name="mx"))).materialize()
+    n = _pr_parts(agg.count(), nodes, agg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "harmonic": pc.round(pc.coalesce(
+                t.column("h"), pa.scalar(0.0, pa.float64())),
+                ndigits=6),
+            "n_reached": pc.coalesce(t.column("nr"),
+                                     pa.scalar(0, pa.int64())),
+            "min_hop": pc.coalesce(t.column("mn"),
+                                   pa.scalar(-1, pa.int64())),
+            "max_hop": pc.coalesce(t.column("mx"),
+                                   pa.scalar(-1, pa.int64()))})
+
+    return nodes.join(agg, "left_outer", n, on=("node",)) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_harmonic_centrality(sf_dir: str, *, n_pivots: int = 8,
+                              dump=None):
+    """Query entry: pivot-sampled harmonic centrality of the crawled
+    link graph (md5-lowest pivot law). SQL-gated via the dumped
+    edges/pivots — the oracle recursively replays every pivot
+    distance and re-aggregates Σ1/d independently."""
+    import tempfile
+
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_harm_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    edges = edges.materialize()
+    nodes = nodes.materialize()
+    pivots = select_pivots_md5(nodes, n_pivots)
+    return harmonic_centrality(edges, nodes, pivots, dump=dump) \
+        .sort(["harmonic", "node"], descending=[True, False])
