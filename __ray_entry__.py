@@ -1975,6 +1975,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # personalized PageRank from the crawl's own seed pages
+        # (rows-only; numpy power-iteration oracle + driver==Pregel
+        # form pin in tests/test_graph.py)
+        "crawl_pagerank_personalized": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.graph",
+            fromlist=["crawl_pagerank_personalized"],
+        ).crawl_pagerank_personalized(sf),
     }
     # Stable ordering: every DuckDB-oracled query FIRST — with the ones
     # no driver sweep has sampled yet front-loaded — then the

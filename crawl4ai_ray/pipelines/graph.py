@@ -2665,3 +2665,219 @@ def crawl_harmonic_centrality(sf_dir: str, *, n_pivots: int = 8,
     pivots = select_pivots_md5(nodes, n_pivots)
     return harmonic_centrality(edges, nodes, pivots, dump=dump) \
         .sort(["harmonic", "node"], descending=[True, False])
+
+
+def personalized_pagerank(edges_ds, nodes_ds, seeds, *,
+                          damping: float = 0.85, max_iters: int = 50,
+                          tol: float = 1e-8, form: str = "auto"):
+    """Personalized PageRank (the original Page et al. 1999 teleport
+    generalization; Haveliwala, WWW 2002): random walks restart at the
+    SEED SET instead of uniformly, ranking pages by relevance TO the
+    seeds — the principled version of the reference's BFF keyword
+    relevance scorer over an actual link graph. Teleport vector
+    e(v) = 1/|seeds| on seeds, 0 elsewhere; dangling mass also returns
+    to the seeds (the standard PPR completion, keeping Σrank = 1).
+
+    Distributed shape mirrors ``pagerank``'s Pregel form: weights
+    1/outdeg attached once; one hash join + one groupby(dst).sum +
+    one left-outer apply per iteration; dangling mass is one scalar
+    aggregate. Multi-edges vote with multiplicity (same law).
+    Converges on L1 delta < tol. Rows-only for the driver; the pytest
+    oracle is a numpy power iteration with the identical law
+    (tests/test_graph.py)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if isinstance(edges_ds, pa.Table):
+        edges_ds = rd.from_arrow(edges_ds)
+    if isinstance(nodes_ds, pa.Table):
+        nodes_ds = rd.from_arrow(nodes_ds)
+    edges_ds = edges_ds.map_batches(_cast_str("src", "dst"),
+                                    batch_format="pyarrow")
+    nodes = (nodes_ds.select_columns(["node"])
+             .map_batches(_cast_str("node"), batch_format="pyarrow")
+             .materialize())
+    seeds = sorted({str(s) for s in seeds})
+    seed_set = set(seeds)
+    n_seeds = len(seeds)
+    n_nodes = nodes.count()
+    n_edges = edges_ds.count()
+    if form == "auto":
+        form = ("driver" if n_edges < PAGERANK_DRIVER_MAX_EDGES
+                else "distributed")
+    if form == "driver":
+        # same measured crossover as pagerank: under ~2M edges the
+        # per-round Ray overhead dominates — run the identical law as
+        # driver bincounts (the pytest gate pins both forms equal)
+        node_list = [r["node"] for r in nodes.iter_rows()]
+        idx = {u: i for i, u in enumerate(node_list)}
+        srcs, dsts = [], []
+        for b in edges_ds.iter_batches(batch_format="pyarrow"):
+            srcs.append(np.array(
+                [idx[x] for x in b.column("src").to_pylist()],
+                np.int64))
+            dsts.append(np.array(
+                [idx[x] for x in b.column("dst").to_pylist()],
+                np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        out = np.bincount(src, minlength=n_nodes).astype(np.float64)
+        dangling = out == 0
+        w = 1.0 / out[src] if len(src) else np.zeros(0)
+        e = np.zeros(n_nodes)
+        for u in seeds:
+            e[idx[u]] = 1.0 / n_seeds
+        rank = e.copy()
+        for _ in range(max_iters):
+            contrib = np.bincount(dst, weights=w * rank[src],
+                                  minlength=n_nodes)
+            dm = rank[dangling].sum()
+            new_r = (1.0 - damping) * e + damping * (contrib + dm * e)
+            delta = np.abs(new_r - rank).sum()
+            rank = new_r
+            if delta < tol:
+                break
+        return rd.from_arrow(pa.table({
+            "node": pa.array(node_list, pa.string()),
+            "rank": pa.array(rank)}))
+
+    edges_one = edges_ds.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    outdeg = (edges_one.groupby("src")
+              .aggregate(Sum("one", alias_name="outdeg"))
+              .select_columns(["src", "outdeg"]).materialize())
+    n_join = _pr_parts(n_edges, edges_ds, outdeg)
+    edges_w = (
+        edges_ds.join(outdeg, "inner", n_join, on=("src",))
+        .map_batches(lambda t: pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "w": pa.array(1.0 / t.column("outdeg").to_numpy()
+                          .astype(np.float64))}),
+            batch_format="pyarrow").materialize())
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_pylist()
+        e = np.array([1.0 / n_seeds if u in seed_set else 0.0
+                      for u in node])
+        return pa.table({
+            "node": t.column("node"),
+            "rank": pa.array(e),          # start at the teleport dist
+            "e": pa.array(e),
+            "dangling": pa.array(
+                [v is None for v in t.column("outdeg").to_pylist()])})
+
+    ranks = (nodes.join(outdeg.rename_columns({"src": "node"}),
+                        "left_outer",
+                        _pr_parts(min(n_nodes, max(n_edges, 1)),
+                                  nodes, outdeg),
+                        on=("node",))
+             .map_batches(init, batch_format="pyarrow").materialize())
+
+    for _ in range(max_iters):
+        dm = ranks.map_batches(
+            lambda t: pa.table({"dm": pa.array([
+                float(np.sum(t.column("rank").to_numpy()
+                             [t.column("dangling").to_numpy(
+                                 zero_copy_only=False)]))])}),
+            batch_format="pyarrow").sum("dm") or 0.0
+
+        n = _pr_parts(min(max(n_edges, 1), n_nodes), edges_w, ranks)
+        contrib = (edges_w.join(
+            ranks.select_columns(["node", "rank"])
+            .rename_columns({"node": "src"}), "inner", n, on=("src",))
+            .map_batches(lambda t: pa.table({
+                "node": t.column("dst"),
+                "c": pc.multiply(t.column("w"), t.column("rank"))}),
+                batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("c", alias_name="c"))
+        ).materialize()
+
+        def apply_rank(t: pa.Table, dm=dm) -> pa.Table:
+            c = pc.coalesce(t.column("c"),
+                            pa.scalar(0.0, pa.float64())) \
+                .to_numpy(zero_copy_only=False)
+            e = t.column("e").to_numpy(zero_copy_only=False)
+            new = (1.0 - damping) * e + damping * (c + dm * e)
+            old = t.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t.column("node"), "rank": pa.array(new),
+                "e": t.column("e"), "dangling": t.column("dangling"),
+                "delta": pa.array(np.abs(new - old))})
+
+        stepped = (ranks.select_columns(["node", "rank", "e",
+                                         "dangling"])
+                   .join(contrib, "left_outer",
+                         _pr_parts(min(max(n_edges, 1), n_nodes),
+                                   ranks, contrib),
+                         on=("node",))
+                   .map_batches(apply_rank, batch_format="pyarrow")
+                   .materialize())
+        l1 = stepped.sum("delta") or 0.0
+        ranks = stepped.drop_columns(["delta"]).materialize()
+        if l1 < tol:
+            break
+    return ranks.select_columns(["node", "rank"])
+
+
+def personalized_pagerank_numpy(edges: list, nodes: list, seeds: list,
+                                *, damping: float = 0.85,
+                                max_iters: int = 50,
+                                tol: float = 1e-8) -> dict:
+    """Driver oracle: the identical PPR law as a dense power
+    iteration (multi-edge multiplicity, dangling mass to seeds)."""
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    e = np.zeros(n)
+    for s in seeds:
+        e[idx[s]] = 1.0 / len(seeds)
+    r = e.copy()
+    for _ in range(max_iters):
+        c = np.zeros(n)
+        for s, d in edges:
+            c[idx[d]] += r[idx[s]] / outdeg[idx[s]]
+        dm = float(r[outdeg == 0].sum())
+        new = (1.0 - damping) * e + damping * (c + dm * e)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
+def crawl_pagerank_personalized(sf_dir: str, *, n_seeds: int = 4):
+    """Query entry: PPR of the crawl graph personalized to the crawl's
+    ORIGINAL seed pages — "how relevant is each discovered page to
+    where the crawl started", the seeded-relevance ranking. Rows-only;
+    numpy power-iteration oracle in tests/test_graph.py."""
+    import tempfile
+
+    from ..functions import urlkit
+    from ..sources.synthetic_web import SiteConfig, SyntheticWeb
+    from .crawl import CrawlConfig, CrawlEngine
+
+    site_cfg = SiteConfig(n_hosts=4)
+    site = SyntheticWeb(site_cfg)
+    out_dir = tempfile.mkdtemp(prefix="c4r_ppr_")
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, out_dir=out_dir,
+                      n_seen_shards=2, fetch_concurrency=2)
+    res = CrawlEngine(cfg, fetcher_kwargs={"site_cfg": site_cfg.__dict__}) \
+        .run(site.seed_urls())
+    edges, nodes = edges_from_docs(res.docs_dir)
+    seeds = [urlkit.canonicalize(u, u) or u
+             for u in site.seed_urls()][:n_seeds]
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "rank": pa.array(np.round(
+                t.column("rank").to_numpy(zero_copy_only=False), 8))})
+
+    return (personalized_pagerank(edges.materialize(),
+                                  nodes.materialize(), seeds)
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["rank", "node"], descending=[True, False]))

@@ -481,3 +481,45 @@ def test_crawl_betweenness_query():
     for v in all_nodes:
         assert abs(got[v] - want[v]) < 1e-6, v
     assert sum(1 for v in got.values() if v > 0) >= 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_matches_power_iteration():
+    """Distributed PPR == dense numpy power iteration with the same
+    teleport/dangling law, on a graph with a dangling node and a
+    component unreachable from the seeds (must rank ~0)."""
+    import ray.data as rd
+
+    from crawl4ai_ray.pipelines.graph import (
+        personalized_pagerank, personalized_pagerank_numpy)
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"),
+                 ("x", "y")]
+    names = ["a", "b", "c", "d", "x", "y"]
+    edges = rd.from_arrow(pa.table({
+        "src": [s for s, _ in edge_list],
+        "dst": [d for _, d in edge_list]}))
+    nodes = rd.from_arrow(pa.table({"node": names}))
+    want = personalized_pagerank_numpy(edge_list, names, ["a"])
+    for form in ("driver", "distributed"):
+        got = personalized_pagerank(edges, nodes, ["a"], form=form) \
+            .to_pandas().set_index("node")["rank"].to_dict()
+        assert abs(sum(got.values()) - 1.0) < 1e-6, form
+        for v in names:
+            assert abs(got[v] - want[v]) < 1e-7, (form, v)
+    # pages unreachable from the seed carry no PPR mass; d dangles
+    # and its mass returns to the seed rather than vanishing
+    assert got["x"] < 1e-9 and got["y"] < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_pagerank_personalized_query():
+    from crawl4ai_ray.pipelines.graph import crawl_pagerank_personalized
+
+    t = crawl_pagerank_personalized("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(t) > 0
+    assert abs(t["rank"].sum() - 1.0) < 1e-5
+    assert (t["rank"] >= 0).all()
+    # ranks sorted desc by construction
+    assert (np.diff(t["rank"].to_numpy()) <= 1e-12).all()
