@@ -1975,6 +1975,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # closed-form ridge regression via distributed normal
+        # equations (rows-only; numpy-replay + SSE-identity + OLS
+        # reduction laws in tests/test_sketches.py)
+        "events_purchase_ridge": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["events_purchase_ridge"],
+        ).events_purchase_ridge(sf),
         # personalized PageRank from the crawl's own seed pages
         # (rows-only; numpy power-iteration oracle + driver==Pregel
         # form pin in tests/test_graph.py)

@@ -1249,3 +1249,89 @@ def events_isotonic_calibration(sf_dir: str, bin_width: float = 10.0):
         "rate_raw": pa.array(np.round(raw, 6)),
         "rate_iso": pa.array(np.round(iso, 6)),
     })
+
+
+def ridge_fit(sf_dir: str, lam: float = 1.0):
+    """Closed-form ridge regression (Tikhonov) predicting the
+    purchase indicator from [1, value_z, hour_frac] — the linear-
+    probability twin of ``logreg_fit``, solved EXACTLY in two
+    distributed passes via the normal equations
+    w = (XᵀX + λI′)⁻¹ Xᵀy (I′ zeroes the intercept cell — the
+    standard unpenalized-intercept convention):
+
+    - pass 1: value moments (mean/sd) for standardization;
+    - pass 2: per-block partials of the d×d Gram matrix XᵀX, Xᵀy,
+      Σy, Σy² — (d² + d + 2) floats per block, the map-reduce
+      sufficient-statistics shape (Chu et al., NIPS 2006);
+    - driver: one d×d solve. No iteration, no convergence knob.
+
+    Returns (w, mu, sd, mse, r2)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"]) \
+        .materialize()
+
+    def mom(batch: pa.Table) -> pa.Table:
+        x = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"_n": pa.array([len(x)], pa.int64()),
+                         "_s": pa.array([float(x.sum())]),
+                         "_ss": pa.array([float((x * x).sum())])})
+
+    m = ds.map_batches(mom, batch_format="pyarrow", batch_size=65536)
+    n_tot = float(m.sum("_n"))
+    s, ss = float(m.sum("_s")), float(m.sum("_ss"))
+    mu = s / n_tot
+    sd = float(np.sqrt(ss / n_tot - mu * mu))
+    d = 3
+
+    def gram(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        h = pc.hour(batch.column("ts")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.column_stack([
+            np.ones(len(v)), (v - mu) / sd, h / 23.0])
+        y = (batch.column("event_type").to_pandas()
+             .to_numpy(object) == "purchase").astype(np.float64)
+        return pa.table({
+            "xtx": pa.array([(x.T @ x).tobytes()], pa.large_binary()),
+            "xty": pa.array([(x.T @ y).tobytes()], pa.large_binary()),
+            "sy": pa.array([float(y.sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+            "n": pa.array([len(y)], pa.int64())})
+
+    parts = ds.map_batches(gram, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    sy = syy = 0.0
+    for r in parts:
+        xtx += np.frombuffer(r["xtx"], np.float64).reshape(d, d)
+        xty += np.frombuffer(r["xty"], np.float64)
+        sy += r["sy"]
+        syy += r["syy"]
+    pen = lam * np.eye(d)
+    pen[0, 0] = 0.0                     # intercept unpenalized
+    w = np.linalg.solve(xtx + pen, xty)
+    # mse / r2 from the same sufficient statistics: ||y - Xw||² =
+    # yᵀy − 2wᵀXᵀy + wᵀXᵀXw
+    sse = syy - 2.0 * float(w @ xty) + float(w @ xtx @ w)
+    mse = sse / n_tot
+    ybar = sy / n_tot
+    sst = syy - n_tot * ybar * ybar
+    return w, mu, sd, mse, 1.0 - sse / sst
+
+
+def events_purchase_ridge(sf_dir: str, lam: float = 1.0):
+    """Query surface: ridge coefficients + fit stats (one row per
+    feature, stats repeated — the logreg query's layout). Rows-only;
+    pytest gates the normal-equations solve against a DuckDB-loaded
+    numpy replay and the sufficient-statistics SSE identity
+    (tests/test_sketches.py)."""
+    w, mu, sd, mse, r2 = ridge_fit(sf_dir, lam=lam)
+    return pa.table({
+        "feature": pa.array(["intercept", "value_z", "hour_frac"],
+                            pa.string()),
+        "coef": pa.array(np.round(w, 8)),
+        "train_mse": pa.array(np.round(np.full(3, mse), 8)),
+        "train_r2": pa.array(np.round(np.full(3, r2), 8)),
+    })

@@ -504,3 +504,43 @@ def test_isotonic_calibration_laws():
     for a, b in zip(starts, ends):
         pooled = (raw[a:b] * n[a:b]).sum() / n[a:b].sum()
         assert abs(pooled - iso[a:b].mean()) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ridge_normal_equations_replay():
+    """Distributed two-pass ridge == an independent DuckDB-load +
+    numpy normal-equations replay; SSE from sufficient statistics
+    equals the direct residual norm; λ=0 reduces to OLS."""
+    sf = "/root/testdata/sf0.01"
+    w, mu, sd, mse, r2 = sketches.ridge_fit(sf, lam=1.0)
+
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT value, extract(hour FROM ts) AS h,
+               CASE WHEN event_type = 'purchase'
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM read_parquet('{sf}/events.parquet')""").df()
+    v = df["value"].to_numpy(np.float64)
+    mu2 = v.mean()
+    sd2 = v.std()
+    x = np.column_stack([np.ones(len(v)), (v - mu2) / sd2,
+                         df["h"].to_numpy(np.float64) / 23.0])
+    y = df["y"].to_numpy(np.float64)
+    pen = np.eye(3)
+    pen[0, 0] = 0.0
+    w2 = np.linalg.solve(x.T @ x + pen, x.T @ y)
+    assert np.allclose(w, w2, atol=1e-8), (w, w2)
+    assert abs(mu - mu2) < 1e-9 and abs(sd - sd2) < 1e-9
+    # SSE identity
+    sse_direct = float(((y - x @ w2) ** 2).sum())
+    assert abs(mse * len(y) - sse_direct) < 1e-6 * max(sse_direct, 1)
+    assert 0.0 <= r2 <= 1.0 or r2 < 0.05    # near-random labels
+    # lambda=0 == OLS
+    w0, *_ = sketches.ridge_fit(sf, lam=0.0)
+    wols = np.linalg.solve(x.T @ x, x.T @ y)
+    assert np.allclose(w0, wols, atol=1e-8)
+
+    out = sketches.events_purchase_ridge(sf).to_pandas()
+    assert list(out["feature"]) == ["intercept", "value_z",
+                                    "hour_frac"]
+    assert np.allclose(out["coef"].to_numpy(), np.round(w, 8))
