@@ -1002,6 +1002,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classical additive decomposition: centered-MA trend +
         # weekday seasonal + residual
         "events_daily_decompose": analysis.events_daily_decompose,
+        # recrawl scheduling: Cho-Garcia-Molina change-rate estimate
+        # over three crawl snapshots; SQL oracle replays every pair
+        # comparison + the lambda law from the dumped fingerprints
+        "crawl_recrawl_schedule": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.snapshot",
+            fromlist=["crawl_recrawl_schedule"],
+        ).crawl_recrawl_schedule(
+            sf, dump=lambda t: _oracle_dump(
+                "crawl_recrawl_schedule", t)),
         # pivot-sampled harmonic centrality (BSP multi-pivot BFS),
         # SQL oracle = recursive per-pivot distance replay over the
         # dumped edges + the same sum(1/d) aggregation
@@ -2146,6 +2155,31 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term) AS rk
                   FROM sc)
             WHERE rk <= 5
+        """,
+        "crawl_recrawl_schedule": """
+            WITH fp AS (
+                SELECT side, url, md5 FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_recrawl_schedule/raw.parquet')
+            ),
+            obs AS (
+                SELECT a.url, count(*) AS n,
+                       sum(CASE WHEN a.md5 <> b.md5
+                           THEN 1 ELSE 0 END) AS x
+                FROM fp a JOIN fp b
+                  ON a.url = b.url AND b.side = a.side + 1
+                GROUP BY 1
+            ),
+            visits AS (SELECT url, count(*) AS nv FROM fp GROUP BY 1)
+            SELECT v.url, CAST(v.nv AS BIGINT) AS n_visits,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs,
+                   CAST(coalesce(o.x, 0) AS BIGINT) AS n_changes,
+                   ROUND(CASE WHEN o.n IS NULL THEN 0.0
+                         ELSE -ln((o.n - o.x + 0.5) / (o.n + 0.5))
+                         END, 6) + 0.0 AS change_rate,
+                   ROUND(CASE WHEN o.n IS NULL THEN -1.0
+                         ELSE -ln((o.n - o.x + 0.5) / (o.n + 0.5))
+                         END, 6) + 0.0 AS priority
+            FROM visits v LEFT JOIN obs o USING (url)
         """,
         "crawl_harmonic_centrality": """
             WITH RECURSIVE e AS (

@@ -103,3 +103,79 @@ def crawl_snapshot_diff(sf_dir: str, *, dump=None):
         })
 
     return j.map_batches(classify, batch_format="pyarrow").sort("url")
+
+
+def crawl_recrawl_schedule(sf_dir: str, *, dump=None):
+    """Recrawl scheduling from change history (Cho & Garcia-Molina,
+    TOIT 2003): crawl the synthetic site under THREE deterministic
+    configs (three "visits"), fingerprint every page, and estimate
+    each URL's Poisson change rate with the bias-corrected estimator
+    λ̂ = −ln((n − X + 0.5)/(n + 0.5)) over its n consecutive-visit
+    observations with X observed changes — the statistic a frequency-
+    aware scheduler orders its frontier by (pages changing every
+    visit get λ̂ ≈ ln(2n+1); never-changing pages get λ̂ ≈ ln(1+1/n)
+    ≈ small). Pages must appear in BOTH visits of a pair to be an
+    observation; URLs seen in only one snapshot emit n = 0 and
+    priority −1 (new/ephemeral — schedule by discovery policy, not
+    change rate).
+
+    Scale shape: each visit reduces to (url, md5) digests inside
+    map_batches (markdown never crosses the exchange); the history
+    assembles with ONE groupby(url).map_groups over ≤3-row groups.
+    The SQL oracle recomputes every pair comparison and the λ̂ law
+    from the dumped (side, url, md5) table independently."""
+    import math
+
+    import numpy as np
+
+    from ..sources.synthetic_web import SiteConfig
+
+    cfgs = [SiteConfig(n_hosts=4),
+            SiteConfig(n_hosts=4, base_cats=4, base_products=4),
+            SiteConfig(n_hosts=4, base_cats=4, base_products=3)]
+    sides = []
+    for i, cfg in enumerate(cfgs):
+        fp = _fingerprints(_crawl_once(cfg, f"v{i}"))
+        sides.append(fp.map_batches(
+            lambda t, i=i: t.append_column(
+                "side", pa.array(np.full(t.num_rows, i,
+                                         dtype=np.int64))),
+            batch_format="pyarrow"))
+    hist = sides[0].union(*sides[1:]).materialize()
+
+    if dump is not None:
+        import ray as _ray
+
+        dump(pa.concat_tables(
+            [_ray.get(r) for r in hist.to_arrow_refs()]))
+
+    def score(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column("side").to_pylist(),
+                          group.column("md5").to_pylist()))
+        by_side = dict(rows)
+        n = x = 0
+        for a, b in ((0, 1), (1, 2)):
+            if a in by_side and b in by_side:
+                n += 1
+                if by_side[a] != by_side[b]:
+                    x += 1
+        if n == 0:
+            lam, pri = 0.0, -1.0
+        else:
+            lam = -math.log((n - x + 0.5) / (n + 0.5))
+            pri = lam
+        return pa.table({
+            "url": pa.array([group.column("url")[0].as_py()],
+                            pa.string()),
+            "n_visits": pa.array([group.num_rows], pa.int64()),
+            "n_obs": pa.array([n], pa.int64()),
+            "n_changes": pa.array([x], pa.int64()),
+            # + 0.0 collapses IEEE −0.0 (−ln(1) on never-changed
+            # pages) to +0.0 — byte-stable for the driver value hash
+            "change_rate": pa.array([round(lam, 6) + 0.0],
+                                    pa.float64()),
+            "priority": pa.array([round(pri, 6) + 0.0],
+                                 pa.float64())})
+
+    return hist.groupby("url").map_groups(
+        score, batch_format="pyarrow").sort("url")
