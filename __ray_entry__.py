@@ -986,6 +986,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # deterministic k-fold CV split + per-fold class balance audit
+        "doc_cv_folds": analysis.doc_cv_folds,
+        # grouped log-log OLS: price elasticity of demand per p_type
+        "part_price_elasticity": analysis.part_price_elasticity,
         # blocked Jaro-Winkler fuzzy self-join on distinct part names
         # (blocking predicate is part of the contract; JW verified
         # bit-identical to DuckDB's)
@@ -2109,6 +2113,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "doc_cv_folds": """
+            WITH f AS (
+                SELECT CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % 5 AS fold, lang
+                FROM documents
+            ),
+            c AS (SELECT fold, lang, count(*) AS n
+                  FROM f GROUP BY 1, 2),
+            t AS (SELECT fold, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT CAST(c.fold AS BIGINT) AS fold, c.lang,
+                   CAST(c.n AS BIGINT) AS n_docs,
+                   CAST(t.tot AS BIGINT) AS fold_total,
+                   ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS share
+            FROM c JOIN t USING (fold)
+        """,
+        "part_price_elasticity": """
+            WITH m AS (
+                SELECT p_type, CAST(count(*) AS DOUBLE) AS n,
+                       sum(ln(l_extendedprice / l_quantity)) AS sx,
+                       sum(ln(l_quantity)) AS sy,
+                       sum(ln(l_extendedprice / l_quantity)
+                           * ln(l_extendedprice / l_quantity)) AS sxx,
+                       sum(ln(l_extendedprice / l_quantity)
+                           * ln(l_quantity)) AS sxy,
+                       sum(ln(l_quantity) * ln(l_quantity)) AS syy
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY 1
+            )
+            SELECT p_type, CAST(n AS BIGINT) AS n_lines,
+                   ROUND((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 6) AS elasticity,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * (sxy - sx * sy / n)
+                         / (syy - sy * sy / n), 6) AS r2
+            FROM m
         """,
         "part_jaro_pairs": """
             WITH d AS (

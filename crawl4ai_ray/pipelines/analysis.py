@@ -11259,3 +11259,147 @@ def events_daily_decompose(sf_dir: str, window: int = 7):
     })
     out["weekday"] = out["weekday"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_cv_folds(sf_dir: str, k: int = 5):
+    """Deterministic k-fold cross-validation split with a per-fold
+    class-balance audit: fold(doc) = md5-32(doc_id) mod k (the repo's
+    hash-sampling law — any worker reassigns a doc identically with no
+    shared state), reported as (fold, lang) cells with fold totals and
+    within-fold lang shares. The split primitive a training pipeline
+    shards eval rounds by, plus the balance check that catches a
+    skewed fold before a model does.
+
+    Scale shape: stateless fold assignment inside map_batches (one
+    md5 per row), one (fold, lang) combiner groupby — exchange =
+    k × |langs| cells."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        folds = np.array([
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+            % k for i in ids], np.int64)
+        df = pd.DataFrame({
+            "fold": folds,
+            "lang": batch.column("lang").to_pandas(),
+            "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["fold", "lang"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["fold", "lang"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    tot = cells.groupby("fold")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    return pa.table({
+        "fold": pa.array(cells["fold"].to_numpy(np.int64)),
+        "lang": pa.array(cells["lang"], pa.string()),
+        "n_docs": pa.array(cells["n"].to_numpy(np.int64)),
+        "fold_total": pa.array(tot.astype(np.int64)),
+        "share": pa.array(np.round(
+            cells["n"].to_numpy(np.float64) / tot, 6)),
+    })
+
+
+def part_price_elasticity(sf_dir: str, form: str = "auto",
+                          broadcast_limit: int = BROADCAST_LIMIT):
+    """Grouped log-log demand regression: per part type, the OLS slope
+    of ln(quantity) on ln(unit price) — the price-elasticity-of-demand
+    estimate econometrics reads off a log-log fit — plus r². Unit
+    price = extendedprice / quantity.
+
+    Scale shape: the partkey→type lookup follows the
+    revenue_by_part_type gate (broadcast sorted-probe under
+    ``broadcast_limit``, native join above); the regression reduces
+    through one six-moment combiner per type — the oracle recomputes
+    slope and r² from the SAME moment formulas (not regr_slope, whose
+    accumulation order differs)."""
+    import ray
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    if form == "auto":
+        form = "broadcast" if part_ds.count() <= broadcast_limit \
+            else "join"
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _moments(types, q: np.ndarray, p: np.ndarray) -> pa.Table:
+        x = np.log(p / q)       # ln unit price
+        y = np.log(q)
+        df = pd.DataFrame({
+            "p_type": types, "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y, "syy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("p_type", as_index=False).sum(),
+            preserve_index=False)
+
+    if form == "broadcast":
+        part = part_ds.to_pandas()
+        codes, vocab = pd.factorize(part["p_type"])
+        vocab = np.asarray(vocab, dtype=object)
+        ref = ray.put(_sorted_probe_arrays(
+            part["p_partkey"].to_numpy(np.int64),
+            codes.astype(np.int32)))
+
+        def gen(batch: pa.Table, ref=ref, vocab=vocab) -> pa.Table:
+            import ray as _ray
+
+            sk, sv = _ray.get(ref)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(sk, pk)
+            types = vocab[sv[idx]]
+            return _moments(
+                types,
+                batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False),
+                batch.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False))
+
+        m = li.map_batches(gen, batch_format="pyarrow",
+                           batch_size=65536)
+    else:
+        from .dedup import _join_parts
+
+        joined = li.join(
+            part_ds.rename_columns({"p_partkey": "l_partkey"}),
+            "inner", _join_parts(li, part_ds), on=("l_partkey",))
+
+        def gen_j(batch: pa.Table) -> pa.Table:
+            return _moments(
+                batch.column("p_type").to_pandas().to_numpy(),
+                batch.column("l_quantity")
+                .to_numpy(zero_copy_only=False),
+                batch.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False))
+
+        m = joined.map_batches(gen_j, batch_format="pyarrow",
+                               batch_size=65536)
+
+    g = m.groupby("p_type") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"),
+                   Sum("syy", alias_name="syy")).to_pandas() \
+        .sort_values("p_type")
+    n = g["n"].to_numpy(np.float64)
+    sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+    sxx, sxy, syy = g["sxx"].to_numpy(), g["sxy"].to_numpy(), \
+        g["syy"].to_numpy()
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sxyc = sxy - sx * sy / n
+    syyc = syy - sy * sy / n
+    r2 = b * sxyc / syyc
+    return pa.table({
+        "p_type": pa.array(g["p_type"], pa.string()),
+        "n_lines": pa.array(g["n"].to_numpy(np.int64)),
+        "elasticity": pa.array(np.round(b, 6)),
+        "r2": pa.array(np.round(r2, 6)),
+    })
