@@ -1988,6 +1988,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # split-conformal prediction interval: md5 fold split, exact
+        # order-statistic q-hat via sort+limit(k), held-out coverage
+        # (rows-only; numpy replay + coverage guarantee law in
+        # tests/test_sketches.py)
+        "events_conformal_interval": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.sketches",
+            fromlist=["conformal_interval"],
+        ).conformal_interval(sf),
         # closed-form ridge regression via distributed normal
         # equations (rows-only; numpy-replay + SSE-identity + OLS
         # reduction laws in tests/test_sketches.py)

@@ -1335,3 +1335,116 @@ def events_purchase_ridge(sf_dir: str, lam: float = 1.0):
         "train_mse": pa.array(np.round(np.full(3, mse), 8)),
         "train_r2": pa.array(np.round(np.full(3, r2), 8)),
     })
+
+
+def conformal_interval(sf_dir: str, alpha: float = 0.1,
+                       lam: float = 1.0):
+    """Split-conformal prediction interval (Vovk et al.; Lei et al.
+    JASA 2018) for event value from time-of-day features — the
+    DISTRIBUTION-FREE uncertainty primitive: train a ridge model on
+    folds {0,1,2} (md5 split law), take the ⌈(n_cal+1)(1−α)⌉-th
+    smallest absolute residual on calibration fold 3 as q̂, and the
+    interval ŷ ± q̂ is guaranteed ≥ 1−α marginal coverage on
+    exchangeable data — checked empirically on held-out fold 4.
+
+    Scale shape: fold assignment is the stateless md5 law; training
+    is the ridge sufficient-statistics reduction (Gram partials on
+    the train fold only); q̂ is an EXACT order statistic via ONE
+    distributed sort + limit(k) of the calibration residuals (the
+    conformal guarantee needs the exact rank, not a sketch — the sort
+    is the operator's inherent exchange); coverage is a stateless
+    count. Returns a one-row summary table."""
+    import hashlib
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "ts"]) \
+        .materialize()
+
+    def with_fold(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        folds = np.array([
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+            % 5 for i in ids], np.int64)
+        h = pc.hour(batch.column("ts")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = pc.day_of_week(batch.column("ts")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "fold": pa.array(folds),
+            "x1": pa.array(h / 23.0),
+            "x2": pa.array(d / 6.0),
+            "y": batch.column("value")})
+
+    feat = ds.map_batches(with_fold, batch_format="pyarrow",
+                          batch_size=65536).materialize()
+
+    def gram_train(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch.column("fold"),
+                                       pa.scalar(2, pa.int64())))
+        x = np.column_stack([
+            np.ones(t.num_rows),
+            t.column("x1").to_numpy(zero_copy_only=False),
+            t.column("x2").to_numpy(zero_copy_only=False)])
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "xtx": pa.array([(x.T @ x).tobytes()], pa.large_binary()),
+            "xty": pa.array([(x.T @ y).tobytes()], pa.large_binary()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = feat.map_batches(gram_train, batch_format="pyarrow",
+                             batch_size=65536).take_all()
+    xtx = np.zeros((3, 3))
+    xty = np.zeros(3)
+    n_train = 0
+    for r in parts:
+        xtx += np.frombuffer(r["xtx"], np.float64).reshape(3, 3)
+        xty += np.frombuffer(r["xty"], np.float64)
+        n_train += r["n"]
+    pen = lam * np.eye(3)
+    pen[0, 0] = 0.0
+    w = np.linalg.solve(xtx + pen, xty)
+
+    def residuals(batch: pa.Table, fold: int) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("fold"),
+                                  pa.scalar(fold, pa.int64())))
+        x = np.column_stack([
+            np.ones(t.num_rows),
+            t.column("x1").to_numpy(zero_copy_only=False),
+            t.column("x2").to_numpy(zero_copy_only=False)])
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({"res": pa.array(np.abs(y - x @ w))})
+
+    cal = feat.map_batches(lambda t: residuals(t, 3),
+                           batch_format="pyarrow",
+                           batch_size=65536).materialize()
+    n_cal = cal.count()
+    k = math.ceil((n_cal + 1) * (1.0 - alpha))
+    if k > n_cal:
+        qhat = float("inf")
+    else:
+        # exact k-th smallest: one distributed sort + limit(k)
+        qhat = float(cal.sort("res").limit(k)
+                     .to_pandas()["res"].iloc[-1])
+
+    test = feat.map_batches(lambda t: residuals(t, 4),
+                            batch_format="pyarrow",
+                            batch_size=65536)
+    cov_parts = test.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "in_band": pa.array([int(
+                (t.column("res").to_numpy(zero_copy_only=False)
+                 <= qhat).sum())], pa.int64())}),
+        batch_format="pyarrow")
+    n_test = int(cov_parts.sum("n") or 0)
+    n_in = int(cov_parts.sum("in_band") or 0)
+    return pa.table({
+        "alpha": pa.array([alpha]),
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_cal": pa.array([n_cal], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "q_hat": pa.array([np.round(qhat, 4)]),
+        "coverage": pa.array([np.round(n_in / max(n_test, 1), 4)]),
+    })

@@ -544,3 +544,48 @@ def test_ridge_normal_equations_replay():
     assert list(out["feature"]) == ["intercept", "value_z",
                                     "hour_frac"]
     assert np.allclose(out["coef"].to_numpy(), np.round(w, 8))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conformal_interval_coverage_and_replay():
+    """Split-conformal q̂ equals an independent DuckDB-load + numpy
+    replay (same md5 fold law, same ridge, same order statistic), and
+    the held-out coverage realizes the ≥ 1−α distribution-free
+    guarantee within binomial noise."""
+    import hashlib
+    import math
+
+    sf = "/root/testdata/sf0.01"
+    out = sketches.conformal_interval(sf, alpha=0.1).to_pandas()
+    row = out.iloc[0]
+
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT event_id, value,
+               extract(hour FROM ts) AS h,
+               isodow(ts) - 1 AS d   -- pyarrow day_of_week: Mon=0
+        FROM read_parquet('{sf}/events.parquet')""").df()
+    folds = np.array([
+        int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % 5
+        for i in df["event_id"]])
+    x = np.column_stack([np.ones(len(df)),
+                         df["h"].to_numpy(np.float64) / 23.0,
+                         df["d"].to_numpy(np.float64) / 6.0])
+    y = df["value"].to_numpy(np.float64)
+    tr = folds <= 2
+    pen = np.eye(3)
+    pen[0, 0] = 0.0
+    w = np.linalg.solve(x[tr].T @ x[tr] + pen, x[tr].T @ y[tr])
+    res_cal = np.sort(np.abs(y[folds == 3] - x[folds == 3] @ w))
+    k = math.ceil((len(res_cal) + 1) * 0.9)
+    qhat = res_cal[k - 1]
+    assert row["n_train"] == int(tr.sum())
+    assert row["n_cal"] == len(res_cal)
+    assert abs(row["q_hat"] - round(qhat, 4)) < 1e-9
+    res_test = np.abs(y[folds == 4] - x[folds == 4] @ w)
+    cov = (res_test <= qhat).mean()
+    assert abs(row["coverage"] - round(cov, 4)) < 1e-9
+    # the distribution-free guarantee, with 3-sigma binomial slack
+    n_test = int(row["n_test"])
+    slack = 3 * np.sqrt(0.1 * 0.9 / n_test)
+    assert row["coverage"] >= 0.9 - slack, (row["coverage"], slack)
