@@ -1006,6 +1006,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classical additive decomposition: centered-MA trend +
         # weekday seasonal + residual
         "events_daily_decompose": analysis.events_daily_decompose,
+        # sitemap-vs-crawl coverage audit (full_outer set diff +
+        # per-host aggregate); SQL oracle reclassifies the dumped
+        # (side, url) rows independently
+        "crawl_sitemap_coverage": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.snapshot",
+            fromlist=["crawl_sitemap_coverage"],
+        ).crawl_sitemap_coverage(
+            sf, dump=lambda t: _oracle_dump(
+                "crawl_sitemap_coverage", t)),
         # recrawl scheduling: Cho-Garcia-Molina change-rate estimate
         # over three crawl snapshots; SQL oracle replays every pair
         # comparison + the lambda law from the dumped fingerprints
@@ -2204,6 +2213,42 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, term) AS rk
                   FROM sc)
             WHERE rk <= 5
+        """,
+        "crawl_sitemap_coverage": """
+            WITH d AS (
+                SELECT side, url FROM read_parquet(
+                    '/tmp/c4r_oracle/crawl_sitemap_coverage/raw.parquet')
+            ),
+            s AS (SELECT DISTINCT url FROM d WHERE side = 's'),
+            c AS (SELECT DISTINCT url FROM d WHERE side = 'c'),
+            u AS (
+                SELECT coalesce(s.url, c.url) AS url,
+                       CASE WHEN s.url IS NULL THEN 0 ELSE 1 END
+                           AS in_s,
+                       CASE WHEN c.url IS NULL THEN 0 ELSE 1 END
+                           AS in_c
+                FROM s FULL OUTER JOIN c ON s.url = c.url
+            ),
+            g AS (
+                SELECT split_part(url, '/', 3) AS host,
+                       sum(in_s) AS n_sitemap,
+                       sum(in_c) AS n_crawled,
+                       sum(in_s * in_c) AS n_both,
+                       sum(in_s * (1 - in_c)) AS n_sitemap_only,
+                       sum((1 - in_s) * in_c) AS n_crawl_only
+                FROM u GROUP BY 1
+            )
+            SELECT host,
+                   CAST(n_sitemap AS BIGINT) AS n_sitemap,
+                   CAST(n_crawled AS BIGINT) AS n_crawled,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CAST(n_sitemap_only AS BIGINT) AS n_sitemap_only,
+                   CAST(n_crawl_only AS BIGINT) AS n_crawl_only,
+                   ROUND(CASE WHEN n_sitemap > 0
+                         THEN n_both / CAST(greatest(n_sitemap, 1)
+                                            AS DOUBLE)
+                         ELSE -1.0 END, 6) AS coverage
+            FROM g
         """,
         "crawl_recrawl_schedule": """
             WITH fp AS (

@@ -179,3 +179,112 @@ def crawl_recrawl_schedule(sf_dir: str, *, dump=None):
 
     return hist.groupby("url").map_groups(
         score, batch_format="pyarrow").sort("url")
+
+
+def crawl_sitemap_coverage(sf_dir: str, *, dump=None):
+    """Sitemap-vs-crawl coverage audit: the operational question after
+    any seeded crawl — which sitemap-advertised URLs did the crawler
+    actually reach, and what did it discover that the sitemaps never
+    listed? Per host: n_sitemap, n_crawled, n_both, sitemap-only,
+    crawl-only, and coverage = both / sitemap.
+
+    Scale shape: the sitemap side streams through the SitemapSeeder
+    actor pool; the crawl side reduces to canonical URLs inside
+    map_batches; each side local-dedups, ONE url-keyed full_outer
+    join classifies, and the per-host aggregate is a bounded groupby.
+    The SQL oracle recomputes the classification AND the aggregate
+    from the dumped (side, url) rows."""
+    import numpy as np
+
+    from ..sources.seeder import SitemapSeeder, _dedupe_urls
+    from ..sources.synthetic_web import SiteConfig
+
+    site_cfg = SiteConfig(n_hosts=4)
+    seeds = rd.from_items([{"domain": site_cfg.host(k)}
+                           for k in range(site_cfg.n_hosts)])
+    sm = _dedupe_urls(seeds.map_batches(
+        SitemapSeeder,
+        fn_constructor_kwargs={"site_cfg": site_cfg.__dict__,
+                               "pattern": "*"},
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).materialize())
+
+    docs_dir = _crawl_once(site_cfg, "cov")
+    crawled = rd.read_parquet(docs_dir, columns=["url"])
+
+    def sm_side(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table({"url": pa.array(sorted(set(urls)),
+                                         pa.string()),
+                         "in_sm": pa.array(
+                             np.ones(len(set(urls)), np.int64))})
+
+    def cr_side(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table({"url": pa.array(sorted(set(urls)),
+                                         pa.string()),
+                         "in_cr": pa.array(
+                             np.ones(len(set(urls)), np.int64))})
+
+    a = sm.map_batches(sm_side, batch_format="pyarrow").materialize()
+    b = crawled.map_batches(cr_side,
+                            batch_format="pyarrow").materialize()
+
+    if dump is not None:
+        from .graph import ray_get_tables
+
+        at = pa.concat_tables(ray_get_tables(a))
+        bt = pa.concat_tables(ray_get_tables(b))
+        dump(pa.table({
+            "side": pa.array(["s"] * at.num_rows
+                             + ["c"] * bt.num_rows, pa.string()),
+            "url": pa.concat_arrays(
+                [at.column("url").combine_chunks().cast(pa.string()),
+                 bt.column("url").combine_chunks().cast(pa.string())]),
+        }))
+
+    from .dedup import _join_parts
+
+    j = a.join(b, "full_outer", num_partitions=_join_parts(a, b),
+               on=("url",))
+
+    def per_host(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = batch.column("url").to_pylist()
+        host = [u.split("/", 3)[2] if "://" in u else "" for u in urls]
+        in_s = np.array([v is not None for v in
+                         batch.column("in_sm").to_pylist()])
+        in_c = np.array([v is not None for v in
+                         batch.column("in_cr").to_pylist()])
+        df = pd.DataFrame({
+            "host": host,
+            "n_sitemap": in_s.astype(np.int64),
+            "n_crawled": in_c.astype(np.int64),
+            "n_both": (in_s & in_c).astype(np.int64),
+            "n_sitemap_only": (in_s & ~in_c).astype(np.int64),
+            "n_crawl_only": (~in_s & in_c).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("host", as_index=False).sum(),
+            preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    g = j.map_batches(per_host, batch_format="pyarrow") \
+        .groupby("host") \
+        .aggregate(Sum("n_sitemap", alias_name="n_sitemap"),
+                   Sum("n_crawled", alias_name="n_crawled"),
+                   Sum("n_both", alias_name="n_both"),
+                   Sum("n_sitemap_only", alias_name="n_sitemap_only"),
+                   Sum("n_crawl_only", alias_name="n_crawl_only"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_sitemap").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nb = t.column("n_both").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cov = np.where(ns > 0, nb / np.maximum(ns, 1.0), -1.0)
+        return t.append_column(
+            "coverage", pa.array(np.round(cov, 6), pa.float64()))
+
+    return g.map_batches(finish, batch_format="pyarrow").sort("host")
