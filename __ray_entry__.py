@@ -986,6 +986,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # interpolated Kneser-Ney bigram probabilities (compact-gram
+        # marginals, broadcast-set filtered top-k)
+        "corpus_kneser_ney": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["corpus_kneser_ney"],
+        ).corpus_kneser_ney(sf),
         # deterministic k-fold CV split + per-fold class balance audit
         "doc_cv_folds": analysis.doc_cv_folds,
         # grouped log-log OLS: price elasticity of demand per p_type
@@ -2130,6 +2136,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "corpus_kneser_ney": r"""
+            WITH tok AS (
+                SELECT list_filter(string_split_regex(
+                           trim(lower(text)), '\s+'),
+                       x -> x <> '') AS toks
+                FROM documents
+            ),
+            idx AS (
+                SELECT toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tok
+            ),
+            bi AS (
+                SELECT toks[CAST(i AS INTEGER)] AS w1,
+                       toks[CAST(i AS INTEGER) + 1] AS w2
+                FROM idx
+            ),
+            g AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+            b AS (SELECT count(*) AS types FROM g),
+            ctx AS (SELECT w1, sum(c) AS cv, count(*) AS n1v
+                    FROM g GROUP BY 1),
+            wrd AS (SELECT w2, count(*) AS n1w FROM g GROUP BY 1),
+            top AS (
+                SELECT w1, w2, c, row_number() OVER (
+                    ORDER BY c DESC, w1, w2) AS rk
+                FROM g
+            )
+            SELECT t.w1, t.w2, CAST(t.c AS BIGINT) AS c,
+                   ROUND(greatest(t.c - 0.75, 0) / cv
+                         + 0.75 * n1v / cv * (n1w / types), 6)
+                       AS p_kn
+            FROM top t JOIN ctx USING (w1) JOIN wrd USING (w2), b
+            WHERE t.rk <= 50
         """,
         "doc_cv_folds": """
             WITH f AS (

@@ -2245,3 +2245,97 @@ def source_lang_mix(sf_dir: str, max_cells: int = 1_000_000):
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
         "cramers_v": pa.array([round(v, 6)], pa.float64()),
     })
+
+
+def corpus_kneser_ney(sf_dir: str, top_k: int = 50,
+                      discount: float = 0.75):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    the Chen-Goodman 1999 benchmark winner and KenLM's default) for the
+    corpus's ``top_k`` most frequent bigrams — the LM-smoothing
+    upgrade over lm_perplexity's add-α:
+
+        P(w|v) = max(c(vw)−d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/B
+
+    with d = ``discount``, N₁₊(v·) = distinct continuations of v,
+    N₁₊(·w) = distinct contexts of w (the continuation count — KN's
+    insight: "Francisco" is frequent but follows only "San"), and B =
+    total distinct bigram types.
+
+    Scale shape: ONE bigram-count groupby (per-batch pandas combiner,
+    exchange = distinct grams per block); the three marginals are
+    groupbys OVER THE COMPACT GRAM TABLE (vocab-sized, not
+    token-sized); the top-k selection is a per-block combiner; only
+    the ≤k matching marginal rows reach the driver (broadcast-set
+    filters). Every division is exact-int / exact-int, so the SQL
+    oracle reproduces the doubles bit-for-bit before the 6dp round."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        w1, w2 = [], []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").lower().split()
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        if not w1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = pd.DataFrame({"w1": w1, "w2": w2}) \
+            .groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grams = docs.map_batches(gram_partial, batch_format="pyarrow",
+                             batch_size=8192) \
+        .groupby(["w1", "w2"]).aggregate(_Sum("c", alias_name="c")) \
+        .materialize()
+    n_types = grams.count()          # B: distinct bigram types
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["c", "w1", "w2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(top_k),
+                                    preserve_index=False)
+
+    top = grams.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas().sort_values(["c", "w1", "w2"],
+                                 ascending=[False, True, True]) \
+        .head(top_k).reset_index(drop=True)
+    ctx_need = set(top["w1"])
+    wrd_need = set(top["w2"])
+
+    def ctx_filter(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(df[df["w1"].isin(ctx_need)],
+                                    preserve_index=False)
+
+    def wrd_filter(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(df[df["w2"].isin(wrd_need)],
+                                    preserve_index=False)
+
+    ctx = grams.groupby("w1") \
+        .aggregate(_Sum("c", alias_name="cv"),
+                   _Count(alias_name="n1v")) \
+        .map_batches(ctx_filter, batch_format="pyarrow").to_pandas() \
+        .set_index("w1")
+    wrd = grams.groupby("w2") \
+        .aggregate(_Count(alias_name="n1w")) \
+        .map_batches(wrd_filter, batch_format="pyarrow").to_pandas() \
+        .set_index("w2")
+
+    c = top["c"].to_numpy(np.float64)
+    cv = ctx.loc[top["w1"], "cv"].to_numpy(np.float64)
+    n1v = ctx.loc[top["w1"], "n1v"].to_numpy(np.float64)
+    n1w = wrd.loc[top["w2"], "n1w"].to_numpy(np.float64)
+    p = np.maximum(c - discount, 0.0) / cv \
+        + discount * n1v / cv * (n1w / n_types)
+    return pa.table({
+        "w1": pa.array(top["w1"], pa.string()),
+        "w2": pa.array(top["w2"], pa.string()),
+        "c": pa.array(top["c"].to_numpy(np.int64)),
+        "p_kn": pa.array(np.round(p, 6)),
+    })
