@@ -2003,6 +2003,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # absorbing-chain expected steps to purchase (fundamental
+        # matrix; rows-only — t = 1 + Qt identity + DuckDB-lead
+        # replay in tests/test_analysis_scale.py)
+        "events_markov_absorption":
+            analysis.events_markov_absorption,
         # split-conformal prediction interval: md5 fold split, exact
         # order-statistic q-hat via sort+limit(k), held-out coverage
         # (rows-only; numpy replay + coverage guarantee law in

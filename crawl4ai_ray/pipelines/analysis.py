@@ -11403,3 +11403,56 @@ def part_price_elasticity(sf_dir: str, form: str = "auto",
         "elasticity": pa.array(np.round(b, 6)),
         "r2": pa.array(np.round(r2, 6)),
     })
+
+
+def events_markov_absorption(sf_dir: str,
+                             absorb_type: str = "purchase"):
+    """Expected steps to conversion: make ``absorb_type`` absorbing in
+    the per-user event-type Markov chain and solve the fundamental-
+    matrix system t = 1 + Q·t (Kemeny & Snell 1960) — "from a view,
+    how many events until the purchase, in expectation?" — the
+    chain-analysis closure over events_type_transitions.
+
+    Scale shape: transition counts reduce through the same bounded
+    per-user map_groups + |types|² groupby; the linear solve is
+    driver math on the tiny matrix. Rows-only for the driver; pytest
+    gates the defining identity t = 1 + Q·t at 1e-9 plus a
+    DuckDB-count numpy replay (tests/test_analysis_scale.py)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "c": []})
+        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        df["c"] = np.int64(1)
+        return df.groupby(["from_type", "to_type"],
+                          as_index=False)["c"].sum()
+
+    counts = ds.groupby("user_id") \
+        .map_groups(pairs, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("c", alias_name="n")).to_pandas()
+    types = sorted(set(counts["from_type"]) | set(counts["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    m = np.zeros((k, k))
+    for _, r in counts.iterrows():
+        m[idx[r["from_type"]], idx[r["to_type"]]] = r["n"]
+    row = m.sum(axis=1, keepdims=True)
+    p = np.divide(m, row, out=np.zeros_like(m), where=row > 0)
+    a = idx[absorb_type]
+    trans = [i for i in range(k) if i != a]
+    q = p[np.ix_(trans, trans)]
+    t = np.linalg.solve(np.eye(len(trans)) - q,
+                        np.ones(len(trans)))
+    out_types = [types[i] for i in trans]
+    reach = p[np.ix_(trans, [a])][:, 0]
+    return pa.table({
+        "from_type": pa.array(out_types, pa.string()),
+        "expected_steps": pa.array(np.round(t, 6)),
+        "p_direct": pa.array(np.round(reach, 6)),
+    })

@@ -712,3 +712,48 @@ def test_price_volume_decomp_join_fallback():
         SF, broadcast_limit=0).to_pandas())
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_markov_absorption_identity_and_replay(ray_session):
+    """t = 1 + Q·t holds at 1e-9, and the transition counts match an
+    independent DuckDB window-lead replay."""
+    import duckdb
+    import numpy as np
+
+    from crawl4ai_ray.pipelines.analysis import (
+        events_markov_absorption)
+
+    sf = "/root/testdata/sf0.01"
+    out = events_markov_absorption(sf).to_pandas() \
+        .set_index("from_type")
+
+    con = duckdb.connect()
+    cnt = con.execute(f"""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM read_parquet('{sf}/events.parquet')
+        )
+        SELECT event_type AS f, nxt AS t, count(*) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""").df()
+    types = sorted(set(cnt["f"]) | set(cnt["t"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    m = np.zeros((k, k))
+    for _, r in cnt.iterrows():
+        m[idx[r["f"]], idx[r["t"]]] = r["n"]
+    p = m / m.sum(axis=1, keepdims=True)
+    a = idx["purchase"]
+    tr = [i for i in range(k) if i != a]
+    q = p[np.ix_(tr, tr)]
+    t_vec = np.linalg.solve(np.eye(len(tr)) - q, np.ones(len(tr)))
+    got = out["expected_steps"].to_numpy()
+    want = np.array([t_vec[j] for j, i in enumerate(tr)])
+    order = [types[i] for i in tr]
+    assert list(out.index) == order
+    assert np.allclose(got, np.round(want, 6), atol=1e-6)
+    # the defining identity
+    assert np.allclose(t_vec, 1.0 + q @ t_vec, atol=1e-9)
+    assert (got > 1.0).all()     # at least one step to absorb
