@@ -2003,6 +2003,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # NMF topic model (Lee-Seung multiplicative updates, row-
+        # partitioned W + broadcast H; rows-only — monotone-loss law
+        # + md5-init numpy replay in tests/test_corpus.py)
+        "doc_nmf_topics": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["doc_nmf_topics"],
+        ).doc_nmf_topics(sf),
         # absorbing-chain expected steps to purchase (fundamental
         # matrix; rows-only — t = 1 + Qt identity + DuckDB-lead
         # replay in tests/test_analysis_scale.py)

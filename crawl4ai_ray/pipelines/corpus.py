@@ -2339,3 +2339,193 @@ def corpus_kneser_ney(sf_dir: str, top_k: int = 50,
         "c": pa.array(top["c"].to_numpy(np.int64)),
         "p_kn": pa.array(np.round(p, 6)),
     })
+
+
+def _hash_uniform(key: str, n: int) -> np.ndarray:
+    """n deterministic uniforms in (0,1) from md5(key) via the Weyl
+    stream (the doc_bootstrap_ci law): u_i = (h32·(2i+1) mod 2³²)/2³²,
+    shifted off 0."""
+    import hashlib
+
+    h = np.uint64(int(hashlib.md5(key.encode()).hexdigest()[:8], 16))
+    mults = 2 * np.arange(n, dtype=np.uint64) + 1
+    u = ((h * mults) & np.uint64(0xFFFFFFFF)).astype(np.float64) \
+        / 4294967296.0
+    return 0.05 + 0.9 * u
+
+
+def nmf_fit(sf_dir: str, k: int = 5, vocab_size: int = 300,
+            max_iters: int = 25, eps: float = 1e-12):
+    """Distributed NMF topic model via Lee-Seung multiplicative
+    updates (NIPS 2001) on the doc×term TF matrix over the top
+    ``vocab_size`` corpus terms — the parts-based topic factorization
+    next to PCA/GMM/k-means:
+
+        W ← W ∘ (VHᵀ)/(WHHᵀ+ε),   H ← H ∘ (WᵀV)/(WᵀWH+ε)
+
+    Distributed shape (row-partitioned V, the standard HPC NMF
+    split): H (k×V, small) broadcasts via ``ray.put`` each iteration;
+    each batch updates ITS OWN W rows locally (the W update needs
+    only H) and emits k×V / k×k partials (WᵀV, WᵀW) plus a loss
+    partial; the driver reduces partials and updates H. W never
+    crosses the exchange as a matrix — its rows persist WITH the
+    data in the state Dataset (doc_id, tf, w), materialized per
+    iteration. Loss = ||V−WH||²_F
+    is non-increasing per update (the Lee-Seung guarantee — the
+    pytest law), init is the md5-Weyl uniform stream keyed by
+    doc_id / term index, so runs are bit-reproducible.
+
+    Returns (vocab list, H (k×V), losses, state_ds)."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # vocab: top terms by count, ties by term (deterministic)
+    def tpart(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    vt = docs.map_batches(tpart, batch_format="pyarrow",
+                          batch_size=8192) \
+        .groupby("term").aggregate(_Sum("n", alias_name="n")) \
+        .to_pandas().sort_values(["n", "term"],
+                                 ascending=[False, True]) \
+        .head(vocab_size)
+    vocab = vt["term"].tolist()
+    vix = {t: i for i, t in enumerate(vocab)}
+    nv = len(vocab)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tf_rows, w_rows = [], []
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            tf = np.zeros(nv)
+            for tok in (txt or "").lower().split():
+                j = vix.get(tok)
+                if j is not None:
+                    tf[j] += 1.0
+            tf_rows.append(tf.tobytes())
+            w_rows.append(_hash_uniform(f"w{int(did)}", k).tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "tf": pa.array(tf_rows, pa.large_binary()),
+            "w": pa.array(w_rows, pa.large_binary())})
+
+    state = docs.map_batches(init_state, batch_format="pyarrow",
+                             batch_size=4096).materialize()
+    h = np.stack([_hash_uniform(f"h{j}", nv) for j in range(k)])
+    losses: list = []
+
+    for _ in range(max_iters):
+        href = ray.put(h)
+
+        def step(batch: pa.Table) -> pa.Table:
+            hh = ray.get(href)                    # noqa: B023
+            n = batch.num_rows
+            v = np.frombuffer(
+                b"".join(batch.column("tf").to_pylist()),
+                np.float64).reshape(n, nv)
+            w = np.frombuffer(
+                b"".join(batch.column("w").to_pylist()),
+                np.float64).reshape(n, k).copy()
+            # W update with current H
+            hht = hh @ hh.T
+            w *= (v @ hh.T) / (w @ hht + eps)
+            # partials for the H update + loss under updated W
+            wtv = w.T @ v
+            wtw = w.T @ w
+            resid = v - w @ hh
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "w": pa.array([r.tobytes() for r in w],
+                              pa.large_binary()),
+                "_wtv": pa.array([wtv.tobytes()] + [b""] * (n - 1),
+                                 pa.large_binary()),
+                "_wtw": pa.array([wtw.tobytes()] + [b""] * (n - 1),
+                                 pa.large_binary()),
+                "_loss": pa.array(
+                    [float((resid * resid).sum())] + [0.0] * (n - 1)),
+            })
+
+        state = state.map_batches(step, batch_format="pyarrow",
+                                  batch_size=4096).materialize()
+        wtv = np.zeros((k, nv))
+        wtw = np.zeros((k, k))
+        loss = 0.0
+        for bt in state.iter_batches(batch_format="pyarrow",
+                                     batch_size=4096):
+            for blob in bt.column("_wtv").to_pylist():
+                if blob:
+                    wtv += np.frombuffer(blob, np.float64) \
+                        .reshape(k, nv)
+            for blob in bt.column("_wtw").to_pylist():
+                if blob:
+                    wtw += np.frombuffer(blob, np.float64) \
+                        .reshape(k, k)
+            loss += float(np.sum(bt.column("_loss").to_numpy(
+                zero_copy_only=False)))
+        losses.append(loss)
+        h *= wtv / (wtw @ h + eps)
+        state = state.drop_columns(["_wtv", "_wtw", "_loss"]) \
+            .materialize()
+    return vocab, h, losses, state
+
+
+def doc_nmf_topics(sf_dir: str, k: int = 5, top_terms: int = 8):
+    """Query surface: top terms per NMF topic with weights — the
+    topic-model readout. Rows-only; pytest gates the Lee-Seung
+    monotone-loss law, bit-reproducibility, nonnegativity and a numpy
+    replay (tests/test_corpus.py)."""
+    vocab, h, _losses, _state = nmf_fit(sf_dir, k=k)
+    rows = []
+    varr = np.array(vocab, dtype=object)
+    for t in range(k):
+        order = np.lexsort((varr, -h[t]))[:top_terms]
+        for r, j in enumerate(order):
+            rows.append((t, r + 1, vocab[j],
+                         float(np.round(h[t, j], 5))))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["topic", "rank", "term",
+                                     "weight"])
+    df["topic"] = df["topic"].astype(np.int64)
+    df["rank"] = df["rank"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def nmf_fit_numpy(texts: list, doc_ids: list, k: int = 5,
+                  vocab_size: int = 300, max_iters: int = 25,
+                  eps: float = 1e-12):
+    """Driver oracle: same updates, same md5-Weyl init, in-memory."""
+    import collections
+
+    c = collections.Counter()
+    for t in texts:
+        c.update((t or "").lower().split())
+    vt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = [t for t, _ in vt]
+    vix = {t: i for i, t in enumerate(vocab)}
+    nv = len(vocab)
+    v = np.zeros((len(texts), nv))
+    for i, t in enumerate(texts):
+        for tok in (t or "").lower().split():
+            j = vix.get(tok)
+            if j is not None:
+                v[i, j] += 1.0
+    w = np.stack([_hash_uniform(f"w{int(d)}", k) for d in doc_ids])
+    h = np.stack([_hash_uniform(f"h{j}", nv) for j in range(k)])
+    losses = []
+    for _ in range(max_iters):
+        w *= (v @ h.T) / (w @ (h @ h.T) + eps)
+        resid = v - w @ h
+        losses.append(float((resid * resid).sum()))
+        h *= (w.T @ v) / ((w.T @ w) @ h + eps)
+    return vocab, h, losses

@@ -8,6 +8,7 @@ count, stratified picks are stable and exactly n per stratum.
 
 import duckdb
 import pyarrow as pa
+import pytest
 
 from crawl4ai_ray.pipelines import corpus
 
@@ -540,3 +541,39 @@ def test_compress_ratio_laws(ray_session):
     # highly repetitive text compresses better than the median doc
     rep = zlib.compress(("spam " * 200).encode(), 6)
     assert len(rep) / 1000 < df["compress_ratio"].median()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nmf_lee_seung_laws_and_replay():
+    """Frobenius loss is non-increasing (Lee-Seung 2001 guarantee),
+    the distributed fit matches an in-memory replay with the same
+    md5-Weyl init, factors stay nonnegative, and the topic readout is
+    well-formed."""
+    import duckdb
+    import numpy as np
+
+    from crawl4ai_ray.pipelines.corpus import (
+        doc_nmf_topics, nmf_fit, nmf_fit_numpy)
+
+    sf = "/root/testdata/sf0.01"
+    vocab, h, losses, _state = nmf_fit(sf, max_iters=10)
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(losses, losses[1:]))
+    assert (h >= 0).all()
+
+    df = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        f"ORDER BY doc_id").df()
+    v2, h2, l2 = nmf_fit_numpy(df["text"].tolist(),
+                               df["doc_id"].tolist(), max_iters=10)
+    assert vocab == v2
+    assert np.allclose(losses, l2, rtol=1e-6)
+    assert np.allclose(h, h2, rtol=1e-4, atol=1e-8)
+
+    t = doc_nmf_topics(sf).to_pandas()
+    assert len(t) == 5 * 8
+    assert (t.groupby("topic")["rank"].max() == 8).all()
+    assert (t["weight"] >= 0).all()
+    # within a topic, weights are non-increasing by rank
+    for _, g in t.groupby("topic"):
+        w = g.sort_values("rank")["weight"].to_numpy()
+        assert (np.diff(w) <= 1e-9).all()
