@@ -986,6 +986,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # LSH dedup quality audit: precision/recall of the minhash
+        # candidate set vs the exact shingle-Jaccard ground truth per
+        # threshold; SQL oracle recomputes the ENTIRE truth from text
+        "minhash_lsh_quality": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.dedup",
+            fromlist=["minhash_lsh_quality"],
+        ).minhash_lsh_quality(
+            sf, dump_cand=lambda t: _oracle_dump(
+                "minhash_lsh_quality", t)),
         # interpolated Kneser-Ney bigram probabilities (compact-gram
         # marginals, broadcast-set filtered top-k)
         "corpus_kneser_ney": lambda sf: __import__(
@@ -2148,6 +2157,77 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "minhash_lsh_quality": r"""
+            WITH cand AS (
+                SELECT doc_a, doc_b FROM read_parquet(
+                    '/tmp/c4r_oracle/minhash_lsh_quality/raw.parquet')
+            ),
+            d AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           trim(lower(text)), '\s+'),
+                       x -> x <> '') AS toks
+                FROM documents
+            ),
+            g3 AS (
+                SELECT DISTINCT doc_id,
+                       toks[CAST(i AS INTEGER)] || ' '
+                       || toks[CAST(i AS INTEGER) + 1] || ' '
+                       || toks[CAST(i AS INTEGER) + 2] AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1,
+                                    len(toks) - 2)) AS i
+                      FROM d WHERE len(toks) >= 3)
+            ),
+            gs AS (
+                SELECT doc_id, array_to_string(toks, ' ') AS g
+                FROM d WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            grams AS (SELECT doc_id, g FROM g3
+                      UNION SELECT doc_id, g FROM gs),
+            sizes AS (SELECT doc_id, count(*) AS n
+                      FROM grams GROUP BY 1),
+            inter AS (
+                SELECT ga.doc_id AS a, gb.doc_id AS b,
+                       count(*) AS i
+                FROM grams ga JOIN grams gb
+                  ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+                GROUP BY 1, 2
+            ),
+            jac AS (
+                SELECT a, b,
+                       round(CAST(i AS DOUBLE)
+                             / (sa.n + sb.n - i), 6) AS j
+                FROM inter JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+            ),
+            th(t) AS (VALUES (0.4), (0.5), (0.6), (0.7), (0.8)),
+            cj AS (
+                SELECT c.doc_a, c.doc_b, coalesce(j.j, 0.0) AS j
+                FROM cand c LEFT JOIN jac j
+                  ON j.a = c.doc_a AND j.b = c.doc_b
+            )
+            SELECT th.t AS threshold,
+                   CAST((SELECT count(*) FROM jac
+                         WHERE jac.j >= th.t) AS BIGINT) AS n_true,
+                   CAST((SELECT count(*) FROM cand) AS BIGINT)
+                       AS n_cand,
+                   CAST((SELECT count(*) FROM cj
+                         WHERE cj.j >= th.t) AS BIGINT) AS n_hit,
+                   ROUND(CASE WHEN (SELECT count(*) FROM cand) > 0
+                         THEN (SELECT count(*) FROM cj
+                               WHERE cj.j >= th.t)
+                              / CAST((SELECT count(*) FROM cand)
+                                     AS DOUBLE)
+                         ELSE -1.0 END, 6) AS precision,
+                   ROUND(CASE WHEN (SELECT count(*) FROM jac
+                                    WHERE jac.j >= th.t) > 0
+                         THEN (SELECT count(*) FROM cj
+                               WHERE cj.j >= th.t)
+                              / CAST((SELECT count(*) FROM jac
+                                      WHERE jac.j >= th.t) AS DOUBLE)
+                         ELSE -1.0 END, 6) AS recall
+            FROM th
         """,
         "corpus_kneser_ney": r"""
             WITH tok AS (

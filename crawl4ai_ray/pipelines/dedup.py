@@ -1608,3 +1608,98 @@ def jaro_name_join(sf_dir: str, *, threshold: float = 0.85,
                            batch_size=65536)
             .groupby(["name", "block"]).count()
             .groupby("block").map_groups(pairs, batch_format="pyarrow"))
+
+
+def minhash_lsh_quality(sf_dir: str, *,
+                        thresholds=(0.4, 0.5, 0.6, 0.7, 0.8),
+                        num_perm: int = 64, bands: int = 16,
+                        k: int = 3, max_bucket: int = 4096,
+                        dump_cand=None):
+    """LSH-vs-exact dedup quality audit: precision and recall of the
+    minhash band-bucket CANDIDATE set against the exact k-shingle
+    Jaccard ground truth, per threshold — the calibration curve that
+    tells a pipeline author whether (num_perm, bands) matches their
+    dedup threshold BEFORE a 100 TB run (the S-curve check every
+    MinHash deployment owes itself; Broder 1997, Leskovec et al.
+    MMDS ch.3).
+
+    Fully distributed, ONE shingle pass feeding three derived paths:
+    minhash band rows → LSH candidates; a shingle INVERTED-INDEX pair
+    emission (any pair with J > 0 shares a shingle, so this truth set
+    is COMPLETE above any positive threshold, up to the documented
+    ``max_bucket`` cap on degenerate boilerplate shingles); and the
+    exact-Jaccard verifier scoring both sets. Per-threshold counts
+    reduce through stateless partial sums. The SQL oracle recomputes
+    the ENTIRE ground truth from raw text (string trigrams, all
+    pairs) plus the dumped candidate set."""
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    sh = ds.map_batches(
+        lambda b: _shingle_batch(b, k),
+        batch_format="pyarrow", batch_size=4096,
+    ).materialize()
+
+    band_rows = sh.map_batches(
+        lambda b: _band_rows_from_shingles(b, num_perm, bands),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket) \
+        .materialize()
+    if dump_cand is not None:
+        dump_cand(pa.Table.from_pandas(
+            cand.to_pandas().sort_values(["doc_a", "doc_b"]),
+            preserve_index=False))
+    n_cand = cand.count()
+    cand_j = _verify_exact_jaccard(cand, sh, threshold=0.0) \
+        .materialize() if n_cand else None
+
+    # ground truth: shingle inverted index (band_id 0, hash = shingle)
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, blob in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("shingles").to_pylist()):
+            arr = np.frombuffer(blob, np.uint64)
+            ids.extend([did] * len(arr))
+            hs.append(arr)
+        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band_id": pa.array(np.zeros(len(h), np.int64)),
+            "band_hash": pa.array(h, pa.uint64())})
+
+    truth_pairs = lsh_candidate_pairs(
+        sh.map_batches(shingle_rows, batch_format="pyarrow",
+                       batch_size=4096),
+        max_bucket=max_bucket).materialize()
+    # verify at tmin - 1e-6 so raw-j values whose ROUND(6) lands
+    # exactly on the lowest threshold are retained — the per-threshold
+    # counts below (and the SQL oracle) compare the ROUNDED value
+    tmin = min(thresholds) - 1e-6
+    truth = _verify_exact_jaccard(truth_pairs, sh, threshold=tmin) \
+        .materialize() if truth_pairs.count() else None
+
+    def count_ge(dsj, t: float) -> int:
+        if dsj is None:
+            return 0
+        part = dsj.map_batches(
+            lambda b, t=t: pa.table({"n": pa.array([int(
+                (b.column("jaccard").to_numpy(zero_copy_only=False)
+                 >= t).sum())], pa.int64())}),
+            batch_format="pyarrow")
+        return int(part.sum("n") or 0)
+
+    rows = []
+    for t in thresholds:
+        n_true = count_ge(truth, t)
+        n_hit = count_ge(cand_j, t)
+        rows.append((
+            float(t), n_true, n_cand, n_hit,
+            round(n_hit / n_cand, 6) if n_cand else -1.0,
+            round(n_hit / n_true, 6) if n_true else -1.0))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=[
+        "threshold", "n_true", "n_cand", "n_hit", "precision",
+        "recall"])
+    for c in ("n_true", "n_cand", "n_hit"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
