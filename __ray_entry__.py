@@ -986,6 +986,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # entity resolution: JW-blocked pairs -> min-label components
+        # -> canonical name; SQL oracle = DuckDB jaro_winkler pairs +
+        # recursive-closure clusters
+        "part_name_clusters": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.dedup",
+            fromlist=["jaro_name_clusters"],
+        ).jaro_name_clusters(sf),
         # LSH dedup quality audit: precision/recall of the minhash
         # candidate set vs the exact shingle-Jaccard ground truth per
         # threshold; SQL oracle recomputes the ENTIRE truth from text
@@ -2157,6 +2164,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "part_name_clusters": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT p_name AS name,
+                       regexp_extract(p_name, '[^ ]+$') AS block
+                FROM part
+            ),
+            p AS (
+                SELECT a.name AS x, b.name AS y
+                FROM d a JOIN d b
+                  ON a.block = b.block AND a.name < b.name
+                WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+            ),
+            e AS (SELECT x, y FROM p UNION SELECT y, x FROM p),
+            reach(name, r) AS (
+                SELECT name, name FROM d
+                UNION
+                SELECT re.name, e.y FROM reach re
+                JOIN e ON e.x = re.r
+            ),
+            canon AS (SELECT name, min(r) AS canon
+                      FROM reach GROUP BY 1),
+            cs AS (SELECT canon, count(*) AS cluster_size
+                   FROM canon GROUP BY 1)
+            SELECT c.name, c.canon,
+                   CAST(cs.cluster_size AS BIGINT) AS cluster_size
+            FROM canon c JOIN cs USING (canon)
         """,
         "minhash_lsh_quality": r"""
             WITH cand AS (

@@ -1703,3 +1703,63 @@ def minhash_lsh_quality(sf_dir: str, *,
     for c in ("n_true", "n_cand", "n_hit"):
         df[c] = df[c].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def jaro_name_clusters(sf_dir: str, *, threshold: float = 0.9,
+                       table: str = "part", str_col: str = "p_name"):
+    """Entity resolution end-to-end: blocked Jaro-Winkler pair
+    generation (``jaro_name_join``) → undirected connected components
+    → canonical representative = the lexicographically SMALLEST name
+    in each cluster — the classic dirty-catalog normalization
+    (Fellegi-Sunter blocking + transitive closure). Every distinct
+    value gets a row: (name, canon, cluster_size).
+
+    Scale shape: the pair stage is the documented blocked join; the
+    closure runs over the pair list via the Pregel min-label loop of
+    ``propagate_min_labels`` on integer codes (names code into their
+    rank in the sorted distinct-value domain — bounded vocabulary,
+    the same assumption the blocking key already makes). The SQL
+    oracle independently recomputes the pairs (DuckDB's own
+    jaro_winkler_similarity) AND the closure (recursive CTE), so the
+    whole composition is hash-gated."""
+    pairs_t = pa.concat_tables(
+        [t for t in [ray.get(r) for r in jaro_name_join(
+            sf_dir, threshold=threshold, table=table,
+            str_col=str_col).to_arrow_refs()] if t.num_rows] or
+        [pa.table({"name_a": pa.array([], pa.string()),
+                   "name_b": pa.array([], pa.string()),
+                   "jw": pa.array([], pa.float64())})])
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet",
+                         columns=[str_col])
+
+    def names_only(t: pa.Table) -> pa.Table:
+        return pa.table({"name": pa.array(
+            sorted(set(t.column(str_col).to_pylist())), pa.string())})
+
+    distinct = ds.map_batches(names_only, batch_format="pyarrow") \
+        .groupby("name").count().to_pandas()["name"] \
+        .sort_values().tolist()
+    code = {n: i for i, n in enumerate(distinct)}
+
+    ids_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(distinct), dtype=np.int64))}))
+    pair_ids = pa.table({
+        "doc_a": pa.array([code[n] for n in
+                           pairs_t.column("name_a").to_pylist()],
+                          pa.int64()),
+        "doc_b": pa.array([code[n] for n in
+                           pairs_t.column("name_b").to_pylist()],
+                          pa.int64())})
+    labels = propagate_min_labels(pair_ids, ids_ds).to_pandas() \
+        .sort_values("node")
+    names_arr = np.array(distinct, dtype=object)
+    canon = names_arr[labels["label"].to_numpy(np.int64)]
+    sizes = pd.Series(canon).groupby(canon).transform("size") \
+        .to_numpy(np.int64)
+    return pa.table({
+        "name": pa.array(names_arr[labels["node"]
+                                   .to_numpy(np.int64)], pa.string()),
+        "canon": pa.array(canon, pa.string()),
+        "cluster_size": pa.array(sizes),
+    })
