@@ -986,6 +986,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Poisson bootstrap: 95% CI for mean doc length
         # per lang (deterministic md5 weight stream, |langs|xR cells)
         "doc_bootstrap_ci": analysis.doc_bootstrap_ci,
+        # winnowing (MOSS) fingerprint digests per document
+        "doc_winnowing": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.corpus",
+            fromlist=["doc_winnowing"],
+        ).doc_winnowing(sf),
         # entity resolution: JW-blocked pairs -> min-label components
         # -> canonical name; SQL oracle = DuckDB jaro_winkler pairs +
         # recursive-closure clusters
@@ -2164,6 +2169,69 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cooks_d, 6) AS cooks_d,
                    CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 20
+        """,
+        "doc_winnowing": r"""
+            WITH d AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           trim(lower(text)), '\s+'),
+                       x -> x <> '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i,
+                       CAST(('0x' || substr(md5(
+                           toks[CAST(i AS INTEGER)] || ' '
+                           || toks[CAST(i AS INTEGER) + 1] || ' '
+                           || toks[CAST(i AS INTEGER) + 2]), 1, 8))
+                           AS BIGINT) AS h
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1,
+                                    len(toks) - 2)) AS i
+                      FROM d WHERE len(toks) >= 3)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams
+                      FROM g GROUP BY 1),
+            w AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING
+                                AND CURRENT ROW) AS mh,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING
+                                AND CURRENT ROW) AS wn
+                FROM g
+            ),
+            fpl AS (
+                SELECT w.doc_id, w.mh AS fp
+                FROM w JOIN sizes USING (doc_id)
+                WHERE sizes.n_grams >= 4 AND w.wn = 4
+                UNION
+                SELECT g.doc_id, min(g.h) AS fp
+                FROM g JOIN sizes USING (doc_id)
+                WHERE sizes.n_grams < 4
+                GROUP BY g.doc_id
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_fps, min(fp) AS fp_min,
+                       CAST(sum(fp) % 2147483647 AS BIGINT)
+                           AS fp_checksum
+                FROM fpl GROUP BY 1
+            )
+            SELECT dd.doc_id,
+                   CAST(coalesce(sizes.n_grams, 0) AS BIGINT)
+                       AS n_grams,
+                   CAST(coalesce(agg.n_fps, 0) AS BIGINT) AS n_fps,
+                   ROUND(CASE WHEN coalesce(sizes.n_grams, 0) > 0
+                         THEN coalesce(agg.n_fps, 0)
+                              / CAST(sizes.n_grams AS DOUBLE)
+                         ELSE 0.0 END, 6) AS density,
+                   CAST(coalesce(agg.fp_min, -1) AS BIGINT)
+                       AS fp_min,
+                   CAST(coalesce(agg.fp_checksum, -1) AS BIGINT)
+                       AS fp_checksum
+            FROM (SELECT doc_id FROM documents) dd
+            LEFT JOIN agg USING (doc_id)
+            LEFT JOIN sizes USING (doc_id)
         """,
         "part_name_clusters": """
             WITH RECURSIVE d AS (
