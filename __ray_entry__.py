@@ -2024,6 +2024,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.sketches",
             fromlist=["events_isotonic_calibration"],
         ).events_isotonic_calibration(sf),
+        # orthogonal Procrustes embedding alignment (planted-rotation
+        # recovery laws in tests/test_similarity_distributed.py)
+        "embedding_procrustes": lambda sf: __import__(
+            "crawl4ai_ray.pipelines.similarity",
+            fromlist=["embedding_procrustes"],
+        ).embedding_procrustes(sf),
         # NMF topic model (Lee-Seung multiplicative updates, row-
         # partitioned W + broadcast H; rows-only — monotone-loss law
         # + md5-init numpy replay in tests/test_corpus.py)

@@ -1360,3 +1360,68 @@ def embedding_dbscan_numpy(vecs: "np.ndarray", ids: "np.ndarray", *,
             else:
                 rows.append((int(vid), -1, "noise"))
     return pd.DataFrame(rows, columns=["vec_id", "cluster", "role"])
+
+
+def embedding_procrustes(sf_dir: str, seed: int = 13):
+    """Orthogonal Procrustes alignment (Schönemann 1966; the
+    cross-model/cross-lingual embedding alignment step of
+    Mikolov et al. 2013 exp.): recover the orthogonal map between two
+    embedding spaces from paired vectors. The second view is the
+    table's own vectors under a SEEDED orthogonal transform (QR of a
+    seeded Gaussian — deterministic), so recovery quality is exactly
+    measurable: Ω̂ = UVᵀ from SVD(XᵀY) must reproduce the planted
+    rotation up to float error.
+
+    Scale shape: the d×d cross-covariance XᵀY reduces through
+    per-block partials (the sufficient-statistics map-reduce shape —
+    one pass, d² floats per block); the SVD is driver math on d×d.
+    Returns a summary row: residual before/after alignment,
+    orthogonality defect of Ω̂, and the planted-rotation recovery
+    error — each a law the pytest gate pins
+    (tests/test_similarity_distributed.py)."""
+    rng = np.random.default_rng(seed)
+    ds = rd.read_parquet(_emb_path(sf_dir),
+                         columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    qref = ray.put(q)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        qq = ray.get(qref)
+        x = _emb_matrix(batch)
+        y = x @ qq
+        return pa.table({
+            "xty": pa.array([(x.T @ y).tobytes()], pa.large_binary()),
+            "xtx_tr": pa.array([float((x * x).sum())]),
+            "n": pa.array([len(x)], pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=4096).take_all()
+    m = np.zeros((dim, dim))
+    sq_norm = 0.0
+    n = 0
+    for r in parts:
+        m += np.frombuffer(r["xty"], np.float64).reshape(dim, dim)
+        sq_norm += r["xtx_tr"]
+        n += r["n"]
+    u, _s, vt = np.linalg.svd(m)
+    omega = u @ vt
+
+    # residuals: ||XΩ − Y||² = 2||X||² − 2 tr(ΩᵀXᵀY) (Y = XQ is norm-
+    # preserving), evaluated from the SAME sufficient statistics
+    res_after = max(2.0 * sq_norm - 2.0 * float(np.trace(omega.T @ m)),
+                    0.0)
+    res_before = max(2.0 * sq_norm
+                     - 2.0 * float(np.trace(m)), 0.0)   # Ω = I
+    ortho_defect = float(np.abs(omega.T @ omega
+                                - np.eye(dim)).max())
+    recovery_err = float(np.abs(omega - q).max())
+    return pa.table({
+        "n_vecs": pa.array([n], pa.int64()),
+        "dim": pa.array([dim], pa.int64()),
+        "residual_identity": pa.array([round(res_before, 4)]),
+        "residual_aligned": pa.array([round(res_after, 4)]),
+        "ortho_defect": pa.array([round(ortho_defect, 10)]),
+        "rotation_recovery_err": pa.array([round(recovery_err, 10)]),
+    })

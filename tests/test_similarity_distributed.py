@@ -240,3 +240,15 @@ def test_embedding_dbscan_matches_bruteforce():
         cl = got[got.cluster >= 0]
         assert (cl.groupby("cluster")["role"]
                 .apply(lambda r: (r == "core").any())).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_procrustes_recovers_planted_rotation():
+    """SVD alignment from distributed sufficient statistics recovers
+    the planted orthogonal map: near-zero aligned residual and
+    recovery error, orthogonal output, large identity residual."""
+    out = _df(similarity.embedding_procrustes(SF)).iloc[0]
+    assert out["rotation_recovery_err"] < 1e-8
+    assert out["ortho_defect"] < 1e-10
+    assert out["residual_aligned"] < 1e-4
+    assert out["residual_identity"] > 1.0
