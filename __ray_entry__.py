@@ -1013,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "crawl4ai_ray.pipelines.corpus",
             fromlist=["corpus_kneser_ney"],
         ).corpus_kneser_ney(sf),
+        # Herfindahl concentration of customer revenue per year
+        "orders_hhi_by_year": analysis.orders_hhi_by_year,
         # deterministic k-fold CV split + per-fold class balance audit
         "doc_cv_folds": analysis.doc_cv_folds,
         # grouped log-log OLS: price elasticity of demand per p_type
@@ -2370,6 +2372,24 @@ def oracle_sql() -> dict[str, str]:
                        AS p_kn
             FROM top t JOIN ctx USING (w1) JOIN wrd USING (w2), b
             WHERE t.rk <= 50
+        """,
+        "orders_hhi_by_year": """
+            WITH c AS (
+                SELECT extract(year FROM o_orderdate) AS year,
+                       o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1, 2
+            ),
+            t AS (SELECT year, sum(rev) AS tot FROM c GROUP BY 1),
+            s AS (
+                SELECT c.year,
+                       (c.rev / t.tot) * (c.rev / t.tot) AS s2
+                FROM c JOIN t USING (year)
+            )
+            SELECT CAST(year AS BIGINT) AS year,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   ROUND(sum(s2) * 10000.0, 4) AS hhi,
+                   ROUND(1.0 / sum(s2), 4) AS effective_customers
+            FROM s GROUP BY year
         """,
         "doc_cv_folds": """
             WITH f AS (

@@ -11456,3 +11456,51 @@ def events_markov_absorption(sf_dir: str,
         "expected_steps": pa.array(np.round(t, 6)),
         "p_direct": pa.array(np.round(reach, 6)),
     })
+
+
+def orders_hhi_by_year(sf_dir: str):
+    """Herfindahl-Hirschman concentration of customer revenue per
+    order-year: HHI = Σᵢ sᵢ² over customer revenue shares (×10,000 —
+    the antitrust convention), plus the effective number of customers
+    1/Σsᵢ² — the concentration metric next to Gini
+    (crawl_host_gini) and the Pareto deciles.
+
+    Scale shape: ONE (year, customer) combiner groupby (the exchange
+    is customers×years cells); the share squaring re-aggregates
+    per-year through a second bounded groupby. Shares divide exact
+    sums, so the oracle reproduces the doubles to well below 6dp."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "year": y,
+            "cust": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "rev": batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby(["year", "cust"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby(["year", "cust"]) \
+        .aggregate(Sum("rev", alias_name="rev")).to_pandas()
+    tot = cells.groupby("year")["rev"].transform("sum") \
+        .to_numpy(np.float64)
+    s = cells["rev"].to_numpy(np.float64) / tot
+    cells["s2"] = s * s
+    g = cells.groupby("year", as_index=False) \
+        .agg(n_customers=("cust", "size"), hhi_frac=("s2", "sum"))
+    return pa.table({
+        "year": pa.array(g["year"].to_numpy(np.int64)),
+        "n_customers": pa.array(
+            g["n_customers"].to_numpy(np.int64)),
+        "hhi": pa.array(np.round(
+            g["hhi_frac"].to_numpy(np.float64) * 10000.0, 4)),
+        "effective_customers": pa.array(np.round(
+            1.0 / g["hhi_frac"].to_numpy(np.float64), 4)),
+    })
